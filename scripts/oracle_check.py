@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+SQL in DuckDB against the same parquet tables, loads the corresponding
+Spark result parquet, sorts columns by name and rows by value, and
+compares exactly (hash-style). NOT part of the library — dev tooling only.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+def load_spark(outdir, name):
+    files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a stable, engine-neutral compare (hash proxy)
+    s = df.astype(str)
+    s = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
+    return s
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_ok = n_fail = 0
+    spark_dirs = [d for d in os.listdir(out_dir)
+                  if os.path.isdir(os.path.join(out_dir, d))]
+    for name in sorted(spark_dirs):
+        spark_df = load_spark(out_dir, name)
+        if name not in oracles:
+            print(f"[rows-only] {name}: {0 if spark_df is None else len(spark_df)} rows")
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"[FAIL] {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+        elif len(a) != len(b):
+            print(f"[FAIL] {name}: rows {len(a)} vs {len(b)}")
+            n_fail += 1
+        elif not a.equals(b):
+            diff = (a != b).any(axis=1)
+            i = diff[diff].index[0]
+            print(f"[FAIL] {name}: value mismatch at canon row {i}:")
+            print("  spark:", a.loc[i].to_dict())
+            print("  duck :", b.loc[i].to_dict())
+            n_fail += 1
+        else:
+            print(f"[OK]   {name}: {len(a)} rows")
+            n_ok += 1
+    missing = set(oracles) - set(spark_dirs)
+    for m in sorted(missing):
+        print(f"[FAIL] {m}: oracle present but no spark output")
+        n_fail += 1
+    print(f"\n{n_ok} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver's parquet tables (`TESTDATA.md`).
+  *
+  * All queries take an `sfDir` (e.g. `/root/testdata/sf0.01`) and read the
+  * table they need lazily — Catalyst prunes columns and pushes filters into
+  * the parquet scan, so loading "the whole table" here costs nothing beyond
+  * what the query actually touches. At cluster scale the same code reads a
+  * partitioned table root instead of a single file; nothing here assumes
+  * single-file inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` text matches the
+    * DuckDB oracle text where convenient. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

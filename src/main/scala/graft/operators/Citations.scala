@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Citation analysis — the reference's entire workload, Spark-first.
+  *
+  * The reference computes the in-degree of a citation graph in three hand
+  * rolled passes (partial count worker/mapper/mapper.py:69-80, heap merge
+  * worker/reducer/reducer.py:61-108, final re-sum master/master.py:193-204).
+  * In Spark that is ONE `groupBy().count()` — partial aggregation, the
+  * shuffle, and the final merge are all inside `HashAggregateExec`, and the
+  * map→reduce barrier is the exchange. Nothing to hand-schedule.
+  *
+  * Scale notes (100 TB): the count shuffles only (dst, partial_count) pairs —
+  * map-side combine collapses the edge list to distinct keys per partition
+  * before the exchange. Top-30 is planned as `TakeOrderedAndProject` (per
+  * partition bounded heap, 30-row heads merged on the driver), NOT the
+  * reference's global full sort (master/master.py:218).
+  */
+object Citations {
+
+  /** Edge projection of the driver testdata: "order cites part" — one edge
+    * per lineitem. Ids cast to string to preserve the reference's
+    * lexicographic key semantics (SURVEY.md §2.3.3). */
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem").select(
+      col("l_orderkey").cast("string").as("src"),
+      col("l_partkey").cast("string").as("dst"))
+
+  /** O6–O10 collapsed: citations per paper. */
+  def counts(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("dst").as("paper_id"))
+      .agg(count(lit(1)).as("citations"))
+
+  /** check.py's alternate formulation (SURVEY.md O15): group-to-list, then
+    * take the size. Same result as `counts`; kept as a differential twin. */
+  def countsViaCollect(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("dst").as("paper_id"))
+      .agg(size(collect_list(col("src"))).cast("long").as("citations"))
+
+  /** O11–O13: desc count, ascending string id tie-break (the master's
+    * deterministic order, master/master.py:218 — NOT check.py's unstable
+    * one, SURVEY.md §2.3.2), top 30, 1-based rank. */
+  def top30(counts: DataFrame): DataFrame = {
+    val ordered = counts
+      .orderBy(col("citations").desc, col("paper_id").asc)
+      .limit(30)
+    // Rank over 30 collected rows: the single-partition window is applied
+    // AFTER the limit, so it never sees more than k rows.
+    val w = Window.orderBy(col("citations").desc, col("paper_id").asc)
+    ordered
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("paper_id"), col("citations"))
+  }
+
+  /** O14: the formatted report (master/master.py:206-224 layout — `=`×50
+    * header, `%-6s%-15s%10s` columns with thousands separators, `-`×31
+    * rules, timestamp footer). Driver-side string work on ≤30 rows; the
+    * timestamp is injectable so golden tests can pin it. */
+  def formatReport(top: Seq[(Int, String, Long)],
+                   generatedOn: String): String = {
+    val sb = new StringBuilder
+    sb.append("=" * 50).append('\n')
+    sb.append("Top 30 Most Cited Papers\n")
+    sb.append("=" * 50).append("\n\n")
+    sb.append(f"${"Rank"}%-6s${"Paper ID"}%-15s${"Citations"}%10s%n")
+    sb.append("-" * 31).append('\n')
+    top.foreach { case (rank, id, n) =>
+      val withSep = f"$n%,d"
+      sb.append(f"${rank.toString}%-6s$id%-15s$withSep%10s%n")
+    }
+    sb.append('\n').append("-" * 31).append('\n')
+    sb.append(s"Generated on: $generatedOn\n")
+    sb.toString
+  }
+
+  /** Full pipeline: edges → top30 → report text (collects 30 rows). */
+  def report(spark: SparkSession, sfDir: String, generatedOn: String): String = {
+    val rows = top30(counts(edges(spark, sfDir)))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    formatReport(rows, generatedOn)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Citations
+import graft.sources.EdgeListReader
+
+class CitationsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  def fixturePath: String =
+    getClass.getResource("/edges_tiny.txt").getPath
+
+  lazy val edges = EdgeListReader.read(spark, fixturePath).cache()
+
+  test("reader drops comments, blanks, malformed; keeps dups/self-cites") {
+    // fixture: 10 valid edges (incl. self-citation + duplicate), 2 comments,
+    // 1 blank, 1 malformed
+    assert(edges.count() === 10)
+  }
+
+  test("counts match hand oracle (self-citations and duplicates counted)") {
+    val got = Citations.counts(edges).as[(String, Long)].collect().toMap
+    assert(got === Map("2002" -> 5L, "2003" -> 2L, "2004" -> 2L, "10" -> 1L))
+  }
+
+  test("countsViaCollect is identical to counts") {
+    val a = Citations.counts(edges).as[(String, Long)].collect().toSet
+    val b = Citations.countsViaCollect(edges).as[(String, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("top30 order: desc count, ascending STRING id tie-break") {
+    val got = Citations.top30(Citations.counts(edges))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "2002", 5L), (2, "2003", 2L), (3, "2004", 2L), (4, "10", 1L)))
+  }
+
+  test("string order differs from numeric order where it must") {
+    // "10" < "9" lexicographically: with equal counts "10" ranks first
+    val e = Seq(("a", "9"), ("b", "10")).toDF("src", "dst")
+    val got = Citations.top30(Citations.counts(e))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got.map(_._2) === Seq("10", "9"))
+  }
+
+  test("limit boundary: exactly 30 rows at 31 distinct keys") {
+    val e = (1 to 31).flatMap(i => Seq.fill(i)(("s", f"k$i%02d"))).toDF("src", "dst")
+    val got = Citations.top30(Citations.counts(e)).collect()
+    assert(got.length === 30)
+    assert(got.head.getString(1) === "k31") // highest count first
+    assert(got.last.getString(1) === "k02") // k01 (count 1) cut off
+  }
+
+  test("partition-count independence (SURVEY.md §2.3.5)") {
+    val base = Citations.counts(edges).as[(String, Long)].collect().toSet
+    for (k <- Seq(1, 2, 8)) {
+      val got = Citations.counts(edges.repartition(k))
+        .as[(String, Long)].collect().toSet
+      assert(got === base, s"repartition($k) changed the result")
+    }
+  }
+
+  test("sum of counts == number of valid edges") {
+    val total = Citations.counts(edges)
+      .agg(org.apache.spark.sql.functions.sum("citations")).first().getLong(0)
+    assert(total === edges.count())
+  }
+
+  test("report layout matches the reference byte-for-byte (pinned timestamp)") {
+    val rows = Citations.top30(Citations.counts(edges))
+      .as[(Int, String, Long)].collect().toSeq
+    val got = Citations.formatReport(rows, "2026-01-01 00:00:00")
+    val expected =
+      "=" * 50 + "\n" +
+        "Top 30 Most Cited Papers\n" +
+        "=" * 50 + "\n\n" +
+        "Rank  Paper ID        Citations\n" +
+        "-" * 31 + "\n" +
+        "1     2002                    5\n" +
+        "2     2003                    2\n" +
+        "3     2004                    2\n" +
+        "4     10                      1\n" +
+        "\n" + "-" * 31 + "\n" +
+        "Generated on: 2026-01-01 00:00:00\n"
+    assert(got === expected)
+  }
+
+  test("thousands separators in report counts") {
+    val got = Citations.formatReport(Seq((1, "p", 1234567L)), "t")
+    assert(got.contains(" 1,234,567\n"))
+  }
+
+  test("flagship entry returns >0 rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
