@@ -50,15 +50,17 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    citationQueries
+    citationQueries ++ Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    citationOracles
+    citationOracles ++ Relational.oracles
 
   /** Headline subset used by Bench (wall-clock representative, not the
     * full correctness matrix). */
   def benchQueries: Seq[String] = Seq(
-    "citation_counts", "citation_top30")
+    "citation_counts", "citation_top30",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "join_outer_order_counts", "window_running_revenue", "topk_orders")
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q1: one group per (returnflag, linestatus); counts sum to filtered rows") {
+    val df = Relational.q1PricingSummary(spark, sf).cache()
+    assert(df.count() === 6)
+    val totalRows = df.agg(org.apache.spark.sql.functions.sum("count_order"))
+      .first().getLong(0)
+    val expected = Tables.load(spark, sf, "lineitem")
+      .where($"l_shipdate" <= "2000-12-01").count()
+    assert(totalRows === expected)
+  }
+
+  test("q3/q5 plans broadcast the dimension sides") {
+    assert(plan(Relational.q3ShippingPriority(spark, sf)).contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q5RegionRevenue(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("topk plans as TakeOrderedAndProject (bounded heap, no global sort)") {
+    assert(plan(Relational.topkOrders(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("outer join keeps customers with zero orders (count 0, not null)") {
+    val df = Relational.joinOuterOrderCounts(spark, sf)
+    val custs = Tables.load(spark, sf, "customer").count()
+    assert(df.count() === custs) // every customer present
+    val zero = Tables.load(spark, sf, "customer")
+      .join(Tables.load(spark, sf, "orders"),
+        $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(df.where($"n_orders" === 0).count() === zero)
+  }
+
+  test("semi ∩ anti partition the customer set under the same predicate") {
+    val semiUrgent = Tables.load(spark, sf, "customer")
+      .join(Tables.load(spark, sf, "orders").where($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_semi").count()
+    val anti = Relational.joinAnti(spark, sf).count()
+    assert(semiUrgent + anti === Tables.load(spark, sf, "customer").count())
+  }
+
+  test("rollup = detail + per-status subtotals + grand total") {
+    val df = Relational.aggRollup(spark, sf).cache()
+    val detail = df.where($"o_orderstatus".isNotNull && $"o_orderpriority".isNotNull).count()
+    val statusSub = df.where($"o_orderstatus".isNotNull && $"o_orderpriority".isNull).count()
+    val grand = df.where($"o_orderstatus".isNull).count()
+    assert(grand === 1)
+    assert(statusSub === 3) // F, O, P
+    assert(df.count() === detail + statusSub + grand)
+  }
+
+  test("cube has 4 grouping combinations; grand total row count = table size") {
+    val df = Relational.aggCube(spark, sf).cache()
+    val grand = df.where($"l_returnflag".isNull && $"l_linestatus".isNull)
+    assert(grand.count() === 1)
+    assert(grand.first().getAs[Long]("n") ===
+      Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("window top2: at most 2 rows per segment, rn ∈ {1,2}") {
+    val df = Relational.windowTop2PerSegment(spark, sf).cache()
+    assert(df.groupBy("c_mktsegment").count().where($"count" > 2).count() === 0)
+    assert(df.where(!$"rn".isin(1, 2)).count() === 0)
+  }
+
+  test("running revenue is monotone per customer (positive totalprice)") {
+    val df = Relational.windowRunningRevenue(spark, sf)
+    val bad = df
+      .withColumn("prev", org.apache.spark.sql.functions.lag("running_total", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+      .where($"prev".isNotNull && $"running_total" < $"prev")
+    assert(bad.count() === 0)
+  }
+
+  test("setops: intersect ⊆ both sides; except ∩ building = ∅; union distinct") {
+    val inter = Relational.setopIntersect(spark, sf).as[Long].collect().toSet
+    val except = Relational.setopExcept(spark, sf).as[Long].collect().toSet
+    val building = Tables.load(spark, sf, "customer")
+      .where($"c_mktsegment" === "BUILDING").select("c_custkey").as[Long].collect().toSet
+    val rich = Tables.load(spark, sf, "customer")
+      .where($"c_acctbal" > 5000).select("c_custkey").as[Long].collect().toSet
+    assert(inter.subsetOf(building) && inter.subsetOf(rich))
+    assert(except.intersect(building).isEmpty)
+    assert((inter ++ except) === rich)
+    val uni = Relational.setopUnion(spark, sf).as[Long].collect()
+    assert(uni.length === uni.toSet.size)
+  }
+
+  test("subquery_above_brand_avg: every row exceeds its brand average") {
+    val df = Relational.subqueryAboveBrandAvg(spark, sf)
+    assert(df.where($"p_retailprice" <= $"brand_avg").count() === 0)
+  }
+}
