@@ -50,12 +50,12 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    citationQueries ++ Relational.queries
+    citationQueries ++ Relational.queries ++ EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    citationOracles ++ Relational.oracles
+    citationOracles ++ Relational.oracles ++ EventAnalytics.oracles
 
   /** Headline subset used by Bench (wall-clock representative, not the
     * full correctness matrix). */

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time analytics over the `events` table (ts, user_id, event_type,
+  * value, props-JSON).
+  *
+  * These run BATCH-mode first so the DuckDB oracle can check them; the
+  * identical transforms run incrementally in [[graft.streaming.EventStreams]]
+  * (same `window`/`session_window` calls on a `readStream` source with a
+  * watermark). Batch/stream parity is asserted in StreamingSpec.
+  *
+  * Scale: all groupings key on (time bucket, type) or (user, session) — both
+  * shuffle once and partition evenly (time and user ids are high-cardinality
+  * and unskewed; if a hot key appeared, AQE skew-join/salting applies).
+  */
+object EventAnalytics {
+
+  /** Tumbling 1-hour windows per event type. `window()` is the native
+    * event-time bucketing operator; start == date_trunc('hour') for
+    * hour-aligned tumbling windows. */
+  def tumblingHour(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val tumblingHourSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows: 1 hour long, every 30 minutes — each event lands in
+    * exactly 2 windows. */
+  def slidingHour(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("avg_value"))
+      .orderBy(col("window_start"))
+
+  // DuckDB twin: every event belongs to the 30-min-aligned window that
+  // starts at its own 30-min bucket and to the one 30 minutes earlier.
+  val slidingHourSql: String =
+    """WITH x AS (
+      |  SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS window_start, value
+      |  FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM events))
+      |SELECT window_start, count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM x GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  /** Gap-based sessionization with the native `session_window` operator:
+    * a session extends while consecutive events of a user are < 30 min
+    * apart; the window end is last_event + gap. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // Same semantics spelled with window functions: a new session starts when
+  // the gap to the previous event is >= 30 min; session end = last + 30 min.
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS total
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** JSON extraction from the props column (semi-structured path access). */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), round(avg(col("k")), 6).as("avg_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Distinct users per event type (exact; the approx/HLL twin is tested
+    * against this in ScalaTest — sketches aren't cross-engine oracle-able). */
+  def distinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Daily event share: aggregate + window-over-aggregate (pct of day). */
+  def dailyShare(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("day"))
+    daily
+      .withColumn("pct", round(col("n") * 100.0 / sum(col("n")).over(w), 6))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val dailyShareSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n,
+      |       round(n * 100.0 / sum(n) OVER (PARTITION BY day), 6) AS pct
+      |FROM daily ORDER BY day, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling_hour" -> (tumblingHour _),
+    "events_sliding_hour" -> (slidingHour _),
+    "events_sessionize" -> (sessionize _),
+    "events_json_extract" -> (jsonExtract _),
+    "events_distinct_users" -> (distinctUsers _),
+    "events_daily_share" -> (dailyShare _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling_hour" -> tumblingHourSql,
+    "events_sliding_hour" -> slidingHourSql,
+    "events_sessionize" -> sessionizeSql,
+    "events_json_extract" -> jsonExtractSql,
+    "events_distinct_users" -> distinctUsersSql,
+    "events_daily_share" -> dailyShareSql
+  )
+}

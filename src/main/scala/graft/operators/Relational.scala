@@ -42,9 +42,9 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -54,9 +54,9 @@ object Relational {
       |  round(sum(l_extendedprice), 2)                                      AS sum_base_price,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
       |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
-      |  round(avg(l_quantity), 2)                                           AS avg_qty,
-      |  round(avg(l_extendedprice), 2)                                      AS avg_price,
-      |  round(avg(l_discount), 4)                                           AS avg_disc,
+      |  round(avg(l_quantity), 6)                                           AS avg_qty,
+      |  round(avg(l_extendedprice), 6)                                      AS avg_price,
+      |  round(avg(l_discount), 6)                                           AS avg_disc,
       |  count(*)                                                            AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -127,11 +127,11 @@ object Relational {
       .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("customers"),
-           round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+           round(avg(col("c_acctbal")), 6).as("avg_acctbal"))
       .orderBy(col("r_name"))
 
   val joinBroadcastRegionSql: String =
-    """SELECT r_name, count(*) AS customers, round(avg(c_acctbal), 2) AS avg_acctbal
+    """SELECT r_name, count(*) AS customers, round(avg(c_acctbal), 6) AS avg_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
