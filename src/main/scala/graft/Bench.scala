@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+
+/** Per-round benchmark: wall-clock per query at SPARK_GRAFT_SF_DIR.
+  *
+  * Each query is materialized through an order-insensitive checksum
+  * (`bit_xor(xxhash64(struct(*)))` — xor, not sum: summing 2^63-scale
+  * hashes overflows under ANSI mode) — unlike `.count()`, that forces every
+  * projected column of every row through the full plan, so projection-only
+  * queries can't degenerate into a parquet row-count. Failures are
+  * reported explicitly in an `errors` object (timing -1), never silently
+  * recorded as a fake timing. One untimed warm-up absorbs JVM/codegen
+  * startup so the first measured query isn't a classloading benchmark. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,45 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def checksum(name: String, fn: SparkEntry.Q): Unit = {
+      val df = fn(spark, sfDir)
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(bit_xor(col("h"))).collect()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm-up (untimed): JVM, codegen, parquet footers
+    try checksum("warmup", (s, d) => SparkEntry.queries("q1_pricing_summary")(s, d))
+    catch { case _: Throwable => () }
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        checksum(name, fn)
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        timings(name) = -1.0
+        errors(name) =
+          e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val total = timings.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,15 +1,23 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each entry in `queries` is one operator from SURVEY.md §2 (reference
-  * parity) or §7.4 (extension surface). Every SQL-expressible entry has a
-  * DuckDB twin in `oracleSql` with IDENTICAL column names and types; the
-  * driver hash-compares the two result sets at sf0.01.
+  * parity) or §7.4 (extension surface: relational breadth, event-time
+  * analytics, and the LLM-data-pipeline suite — dedup, similarity search,
+  * text analysis, multimodal). Every SQL-expressible entry has a DuckDB
+  * twin in `oracleSql` with IDENTICAL column names and types; the driver
+  * hash-compares the two result sets at sf0.01.
+  *
+  * Operators are sort-free unless ordering is semantic (top-k). The
+  * deterministic row order the verification hash wants is applied by
+  * [[graft.Verify]] from [[verifyOrder]] — never inside the operator, so
+  * benchmarked plans are the ones you'd run at scale.
   */
 object SparkEntry {
 
@@ -21,22 +29,17 @@ object SparkEntry {
   type Q = (SparkSession, String) => DataFrame
 
   // ---- reference parity: citation analysis (SURVEY.md §2) ----------------
+  // (The check.py `collect_list`-then-size twin — SURVEY.md O15 — lives in
+  // CitationsSpec as a differential assertion, NOT here: materializing every
+  // citer of a hot paper in one aggregation buffer is a scale bomb.)
   private val citationQueries: Map[String, Q] = Map(
-    "citation_counts" -> ((s, d) =>
-      Citations.counts(Citations.edges(s, d))
-        .orderBy("paper_id")),
-    "citation_counts_collect" -> ((s, d) =>
-      Citations.countsViaCollect(Citations.edges(s, d))
-        .orderBy("paper_id")),
+    "citation_counts" -> ((s, d) => Citations.counts(Citations.edges(s, d))),
     "citation_top30" -> ((s, d) =>
       Citations.top30(Citations.counts(Citations.edges(s, d))))
   )
 
   private val citationOracles: Map[String, String] = Map(
     "citation_counts" ->
-      """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
-        |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
-    "citation_counts_collect" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
     "citation_top30" ->
@@ -48,7 +51,7 @@ object SparkEntry {
         |FROM c ORDER BY citations DESC, paper_id ASC LIMIT 30""".stripMargin
   )
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2 / §7.4. */
   def queries: Map[String, Q] =
     citationQueries ++ Relational.queries ++ EventAnalytics.queries
 
@@ -57,10 +60,41 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     citationOracles ++ Relational.oracles ++ EventAnalytics.oracles
 
-  /** Headline subset used by Bench (wall-clock representative, not the
-    * full correctness matrix). */
-  def benchQueries: Seq[String] = Seq(
-    "citation_counts", "citation_top30",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "join_outer_order_counts", "window_running_revenue", "topk_orders")
+  /** Deterministic presentation order per query, applied ONLY by the
+    * Verify harness before writing (the driver's hash compare wants stable
+    * rows; the operators themselves stay sort-free). Keys absent here are
+    * either intrinsically ordered (top-k) or rows-only checked. */
+  val verifyOrder: Map[String, Seq[Column]] = Map(
+    "citation_counts" -> Seq(col("paper_id")),
+    "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
+    "q5_region_revenue" -> Seq(col("revenue").desc, col("n_name")),
+    "join_broadcast_region" -> Seq(col("r_name")),
+    "join_semi" -> Seq(col("c_custkey")),
+    "join_anti" -> Seq(col("c_custkey")),
+    "join_outer_order_counts" -> Seq(col("c_custkey")),
+    "agg_rollup" -> Seq(col("o_orderstatus").asc_nulls_first,
+      col("o_orderpriority").asc_nulls_first),
+    "agg_cube" -> Seq(col("l_returnflag").asc_nulls_first,
+      col("l_linestatus").asc_nulls_first),
+    "agg_grouping_sets" -> Seq(col("c_mktsegment").asc_nulls_first,
+      col("n_name").asc_nulls_first),
+    "distinct_parts_per_order" -> Seq(col("l_orderkey")),
+    "window_running_revenue" -> Seq(col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey")),
+    "window_top2_per_segment" -> Seq(col("c_mktsegment"), col("rn")),
+    "window_lag_delta" -> Seq(col("o_custkey"), col("o_orderkey")),
+    "setop_intersect" -> Seq(col("c_custkey")),
+    "setop_except" -> Seq(col("c_custkey")),
+    "setop_union" -> Seq(col("c_custkey")),
+    "scalar_string_funcs" -> Seq(col("p_partkey")),
+    "scalar_date_monthly" -> Seq(col("month")),
+    "pivot_status_by_priority" -> Seq(col("o_orderpriority")),
+    "subquery_above_brand_avg" -> Seq(col("p_partkey")),
+    "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
+    "events_sliding_hour" -> Seq(col("window_start")),
+    "events_sessionize" -> Seq(col("user_id"), col("session_start")),
+    "events_json_extract" -> Seq(col("event_type")),
+    "events_distinct_users" -> Seq(col("event_type")),
+    "events_daily_share" -> Seq(col("day"), col("event_type"))
+  )
 }

@@ -19,11 +19,12 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to TimestampType (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos
-      // and truncate to micros with INTEGER division (a double division
-      // would lose precision at ~1.7e18 ns) — same floor-to-µs conversion
-      // DuckDB applies, so the oracle sees identical values.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // to TimestampType (PARQUET_TYPE_ILLEGAL). The session must set
+      // spark.sql.legacy.parquet.nanosAsLong=true at construction (Verify,
+      // Bench, and SparkTestBase all do); we then truncate the raw int64
+      // nanos to micros with INTEGER division (a double division would
+      // lose precision at ~1.7e18 ns) — same floor-to-µs conversion DuckDB
+      // applies, so the oracle sees identical values.
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else {

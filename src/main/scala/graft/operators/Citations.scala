@@ -65,15 +65,18 @@ object Citations {
     * timestamp is injectable so golden tests can pin it. */
   def formatReport(top: Seq[(Int, String, Long)],
                    generatedOn: String): String = {
+    // Locale pinned to US so the thousands separator is ',' on any JVM,
+    // and literal '\n' (not '%n') so the bytes don't depend on the OS.
+    val loc = java.util.Locale.US
     val sb = new StringBuilder
     sb.append("=" * 50).append('\n')
     sb.append("Top 30 Most Cited Papers\n")
     sb.append("=" * 50).append("\n\n")
-    sb.append(f"${"Rank"}%-6s${"Paper ID"}%-15s${"Citations"}%10s%n")
+    sb.append("%-6s%-15s%10s\n".formatLocal(loc, "Rank", "Paper ID", "Citations"))
     sb.append("-" * 31).append('\n')
     top.foreach { case (rank, id, n) =>
-      val withSep = f"$n%,d"
-      sb.append(f"${rank.toString}%-6s$id%-15s$withSep%10s%n")
+      val withSep = "%,d".formatLocal(loc, n)
+      sb.append("%-6s%-15s%10s\n".formatLocal(loc, rank.toString, id, withSep))
     }
     sb.append('\n').append("-" * 31).append('\n')
     sb.append(s"Generated on: $generatedOn\n")

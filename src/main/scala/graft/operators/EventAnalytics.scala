@@ -29,7 +29,6 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
-      .orderBy(col("window_start"), col("event_type"))
 
   val tumblingHourSql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -43,7 +42,6 @@ object EventAnalytics {
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
       .select(col("w.start").as("window_start"), col("n"), col("avg_value"))
-      .orderBy(col("window_start"))
 
   // DuckDB twin: every event belongs to the 30-min-aligned window that
   // starts at its own 30-min bucket and to the one 30 minutes earlier.
@@ -63,7 +61,6 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total"))
-      .orderBy(col("user_id"), col("session_start"))
 
   // Same semantics spelled with window functions: a new session starts when
   // the gap to the previous event is >= 30 min; session end = last + 30 min.
@@ -92,7 +89,6 @@ object EventAnalytics {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), round(avg(col("k")), 6).as("avg_k"),
         count(lit(1)).as("n"))
-      .orderBy(col("event_type"))
 
   val jsonExtractSql: String =
     """SELECT event_type,
@@ -107,7 +103,6 @@ object EventAnalytics {
     Tables.load(s, d, "events")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
-      .orderBy(col("event_type"))
 
   val distinctUsersSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
@@ -121,7 +116,6 @@ object EventAnalytics {
     val w = Window.partitionBy(col("day"))
     daily
       .withColumn("pct", round(col("n") * 100.0 / sum(col("n")).over(w), 6))
-      .orderBy(col("day"), col("event_type"))
   }
 
   val dailyShareSql: String =

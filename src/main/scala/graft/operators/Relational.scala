@@ -16,10 +16,11 @@ import graft.Tables
   * Scale/parity conventions (apply to every query here):
   *   - Double aggregates are `round(x, 2)` on BOTH engines: float summation
   *     order differs across engines, so raw doubles would hash-mismatch.
-  *   - Every result carries a deterministic total ORDER BY ending in a
-  *     unique key. That sort is part of the VERIFICATION contract (the
-  *     driver hashes rows), not of the operator semantics — post-aggregate
-  *     results here are small, so the sort is cheap even at scale.
+  *   - Operators are SORT-FREE unless ordering is semantic (a sort feeding
+  *     a LIMIT, i.e. top-k). The deterministic presentation order the
+  *     verification contract needs is applied by graft.Verify from
+  *     SparkEntry.verifyOrder — so the operator plans stay the ones you'd
+  *     run at 100 TB (no O(input) range-shuffle sort tacked on the end).
   *   - Dimension joins (`region`, `nation`, `supplier`, `customer`-sized)
   *     are explicitly `broadcast(...)`: at 100 TB the fact side never
   *     shuffles for a dim join. Fact-fact joins (orders ⋈ lineitem) shuffle
@@ -46,7 +47,6 @@ object Relational {
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -104,7 +104,6 @@ object Relational {
       .where(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Sql: String =
@@ -128,7 +127,6 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("customers"),
            round(avg(col("c_acctbal")), 6).as("avg_acctbal"))
-      .orderBy(col("r_name"))
 
   val joinBroadcastRegionSql: String =
     """SELECT r_name, count(*) AS customers, round(avg(c_acctbal), 6) AS avg_acctbal
@@ -142,7 +140,6 @@ object Relational {
       .join(t(s, d, "orders").where(col("o_totalprice") > 400000),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
 
   val joinSemiSql: String =
     """SELECT c_custkey, c_mktsegment FROM customer
@@ -156,7 +153,6 @@ object Relational {
       .join(t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
 
   val joinAntiSql: String =
     """SELECT c_custkey, c_name FROM customer
@@ -172,7 +168,6 @@ object Relational {
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
            round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_spent"))
-      .orderBy(col("c_custkey"))
 
   val joinOuterOrderCountsSql: String =
     """SELECT c_custkey, count(o_orderkey) AS n_orders,
@@ -185,7 +180,6 @@ object Relational {
     t(s, d, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
-      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   val aggRollupSql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -198,7 +192,6 @@ object Relational {
     t(s, d, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggCubeSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -214,8 +207,7 @@ object Relational {
       """SELECT c_mktsegment, n_name, count(*) AS n,
         |       round(sum(c_acctbal), 2) AS balance
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
-        |ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())""".stripMargin)
   }
 
   val aggGroupingSetsSql: String =
@@ -232,7 +224,6 @@ object Relational {
       .groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
            countDistinct(col("l_suppkey")).as("n_supps"))
-      .orderBy(col("l_orderkey"))
 
   val distinctPartsPerOrderSql: String =
     """SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts,
@@ -247,7 +238,6 @@ object Relational {
     t(s, d, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
-      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
   val windowRunningRevenueSql: String =
@@ -265,7 +255,6 @@ object Relational {
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
         row_number().over(w).as("rn"))
       .where(col("rn") <= 2)
-      .orderBy(col("c_mktsegment"), col("rn"))
   }
 
   val windowTop2PerSegmentSql: String =
@@ -284,7 +273,6 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta_prev"),
         round(lead(col("o_totalprice"), 1).over(w) - col("o_totalprice"), 2).as("delta_next"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   val windowLagDeltaSql: String =
@@ -311,7 +299,6 @@ object Relational {
     val c = t(s, d, "customer")
     c.where(col("c_acctbal") > 5000).select(col("c_custkey"))
       .intersect(c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
-      .orderBy(col("c_custkey"))
   }
 
   val setopIntersectSql: String =
@@ -325,7 +312,6 @@ object Relational {
     val c = t(s, d, "customer")
     c.where(col("c_acctbal") > 5000).select(col("c_custkey"))
       .except(c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
-      .orderBy(col("c_custkey"))
   }
 
   val setopExceptSql: String =
@@ -340,10 +326,9 @@ object Relational {
       .select(
         col("p_partkey"),
         upper(substring(col("p_name"), 1, 5)).as("prefix"),
-        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
         length(col("p_name")).cast("int").as("name_len"),
         lpad(col("p_size").cast("string"), 3, "0").as("size_padded"))
-      .orderBy(col("p_partkey"))
 
   val scalarStringFuncsSql: String =
     """SELECT p_partkey,
@@ -361,7 +346,6 @@ object Relational {
            round(sum(col("o_totalprice")), 2).as("revenue"))
       .withColumn("yr", year(col("month")))
       .withColumn("mo", month(col("month")))
-      .orderBy(col("month"))
 
   val scalarDateMonthlySql: String =
     """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
@@ -379,7 +363,6 @@ object Relational {
         round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("total_o"),
         round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("total_p"),
         count(lit(1)).as("n"))
-      .orderBy(col("o_orderpriority"))
 
   val pivotStatusByPrioritySql: String =
     """SELECT o_orderpriority,
@@ -398,7 +381,6 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
         round(avg(col("p_retailprice")).over(w), 6).as("brand_avg"))
       .where(col("p_retailprice") > col("brand_avg"))
-      .orderBy(col("p_partkey"))
   }
 
   val subqueryAboveBrandAvgSql: String =
@@ -414,7 +396,6 @@ object Relational {
     c.where(col("c_acctbal") > 9000).select(col("c_custkey"))
       .union(c.where(col("c_mktsegment") === "MACHINERY").select(col("c_custkey")))
       .distinct()
-      .orderBy(col("c_custkey"))
   }
 
   val setopUnionSql: String =

@@ -103,4 +103,22 @@ class RelationalSpec extends AnyFunSuite {
     val df = Relational.subqueryAboveBrandAvg(spark, sf)
     assert(df.where($"p_retailprice" <= $"brand_avg").count() === 0)
   }
+
+  test("O(input)-row operators plan with NO global sort (verify-only ordering)") {
+    // Window operators legitimately contain partition-local sorts
+    // (SortExec global=false, printed "Sort [...], false, 0"); what must
+    // not appear is a full range-shuffle sort tacked on for presentation.
+    val names = Seq("citation_counts", "join_semi", "join_anti",
+      "join_outer_order_counts", "distinct_parts_per_order",
+      "window_running_revenue", "window_lag_delta", "scalar_string_funcs",
+      "subquery_above_brand_avg", "setop_union", "setop_intersect",
+      "setop_except", "events_sessionize")
+    for (n <- names) {
+      val p = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val globalSort = p.linesIterator.exists(l =>
+        l.contains("Sort [") && l.contains("], true,"))
+      assert(!globalSort, s"$n plans a global Sort:\n$p")
+    }
+  }
 }
