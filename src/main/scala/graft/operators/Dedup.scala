@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication over `documents(doc_id, text, lang, source, n_chars)` —
+  * the LLM-data-pipeline dedup family: exact, MinHash-LSH near-dup (word
+  * shingles), n-gram-Jaccard near-dup (char shingles), and SimHash.
+  *
+  * Scale design (the non-negotiable): candidate generation is ALWAYS
+  * block-then-verify — docs meet only inside an equal LSH band bucket
+  * (MinHash) or an equal 15-bit SimHash band (pigeonhole-exact for the
+  * hamming radius), never via an all-pairs product. At 100 TB the band
+  * explode is linear in corpus size, the bucket self-join shuffles on
+  * (band, key) — high-cardinality, unskewed for natural text — and the
+  * exact verify touches only candidate pairs. A plan test asserts no
+  * CartesianProduct ever appears.
+  *
+  * Oracle design: outputs are integers (shingle intersection/union sizes,
+  * hamming distances, md5 hex strings) and thresholds are applied by
+  * integer cross-multiplication (J >= 3/5 as `5*i >= 3*u`), so the DuckDB
+  * twins hash-match bit-for-bit — no float drift. The MinHash stage is a
+  * pure pruner: the emitted pairs are exact-Jaccard-verified, and the
+  * band parameters (documented per operator) put the miss probability for
+  * the observed above-threshold pairs below 1e-7, so the LSH output
+  * equals the oracle's all-pairs output on the test corpora — asserted
+  * against a brute-force twin in DedupSpec. (The oracle may do all-pairs —
+  * it runs at sf0.01; the engine side never does.)
+  */
+object Dedup {
+
+  // ---------- shingling (identical fallback rule in the DuckDB twins) ----
+
+  /** Word n-gram shingles (as a multiset — deliberately NOT pre-distincted:
+    * `array_distinct` on large string arrays is quadratic and dominated the
+    * profile; minhash is invariant under duplicates and the verify stage's
+    * `array_intersect`/`array_union` — like DuckDB's `list_intersect` /
+    * `list_distinct` — already have set semantics). Docs shorter than n
+    * words collapse to the whole text as one shingle. */
+  private def wordShingles(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        when(size(col("ws")) >= n,
+          expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+          .otherwise(array(col("text"))).as("shingles"))
+
+  /** Character n-gram shingles (multiset, same rationale and fallback). */
+  private def charShingles(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        when(length(col("text")) >= n,
+          expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substr(text, i, $n))"))
+          .otherwise(array(col("text"))).as("shingles"))
+
+  // ---------- MinHash-LSH ------------------------------------------------
+
+  /** One row per (doc, band): key = hash of the band's minhash slice.
+    *
+    * Execution shape matters here. The shingle array is computed ONCE per
+    * doc inside an `explode` generator (a naive 32-column
+    * `array_min(transform(...))` projection lets CollapseProject inline —
+    * and so recompute — the shingling 32 times, and interpreted
+    * higher-order lambdas dominate the profile); each (doc, shingle) row
+    * then feeds the codegen'd `xxhash64` minhash columns with map-side
+    * partial min-aggregation, so the shuffle carries one signature row
+    * per doc per partition. The
+    * final `repartition(band, key)` pins exactly the hash partitioning
+    * the candidate self-join needs, so ONE reused exchange feeds both
+    * join sides instead of computing the signatures twice. */
+  private def bandKeys(shingled: DataFrame, rowsPerBand: Int,
+                       numBands: Int): DataFrame = {
+    val exploded = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mhCols = (0 until numBands * rowsPerBand).map(j =>
+      min(xxhash64(col("sh"), lit(j))).as(s"mh$j"))
+    val sigs = exploded.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bands = (0 until numBands).map { b =>
+      val cs = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
+      struct(lit(b).as("band"), xxhash64(cs: _*).as("key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
+  }
+
+  /** Docs sharing >= 1 band bucket. Equi-join on (band, key) — the shuffle
+    * key is high-cardinality; never a cartesian. Both sides are the same
+    * pre-partitioned plan, so the exchange is computed once and reused. */
+  private def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact-verify candidates: emit integer intersection/union sizes and
+    * keep pairs with J >= num/den via integer cross-multiplication. */
+  private def verifiedJaccard(cands: DataFrame, shingled: DataFrame,
+                              num: Int, den: Int): DataFrame =
+    cands
+      .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_size"),
+        size(array_union(col("sa"), col("sb"))).cast("long").as("union_size"))
+      .where(col("inter_size") * den >= col("union_size") * num)
+
+  // ---------- public operators ------------------------------------------
+
+  /** Exact dedup: hash-group on the full text, keep the smallest doc_id.
+    * One shuffle on the text hash; no buffering of duplicate bodies. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col("text")).as("text_md5"), col("keep_id"), col("n_copies"))
+
+  /** MinHash-LSH near-dup on word 3-gram shingles, J >= 0.6.
+    * Band shape 16×2: at the 0.6 threshold a pair's per-band match
+    * probability is 0.36, so 16 bands push the miss probability of a
+    * just-above-threshold pair under 1e-3 and of the observed J>=0.85
+    * pairs under 1e-9; the word-shingle background J (~0.05) keeps the
+    * candidate volume tiny even with r=2. */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val sh = wordShingles(s, d, 3)
+    verifiedJaccard(candidatePairs(bandKeys(sh, rowsPerBand = 2, numBands = 16)), sh, num = 3, den = 5)
+  }
+
+  /** Same LSH machinery on character 9-gram shingles, J >= 0.7 — catches
+    * near-dups that word shingling misses (reflowed whitespace, small
+    * in-word edits). 9-gram (not the classic 5) because blocking must be
+    * SELECTIVE: on natural-ish text the background 5-gram Jaccard between
+    * unrelated docs is ~0.17, which floods the band buckets (measured:
+    * ~36% of ALL pairs became candidates — an accidental all-pairs); at
+    * n=9 the background J is ~0.03 while true near-dups stay at J>=0.9,
+    * so the band join prunes >99% of pairs and the verify stage only
+    * touches real candidates. Band shape 16×3 (not 16×2): char-gram
+    * background J is higher than word-gram, and r=2 still admitted ~150k
+    * background candidates at sf0.1 (measured) whose set-intersection
+    * verification dominated the runtime; r=3 cuts the background band
+    * match probability to J³ (~3e-5) while 16 bands keep the miss
+    * probability of the weakest observed true pair (J=0.83 at sf0.1)
+    * near 1e-6. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val sh = charShingles(s, d, 9)
+    verifiedJaccard(candidatePairs(bandKeys(sh, rowsPerBand = 3, numBands = 16)), sh, num = 7, den = 10)
+  }
+
+  /** 60-bit SimHash per document: each token occurrence votes ±1 per bit
+    * position from its md5 bits; fingerprint bit j is set iff the vote sum
+    * is positive. 60 bits (not 64) keeps the fingerprint inside a signed
+    * BIGINT on both engines.
+    *
+    * Execution: one md5 per token occurrence, materialized by the explode
+    * generator (so it is NOT inlined 60×); then 60 codegen'd
+    * conditional-sum aggregates with map-side partial aggregation — the
+    * shuffle carries only (doc_id, 60 longs) per doc per partition. */
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        explode(expr("transform(split(text, ' '), w -> md5(w))")).as("h"))
+    val voteCols = (0 until 60).map { j =>
+      val digit = s"CAST(conv(substr(h, ${j / 4 + 1}, 1), 16, 10) AS INT)"
+      sum(expr(s"IF((shiftright($digit, ${3 - j % 4}) & 1) = 1, 1, -1)")).as(s"v$j")
+    }
+    val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val fp = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs at hamming distance <= 3 over the SimHash fingerprints.
+    * Blocking: 4 bands of 15 bits — a pair within radius 3 differs in at
+    * most 3 bands, so it MUST agree exactly on >= 1 band (pigeonhole): the
+    * band join is a lossless pruner, not a heuristic. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    // explode generator = materialization barrier (fingerprint computed
+    // once per doc); repartition = the one exchange both join sides reuse.
+    val banded = simhashFingerprints(s, d)
+      .select(col("doc_id"), col("simhash"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, 15 * b) & 32767 AS key))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+  }
+
+  // ---------- DuckDB twins ----------------------------------------------
+
+  private val wordShinglesCte: String =
+    """WITH sh AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)])
+      |    ELSE [text] END AS s
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+
+  private val charShinglesCte: String =
+    """WITH sh AS (
+      |  SELECT doc_id, CASE WHEN len(text) >= 9
+      |    THEN list_distinct([text[i:i+8] FOR i IN range(1, len(text)-7)])
+      |    ELSE [text] END AS s
+      |  FROM documents)""".stripMargin
+
+  private def jaccardPairsSql(cte: String, num: Int, den: Int): String =
+    s"""$cte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       len(list_intersect(a.s, b.s)) AS inter_size,
+       |       len(list_distinct(a.s || b.s)) AS union_size
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.s, b.s)) * $den >= len(list_distinct(a.s || b.s)) * $num
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), (j // 4) + 1, 1)) - 1)
+      |               >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END AS c
+      |  FROM tok, (SELECT unnest(range(0, 60)) AS j) r),
+      |votes AS (SELECT doc_id, j, sum(c) AS v FROM bits GROUP BY 1, 2),
+      |simhash AS (
+      |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_near" -> (dedupNear _),
+    "dedup_ngram" -> (dedupNgram _),
+    "simhash_fingerprints" -> (simhashFingerprints _),
+    "simhash_pairs" -> (simhashPairs _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
+    "dedup_near" -> jaccardPairsSql(wordShinglesCte, 3, 5),
+    "dedup_ngram" -> jaccardPairsSql(charShinglesCte, 7, 10),
+    "simhash_fingerprints" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+
+  val verifyOrder: Map[String, Seq[Column]] = Map(
+    "dedup_exact" -> Seq(col("text_md5")),
+    "dedup_near" -> Seq(col("doc_a"), col("doc_b")),
+    "dedup_ngram" -> Seq(col("doc_a"), col("doc_b")),
+    "simhash_fingerprints" -> Seq(col("doc_id")),
+    "simhash_pairs" -> Seq(col("doc_a"), col("doc_b"))
+  )
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("no dedup operator ever plans a cartesian product (block-then-verify)") {
+    for (n <- Seq("dedup_near", "dedup_ngram", "simhash_pairs")) {
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n plans an all-pairs join:\n$p")
+    }
+  }
+
+  test("dedup_exact: one group per distinct text; keep_id is the min doc_id") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Dedup.dedupExact(spark, sf).cache()
+    assert(got.count() === docs.select("text").distinct().count())
+    // total copies across groups == corpus size
+    assert(got.agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .first().getLong(0) === docs.count())
+  }
+
+  test("dedup_near emits only verified pairs: every emitted J >= 0.6, symmetric-free, a<b") {
+    val got = Dedup.dedupNear(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty, "sf0.001 has planted near-dup pairs; none found")
+    got.foreach { case (a, b, i, u) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(i * 5 >= u * 3, s"pair ($a,$b) below threshold: $i/$u")
+      assert(i <= u)
+    }
+  }
+
+  test("dedup_near finds exactly the all-pairs exact-Jaccard result (LSH is lossless here)") {
+    // brute-force oracle in Spark itself, tiny sf only
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.expr(
+        """array_distinct(CASE WHEN size(split(text,' ')) >= 3
+          |THEN transform(sequence(1, size(split(text,' '))-2),
+          |     i -> concat_ws(' ', slice(split(text,' '), i, 3)))
+          |ELSE array(text) END)""".stripMargin).as("s"))
+    val a = docs.select($"doc_id".as("da"), $"s".as("sa"))
+    val b = docs.select($"doc_id".as("db"), $"s".as("sb"))
+    val brute = a.crossJoin(b).where($"da" < $"db")
+      .select($"da", $"db",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect($"sa", $"sb")).cast("long").as("i"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_union($"sa", $"sb")).cast("long").as("u"))
+      .where($"i" * 5 >= $"u" * 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lsh = Dedup.dedupNear(spark, sf).as[(Long, Long, Long, Long)].collect().toSet
+    assert(lsh === brute)
+  }
+
+  test("dedup_ngram finds exactly the all-pairs exact-Jaccard result (LSH is lossless here)") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.expr(
+        """CASE WHEN length(text) >= 9
+          |THEN transform(sequence(1, length(text)-8), i -> substr(text, i, 9))
+          |ELSE array(text) END""".stripMargin).as("s"))
+    val a = docs.select($"doc_id".as("da"), $"s".as("sa"))
+    val b = docs.select($"doc_id".as("db"), $"s".as("sb"))
+    val brute = a.crossJoin(b).where($"da" < $"db")
+      .select($"da", $"db",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect($"sa", $"sb")).cast("long").as("i"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_union($"sa", $"sb")).cast("long").as("u"))
+      .where($"i" * 10 >= $"u" * 7)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lsh = Dedup.dedupNgram(spark, sf).as[(Long, Long, Long, Long)].collect().toSet
+    assert(lsh === brute)
+    assert(lsh.nonEmpty)
+  }
+
+  test("simhash fingerprints: deterministic, 60-bit, sensitive to content") {
+    val fp1 = Dedup.simhashFingerprints(spark, sf).as[(Long, Long)].collect().toMap
+    val fp2 = Dedup.simhashFingerprints(spark, sf).as[(Long, Long)].collect().toMap
+    assert(fp1 === fp2)
+    assert(fp1.values.forall(h => h >= 0 && h < (1L << 60)))
+    assert(fp1.values.toSet.size > 1, "all fingerprints identical")
+  }
+
+  test("simhash_pairs: hamming <= 3 and consistent with fingerprint xor") {
+    val fp = Dedup.simhashFingerprints(spark, sf).as[(Long, Long)].collect().toMap
+    val pairs = Dedup.simhashPairs(spark, sf).as[(Long, Long, Int)].collect()
+    pairs.foreach { case (a, b, h) =>
+      assert(h <= 3)
+      assert(java.lang.Long.bitCount(fp(a) ^ fp(b)) === h)
+    }
+  }
+
+  test("simhash banding is pigeonhole-exact: pairs == brute-force hamming <= 3") {
+    val fp = Dedup.simhashFingerprints(spark, sf).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- fp; (b, hb) <- fp if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(spark, sf).as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(got === brute)
+  }
+}
