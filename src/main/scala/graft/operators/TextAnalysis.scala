@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` — the LLM-pipeline text slice:
+  * corpus stats, token frequency, per-document quality scoring, marker-word
+  * language ID, and content fingerprinting.
+  *
+  * Oracle discipline: every emitted number is either an integer, a string,
+  * a boolean, or a double derived from integers by one division + round(6)
+  * (identical operation order on both engines), so the DuckDB twins
+  * hash-match exactly. Scale: everything here is a projection or a single
+  * grouped aggregation — one shuffle at most, map-side combine always
+  * applies, and token explosion collapses via partial aggregation before
+  * the exchange.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Corpus stats per (lang, source): doc counts and length distribution. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+
+  val textStatsSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       round(avg(n_chars), 6) AS avg_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Top-50 tokens by corpus frequency. Explode → count collapses map-side
+    * (partial agg on each partition's token slice); the top-k plans as
+    * TakeOrderedAndProject, never a global sort. */
+  def tokenTopk(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
+  val tokenTopkSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
+
+  /** Per-document quality signals: token counts, type-token ratio, mean
+    * token length, a BPE-ish subtoken count (ceil(len/4) per token, the
+    * standard ~4-chars-per-token budget heuristic), and a quality flag.
+    * All ratios are integer-derived single divisions rounded to 6. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + ((length(w) + 3) div 4))")
+          .as("n_subtokens"),
+        col("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_subtokens"),
+        round((col("n_chars") - (col("n_tokens") - 1)) * 1.0 / col("n_tokens"), 6)
+          .as("avg_token_len"),
+        round(col("n_distinct") * 1.0 / col("n_tokens"), 6).as("ttr"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+          col("n_distinct") * 4 >= col("n_tokens")).as("is_quality"))
+
+  val textQualitySql: String =
+    """SELECT doc_id, n_tokens, n_distinct, n_subtokens,
+      |  round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
+      |  round(n_distinct * 1.0 / n_tokens, 6) AS ttr,
+      |  (n_tokens >= 20 AND n_tokens <= 1000 AND n_distinct * 4 >= n_tokens) AS is_quality
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    len(ws) AS n_tokens,
+      |    len(list_distinct(ws)) AS n_distinct,
+      |    CAST(list_sum(list_transform(ws, w -> (len(w) + 3) // 4)) AS BIGINT) AS n_subtokens
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Marker-word language ID: count stopword hits per language, argmax with
+    * alphabetical tie-break. A deliberately simple, fully deterministic
+    * n-gram-free heuristic — the point is the distributed shape (pure
+    * per-row projection, no shuffle) and cross-engine reproducibility;
+    * linguistic quality is tested on real sentences in TextAnalysisSpec. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "y"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "我"))
+
+  private def markerList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Core of the heuristic over any (doc_id, lang, text) frame — exposed
+    * so the spec can feed real sentences, not just the synthetic corpus. */
+  def langIdFrom(input: DataFrame): DataFrame = {
+    val scoreCols = markers.map { case (l, ws) =>
+      expr(s"CAST(size(filter(ws, w -> array_contains(${markerList(ws)}, w))) AS BIGINT)")
+        .as(s"s_$l")
+    }
+    val langs = markers.map(_._1)
+    // argmax with alphabetical tie-break: first lang (in sorted order)
+    // whose score is >= all later ones
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), acc) =>
+        val rest = langs.drop(i + 1)
+        when(rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _), lit(l))
+          .otherwise(acc)
+    }
+    input
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      .select(col("doc_id"), pred.as("pred_lang"),
+        greatest(langs.map(l => col(s"s_$l")): _*).as("score"),
+        (pred === col("lang")).as("is_match"))
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame = langIdFrom(docs(s, d))
+
+  val langIdSql: String = {
+    def duckList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = markers.map { case (l, ws) =>
+      s"CAST(len(list_filter(ws, w -> list_contains(${duckList(ws)}, w))) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    """SELECT doc_id,
+      |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END AS pred_lang,
+      |  greatest(s_de, s_en, s_es, s_fr, s_zh) AS score,
+      |  (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END) = lang AS is_match
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    SCORES
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+      |ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+  }
+
+  /** Content fingerprints: whole-text md5 (exact-dup key) and the minimum
+    * md5 over word-3-gram shingles (a 1-hash minhash — stable under small
+    * edits, the usual cheap near-dup prefilter key). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        md5(col("text")).as("exact_fp"),
+        expr(
+          """array_min(transform(
+            |  CASE WHEN size(ws) >= 3
+            |    THEN transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))
+            |    ELSE array(text) END,
+            |  x -> md5(x)))""".stripMargin).as("shingle_fp"))
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS exact_fp,
+      |  list_aggregate(list_transform(
+      |    CASE WHEN len(ws) >= 3
+      |      THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
+      |      ELSE [text] END,
+      |    x -> md5(x)), 'min') AS shingle_fp
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "token_topk" -> (tokenTopk _),
+    "text_quality" -> (textQuality _),
+    "lang_id" -> (langId _),
+    "doc_fingerprint" -> (docFingerprint _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "token_topk" -> tokenTopkSql,
+    "text_quality" -> textQualitySql,
+    "lang_id" -> langIdSql,
+    "doc_fingerprint" -> docFingerprintSql
+  )
+
+  val verifyOrder: Map[String, Seq[Column]] = Map(
+    "text_stats" -> Seq(col("lang"), col("source")),
+    "text_quality" -> Seq(col("doc_id")),
+    "lang_id" -> Seq(col("doc_id")),
+    "doc_fingerprint" -> Seq(col("doc_id"))
+  )
+}
