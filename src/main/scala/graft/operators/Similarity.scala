@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over `embeddings(vec_id, embedding: array<float>,
+  * label)` — the LLM-pipeline ANN slice.
+  *
+  * Three operators:
+  *   - `ann_topk` (oracled): exact cosine top-k for a fixed probe set.
+  *     The scalable baseline: probes broadcast, corpus scanned ONCE, and
+  *     the per-probe top-k runs as WindowGroupLimit (rank filter pushed
+  *     below the shuffle — each input partition keeps only its local
+  *     top-k before exchanging), not a per-probe global sort.
+  *   - `ann_ivf`: the bucketed scale path. Corpus vectors are assigned to
+  *     their nearest of C seed centroids (IVF coarse quantizer); a probe
+  *     searches only its `nprobe` closest clusters, so the exact-distance
+  *     work drops to ~nprobe/C of the corpus. Approximate by design —
+  *     recall is asserted against `ann_topk` in SimilaritySpec, soundness
+  *     (returned scores are true cosines) exactly.
+  *   - `dedup_embedding`: embedding-cosine near-dup pairs, blocked by
+  *     shared IVF cluster (multi-assigned to top-2 clusters for recall),
+  *     exact-verified at cos >= 0.45. Rows-only checked: cluster blocking
+  *     is probabilistic, the all-pairs oracle would not match at scale.
+  *
+  * Cross-engine float discipline (for the oracled entry): cosine is
+  * computed in DOUBLE with a fixed left-to-right summation order —
+  * Spark `aggregate(zip_with(...))` and DuckDB `list_reduce` both fold
+  * sequentially, float→double casts are exact, and IEEE ops are
+  * deterministic, so the raw doubles agree bit-for-bit; round(6) on both
+  * sides is belt-and-braces. Ties in the ranking are broken by vec_id on
+  * the ROUNDED score, so rank assignment is identical on both engines.
+  */
+object Similarity {
+
+  private val NumProbes = 16
+  private val TopK = 10
+  private val NumCentroids = 32
+  private val NumProbeClusters = 8
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  /** dot(a, b) in double with sequential fold — the cross-engine-stable
+    * formulation. */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private def cosExpr(a: String, b: String): String =
+    s"round(${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)})), 6)"
+
+  /** Exact cosine top-10 neighbors for probes vec_id < 16: broadcast the
+    * probes against one corpus scan, rank per probe. */
+  def annTopk(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val probes = e.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val scored = e.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr(cosExpr("pe", "embedding")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  val annTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM e WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT probe_id, e.vec_id,
+      |    round(
+      |      list_reduce(list_transform(range(1, len(embedding) + 1),
+      |                  i -> pe[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_transform(range(1, len(pe) + 1),
+      |                  i -> pe[i]::DOUBLE * pe[i]::DOUBLE), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      |                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y))),
+      |      6) AS cos
+      |  FROM probes, e WHERE e.vec_id <> probe_id)
+      |SELECT probe_id, rank, vec_id, cos FROM (
+      |  SELECT probe_id, vec_id, cos,
+      |         CAST(row_number() OVER (PARTITION BY probe_id
+      |                                 ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
+  /** Nearest-centroid assignment: every vector of `vecs` gets the `take`
+    * closest of the C seed centroids (vec_id < C used as fixed seeds — a
+    * deterministic stand-in for trained centroids; the plumbing is the
+    * real IVF shape). One broadcast of C rows, one corpus scan, top-take
+    * via WindowGroupLimit. */
+  private def assignClusters(vecs: DataFrame, centroids: DataFrame,
+                             take: Int, idCol: String): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("embedding"),
+        col("cid"), expr(cosExpr("ce", "embedding")).as("ccos"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .where(col("crank") <= take)
+      .select(col(idCol), col("embedding"), col("cid"))
+  }
+
+  private def centroids(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** IVF approximate top-k: probe only the nprobe nearest clusters. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cs = centroids(e)
+    val corpus = assignClusters(e, cs, take = 1, idCol = "vec_id")
+    val probeVecs = e.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val probeClusters = assignClusters(probeVecs, cs,
+      take = NumProbeClusters, idCol = "probe_id")
+      .select(col("probe_id"), col("embedding").as("pe"), col("cid"))
+    val cands = probeClusters
+      .join(corpus, Seq("cid"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("pe"), col("vec_id"), col("embedding"))
+      .dropDuplicates("probe_id", "vec_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .select(col("probe_id"), col("vec_id"),
+        expr(cosExpr("pe", "embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs (cos >= 0.45), blocked by shared IVF
+    * cluster with multi-assignment (each vector joins its top-2 clusters)
+    * — never all-pairs. Emitted pairs are exact cosines; recall is
+    * probabilistic (pairs split across clusters are missed) and measured
+    * in SimilaritySpec. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val assigned = assignClusters(e, centroids(e), take = 2, idCol = "vec_id")
+      .repartition(col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("cid")).where(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), expr(cosExpr("ea", "eb")).as("cos"))
+      .where(col("cos") >= 0.45)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> (annTopk _),
+    "ann_ivf" -> (annIvf _),
+    "dedup_embedding" -> (dedupEmbedding _)
+  )
+
+  /** Only the exact operator is oracle-checked; the IVF paths are
+    * approximate by design (rows-only in the driver, recall/soundness
+    * asserted in SimilaritySpec). */
+  val oracles: Map[String, String] = Map(
+    "ann_topk" -> annTopkSql
+  )
+
+  val verifyOrder: Map[String, Seq[Column]] = Map(
+    "ann_topk" -> Seq(col("probe_id"), col("rank")),
+    "ann_ivf" -> Seq(col("probe_id"), col("rank")),
+    "dedup_embedding" -> Seq(col("vec_a"), col("vec_b"))
+  )
+}

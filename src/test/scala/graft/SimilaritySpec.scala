@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("ann_topk: 10 neighbors per probe, scores descending, self excluded") {
+    val got = Similarity.annTopk(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    val byProbe = got.groupBy(_._1)
+    assert(byProbe.size === 16)
+    byProbe.foreach { case (probe, rows) =>
+      assert(rows.length === 10)
+      assert(!rows.exists(_._3 === probe), s"probe $probe returned itself")
+      val ranked = rows.sortBy(_._2)
+      ranked.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 === b._4 && a._3 < b._3))
+      }
+    }
+  }
+
+  test("ann_topk plans the per-probe top-k as WindowGroupLimit (pushed below the shuffle)") {
+    val p = Similarity.annTopk(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("ann_ivf: sound (scores are true cosines, subset ranking consistent)") {
+    val ivf = Similarity.annIvf(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    // every (probe, vec, cos) the IVF path emits must agree with the exact
+    // score the brute-force path computes for the same pair
+    val exactAll = Similarity.annTopk(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    ivf.foreach { case (p, _, v, c) =>
+      exactAll.get((p, v)).foreach(e => assert(e === c,
+        s"IVF score $c != exact $e for ($p,$v)"))
+    }
+    assert(ivf.groupBy(_._1).size === 16)
+  }
+
+  test("ann_ivf: recall@10 vs exact top-k is high while scanning a corpus fraction") {
+    val exact = Similarity.annTopk(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).toSet }
+    val ivf = Similarity.annIvf(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).toSet }
+    val recalls = exact.map { case (p, truth) =>
+      ivf.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 = $mean%.3f (nprobe=8 of 32 clusters)")
+    assert(mean >= 0.45, f"recall collapsed: $mean%.3f")
+  }
+
+  test("dedup_embedding: every emitted pair verified >= 0.45; no cartesian in plan") {
+    val pairs = Similarity.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= 0.45)
+    }
+    val p = Similarity.dedupEmbedding(spark, sf).queryExecution.executedPlan.toString
+    // the PAIR join must be an equi-join on cluster id; the only
+    // broadcast-nested-loop allowed is the tiny centroid assignment
+    val pairJoinCartesian = p.contains("CartesianProduct")
+    assert(!pairJoinCartesian, s"pair join is a cartesian:\n$p")
+  }
+}
