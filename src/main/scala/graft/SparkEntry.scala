@@ -54,13 +54,15 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2 / §7.4. */
   def queries: Map[String, Q] =
     citationQueries ++ Relational.queries ++ EventAnalytics.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     citationOracles ++ Relational.oracles ++ EventAnalytics.oracles ++
-      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 
   /** Deterministic presentation order per query, applied ONLY by the
     * Verify harness before writing (the driver's hash compare wants stable
@@ -98,5 +100,6 @@ object SparkEntry {
     "events_json_extract" -> Seq(col("event_type")),
     "events_distinct_users" -> Seq(col("event_type")),
     "events_daily_share" -> Seq(col("day"), col("event_type"))
-  ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++ Similarity.verifyOrder
+  ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
+    Similarity.verifyOrder ++ Multimodal.verifyOrder
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One opaque media item: payload is raw bytes (image/audio/video), typed
+  * metadata alongside. */
+case class MediaRow(media_id: Long, kind: String, format: String,
+                    payload: Array[Byte])
+
+/** Features a (stubbed) decoder extracts per media item. */
+case class MediaFeatures(media_id: Long, kind: String, width: Int,
+                         height: Int, n_frames: Int, byte_sum: Long)
+
+/** Multimodal-column plumbing — the LLM-pipeline pattern of carrying
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * running decode / feature-extraction / frame-sampling as batched
+  * per-partition operators.
+  *
+  * The media table is derived deterministically from `documents` (payload =
+  * UTF-8 bytes of the text; kind/format keyed off doc_id) because the
+  * testdata ships no real media — but every Spark-side shape is real:
+  * BinaryType columns, typed `Dataset[MediaRow]` with an Array[Byte]
+  * encoder, `mapPartitions` with explicit batch grouping (where a native
+  * codec would be invoked per batch), binary slicing, array-of-binary
+  * frame columns, and partition preservation (no shuffle through decode).
+  *
+  * DECODE IS A STUB: this container has no image/audio codecs, so
+  * [[Multimodal.decodeFeatures]] computes a documented deterministic fake
+  * (byte-sum-derived dimensions) in place of a real `libjpeg`/`ffmpeg`
+  * call. Swapping in a real decoder changes only the inside of the batch
+  * loop, nothing about the distributed shape.
+  */
+object Multimodal {
+
+  /** Items per decode batch — real decoders amortize native-call overhead
+    * per batch, so the batching (not per-row calls) is part of the shape. */
+  val DecodeBatchSize = 64
+
+  private val kindExpr =
+    "element_at(array('image', 'audio', 'video'), CAST(media_id % 3 AS INT) + 1)"
+  private val formatExpr =
+    "element_at(array('png', 'wav', 'mp4'), CAST(media_id % 3 AS INT) + 1)"
+
+  /** The media table: one opaque binary payload + typed metadata per doc. */
+  def media(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .select(col("media_id"),
+        expr(kindExpr).as("kind"),
+        expr(formatExpr).as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+
+  def mediaTyped(s: SparkSession, d: String): Dataset[MediaRow] = {
+    val sp = s
+    import sp.implicits._
+    media(s, d).as[MediaRow]
+  }
+
+  /** Byte-level features straight off the binary column (no decode):
+    * sizes, content hash, magic-bytes prefix — the cheap first-pass
+    * filters a media pipeline runs before any decoding. */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(col("media_id"), col("kind"), col("format"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        hex(substring(col("payload"), 1, 8)).as("head_hex"))
+
+  // The oracle computes the same bytes from the VARCHAR side (DuckDB has
+  // no md5/substring over BLOB): the payload is ASCII, so chars == bytes
+  // and md5(text) == md5 of the UTF-8 payload.
+  val mediaFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |  ['png', 'wav', 'mp4'][CAST(doc_id % 3 AS INT) + 1] AS format,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  hex(encode(substring(text, 1, 8))) AS head_hex
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** STUB decode + feature extraction over explicit per-partition batches.
+    * A real implementation hands each `batch` to a native decoder; the
+    * fake derives width/height/frame-count deterministically from the
+    * bytes so tests pin exact values. No shuffle: runs partition-local. */
+  def decodeFeatures(mediaDs: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val sp = mediaDs.sparkSession
+    import sp.implicits._
+    mediaDs.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        // >>> real codec call would decode `batch` here <<<
+        batch.iterator.map { m =>
+          val sum = m.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+          val width = 16 + (sum % 1024).toInt
+          val height = 16 + (m.payload.length % 768)
+          val frames = if (m.kind == "video") 1 + m.payload.length % 16 else 1
+          MediaFeatures(m.media_id, m.kind, width, height, frames, sum)
+        }
+      }
+    }
+  }
+
+  /** Frame-sampling stub: k evenly-spaced 16-byte windows from each video
+    * payload as an array<binary> column — the decoded-frame column shape
+    * without a decoder. Pure slice arithmetic, codegen-friendly. */
+  def sampleFrames(mediaDf: DataFrame, k: Int): DataFrame =
+    mediaDf.where(col("kind") === "video")
+      .select(col("media_id"),
+        expr(
+          s"""transform(sequence(0, $k - 1),
+             |  f -> substring(payload, 1 + f * greatest(1, CAST(length(payload) div $k AS INT)), 16))"""
+            .stripMargin).as("frames"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_features" -> (mediaFeatures _),
+    // stub-decode paths: rows-only in the driver gate (no SQL twin for a
+    // fake decoder); exact values pinned in MultimodalSpec
+    "media_decode" -> ((s, d) => decodeFeatures(mediaTyped(s, d)).toDF()),
+    "media_frames" -> ((s, d) =>
+      sampleFrames(media(s, d), 4)
+        .select(col("media_id"),
+          expr("transform(frames, f -> hex(f))").as("frame_hex")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "media_features" -> mediaFeaturesSql
+  )
+
+  val verifyOrder: Map[String, Seq[Column]] = Map(
+    "media_features" -> Seq(col("media_id")),
+    "media_decode" -> Seq(col("media_id")),
+    "media_frames" -> Seq(col("media_id"))
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MediaRow, Multimodal}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("media table: binary payload with typed metadata, one row per doc") {
+    val m = Multimodal.media(spark, sf).cache()
+    assert(m.count() === Tables.load(spark, sf, "documents").count())
+    assert(m.schema("payload").dataType.typeName === "binary")
+    val kinds = m.select("kind").distinct().as[String].collect().toSet
+    assert(kinds === Set("image", "audio", "video"))
+  }
+
+  test("media_features: byte length equals n_chars (ASCII corpus), md5 is 32 hex") {
+    val f = Multimodal.mediaFeatures(spark, sf)
+      .join(Tables.load(spark, sf, "documents"),
+        $"media_id" === $"doc_id")
+    assert(f.where($"n_bytes" =!= $"n_chars").count() === 0)
+    assert(f.where(org.apache.spark.sql.functions.length($"payload_md5") =!= 32)
+      .count() === 0)
+  }
+
+  test("decodeFeatures: deterministic fake with pinned values, count preserved") {
+    val payload = "abc".getBytes("UTF-8") // bytes 97,98,99 -> sum 294
+    val one = Seq(MediaRow(7L, "video", "mp4", payload)).toDS()
+    val got = Multimodal.decodeFeatures(one).collect()
+    assert(got.length === 1)
+    val f = got.head
+    assert(f.byte_sum === 294L)
+    assert(f.width === 16 + (294 % 1024))
+    assert(f.height === 16 + (3 % 768))
+    assert(f.n_frames === 1 + 3 % 16)
+    // non-video decodes a single frame
+    val img = Multimodal.decodeFeatures(
+      Seq(MediaRow(8L, "image", "png", payload)).toDS()).head()
+    assert(img.n_frames === 1)
+  }
+
+  test("decodeFeatures: no shuffle — partitioning preserved, all rows decoded") {
+    val m = Multimodal.mediaTyped(spark, sf).repartition(7)
+    val decoded = Multimodal.decodeFeatures(m)
+    assert(decoded.rdd.getNumPartitions === 7)
+    assert(decoded.count() === m.count())
+    val p = decoded.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") || p.contains("RoundRobinPartitioning"),
+      s"decode introduced an unexpected shuffle:\n$p")
+  }
+
+  test("decodeFeatures batches the partition iterator (batch size bound respected)") {
+    // 150 rows in 1 partition -> grouped(64) yields batches 64/64/22; the
+    // stub maps 1:1 so the observable is: exactly one output row per input
+    // row and order preserved within the partition.
+    val rows = (0L until 150L).map(i =>
+      MediaRow(i, "image", "png", Array.fill((i % 5).toInt + 1)(i.toByte)))
+    val ds = rows.toDS().coalesce(1)
+    val out = Multimodal.decodeFeatures(ds).collect()
+    assert(out.length === 150)
+    assert(out.map(_.media_id).toSeq === (0L until 150L))
+  }
+
+  test("sampleFrames: k frames of <=16 bytes per video row") {
+    val frames = Multimodal.sampleFrames(Multimodal.media(spark, sf), 4)
+    val vids = Multimodal.media(spark, sf).where($"kind" === "video").count()
+    assert(frames.count() === vids)
+    val sizes = frames
+      .selectExpr("size(frames) AS k", "transform(frames, f -> length(f)) AS lens")
+      .collect()
+    sizes.foreach { r =>
+      assert(r.getAs[Int]("k") === 4)
+      r.getAs[Seq[Int]]("lens").foreach(l => assert(l <= 16))
+    }
+  }
+}
