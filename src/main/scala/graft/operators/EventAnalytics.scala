@@ -9,10 +9,12 @@ import graft.Tables
 /** Event-time analytics over the `events` table (ts, user_id, event_type,
   * value, props-JSON).
   *
-  * These run BATCH-mode first so the DuckDB oracle can check them; the
-  * identical transforms run incrementally in [[graft.streaming.EventStreams]]
-  * (same `window`/`session_window` calls on a `readStream` source with a
-  * watermark). Batch/stream parity is asserted in StreamingSpec.
+  * The window transforms are written against a plain DataFrame (`*From`
+  * variants) so the SAME code runs in two modes: batch here (where the
+  * DuckDB oracle can check it) and incrementally in
+  * [[graft.streaming.EventStreams]], which feeds a watermarked
+  * `readStream` source through these exact functions. Batch/stream result
+  * parity is asserted in StreamingSpec.
   *
   * Scale: all groupings key on (time bucket, type) or (user, session) — both
   * shuffle once and partition evenly (time and user ids are high-cardinality
@@ -23,12 +25,15 @@ object EventAnalytics {
   /** Tumbling 1-hour windows per event type. `window()` is the native
     * event-time bucketing operator; start == date_trunc('hour') for
     * hour-aligned tumbling windows. */
-  def tumblingHour(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "events")
+  def tumblingHourFrom(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
+
+  def tumblingHour(s: SparkSession, d: String): DataFrame =
+    tumblingHourFrom(Tables.load(s, d, "events"))
 
   val tumblingHourSql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -37,11 +42,14 @@ object EventAnalytics {
 
   /** Sliding windows: 1 hour long, every 30 minutes — each event lands in
     * exactly 2 windows. */
-  def slidingHour(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "events")
+  def slidingHourFrom(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
       .select(col("w.start").as("window_start"), col("n"), col("avg_value"))
+
+  def slidingHour(s: SparkSession, d: String): DataFrame =
+    slidingHourFrom(Tables.load(s, d, "events"))
 
   // DuckDB twin: every event belongs to the 30-min-aligned window that
   // starts at its own 30-min bucket and to the one 30 minutes earlier.
@@ -55,12 +63,15 @@ object EventAnalytics {
   /** Gap-based sessionization with the native `session_window` operator:
     * a session extends while consecutive events of a user are < 30 min
     * apart; the window end is last_event + gap. */
-  def sessionize(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "events")
+  def sessionizeFrom(events: DataFrame): DataFrame =
+    events
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total"))
+
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessionizeFrom(Tables.load(s, d, "events"))
 
   // Same semantics spelled with window functions: a new session starts when
   // the gap to the previous event is >= 30 min; session end = last + 30 min.

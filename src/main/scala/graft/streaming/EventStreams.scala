@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
+
+import graft.operators.EventAnalytics
+
+/** Incremental (Structured Streaming) execution of the event-time
+  * analytics: the SAME window transforms as batch
+  * ([[graft.operators.EventAnalytics]] `*From` functions), fed by a
+  * watermarked `readStream` source instead of a table scan. Batch/stream
+  * result parity is asserted in StreamingSpec.
+  *
+  * Scale notes: the aggregation state is keyed on (window, event_type) /
+  * (user, session) — the same high-cardinality, evenly-partitioned keys
+  * as the batch shuffles — and the watermark bounds it: groups older than
+  * the delay are finalized, emitted (append mode), and evicted, so state
+  * does not grow with stream length. Late events inside the delay merge
+  * into their window/session exactly as in batch; events later than the
+  * delay are dropped by contract.
+  */
+object EventStreams {
+
+  /** Parquet file-stream schema for the events table. `ts` arrives as raw
+    * int64 nanoseconds (the session sets
+    * spark.sql.legacy.parquet.nanosAsLong; see graft.Tables) and gets the
+    * identical floor-to-micros cast the batch loader applies. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(eventsSchema)
+    val withOpt = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    withOpt.parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Default lateness tolerance: events more than this far behind the
+    * max observed event time are dropped; state older than this is
+    * finalized and evicted. */
+  val DefaultDelay = "10 minutes"
+
+  def tumblingHour(events: DataFrame, delay: String = DefaultDelay): DataFrame =
+    EventAnalytics.tumblingHourFrom(events.withWatermark("ts", delay))
+
+  def slidingHour(events: DataFrame, delay: String = DefaultDelay): DataFrame =
+    EventAnalytics.slidingHourFrom(events.withWatermark("ts", delay))
+
+  def sessionize(events: DataFrame, delay: String = DefaultDelay): DataFrame =
+    EventAnalytics.sessionizeFrom(events.withWatermark("ts", delay))
+
+  /** Streaming exact-distinct users per type: watermarked dedup on
+    * (event_type, user_id), then a running count — the incremental twin
+    * of EventAnalytics.distinctUsers' exact distinct aggregate. */
+  def distinctUsers(events: DataFrame, delay: String = DefaultDelay): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicates("event_type", "user_id")
+      .groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_users"))
+}
