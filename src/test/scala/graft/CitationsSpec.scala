@@ -96,4 +96,24 @@ class CitationsSpec extends AnyFunSuite {
   test("flagship entry returns >0 rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("CitationReportApp writes the full report file (golden, pinned timestamp)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-report")
+      .resolve("final_citation_counts.txt")
+    CitationReportApp.run(spark, fixturePath, out.toString, "2026-01-01 00:00:00")
+    val got = java.nio.file.Files.readString(out)
+    val expected =
+      "=" * 50 + "\n" +
+        "Top 30 Most Cited Papers\n" +
+        "=" * 50 + "\n\n" +
+        "Rank  Paper ID        Citations\n" +
+        "-" * 31 + "\n" +
+        "1     2002                    5\n" +
+        "2     2003                    2\n" +
+        "3     2004                    2\n" +
+        "4     10                      1\n" +
+        "\n" + "-" * 31 + "\n" +
+        "Generated on: 2026-01-01 00:00:00\n"
+    assert(got === expected)
+  }
 }
