@@ -108,8 +108,9 @@ object EventAnalytics {
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Distinct users per event type (exact; the approx/HLL twin is tested
-    * against this in ScalaTest — sketches aren't cross-engine oracle-able). */
+  /** Distinct users per event type (exact; the approx/HLL twin is
+    * error-bound-tested against this in SketchSpec — sketch internals
+    * aren't cross-engine oracle-able). */
   def distinctUsers(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "events")
       .groupBy(col("event_type"))

@@ -217,8 +217,9 @@ object Relational {
       |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
       |ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
-  /** Exact distinct counts (two-phase under the hood) + approx HLL twin is
-    * in tests (not oracle-able — sketch internals differ across engines). */
+  /** Exact distinct counts (two-phase under the hood); the approx HLL
+    * twin is error-bound-tested in SketchSpec (sketch internals aren't
+    * cross-engine oracle-able). */
   def distinctPartsPerOrder(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
