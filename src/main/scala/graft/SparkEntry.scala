@@ -34,12 +34,19 @@ object SparkEntry {
   // citer of a hot paper in one aggregation buffer is a scale bomb.)
   private val citationQueries: Map[String, Q] = Map(
     "citation_counts" -> ((s, d) => Citations.counts(Citations.edges(s, d))),
+    "citation_counts_salted" -> ((s, d) =>
+      Citations.countsSalted(Citations.edges(s, d))),
     "citation_top30" -> ((s, d) =>
       Citations.top30(Citations.counts(Citations.edges(s, d))))
   )
 
   private val citationOracles: Map[String, String] = Map(
     "citation_counts" ->
+      """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
+        |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
+    // the salted twin computes the identical aggregate, so it shares the
+    // exact oracle
+    "citation_counts_salted" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
     "citation_top30" ->
@@ -70,6 +77,8 @@ object SparkEntry {
     * either intrinsically ordered (top-k) or rows-only checked. */
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "citation_counts" -> Seq(col("paper_id")),
+    "citation_counts_salted" -> Seq(col("paper_id")),
+    "join_asof" -> Seq(col("event_id")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
     "q5_region_revenue" -> Seq(col("revenue").desc, col("n_name")),
     "join_broadcast_region" -> Seq(col("r_name")),

@@ -44,6 +44,20 @@ object Citations {
       .groupBy(col("dst").as("paper_id"))
       .agg(size(collect_list(col("src"))).cast("long").as("citations"))
 
+  /** Skew-safe twin of [[counts]]: two-stage salted aggregation. A paper
+    * cited by a large fraction of the corpus makes its (dst) shuffle key
+    * hot; salting by a hash of the OTHER endpoint splits that key across
+    * `buckets` partial groups, so no single reducer sees more than
+    * ~1/buckets of a hot key before the (tiny) second-stage re-sum.
+    * Identical result to [[counts]] by construction — same DuckDB oracle. */
+  def countsSalted(edges: DataFrame, buckets: Int = 16): DataFrame =
+    edges
+      .withColumn("salt", pmod(xxhash64(col("src")), lit(buckets)))
+      .groupBy(col("dst"), col("salt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("dst").as("paper_id"))
+      .agg(sum(col("c")).as("citations"))
+
   /** O11–O13: desc count, ascending string id tie-break (the master's
     * deterministic order, master/master.py:218 — NOT check.py's unstable
     * one, SURVEY.md §2.3.2), top 30, 1-based rank. */

@@ -138,7 +138,53 @@ object EventAnalytics {
       |       round(n * 100.0 / sum(n) OVER (PARTITION BY day), 6) AS pct
       |FROM daily ORDER BY day, event_type""".stripMargin
 
+  /** As-of join: for each click, the most recent at-or-before purchase of
+    * the same user. Spark has no native ASOF JOIN, and the naive encoding
+    * (range join, then per-row argmax) expands quadratically in events per
+    * user. This is the scalable union+window form: tag both sides, sort
+    * within user by (ts, side), carry the last-seen purchase struct — ONE
+    * shuffle on user_id, a partition-local sort, zero row expansion.
+    * Deterministic tie rule, mirrored in the DuckDB ASOF twin: a
+    * same-timestamp purchase counts as "before", and purchases are
+    * pre-aggregated per (user, ts) with max-event_id-wins. */
+  def joinAsofFrom(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("p_value"))
+    val pTagged = purchases.select(col("user_id"), col("ts"),
+      lit(null).cast("bigint").as("event_id"),
+      lit(null).cast("double").as("value"),
+      struct(col("ts").as("p_ts"), col("p_value")).as("p"),
+      lit(1).as("is_p"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(null).cast("struct<p_ts:timestamp,p_value:double>").as("p"),
+        lit(0).as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pTagged.unionByName(clicks)
+      .withColumn("asof", last(col("p"), ignoreNulls = true).over(w))
+      .where(col("is_p") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof.p_ts").as("p_ts"), col("asof.p_value").as("p_value"))
+  }
+
+  def joinAsof(s: SparkSession, d: String): DataFrame =
+    joinAsofFrom(Tables.load(s, d, "events"))
+
+  val joinAsofSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, arg_max(value, event_id) AS p_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |c AS (SELECT event_id, user_id, ts, value FROM events
+      |      WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, c.value, p.ts AS p_ts, p.p_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> (joinAsof _),
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sliding_hour" -> (slidingHour _),
     "events_sessionize" -> (sessionize _),
@@ -148,6 +194,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_asof" -> joinAsofSql,
     "events_tumbling_hour" -> tumblingHourSql,
     "events_sliding_hour" -> slidingHourSql,
     "events_sessionize" -> sessionizeSql,
