@@ -15,6 +15,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // events.ts is parquet TIMESTAMP(NANOS); read raw int64 (Tables
       // truncates to micros). Session-level so every reader sees it.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

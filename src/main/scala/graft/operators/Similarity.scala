@@ -55,14 +55,25 @@ object Similarity {
 
   /** Exact cosine top-10 neighbors for probes vec_id < 16: broadcast the
     * probes against one corpus scan, rank per probe. */
-  def annTopk(s: SparkSession, d: String): DataFrame = {
+  def annTopk(s: SparkSession, d: String): DataFrame =
+    annTopkWith(s, d, cosExpr("pe", "embedding"))
+
+  /** Same operator on the fused native codegen kernel
+    * ([[graft.functions.CosineSimilarity]], SQL name `cosine_sim` via
+    * GraftExtensions): one tight loop instead of three interpreted
+    * higher-order folds. Bit-identical scores by the kernel's numeric
+    * contract, so it shares ann_topk's DuckDB oracle. */
+  def annTopkFused(s: SparkSession, d: String): DataFrame =
+    annTopkWith(s, d, "round(cosine_sim(pe, embedding), 6)")
+
+  private def annTopkWith(s: SparkSession, d: String,
+                          scoreExpr: String): DataFrame = {
     val e = emb(s, d)
     val probes = e.where(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val scored = e.crossJoin(broadcast(probes))
       .where(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        expr(cosExpr("pe", "embedding")).as("cos"))
+      .select(col("probe_id"), col("vec_id"), expr(scoreExpr).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored
@@ -157,19 +168,23 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopk _),
+    "ann_topk_fused" -> (annTopkFused _),
     "ann_ivf" -> (annIvf _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
 
-  /** Only the exact operator is oracle-checked; the IVF paths are
+  /** The exact operators are oracle-checked (the fused kernel is
+    * bit-identical, so it shares the oracle); the IVF paths are
     * approximate by design (rows-only in the driver, recall/soundness
     * asserted in SimilaritySpec). */
   val oracles: Map[String, String] = Map(
-    "ann_topk" -> annTopkSql
+    "ann_topk" -> annTopkSql,
+    "ann_topk_fused" -> annTopkSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "ann_topk" -> Seq(col("probe_id"), col("rank")),
+    "ann_topk_fused" -> Seq(col("probe_id"), col("rank")),
     "ann_ivf" -> Seq(col("probe_id"), col("rank")),
     "dedup_embedding" -> Seq(col("vec_a"), col("vec_b"))
   )

@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions.CosineSimilarity
+
+/** Session extension point for the engine's native Catalyst additions.
+  * Activate with `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (Verify, Bench and the test base all do).
+  *
+  * Currently injects one SQL function:
+  *   - `cosine_sim(array<float>, array<float>) -> double` — the fused
+  *     codegen kernel [[graft.functions.CosineSimilarity]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_sim expects 2 arguments, got ${children.length}")
+        // explicit coercion to array<float> — the expression's numeric
+        // contract is float-input, double-accumulate
+        CosineSimilarity(
+          Cast(children.head, ArrayType(FloatType)),
+          Cast(children(1), ArrayType(FloatType)))
+      }))
+  }
+}
