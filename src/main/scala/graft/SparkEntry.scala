@@ -102,6 +102,8 @@ object SparkEntry {
     "scalar_string_funcs" -> Seq(col("p_partkey")),
     "scalar_date_monthly" -> Seq(col("month")),
     "pivot_status_by_priority" -> Seq(col("o_orderpriority")),
+    "agg_percentiles" -> Seq(col("o_orderpriority")),
+    "unpivot_revenue" -> Seq(col("l_returnflag"), col("metric")),
     "subquery_above_brand_avg" -> Seq(col("p_partkey")),
     "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
     "events_sliding_hour" -> Seq(col("window_start")),

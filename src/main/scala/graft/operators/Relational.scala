@@ -405,7 +405,50 @@ object Relational {
       |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
       |ORDER BY c_custkey""".stripMargin
 
+  /** Exact interpolated percentiles per group. Spark `percentile` and
+    * DuckDB `quantile_cont` share the (1-g)*lo + g*hi interpolation on the
+    * sorted values, so the doubles agree exactly — verified cross-engine.
+    * (The approx sketch twin, percentile_approx, is error-bound-tested in
+    * SketchSpec — sketches aren't oracle-able.) */
+  def aggPercentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+
+  val aggPercentilesSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 6)  AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT (melt): wide per-flag aggregates to long (flag, metric, val)
+    * rows — the inverse of the pivot surface, one narrow generate, no
+    * extra shuffle beyond the aggregation. */
+  def unpivotRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("price"))
+      .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+        "metric", "val")
+
+  val unpivotRevenueSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+      |         round(sum(l_extendedprice), 2) AS price
+      |  FROM lineitem GROUP BY 1)
+      |UNPIVOT base ON qty, price INTO NAME metric VALUE val
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentiles" -> (aggPercentiles _),
+    "unpivot_revenue" -> (unpivotRevenue _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -431,6 +474,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_percentiles" -> aggPercentilesSql,
+    "unpivot_revenue" -> unpivotRevenueSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_region_revenue" -> q5Sql,
