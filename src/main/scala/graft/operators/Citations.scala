@@ -97,6 +97,14 @@ object Citations {
     sb.toString
   }
 
+  /** O16 (reference check.py:31-33): console top-k print. The reference's
+    * label says "Top 10" but prints 30 (SURVEY.md §2.3.7 — a cosmetic bug);
+    * the spec is 30 rows, so that is what we label and print. */
+  def showTop30(counts: DataFrame): Unit = {
+    println("Top 30 Most Cited Papers:")
+    top30(counts).show(30, truncate = false)
+  }
+
   /** Full pipeline: edges → top30 → report text (collects 30 rows). */
   def report(spark: SparkSession, sfDir: String, generatedOn: String): String = {
     val rows = top30(counts(edges(spark, sfDir)))

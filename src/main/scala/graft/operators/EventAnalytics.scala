@@ -183,8 +183,54 @@ object EventAnalytics {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** Range (interval) join: events matched into their session's
+    * [start, end) interval — equi-join on user_id with the range
+    * predicates as join conditions, so rows only meet within a user's
+    * partition (no time-bucket explosion needed at this key cardinality;
+    * for intervals WITHOUT an equi key the scale path is bucketing both
+    * sides by coarse time grain first). Self-validating output: the
+    * in-range count per session must equal the session's own n_events,
+    * since gap-based sessions partition each user's timeline. */
+  def joinRangeFrom(events: DataFrame): DataFrame = {
+    val sessions = sessionizeFrom(events)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    sessions.join(events.select(col("user_id"), col("ts")),
+        Seq("user_id"))
+      .where(col("ts") >= col("session_start") && col("ts") < col("session_end"))
+      .groupBy(col("user_id"), col("session_start"), col("n_events"))
+      .agg(count(lit(1)).as("n_in_range"))
+  }
+
+  def joinRange(s: SparkSession, d: String): DataFrame =
+    joinRangeFrom(Tables.load(s, d, "events"))
+
+  val joinRangeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, min(ts) AS session_start,
+      |         max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |         count(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT s.user_id, s.session_start, s.n_events, count(*) AS n_in_range
+      |FROM sessions s JOIN events e
+      |  ON e.user_id = s.user_id
+      | AND e.ts >= s.session_start AND e.ts < s.session_end
+      |GROUP BY s.user_id, s.session_start, s.n_events
+      |ORDER BY s.user_id, s.session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> (joinAsof _),
+    "join_range" -> (joinRange _),
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sliding_hour" -> (slidingHour _),
     "events_sessionize" -> (sessionize _),
@@ -195,6 +241,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
+    "join_range" -> joinRangeSql,
     "events_tumbling_hour" -> tumblingHourSql,
     "events_sliding_hour" -> slidingHourSql,
     "events_sessionize" -> sessionizeSql,

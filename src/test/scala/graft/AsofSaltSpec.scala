@@ -61,6 +61,14 @@ class AsofSaltSpec extends AnyFunSuite {
     assert(df.where($"p_ts" > $"ts").count() === 0)
   }
 
+  test("join_range: every session's in-range event count equals its n_events") {
+    // gap sessions partition each user's timeline, so the interval join
+    // must recover exactly the events that built each session
+    val df = EventAnalytics.joinRange(spark, sf)
+    assert(df.count() > 0)
+    assert(df.where($"n_in_range" =!= $"n_events").count() === 0)
+  }
+
   test("salted counts equal plain counts (skew-safe formulation is lossless)") {
     val edges = Citations.edges(spark, sf)
     val plain = Citations.counts(edges).as[(String, Long)].collect().toSet

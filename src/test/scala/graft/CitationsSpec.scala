@@ -97,6 +97,17 @@ class CitationsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("showTop30 prints the ranked table to the console (O16)") {
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(baos) {
+      Citations.showTop30(Citations.counts(edges))
+    }
+    val out = baos.toString("UTF-8")
+    assert(out.contains("Top 30 Most Cited Papers:"))
+    assert(out.contains("rank") && out.contains("paper_id") && out.contains("citations"))
+    assert(out.contains("2002") && out.contains("5"))
+  }
+
   test("CitationReportApp writes the full report file (golden, pinned timestamp)") {
     val out = java.nio.file.Files.createTempDirectory("graft-report")
       .resolve("final_citation_counts.txt")
