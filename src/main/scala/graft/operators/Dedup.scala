@@ -33,51 +33,53 @@ object Dedup {
 
   // ---------- shingling (identical fallback rule in the DuckDB twins) ----
 
-  /** Word n-gram shingles (as a multiset — deliberately NOT pre-distincted:
-    * `array_distinct` on large string arrays is quadratic and dominated the
-    * profile; minhash is invariant under duplicates and the verify stage's
-    * `array_intersect`/`array_union` — like DuckDB's `list_intersect` /
-    * `list_distinct` — already have set semantics). Docs shorter than n
-    * words collapse to the whole text as one shingle. */
-  private def wordShingles(s: SparkSession, d: String, n: Int): DataFrame =
+  /** One (doc_id, sh) row per word-n-gram occurrence. Built WITHOUT
+    * interpreted lambdas: explode an integer sequence of start positions,
+    * then one codegen'd slice/concat per row — measured ~8x cheaper than a
+    * `transform(...)` array build, which pays lambda-interpreter overhead
+    * per shingle AND re-evaluates wherever projection collapse inlines it.
+    * Shingles are a multiset (no pre-distinct: minhash is invariant under
+    * duplicates and the verify stage's set ops distinct anyway). Docs
+    * shorter than n units emit the whole text as one shingle —
+    * `sequence(1, greatest(len-(n-1), 1))` is [1] and the window clamps,
+    * exactly the DuckDB twins' CASE fallback. */
+  private def wordShingleRows(s: SparkSession, d: String, n: Int): DataFrame =
     Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        when(size(col("ws")) >= n,
-          expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
-          .otherwise(array(col("text"))).as("shingles"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(1, greatest(size(ws) - ${n - 1}, 1))")).as("i"))
+      .select(col("doc_id"), expr(s"concat_ws(' ', slice(ws, i, $n))").as("sh"))
 
-  /** Character n-gram shingles (multiset, same rationale and fallback). */
-  private def charShingles(s: SparkSession, d: String, n: Int): DataFrame =
+  /** One (doc_id, sh) row per character-n-gram occurrence (same design
+    * and fallback as [[wordShingleRows]]). */
+  private def charShingleRows(s: SparkSession, d: String, n: Int): DataFrame =
     Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text"))
-      .select(col("doc_id"),
-        when(length(col("text")) >= n,
-          expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substr(text, i, $n))"))
-          .otherwise(array(col("text"))).as("shingles"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${n - 1}, 1))")).as("i"))
+      .select(col("doc_id"), expr(s"substr(text, i, $n)").as("sh"))
+
+  /** Per-doc shingle arrays for the exact-verify stage, rebuilt from the
+    * exploded rows by a plain collect_list aggregation — the aggregation
+    * exchange doubles as the materialization barrier, so the arrays are
+    * built once per doc, never per candidate pair. */
+  private def shingleArrays(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
 
   // ---------- MinHash-LSH ------------------------------------------------
 
   /** One row per (doc, band): key = hash of the band's minhash slice.
     *
-    * Execution shape matters here. The shingle array is computed ONCE per
-    * doc inside an `explode` generator (a naive 32-column
-    * `array_min(transform(...))` projection lets CollapseProject inline —
-    * and so recompute — the shingling 32 times, and interpreted
-    * higher-order lambdas dominate the profile); each (doc, shingle) row
-    * then feeds the codegen'd `xxhash64` minhash columns with map-side
-    * partial min-aggregation, so the shuffle carries one signature row
-    * per doc per partition. The
-    * final `repartition(band, key)` pins exactly the hash partitioning
-    * the candidate self-join needs, so ONE reused exchange feeds both
-    * join sides instead of computing the signatures twice. */
-  private def bandKeys(shingled: DataFrame, rowsPerBand: Int,
+    * Each (doc, shingle) row feeds the codegen'd `xxhash64` minhash
+    * columns with map-side partial min-aggregation, so the shuffle
+    * carries one signature row per doc per partition. The final
+    * `repartition(band, key)` pins exactly the hash partitioning the
+    * candidate self-join needs, so ONE reused exchange feeds both join
+    * sides instead of computing the signatures twice. */
+  private def bandKeys(shingleRows: DataFrame, rowsPerBand: Int,
                        numBands: Int): DataFrame = {
-    val exploded = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val mhCols = (0 until numBands * rowsPerBand).map(j =>
       min(xxhash64(col("sh"), lit(j))).as(s"mh$j"))
-    val sigs = exploded.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val sigs = shingleRows.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     val bands = (0 until numBands).map { b =>
       val cs = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
       struct(lit(b).as("band"), xxhash64(cs: _*).as("key"))
@@ -89,25 +91,37 @@ object Dedup {
 
   /** Docs sharing >= 1 band bucket. Equi-join on (band, key) — the shuffle
     * key is high-cardinality; never a cartesian. Both sides are the same
-    * pre-partitioned plan, so the exchange is computed once and reused. */
+    * pre-partitioned plan; the SHUFFLE_HASH hint stops AQE from flipping
+    * the join to broadcast at small scale, because a broadcast build
+    * RECOMPUTES the whole signature pipeline for that side while the
+    * shuffle join reuses the single repartition exchange for both sides
+    * (measured: candidate stage 5.3s -> sub-second at sf0.1). At real
+    * scale the side sizes rule out broadcast anyway — the hint just makes
+    * the small-scale plan shape match the at-scale one. */
   private def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
+    a.hint("shuffle_hash").join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 
   /** Exact-verify candidates: emit integer intersection/union sizes and
-    * keep pairs with J >= num/den via integer cross-multiplication. */
-  private def verifiedJaccard(cands: DataFrame, shingled: DataFrame,
-                              num: Int, den: Int): DataFrame =
+    * keep pairs with J >= num/den via integer cross-multiplication.
+    * `arrays` comes from [[shingleArrays]], i.e. it is already
+    * materialized behind its aggregation exchange — per-doc work stays
+    * per-doc, never per candidate pair. */
+  private def verifiedJaccard(cands: DataFrame, arrays: DataFrame,
+                              num: Int, den: Int): DataFrame = {
+    val mat = arrays
     cands
-      .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
-      .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .join(mat.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(mat.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_size"),
         size(array_union(col("sa"), col("sb"))).cast("long").as("union_size"))
       .where(col("inter_size") * den >= col("union_size") * num)
+  }
 
   // ---------- public operators ------------------------------------------
 
@@ -126,8 +140,9 @@ object Dedup {
     * pairs under 1e-9; the word-shingle background J (~0.05) keeps the
     * candidate volume tiny even with r=2. */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
-    val sh = wordShingles(s, d, 3)
-    verifiedJaccard(candidatePairs(bandKeys(sh, rowsPerBand = 2, numBands = 16)), sh, num = 3, den = 5)
+    val rows = wordShingleRows(s, d, 3)
+    verifiedJaccard(candidatePairs(bandKeys(rows, rowsPerBand = 2, numBands = 16)),
+      shingleArrays(rows), num = 3, den = 5)
   }
 
   /** Same LSH machinery on character 9-gram shingles, J >= 0.7 — catches
@@ -146,8 +161,9 @@ object Dedup {
     * probability of the weakest observed true pair (J=0.83 at sf0.1)
     * near 1e-6. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val sh = charShingles(s, d, 9)
-    verifiedJaccard(candidatePairs(bandKeys(sh, rowsPerBand = 3, numBands = 16)), sh, num = 7, den = 10)
+    val rows = charShingleRows(s, d, 9)
+    verifiedJaccard(candidatePairs(bandKeys(rows, rowsPerBand = 3, numBands = 16)),
+      shingleArrays(rows), num = 7, den = 10)
   }
 
   /** 60-bit SimHash per document: each token occurrence votes ±1 per bit
