@@ -37,7 +37,11 @@ object SparkEntry {
     "citation_counts_salted" -> ((s, d) =>
       Citations.countsSalted(Citations.edges(s, d))),
     "citation_top30" -> ((s, d) =>
-      Citations.top30(Citations.counts(Citations.edges(s, d))))
+      Citations.top30(Citations.counts(Citations.edges(s, d)))),
+    "citation_degree_dist" -> ((s, d) =>
+      Citations.degreeDistribution(Citations.edges(s, d))),
+    "cocitation_topk" -> ((s, d) =>
+      Citations.coCitationTopk(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -55,21 +59,37 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         |SELECT CAST(row_number() OVER (ORDER BY citations DESC, paper_id ASC) AS INT) AS rank,
         |       paper_id, citations
-        |FROM c ORDER BY citations DESC, paper_id ASC LIMIT 30""".stripMargin
+        |FROM c ORDER BY citations DESC, paper_id ASC LIMIT 30""".stripMargin,
+    "citation_degree_dist" ->
+      """WITH c AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
+        |  FROM lineitem GROUP BY 1)
+        |SELECT citations, count(*) AS n_papers FROM c
+        |GROUP BY citations ORDER BY citations""".stripMargin,
+    "cocitation_topk" ->
+      """WITH e AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+        |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+        |ok AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 100),
+        |f AS (SELECT e.src, e.dst FROM e JOIN ok USING (src))
+        |SELECT a.dst AS paper_a, b.dst AS paper_b, count(*) AS n_co
+        |FROM f a JOIN f b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2
+        |ORDER BY n_co DESC, paper_a, paper_b LIMIT 20""".stripMargin
   )
 
   /** One per implemented operator from SURVEY.md §2 / §7.4. */
   def queries: Map[String, Q] =
     citationQueries ++ Relational.queries ++ EventAnalytics.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     citationOracles ++ Relational.oracles ++ EventAnalytics.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ Profiling.oracles
 
   /** Deterministic presentation order per query, applied ONLY by the
     * Verify harness before writing (the driver's hash compare wants stable
@@ -78,6 +98,7 @@ object SparkEntry {
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "citation_counts" -> Seq(col("paper_id")),
     "citation_counts_salted" -> Seq(col("paper_id")),
+    "citation_degree_dist" -> Seq(col("citations")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
@@ -113,5 +134,5 @@ object SparkEntry {
     "events_distinct_users" -> Seq(col("event_type")),
     "events_daily_share" -> Seq(col("day"), col("event_type"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
-    Similarity.verifyOrder ++ Multimodal.verifyOrder
+    Similarity.verifyOrder ++ Multimodal.verifyOrder ++ Profiling.verifyOrder
 }

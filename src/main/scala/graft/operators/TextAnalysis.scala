@@ -178,7 +178,50 @@ object TextAnalysis {
       |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-3 terms per document. Score = tf * N / df computed with
+    * identical operation order on both engines (integer products, one
+    * float division — no libm calls, so no cross-engine ULP risk). The
+    * document-frequency side is a token-level aggregate that broadcasts
+    * into the tf join (vocabulary ≪ corpus); the per-doc top-k runs as
+    * WindowGroupLimit. */
+  def tfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * col("n") * lit(1.0) / col("df"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("score"))
+  }
+
+  val tfidfTopkSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, token, tf,
+      |         round(tf * (SELECT count(*) FROM documents) * 1.0 / df, 6) AS score
+      |  FROM tf JOIN dfreq USING (token))
+      |SELECT doc_id, rank, token, tf, score FROM (
+      |  SELECT doc_id, token, tf, score,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY score DESC, token) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
     "text_quality" -> (textQuality _),
@@ -187,6 +230,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tfidf_topk" -> tfidfTopkSql,
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
     "text_quality" -> textQualitySql,
@@ -195,6 +239,7 @@ object TextAnalysis {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "tfidf_topk" -> Seq(col("doc_id"), col("rank")),
     "text_stats" -> Seq(col("lang"), col("source")),
     "text_quality" -> Seq(col("doc_id")),
     "lang_id" -> Seq(col("doc_id")),

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, sum => fsum}
+
+import graft.operators.{Citations, Profiling, TextAnalysis}
+
+class AnalyticsExtraSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("degree distribution: papers-weighted sum reproduces totals") {
+    val edges = Citations.edges(spark, sf)
+    val dist = Citations.degreeDistribution(edges).cache()
+    // sum(citations * n_papers) == total edges; sum(n_papers) == distinct papers
+    val totalEdges = dist.select(fsum(col("citations") * col("n_papers")))
+      .first().getLong(0)
+    assert(totalEdges === edges.count())
+    val papers = dist.select(fsum(col("n_papers"))).first().getLong(0)
+    assert(papers === edges.select("dst").distinct().count())
+  }
+
+  test("co-citation: hand oracle on a tiny graph, with the out-degree cap") {
+    val edges = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "c"),  // pairs ab, ac, bc
+      ("s2", "a"), ("s2", "b"),               // pair ab again
+      ("s3", "z")                             // no pair
+    ).toDF("src", "dst")
+    val got = Citations.coCitationTopk(edges)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // the cap drops hub sources entirely
+    val capped = Citations.coCitationTopk(edges, maxOutDegree = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(capped === Seq(("a", "b", 1L))) // only s2 survives
+  }
+
+  test("tfidf: rare terms outscore common terms within a document") {
+    val got = TextAnalysis.tfidfTopk(spark, sf).cache()
+    assert(got.where(col("rank") === 1).count() ===
+      Tables.load(spark, sf, "documents").count())
+    // score formula check on one joined row: score == round(tf*N/df, 6)
+    val docsN = Tables.load(spark, sf, "documents").count()
+    val tok = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+    val tf = tok.groupBy("doc_id", "token").count().withColumnRenamed("count", "tf2")
+    val dfreq = tok.groupBy("token")
+      .agg(org.apache.spark.sql.functions.countDistinct("doc_id").as("df"))
+    val joined = got.join(tf, Seq("doc_id", "token")).join(dfreq, Seq("token"))
+      .selectExpr("score", s"round(tf2 * $docsN * 1.0 / df, 6) AS expected")
+    assert(joined.where(col("score") =!= col("expected")).count() === 0)
+  }
+
+  test("profile: schema-driven, exact stats on a table with known shape") {
+    val p = Profiling.profile(
+      Seq((1, Some("x")), (2, None), (3, Some("x"))).toDF("id", "v"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(p("id") === ((0L, 3L, 3L)))
+    assert(p("v") === ((1L, 1L, 3L)))
+  }
+
+  test("profile_orders reads the table once (single scan in plan)") {
+    val plan = Profiling.profileOrders(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected one scan:\n$plan")
+  }
+}
