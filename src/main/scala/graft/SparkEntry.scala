@@ -82,14 +82,14 @@ object SparkEntry {
   def queries: Map[String, Q] =
     citationQueries ++ Relational.queries ++ EventAnalytics.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Profiling.queries
+      Multimodal.queries ++ Profiling.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     citationOracles ++ Relational.oracles ++ EventAnalytics.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Profiling.oracles
+      Multimodal.oracles ++ Profiling.oracles ++ Pipeline.oracles
 
   /** Deterministic presentation order per query, applied ONLY by the
     * Verify harness before writing (the driver's hash compare wants stable
@@ -134,5 +134,6 @@ object SparkEntry {
     "events_distinct_users" -> Seq(col("event_type")),
     "events_daily_share" -> Seq(col("day"), col("event_type"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
-    Similarity.verifyOrder ++ Multimodal.verifyOrder ++ Profiling.verifyOrder
+    Similarity.verifyOrder ++ Multimodal.verifyOrder ++
+    Profiling.verifyOrder ++ Pipeline.verifyOrder
 }

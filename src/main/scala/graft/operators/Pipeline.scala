@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end training-data assembly operators — the steps that turn a
+  * cleaned corpus into training input: deterministic splits, applying
+  * dedup decisions, and packing documents into token-budget batches.
+  * Everything is content/key-hash deterministic (no RNG state), so
+  * pipelines are reproducible run-to-run and engine-to-engine — the same
+  * reason the DuckDB twins can hash-match these operators exactly.
+  */
+object Pipeline {
+
+  /** Deterministic train/holdout assignment from a key hash (md5 leading
+    * hex digit < 'e' ⇒ train, 14/16 = 87.5%). Hash-based — not RNG-based —
+    * so membership is stable under reruns, repartitioning, and engine
+    * changes, and any record's split is computable in isolation. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "train")
+          .otherwise("holdout").as("split"))
+
+  val sampleSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+      |       THEN 'train' ELSE 'holdout' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Apply near-dup decisions: drop every doc that appears as the LARGER
+    * id of a verified near-dup pair (keep-smallest-id policy), via an
+    * anti-join against the Dedup.dedupNear output — the composition step
+    * a real pipeline runs after candidate verification. */
+  def documentsDeduped(s: SparkSession, d: String): DataFrame = {
+    val victims = Dedup.dedupNear(s, d).select(col("doc_b").as("doc_id")).distinct()
+    Tables.load(s, d, "documents")
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val documentsDedupedSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)])
+      |    ELSE [text] END AS s
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
+      |victims AS (
+      |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) * 5 >= len(list_distinct(a.s || b.s)) * 3)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing: assign documents to token-budget batches
+    * (cumulative token count within a shard, batch = cum_before div
+    * budget). Packing is SHARDED on purpose: a single global running sum
+    * would serialize the whole corpus through one partition, while
+    * per-shard packing is embarrassingly parallel and is how real
+    * pipelines pack (per input shard/file). Deterministic order within a
+    * shard (doc_id), deterministic shard (doc_id mod 8). */
+  def packBatches(s: SparkSession, d: String, budget: Int = 2000): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 8).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("batch_id"))
+  }
+
+  val packBatchesSql: String =
+    """SELECT doc_id, shard, n_tokens,
+      |       CAST(cum_before // 2000 AS BIGINT) AS batch_id FROM (
+      |  SELECT doc_id, shard, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (
+      |           PARTITION BY shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM (
+      |    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+      |           len(string_split(text, ' ')) AS n_tokens
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_split" -> (sampleSplit _),
+    "documents_deduped" -> (documentsDeduped _),
+    "pack_batches" -> ((s, d) => packBatches(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_split" -> sampleSplitSql,
+    "documents_deduped" -> documentsDedupedSql,
+    "pack_batches" -> packBatchesSql
+  )
+
+  val verifyOrder: Map[String, Seq[Column]] = Map(
+    "sample_split" -> Seq(col("doc_id")),
+    "documents_deduped" -> Seq(col("doc_id")),
+    "pack_batches" -> Seq(col("doc_id"))
+  )
+}
