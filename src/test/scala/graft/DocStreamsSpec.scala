@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.DocStreams
+
+class DocStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming exact dedup: duplicates arriving in later batches never emit") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = Files.createTempDirectory("graft-docstream").toString
+
+    // batch 1: docs 0..99. batch 2: 50 RE-TEXTS of docs 0..49 under new
+    // ids (exact dups) + genuinely new docs 100..149.
+    docs.where($"doc_id" < 100).coalesce(1)
+      .write.parquet(s"$dir/b1")
+    val dups = docs.where($"doc_id" < 50)
+      .withColumn("doc_id", $"doc_id" + 10000)
+    val fresh = docs.where($"doc_id" >= 100 && $"doc_id" < 150)
+    dups.unionByName(fresh).coalesce(1).write.parquet(s"$dir/b2")
+
+    // flatten into one stream dir with ordered modification times
+    val streamDir = Files.createTempDirectory("graft-docstream-in").toString
+    def copyPart(sub: String, name: String): Unit = {
+      val part = new java.io.File(s"$dir/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$streamDir/$name"))
+    }
+    copyPart("b1", "000.parquet")
+    copyPart("b2", "001.parquet")
+    // file-source ordering is by modification time — pin it explicitly so
+    // the duplicate batch demonstrably arrives SECOND
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$streamDir/000.parquet").setLastModified(now - 60000)
+    new java.io.File(s"$streamDir/001.parquet").setLastModified(now)
+
+    val q = DocStreams.dedupExactStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val emitted = spark.table("doc_dedup")
+    // 100 from batch 1 + only the 50 genuinely-new from batch 2
+    assert(emitted.count() === 150)
+    assert(emitted.where($"doc_id" >= 10000).count() === 0,
+      "a re-text duplicate slipped through")
+    // distinct texts emitted exactly once each
+    assert(emitted.select("text_md5").distinct().count() === 150)
+    // batch twin agrees on the distinct-content count of the same input
+    val batchDistinct = docs.where($"doc_id" < 150).select(md5($"text"))
+      .distinct().count()
+    assert(batchDistinct === 150)
+  }
+}
