@@ -41,7 +41,12 @@ object SparkEntry {
     "citation_degree_dist" -> ((s, d) =>
       Citations.degreeDistribution(Citations.edges(s, d))),
     "cocitation_topk" -> ((s, d) =>
-      Citations.coCitationTopk(Citations.edges(s, d)))
+      Citations.coCitationTopk(Citations.edges(s, d))),
+    // iterative float fixpoint — rows-only in the driver gate (no SQL
+    // twin); invariants spec-tested in AnalyticsExtraSpec. 6 rounds: the
+    // ranking ordering stabilizes well before the values fully converge
+    "citation_pagerank" -> ((s, d) =>
+      Citations.pageRank(Citations.edges(s, d), iterations = 6))
   )
 
   private val citationOracles: Map[String, String] = Map(

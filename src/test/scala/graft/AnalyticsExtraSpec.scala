@@ -53,6 +53,27 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(joined.where(col("score") =!= col("expected")).count() === 0)
   }
 
+  test("pagerank: mass conserved, citations drive rank, deterministic") {
+    val edges = Citations.edges(spark, sf)
+    val pr = Citations.pageRank(edges, iterations = 8).cache()
+    // total rank mass stays 1 (dangling redistribution keeps it exact)
+    // output ranks are round(.,8) per row, so the recomputed mass can
+    // drift by up to n*5e-9
+    val total = pr.select(fsum(col("rank"))).first().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-4, s"rank mass $total")
+    // the most-cited paper outranks the median paper
+    val topCited = Citations.counts(edges)
+      .orderBy(col("citations").desc).first().getString(0)
+    val topRank = pr.where(col("paper_id") === topCited)
+      .first().getDouble(1)
+    val medianRank = pr.select(org.apache.spark.sql.functions
+      .expr("percentile(rank, 0.5)")).first().getDouble(0)
+    assert(topRank > medianRank)
+    val again = Citations.pageRank(edges, iterations = 8)
+      .collect().map(_.toString).sorted
+    assert(again.toSeq === pr.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("profile: schema-driven, exact stats on a table with known shape") {
     val p = Profiling.profile(
       Seq((1, Some("x")), (2, None), (3, Some("x"))).toDF("id", "v"))
