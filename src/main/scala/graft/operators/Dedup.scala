@@ -209,6 +209,40 @@ object Dedup {
       .where(col("hamming") <= 3)
   }
 
+  /** Transitive duplicate clusters: connected components over the
+    * verified near-dup pairs, label = smallest doc_id reachable (the doc
+    * a keep-one-per-cluster policy keeps). Iterative min-label
+    * propagation — each round every node takes the min of its own and its
+    * neighbors' labels; converges in cluster-diameter rounds (near-dup
+    * clusters are tiny, the loop exits on a converged round). Integer
+    * fixpoint ⇒ exactly reproducible in the DuckDB twin's recursive CTE,
+    * so this iterative operator IS oracled, unlike float fixpoints.
+    * Singleton docs keep their own id as cluster_id. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNear(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = Tables.load(s, d, "documents")
+      .select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val msgs = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---------- DuckDB twins ----------------------------------------------
 
   private val wordShinglesCte: String =
@@ -250,6 +284,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_near" -> (dedupNear _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_ngram" -> (dedupNgram _),
     "simhash_fingerprints" -> (simhashFingerprints _),
     "simhash_pairs" -> (simhashPairs _)
@@ -260,6 +295,21 @@ object Dedup {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
     "dedup_near" -> jaccardPairsSql(wordShinglesCte, 3, 5),
+    "dedup_clusters" ->
+      s"""${wordShinglesCte.replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 5 >= len(list_distinct(a.s || b.s)) * 3),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM und
+         |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT d.doc_id,
+         |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql(charShinglesCte, 7, 10),
     "simhash_fingerprints" ->
       s"""$simhashCte
@@ -276,6 +326,7 @@ object Dedup {
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "dedup_exact" -> Seq(col("text_md5")),
     "dedup_near" -> Seq(col("doc_a"), col("doc_b")),
+    "dedup_clusters" -> Seq(col("doc_id")),
     "dedup_ngram" -> Seq(col("doc_a"), col("doc_b")),
     "simhash_fingerprints" -> Seq(col("doc_id")),
     "simhash_pairs" -> Seq(col("doc_a"), col("doc_b"))

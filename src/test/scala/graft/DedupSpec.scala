@@ -84,6 +84,26 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("dedup_clusters: connected components of the near-dup graph, min-label") {
+    val pairs = Dedup.dedupNear(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size === Tables.load(spark, sf, "documents").count())
+    // both ends of every pair share a cluster, labeled by its minimum
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    // cluster label is a member of its own cluster (canonical representative)
+    clusters.values.toSet.foreach { (c: Long) => assert(clusters(c) === c) }
+    // docs in no pair are singletons
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.foreach { case (id, c) =>
+      if (!inPairs.contains(id)) assert(c === id)
+    }
+  }
+
   test("simhash fingerprints: deterministic, 60-bit, sensitive to content") {
     val fp1 = Dedup.simhashFingerprints(spark, sf).as[(Long, Long)].collect().toMap
     val fp2 = Dedup.simhashFingerprints(spark, sf).as[(Long, Long)].collect().toMap
