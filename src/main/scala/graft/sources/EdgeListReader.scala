@@ -35,4 +35,25 @@ object EdgeListReader {
       .where(size(col("f")) === 2)
       .select(col("f").getItem(0).as("src"), col("f").getItem(1).as("dst"))
   }
+
+  /** PERMISSIVE parse with a quarantine channel: good rows as in [[parse]],
+    * plus the dropped MALFORMED lines (wrong field count — the rows the
+    * reference logs and skips, worker/mapper/mapper.py:79-80) captured as
+    * data instead of a log line. Comments and blanks are not quarantined:
+    * they are format, not corruption. One scan feeds both frames. */
+  def parseWithQuarantine(lines: DataFrame): (DataFrame, DataFrame) = {
+    val candidate = lines
+      .select(col("value"))
+      .where(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      .select(col("value"), split(trim(col("value")), "\t").as("f"))
+    val good = candidate.where(size(col("f")) === 2)
+      .select(col("f").getItem(0).as("src"), col("f").getItem(1).as("dst"))
+    val bad = candidate.where(size(col("f")) =!= 2)
+      .select(col("value").as("raw_line"), size(col("f")).as("n_fields"))
+    (good, bad)
+  }
+
+  def readWithQuarantine(spark: SparkSession,
+                         path: String): (DataFrame, DataFrame) =
+    parseWithQuarantine(spark.read.text(path))
 }

@@ -97,6 +97,19 @@ class CitationsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("quarantine channel captures exactly the malformed lines (O4 log parity)") {
+    val (good, bad) = EdgeListReader.readWithQuarantine(spark, fixturePath)
+    assert(good.count() === edges.count()) // same keep-set as parse()
+    val badRows = bad.collect().map(r => (r.getString(0), r.getInt(1)))
+    // the fixture has exactly one malformed line (wrong field count)
+    assert(badRows.length === 1)
+    assert(badRows.head._2 !== 2)
+    // quarantined lines are real input lines, not comments or blanks
+    badRows.foreach { case (raw, _) =>
+      assert(!raw.startsWith("#") && raw.trim.nonEmpty)
+    }
+  }
+
   test("showTop30 prints the ranked table to the console (O16)") {
     val baos = new java.io.ByteArrayOutputStream()
     Console.withOut(baos) {
