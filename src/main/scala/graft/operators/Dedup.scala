@@ -223,8 +223,12 @@ object Dedup {
       .localCheckpoint()
     val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = Tables.load(s, d, "documents")
-      .select(col("doc_id").as("id"), col("doc_id").as("label"))
+    // Propagate ONLY over nodes that appear in some pair: every other doc
+    // is a singleton by definition and must not ride through the loop —
+    // at corpus scale the pair graph is orders of magnitude smaller than
+    // the corpus, so each round shuffles near-dup members, not 100 TB.
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var converged = false
     var rounds = 0
@@ -240,7 +244,12 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // singletons join their identity label back in one outer pass
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   // ---------- DuckDB twins ----------------------------------------------
