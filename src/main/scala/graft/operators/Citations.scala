@@ -117,7 +117,12 @@ object Citations {
       .agg(count(lit(1)).as("deg"))
       .where(col("deg") <= maxOutDegree)
       .select(col("src"))
-    val f = edges.join(ok, Seq("src"))
+    // Pin ONE exchange for both self-join sides: repartition(src) is the
+    // exact partitioning the join needs, and the two sides are then the
+    // IDENTICAL plan subtree, so ReuseExchange computes the filtered edge
+    // frame (degree-cap aggregate included) once instead of twice — the
+    // same pattern as Dedup.bandKeys.
+    val f = edges.join(ok, Seq("src")).repartition(col("src"))
     val a = f.select(col("src"), col("dst").as("paper_a"))
     val b = f.select(col("src"), col("dst").as("paper_b"))
     // keep the self-join a shuffle join: broadcast would rebuild the

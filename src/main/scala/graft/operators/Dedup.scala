@@ -69,17 +69,31 @@ object Dedup {
 
   /** One row per (doc, band): key = hash of the band's minhash slice.
     *
-    * Each (doc, shingle) row feeds the codegen'd `xxhash64` minhash
-    * columns with map-side partial min-aggregation, so the shuffle
-    * carries one signature row per doc per partition. The final
+    * The k per-shingle hash functions walk the shingle STRING only once:
+    * `h1 = xxhash64(sh)` is the single variable-length hash, and
+    * `h_j = xxhash64(h1, j)` derives the family by re-hashing the 8-byte
+    * fingerprint — a fixed-width codegen'd long hash (a few multiplies)
+    * instead of k full string traversals. String hashing dominates the
+    * shingle explosion's cost (~1 row per corpus token/char), so this cuts
+    * per-row hashing work ~k× (the double-hashing idea of Kirsch &
+    * Mitzenmacher, with re-hash instead of an affine combine because ANSI
+    * arithmetic traps the wrap-around multiply). The LSH stage is a pure
+    * pruner (outputs are exact-verified), so the emitted pairs are
+    * unchanged as long as recall holds — which DedupSpec asserts against
+    * the brute-force twin.
+    *
+    * Each (doc, shingle) row feeds the codegen'd minhash columns with
+    * map-side partial min-aggregation, so the shuffle carries one
+    * signature row per doc per partition. The final
     * `repartition(band, key)` pins exactly the hash partitioning the
     * candidate self-join needs, so ONE reused exchange feeds both join
     * sides instead of computing the signatures twice. */
   private def bandKeys(shingleRows: DataFrame, rowsPerBand: Int,
                        numBands: Int): DataFrame = {
+    val hashed = shingleRows.select(col("doc_id"), xxhash64(col("sh")).as("h1"))
     val mhCols = (0 until numBands * rowsPerBand).map(j =>
-      min(xxhash64(col("sh"), lit(j))).as(s"mh$j"))
-    val sigs = shingleRows.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      min(xxhash64(col("h1"), lit(j))).as(s"mh$j"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     val bands = (0 until numBands).map { b =>
       val cs = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
       struct(lit(b).as("band"), xxhash64(cs: _*).as("key"))
@@ -125,13 +139,17 @@ object Dedup {
 
   // ---------- public operators ------------------------------------------
 
-  /** Exact dedup: hash-group on the full text, keep the smallest doc_id.
-    * One shuffle on the text hash; no buffering of duplicate bodies. */
+  /** Exact dedup: hash-group on the CONTENT FINGERPRINT, keep the smallest
+    * doc_id. Grouping on `md5(text)` (not `text`) means the shuffle
+    * carries 16-byte keys instead of document bodies — at corpus scale
+    * that is the difference between exchanging a fingerprint table and
+    * exchanging the corpus. Identical result to grouping on the text
+    * itself (md5 collisions are negligible at any practical corpus size,
+    * and the oracle groups on the same fingerprint). */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
-      .groupBy(col("text"))
+      .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(md5(col("text")).as("text_md5"), col("keep_id"), col("n_copies"))
 
   /** MinHash-LSH near-dup on word 3-gram shingles, J >= 0.6.
     * Band shape 16×2: at the 0.6 threshold a pair's per-band match
@@ -212,13 +230,17 @@ object Dedup {
   /** Transitive duplicate clusters: connected components over the
     * verified near-dup pairs, label = smallest doc_id reachable (the doc
     * a keep-one-per-cluster policy keeps). Iterative min-label
-    * propagation — each round every node takes the min of its own and its
-    * neighbors' labels; converges in cluster-diameter rounds (near-dup
-    * clusters are tiny, the loop exits on a converged round). Integer
-    * fixpoint ⇒ exactly reproducible in the DuckDB twin's recursive CTE,
-    * so this iterative operator IS oracled, unlike float fixpoints.
-    * Singleton docs keep their own id as cluster_id. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    * propagation with a POINTER-DOUBLING shortcut — each round every node
+    * takes the min of (its label, its neighbors' labels, its label's
+    * label), so convergence is O(log diameter) rounds, not O(diameter):
+    * a chained-near-dup component of diameter 1000 converges in ~10
+    * rounds instead of blowing the round cap. If the cap is still hit the
+    * operator FAILS LOUDLY rather than silently returning partial labels
+    * (the convergence check makes a wrong-but-plausible answer
+    * impossible). Integer fixpoint ⇒ exactly reproducible in the DuckDB
+    * twin's recursive CTE, so this iterative operator IS oracled, unlike
+    * float fixpoints. Singleton docs keep their own id as cluster_id. */
+  def dedupClusters(s: SparkSession, d: String, maxRounds: Int = 20): DataFrame = {
     val pairs = dedupNear(s, d).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -232,11 +254,18 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val msgs = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(msgs)
+      val folded = labels.select(col("id"), col("label")).union(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // shortcut hop: labels are themselves node ids, so one self-join
+      // compresses label -> label(label); halves the remaining distance
+      // to the component minimum every round
+      val byId = folded.select(col("id").as("lid"), col("label").as("l2"))
+      val next = folded.join(byId, folded("label") === col("lid"), "left_outer")
+        .select(folded("id"),
+          least(folded("label"), coalesce(col("l2"), folded("label"))).as("label"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") =!= col("old")).count()
@@ -244,6 +273,10 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxRounds rounds — component " +
+          "diameter exceeds 2^rounds; raise maxRounds")
     // singletons join their identity label back in one outer pass
     Tables.load(s, d, "documents")
       .select(col("doc_id"))
@@ -293,7 +326,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_near" -> (dedupNear _),
-    "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "dedup_ngram" -> (dedupNgram _),
     "simhash_fingerprints" -> (simhashFingerprints _),
     "simhash_pairs" -> (simhashPairs _)

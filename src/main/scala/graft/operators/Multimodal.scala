@@ -69,16 +69,18 @@ object Multimodal {
         md5(col("payload")).as("payload_md5"),
         hex(substring(col("payload"), 1, 8)).as("head_hex"))
 
-  // The oracle computes the same bytes from the VARCHAR side (DuckDB has
-  // no md5/substring over BLOB): the payload is ASCII, so chars == bytes
-  // and md5(text) == md5 of the UTF-8 payload.
+  // DuckDB has no md5/substring over BLOB, so the oracle byte-addresses
+  // through the hex string: the first 8 BYTES of the payload are the first
+  // 16 chars of hex(encode(text)) regardless of encoding (no chars==bytes
+  // assumption). md5(text) in DuckDB hashes the UTF-8 bytes, which IS the
+  // payload by construction.
   val mediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
       |  ['png', 'wav', 'mp4'][CAST(doc_id % 3 AS INT) + 1] AS format,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS payload_md5,
-      |  hex(encode(substring(text, 1, 8))) AS head_hex
+      |  substr(hex(encode(text)), 1, 16) AS head_hex
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** STUB decode + feature extraction over explicit per-partition batches.
@@ -115,17 +117,38 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
-    // stub-decode paths: rows-only in the driver gate (no SQL twin for a
+    // stub-decode path: rows-only in the driver gate (no SQL twin for a
     // fake decoder); exact values pinned in MultimodalSpec
     "media_decode" -> ((s, d) => decodeFeatures(mediaTyped(s, d)).toDF()),
+    // frames flattened to ONE scalar string per row: verification harnesses
+    // hash/sort rows, and an array<string> column is not sortable there —
+    // the per-frame hex joins to a single comma-separated column
     "media_frames" -> ((s, d) =>
       sampleFrames(media(s, d), 4)
         .select(col("media_id"),
-          expr("transform(frames, f -> hex(f))").as("frame_hex")))
+          expr("concat_ws(',', transform(frames, f -> hex(f)))")
+            .as("frame_hex")))
   )
 
+  // The frames oracle byte-addresses via the hex string (2 hex chars per
+  // byte) because DuckDB has no BLOB substring: byte window [f*st+1,
+  // f*st+16] of the payload is char window [2*f*st+1, 32] of
+  // hex(encode(text)) — exact for ANY encoding, no chars==bytes assumption.
+  val mediaFramesSql: String =
+    """SELECT doc_id AS media_id,
+      |  concat_ws(',',
+      |    substr(h, 2*0*st + 1, 32),
+      |    substr(h, 2*1*st + 1, 32),
+      |    substr(h, 2*2*st + 1, 32),
+      |    substr(h, 2*3*st + 1, 32)) AS frame_hex
+      |FROM (SELECT doc_id, hex(encode(text)) AS h,
+      |             greatest(1, octet_length(encode(text)) // 4) AS st
+      |      FROM documents WHERE doc_id % 3 = 2)
+      |ORDER BY media_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "media_features" -> mediaFeaturesSql
+    "media_features" -> mediaFeaturesSql,
+    "media_frames" -> mediaFramesSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(

@@ -181,9 +181,12 @@ object TextAnalysis {
   /** TF-IDF top-3 terms per document. Score = tf * N / df computed with
     * identical operation order on both engines (integer products, one
     * float division — no libm calls, so no cross-engine ULP risk). The
-    * document-frequency side is a token-level aggregate that broadcasts
-    * into the tf join (vocabulary ≪ corpus); the per-doc top-k runs as
-    * WindowGroupLimit. */
+    * tf ⋈ df join runs on `token` with NO broadcast hint: both sides
+    * shuffle on the same high-cardinality key, and at small scale AQE is
+    * free to flip the df side to broadcast on its measured size — a
+    * forced broadcast would be wrong at corpus scale, where the distinct
+    * vocabulary (one row per token) is far beyond any broadcast limit.
+    * The per-doc top-k runs as WindowGroupLimit. */
   def tfidfTopk(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -192,7 +195,7 @@ object TextAnalysis {
     val dfreq = tok.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = docs(s, d).agg(count(lit(1)).as("n"))
-    val scored = tf.join(broadcast(dfreq), Seq("token"))
+    val scored = tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"),
         round(col("tf") * col("n") * lit(1.0) / col("df"), 6).as("score"))

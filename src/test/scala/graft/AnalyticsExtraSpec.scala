@@ -53,6 +53,14 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(joined.where(col("score") =!= col("expected")).count() === 0)
   }
 
+  test("co-citation self-join reuses ONE exchange for both sides") {
+    val df = Citations.coCitationTopk(Citations.edges(spark, sf))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"filtered-edge subtree computed twice (no ReusedExchange):\n$p")
+  }
+
   test("pagerank: mass conserved, citations drive rank, deterministic") {
     val edges = Citations.edges(spark, sf)
     val pr = Citations.pageRank(edges, iterations = 8).cache()
