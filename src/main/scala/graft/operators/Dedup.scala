@@ -103,6 +103,40 @@ object Dedup {
       .repartition(col("band"), col("key"))
   }
 
+  /** Row-local twin of [[wordShingleRows]]+[[bandKeys]]: one
+    * (doc_id, shingles, band, key) row per (doc, band), with the ENTIRE
+    * signature computed per row by array higher-order functions — no
+    * aggregation, no shuffle — so it can run inside a streaming query
+    * ahead of a stateful operator (graft.streaming.DocStreams uses it).
+    * The hash construction is IDENTICAL to the batch path (xxhash64 of
+    * the shingle, family derived by re-hashing the 8-byte fingerprint,
+    * band key = xxhash64 of the band's minhash slice), so stream and
+    * batch put every doc in the SAME buckets: candidate recall is the
+    * same by construction, which is what the batch/stream parity test
+    * asserts. Batch keeps the explode+partial-agg form because it is
+    * measurably cheaper per shingle; per-row HOFs are the price of
+    * shuffle-free streaming. */
+  def bandedDocs(docs: DataFrame, n: Int, rowsPerBand: Int,
+                 numBands: Int): DataFrame = {
+    val shingled = docs
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+           |          i -> concat_ws(' ', slice(split(text, ' '), i, $n)))"""
+          .stripMargin).as("shingles"))
+      .withColumn("h1s", expr("transform(shingles, s -> xxhash64(s))"))
+    val mhCols = (0 until numBands * rowsPerBand).map(j =>
+      expr(s"array_min(transform(h1s, h -> xxhash64(h, $j)))").as(s"mh$j"))
+    val sigs = shingled.select(col("doc_id") +: col("shingles") +: mhCols: _*)
+    val bands = (0 until numBands).map { b =>
+      val cs = (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))
+      struct(lit(b).as("band"), xxhash64(cs: _*).as("key"))
+    }
+    sigs.select(col("doc_id"), col("shingles"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("shingles"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** Docs sharing >= 1 band bucket. Equi-join on (band, key) — the shuffle
     * key is high-cardinality; never a cartesian. Both sides are the same
     * pre-partitioned plan; the SHUFFLE_HASH hint stops AQE from flipping

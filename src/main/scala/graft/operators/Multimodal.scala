@@ -83,24 +83,35 @@ object Multimodal {
       |  substr(hex(encode(text)), 1, 16) AS head_hex
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** STUB decode + feature extraction over explicit per-partition batches.
-    * A real implementation hands each `batch` to a native decoder; the
-    * fake derives width/height/frame-count deterministically from the
-    * bytes so tests pin exact values. No shuffle: runs partition-local. */
-  def decodeFeatures(mediaDs: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** A codec: decodes ONE batch of media rows to their features. Real
+    * implementations wrap a native library call (libjpeg/ffmpeg) that
+    * amortizes per-call overhead across the batch. */
+  type Decoder = Seq[MediaRow] => Iterator[MediaFeatures]
+
+  /** STUB codec — this container has no image/audio libraries, so the
+    * default decoder derives width/height/frame-count deterministically
+    * from the bytes; tests pin its exact values. */
+  val stubDecoder: Decoder = batch =>
+    batch.iterator.map { m =>
+      val sum = m.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+      val width = 16 + (sum % 1024).toInt
+      val height = 16 + (m.payload.length % 768)
+      val frames = if (m.kind == "video") 1 + m.payload.length % 16 else 1
+      MediaFeatures(m.media_id, m.kind, width, height, frames, sum)
+    }
+
+  /** Decode + feature extraction over explicit per-partition batches.
+    * The codec is INJECTED: swapping the stub for a real decoder changes
+    * only the `decode` argument, nothing about the distributed shape —
+    * MultimodalSpec proves the claim by injecting a fake codec and
+    * asserting the plumbing (batch grouping, partition preservation, row
+    * accounting) is untouched. No shuffle: runs partition-local. */
+  def decodeFeatures(mediaDs: Dataset[MediaRow],
+                     decode: Decoder = stubDecoder): Dataset[MediaFeatures] = {
     val sp = mediaDs.sparkSession
     import sp.implicits._
     mediaDs.mapPartitions { rows =>
-      rows.grouped(DecodeBatchSize).flatMap { batch =>
-        // >>> real codec call would decode `batch` here <<<
-        batch.iterator.map { m =>
-          val sum = m.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-          val width = 16 + (sum % 1024).toInt
-          val height = 16 + (m.payload.length % 768)
-          val frames = if (m.kind == "video") 1 + m.payload.length % 16 else 1
-          MediaFeatures(m.media_id, m.kind, width, height, frames, sum)
-        }
-      }
+      rows.grouped(DecodeBatchSize).flatMap(decode)
     }
   }
 

@@ -16,11 +16,13 @@ import graft.Tables
   *     below the shuffle — each input partition keeps only its local
   *     top-k before exchanging), not a per-probe global sort.
   *   - `ann_ivf`: the bucketed scale path. Corpus vectors are assigned to
-  *     their nearest of C seed centroids (IVF coarse quantizer); a probe
-  *     searches only its `nprobe` closest clusters, so the exact-distance
-  *     work drops to ~nprobe/C of the corpus. Approximate by design —
-  *     recall is asserted against `ann_topk` in SimilaritySpec, soundness
-  *     (returned scores are true cosines) exactly.
+  *     their nearest of C centroids (IVF coarse quantizer) TRAINED by a
+  *     few deterministic spherical-k-means rounds from fixed seeds; a
+  *     probe searches only its `nprobe` closest clusters, so the
+  *     exact-distance work drops to ~nprobe/C of the corpus. Approximate
+  *     by design — recall is asserted against `ann_topk` in
+  *     SimilaritySpec, soundness (returned scores are true cosines)
+  *     exactly.
   *   - `dedup_embedding`: embedding-cosine near-dup pairs, blocked by
   *     shared IVF cluster (multi-assigned to top-2 clusters for recall),
   *     exact-verified at cos >= 0.45. Rows-only checked: cluster blocking
@@ -129,14 +131,63 @@ object Similarity {
       .select(col(idCol), col("embedding"), col("cid"))
   }
 
-  private def centroids(e: DataFrame): DataFrame =
+  private def seedCentroids(e: DataFrame): DataFrame =
     e.where(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** Deterministic spherical-k-means refinement of the IVF coarse
+    * quantizer: `iters` Lloyd rounds seeded from the first C corpus
+    * vectors. Each round assigns every vector to its nearest centroid by
+    * cosine (fused kernel, one broadcast of C rows per round) and
+    * replaces each centroid with the per-dimension MEAN of its members —
+    * the spherical-k-means update (cosine is scale-invariant, so the mean
+    * direction needs no normalization). The mean is rounded to 6 decimals
+    * so float summation-order noise can never flip a downstream
+    * assignment: trained centroids are reproducible across runs and
+    * cluster layouts. Clusters that lose all members keep their previous
+    * centroid. Same join+aggregate round shape as Citations.pageRank —
+    * per-round cost is one corpus scan plus a (C × dim)-row aggregate. */
+  private def trainCentroids(e: DataFrame, iters: Int = 3): DataFrame = {
+    var cs = seedCentroids(e).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(e, cs, take = 1, idCol = "vec_id")
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("mean"))
+      cs = cs.select(col("cid"), col("ce").as("prev"))
+        .join(means, Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("mean"), col("prev")).as("ce"))
+        .localCheckpoint()
+    }
+    cs
+  }
+
+  /** The trained coarse quantizer is a MODEL ARTIFACT — O(C × dim) floats,
+    * independent of corpus size — so it is trained once per dataset and
+    * reused by every query against it (exactly how an IVF index works in
+    * production: train offline, ship the centroids with the index). The
+    * cache holds the collected vectors, not a plan, so reuse costs one
+    * tiny localized DataFrame build. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
+
+  private def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val rows = centroidCache.computeIfAbsent(d, _ =>
+      trainCentroids(emb(s, d)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    val sp = s
+    import sp.implicits._
+    rows.toDF("cid", "ce")
+  }
 
   /** IVF approximate top-k: probe only the nprobe nearest clusters. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val cs = centroids(e)
+    val cs = trainedCentroids(s, d)
     val corpus = assignClusters(e, cs, take = 1, idCol = "vec_id")
     val probeVecs = e.where(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding"))
@@ -165,7 +216,7 @@ object Similarity {
     * in SimilaritySpec. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val assigned = assignClusters(e, centroids(e), take = 2, idCol = "vec_id")
+    val assigned = assignClusters(e, trainedCentroids(s, d), take = 2, idCol = "vec_id")
       .repartition(col("cid"))
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"), col("embedding").as("eb"))

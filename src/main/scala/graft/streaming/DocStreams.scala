@@ -1,12 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col, md5}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+import graft.operators.Dedup
+
+/** One (doc, band) row entering the streaming near-dedup state. */
+case class BandedDoc(band: Int, key: Long, doc_id: Long,
+                     shingles: Seq[String])
+
+/** A verified near-duplicate pair emitted by the streaming dedup. */
+case class NearDupPair(doc_a: Long, doc_b: Long, inter_size: Long,
+                       union_size: Long)
+
 /** Streaming ingest of the documents corpus — the incremental half of the
-  * dedup family: exact dedup AT INGEST, so duplicates never reach the
-  * training store at all instead of being cleaned up afterwards.
+  * dedup family: exact AND near dedup AT INGEST, so duplicates never reach
+  * the training store at all instead of being cleaned up afterwards.
   */
 object DocStreams {
 
@@ -34,4 +45,60 @@ object DocStreams {
   def dedupExactStream(docs: DataFrame): DataFrame =
     docs.withColumn("text_md5", md5(col("text")))
       .dropDuplicates("text_md5")
+
+  /** Incremental MinHash-LSH near-dedup: every arriving doc is banded with
+    * the SAME signature construction as the batch operator
+    * ([[graft.operators.Dedup.bandedDocs]] — identical hashes, so stream
+    * and batch form identical buckets), then checked against the
+    * accumulated members of each of its band buckets via exact Jaccard
+    * (word 3-grams, J >= num/den). A near-dup of anything already
+    * ingested is caught AT ARRIVAL, including pairs split across
+    * micro-batches.
+    *
+    * Emission contract: a pair colliding in MULTIPLE bands is emitted
+    * once per colliding band (the per-bucket state is independent by
+    * design — that is what makes it shard). Sinks that need exactly-once
+    * pairs dedup on (doc_a, doc_b), the same way the batch operator's
+    * candidate `.distinct()` does; the parity test compares pair SETS.
+    *
+    * State: per (band, key) bucket, the member docs with their shingle
+    * arrays — unbounded by design, because global near-dedup has an
+    * unbounded horizon (like [[dedupExactStream]]; cap with a timeout
+    * when the dedup window is finite). At production scale the state
+    * would hold (doc_id, signature) and fetch shingles from a doc store;
+    * the distributed shape — hash-partitioned buckets, per-bucket state,
+    * candidate-only verification — is exactly this one. */
+  def nearDupStream(docs: DataFrame, n: Int = 3, rowsPerBand: Int = 2,
+                    numBands: Int = 16, num: Int = 3,
+                    den: Int = 5): Dataset[NearDupPair] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val banded = Dedup.bandedDocs(docs, n, rowsPerBand, numBands)
+      .as[BandedDoc]
+    banded.groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState[List[(Long, Seq[String])], NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[List[(Long, Seq[String])]]) =>
+          var known = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupPair]
+          // deterministic intra-batch order so same-batch pairs emit
+          // with stable (inter, union) evaluation order
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!known.exists(_._1 == d.doc_id)) {
+              val sd = d.shingles.toSet
+              known.foreach { case (oid, osh) =>
+                val so = osh.toSet
+                val inter = (sd & so).size.toLong
+                val union = (sd | so).size.toLong
+                if (inter * den >= union * num)
+                  out += NearDupPair(math.min(d.doc_id, oid),
+                    math.max(d.doc_id, oid), inter, union)
+              }
+              known = (d.doc_id, d.shingles) :: known
+            }
+          }
+          state.update(known)
+          out.result().iterator
+      }
+  }
 }

@@ -14,11 +14,15 @@ import graft.operators.EventAnalytics
   *
   * Scale notes: the aggregation state is keyed on (window, event_type) /
   * (user, session) — the same high-cardinality, evenly-partitioned keys
-  * as the batch shuffles — and the watermark bounds it: groups older than
-  * the delay are finalized, emitted (append mode), and evicted, so state
-  * does not grow with stream length. Late events inside the delay merge
-  * into their window/session exactly as in batch; events later than the
-  * delay are dropped by contract.
+  * as the batch shuffles — and for the WINDOWED operators the watermark
+  * bounds it: groups older than the delay are finalized, emitted (append
+  * mode), and evicted, so state does not grow with stream length. Late
+  * events inside the delay merge into their window/session exactly as in
+  * batch; events later than the delay are dropped by contract.
+  * [[distinctUsers]] is the exception — exact global distinct has an
+  * unbounded horizon, so its dedup state grows with the distinct
+  * (type, user) universe by design (like DocStreams.dedupExactStream);
+  * [[distinctUsersWithinWatermark]] is the bounded-state twin.
   */
 object EventStreams {
 
@@ -58,12 +62,33 @@ object EventStreams {
   def sessionize(events: DataFrame, delay: String = DefaultDelay): DataFrame =
     EventAnalytics.sessionizeFrom(events.withWatermark("ts", delay))
 
-  /** Streaming exact-distinct users per type: watermarked dedup on
+  /** Streaming exact-distinct users per type: dedup on
     * (event_type, user_id), then a running count — the incremental twin
-    * of EventAnalytics.distinctUsers' exact distinct aggregate. */
+    * of EventAnalytics.distinctUsers' exact distinct aggregate.
+    *
+    * State contract: the dedup subset has NO event-time column, so the
+    * watermark never evicts it — state grows with the distinct
+    * (type, user) universe, UNBOUNDED by stream length by design (exact
+    * global distinct has an unbounded horizon). Use
+    * [[distinctUsersWithinWatermark]] when a bounded horizon is
+    * acceptable. */
   def distinctUsers(events: DataFrame, delay: String = DefaultDelay): DataFrame =
     events.withWatermark("ts", delay)
       .dropDuplicates("event_type", "user_id")
+      .groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_users"))
+
+  /** Bounded-state variant: `dropDuplicatesWithinWatermark` EVICTS a
+    * (type, user) dedup entry once the watermark passes its event time,
+    * so state is bounded by the keys active inside one delay window. The
+    * trade, by contract: a user whose next event arrives with an event
+    * time more than `delay` past the watermark set by their previous one
+    * is counted again — exact only within the horizon. */
+  def distinctUsersWithinWatermark(events: DataFrame,
+                                   delay: String = DefaultDelay): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
       .groupBy(col("event_type"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_users"))

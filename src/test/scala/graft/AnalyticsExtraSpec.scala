@@ -61,6 +61,33 @@ class AnalyticsExtraSpec extends AnyFunSuite {
       s"filtered-edge subtree computed twice (no ReusedExchange):\n$p")
   }
 
+  test("pagerank: closed-form fixture — 3-cycle plus dangler, values pinned") {
+    // a -> b -> c -> a cycle, plus a -> d where d cites nothing (dangler):
+    // every inbox has exactly one contributor, so the driver-side replica
+    // below reproduces the operator's float arithmetic EXACTLY and the
+    // round(8) comparison is equality, not tolerance
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+      .toDF("src", "dst")
+    val got = Citations.pageRank(edges, iterations = 6)
+      .as[(String, Double)].collect().toMap
+    val d = 0.85
+    val n = 4.0
+    var rank = Map("a" -> 1 / n, "b" -> 1 / n, "c" -> 1 / n, "d" -> 1 / n)
+    for (_ <- 1 to 6) {
+      val dm = rank("d") // dangling mass, redistributed uniformly
+      val inbox = Map("b" -> rank("a") / 2, "d" -> rank("a") / 2,
+        "c" -> rank("b"), "a" -> rank("c"))
+      rank = rank.keys.map(k =>
+        k -> ((1 - d) / n + d * (inbox.getOrElse(k, 0.0) + dm / n))).toMap
+    }
+    assert(got.keySet === rank.keySet)
+    rank.foreach { case (k, v) =>
+      val expected = BigDecimal(v)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(k) === expected, s"node $k: got ${got(k)}, want $expected")
+    }
+  }
+
   test("pagerank: mass conserved, citations drive rank, deterministic") {
     val edges = Citations.edges(spark, sf)
     val pr = Citations.pageRank(edges, iterations = 8).cache()

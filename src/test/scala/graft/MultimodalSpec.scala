@@ -65,6 +65,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.media_id).toSeq === (0L until 150L))
   }
 
+  test("decodeFeatures: a swapped-in codec changes ONLY the batch body") {
+    // fake codec that could not be written as a per-row map: it encodes
+    // the BATCH SIZE it was handed into every output row, so the values
+    // prove the batching plumbing delivered grouped(64) slices unchanged
+    val batchSizeCodec: Multimodal.Decoder = batch =>
+      batch.iterator.map(m =>
+        graft.operators.MediaFeatures(m.media_id, m.kind,
+          width = batch.size, height = 0, n_frames = 0, byte_sum = 0L))
+    val rows = (0L until 150L).map(i =>
+      MediaRow(i, "image", "png", Array(i.toByte)))
+    val out = Multimodal.decodeFeatures(rows.toDS().coalesce(1), batchSizeCodec)
+      .collect()
+    assert(out.length === 150)
+    // 150 rows in one partition -> batches of 64, 64, 22
+    assert(out.map(_.width).toSeq === Seq.fill(64)(64) ++ Seq.fill(64)(64)
+      ++ Seq.fill(22)(22))
+    // and the distributed shape is identical to the stub path: no shuffle
+    val decoded = Multimodal.decodeFeatures(
+      Multimodal.mediaTyped(spark, sf).repartition(5), batchSizeCodec)
+    assert(decoded.rdd.getNumPartitions === 5)
+  }
+
   test("sampleFrames: k frames of <=16 bytes per video row") {
     val frames = Multimodal.sampleFrames(Multimodal.media(spark, sf), 4)
     val vids = Multimodal.media(spark, sf).where($"kind" === "video").count()

@@ -57,7 +57,9 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"IVF mean recall@10 = $mean%.3f (nprobe=8 of 32 clusters)")
-    assert(mean >= 0.45, f"recall collapsed: $mean%.3f")
+    // trained centroids (3 spherical-k-means rounds) measure ~0.86 here;
+    // the floor guards against a regression to untrained-seed quality
+    assert(mean >= 0.8, f"recall collapsed: $mean%.3f")
   }
 
   test("dedup_embedding: every emitted pair verified >= 0.45; no cartesian in plan") {

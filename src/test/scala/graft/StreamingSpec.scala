@@ -90,6 +90,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(stream) === rows(batch))
   }
 
+  test("bounded-state distinct users: exact within the horizon (single-window stream)") {
+    // every real event arrives in micro-batch 1, before the watermark has
+    // advanced past anything, so the bounded-state variant dedups the
+    // whole corpus and matches batch exact-distinct — the case where the
+    // horizon trade-off documented on distinctUsersWithinWatermark is free
+    val stream = runStream(
+      EventStreams.distinctUsersWithinWatermark(events()), "s_distinct_wm",
+      mode = "complete")
+      .where(col("event_type") =!= "__sentinel")
+      .select("event_type", "n_users")
+    val batch = EventAnalytics.distinctUsers(spark, sf)
+      .select("event_type", "n_users")
+    assert(rows(stream) === rows(batch))
+  }
+
   test("watermark drops too-late events (contract documented on EventStreams)") {
     // A third file with an event OLDER than watermark-after-sentinel must
     // not resurrect a closed window: re-run over a dir that also contains
