@@ -115,6 +115,49 @@ object Multimodal {
     }
   }
 
+  /** Bytes in a resized thumbnail. */
+  val ThumbBudget = 32
+
+  /** Byte-level nearest-neighbor "resize": stride-sample each payload down
+    * to a <= [[ThumbBudget]]-byte thumbnail (byte i of the thumb is byte
+    * 1 + i*stride of the source, stride = len div budget) — the pre-decode
+    * twin of an image resize, the same way [[sampleFrames]] is the
+    * pre-decode twin of frame extraction. Pure per-row slice arithmetic,
+    * codegen-friendly, no shuffle; a PIXEL-space resize belongs behind the
+    * [[Decoder]] seam (resample after decode, inside the batch loop), and
+    * this operator is what runs before any codec: shrink the bytes you
+    * ship, then decode. Emitted as hex so the result is a scalar,
+    * driver-sortable column. */
+  def resizeThumb(mediaDf: DataFrame): DataFrame =
+    mediaDf
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(col("payload")).as("h"))
+      .withColumn("stride",
+        greatest(lit(1L), expr(s"n_bytes div $ThumbBudget")))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("stride"),
+        expr(
+          s"""concat_ws('', transform(
+             |  sequence(0, CAST(least($ThumbBudget, n_bytes) AS INT) - 1),
+             |  i -> substr(h, CAST(2 * i * stride + 1 AS INT), 2)))"""
+            .stripMargin).as("thumb_hex"))
+
+  // Byte-addressed through the hex string, like mediaFramesSql: thumb byte
+  // i is hex chars [2*i*stride+1, 2*i*stride+2] — exact for any encoding.
+  val mediaResizeSql: String =
+    s"""SELECT media_id, kind, n_bytes, stride,
+       |  array_to_string(list_transform(
+       |    range(0, CAST(least($ThumbBudget, n_bytes) AS INT)),
+       |    i -> substr(h, CAST(2 * i * stride + 1 AS INT), 2)), '') AS thumb_hex
+       |FROM (
+       |  SELECT doc_id AS media_id,
+       |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    greatest(1, octet_length(encode(text)) // $ThumbBudget) AS stride,
+       |    hex(encode(text)) AS h
+       |  FROM documents)
+       |ORDER BY media_id""".stripMargin
+
   /** Frame-sampling stub: k evenly-spaced 16-byte windows from each video
     * payload as an array<binary> column — the decoded-frame column shape
     * without a decoder. Pure slice arithmetic, codegen-friendly. */
@@ -131,6 +174,7 @@ object Multimodal {
     // stub-decode path: rows-only in the driver gate (no SQL twin for a
     // fake decoder); exact values pinned in MultimodalSpec
     "media_decode" -> ((s, d) => decodeFeatures(mediaTyped(s, d)).toDF()),
+    "media_resize" -> ((s, d) => resizeThumb(media(s, d))),
     // frames flattened to ONE scalar string per row: verification harnesses
     // hash/sort rows, and an array<string> column is not sortable there —
     // the per-frame hex joins to a single comma-separated column
@@ -159,12 +203,14 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "media_features" -> mediaFeaturesSql,
+    "media_resize" -> mediaResizeSql,
     "media_frames" -> mediaFramesSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "media_features" -> Seq(col("media_id")),
     "media_decode" -> Seq(col("media_id")),
+    "media_resize" -> Seq(col("media_id")),
     "media_frames" -> Seq(col("media_id"))
   )
 }

@@ -23,6 +23,10 @@ import graft.Tables
   *     by design — recall is asserted against `ann_topk` in
   *     SimilaritySpec, soundness (returned scores are true cosines)
   *     exactly.
+  *   - `ann_lsh`: the training-free bucketed path — signed-random-
+  *     projection LSH (48 deterministic hyperplanes, 12 bands x 4 bits);
+  *     candidates share a band's bit-slice, scored exactly. Same
+  *     recall-vs-exact contract as `ann_ivf`, measured in SimilaritySpec.
   *   - `dedup_embedding`: embedding-cosine near-dup pairs, blocked by
   *     shared IVF cluster (multi-assigned to top-2 clusters for recall),
   *     exact-verified at cos >= 0.45. Rows-only checked: cluster blocking
@@ -209,6 +213,94 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  // 12 bands x 4 bits: for a neighbor at cos 0.5 (θ = 60°, per-bit
+  // agreement 1 - θ/π ≈ 0.67) a band matches with p ≈ 0.2, so 12 bands
+  // put the miss probability near 0.07 — the MinHash banding math, on
+  // angles. Bits-per-band is the bucket-granularity knob (see
+  // explodeSrpBands); band COUNT is the recall knob.
+  private val NumPlanes = 48
+  private val LshBands = 12
+  private val LshBitsPerBand = NumPlanes / LshBands
+
+  /** splitmix64 — deterministic avalanche mix, the standard public-domain
+    * constants. Used to derive hyperplane coordinates from (plane, dim)
+    * indices with no RNG state. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for signed-random-projection
+    * LSH: coordinate (h, j) is splitmix64(h*dim + j) mapped to
+    * [-0.5, 0.5). A model artifact like the IVF centroids — O(H × dim)
+    * floats, pure function of the indices, no data access, identical on
+    * every executor and run. */
+  private def srpPlanes(dim: Int): IndexedSeq[IndexedSeq[Float]] =
+    (0 until NumPlanes).map(h => (0 until dim).map { j =>
+      val u = (mix64(h.toLong * dim + j) >>> 11).toDouble / (1L << 53).toDouble
+      (u - 0.5).toFloat
+    })
+
+  /** (vec_id, embedding, sig): sig bit h = [dot(v, plane_h) >= 0], packed
+    * into one long. Each dot runs through the fused codegen kernel against
+    * a LITERAL plane array (cosine shares the dot's sign — norms are
+    * positive — so the kernel is reusable as a sign test). Per-row
+    * projection, no shuffle. */
+  private def withSrpSignature(e: DataFrame, dim: Int): DataFrame = {
+    val sig = srpPlanes(dim).zipWithIndex.map { case (p, h) =>
+      val arr = p.map(_.toDouble).mkString("array(", ", ", ")")
+      when(expr(s"cosine_sim(embedding, $arr)") >= 0, lit(1L << h))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.select(col("vec_id"), col("embedding"), sig.as("sig"))
+  }
+
+  /** One (row, band, key) per band: key = the band's bit slice of the
+    * signature. Key cardinality is 2^bitsPerBand per band — 4 bits here to
+    * keep buckets non-degenerate on the 500-vector corpus; at real corpus
+    * scale bitsPerBand grows (16-24 bits) so bucket size stays bounded,
+    * which is the knob that keeps the band join shuffle-balanced. */
+  private def explodeSrpBands(sigged: DataFrame): DataFrame =
+    sigged.select(col("vec_id"), col("embedding"),
+        explode(expr(
+          s"""transform(sequence(0, ${LshBands - 1}),
+             |  b -> struct(b AS band,
+             |    (shiftright(sig, b * $LshBitsPerBand)
+             |     & ${(1 << LshBitsPerBand) - 1}) AS key))""".stripMargin))
+          .as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** SRP-LSH approximate top-k — the hash-bucketed alternative to the IVF
+    * scale path (no training pass; collision probability is a pure
+    * function of the angle: P[bit agrees] = 1 - θ/π). A probe scores only
+    * vectors sharing at least one of its band buckets; scores are true
+    * cosines (soundness exact), recall vs the exact `ann_topk` is measured
+    * in SimilaritySpec. Same candidate-join shape as the MinHash dedup
+    * family: equi-join on (band, key), never a cartesian. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val banded = explodeSrpBands(withSrpSignature(e, dim))
+    val probes = banded.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("band"), col("key"))
+    val cands = probes.join(banded, Seq("band", "key"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("pe"), col("vec_id"), col("embedding"))
+      .dropDuplicates("probe_id", "vec_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .select(col("probe_id"), col("vec_id"),
+        expr(cosFused("pe", "embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs (cos >= 0.45), blocked by shared IVF
     * cluster with multi-assignment (each vector joins its top-2 clusters)
     * — never all-pairs. Emitted pairs are exact cosines; recall is
@@ -230,6 +322,7 @@ object Similarity {
     "ann_topk" -> (annTopk _),
     "ann_topk_fused" -> (annTopkFused _),
     "ann_ivf" -> (annIvf _),
+    "ann_lsh" -> (annLsh _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
 
@@ -246,6 +339,7 @@ object Similarity {
     "ann_topk" -> Seq(col("probe_id"), col("rank")),
     "ann_topk_fused" -> Seq(col("probe_id"), col("rank")),
     "ann_ivf" -> Seq(col("probe_id"), col("rank")),
+    "ann_lsh" -> Seq(col("probe_id"), col("rank")),
     "dedup_embedding" -> Seq(col("vec_a"), col("vec_b"))
   )
 }

@@ -55,6 +55,38 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
 
+  /** GPT-2-style BPE pre-tokenizer pattern: contraction suffixes, then
+    * letter runs / digit runs / punctuation runs each with an optional
+    * leading space, then whitespace runs. Alternation is leftmost-FIRST in
+    * both engines (Java regex and DuckDB's RE2 both use Perl semantics,
+    * not POSIX longest-match), so the token streams agree exactly. */
+  val BpeTokenPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Top-50 BPE-style pre-tokens by corpus frequency — the regex twin of
+    * [[tokenTopk]]'s whitespace split (an LLM pipeline counts tokens the
+    * way its tokenizer will cut them, not the way spaces fall). Tokens
+    * keep their leading space, GPT-2 style; pure-whitespace runs are
+    * dropped. Same single-shuffle shape: explode collapses map-side, the
+    * top-k plans as TakeOrderedAndProject. */
+  def tokenBpe(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(BpeTokenPattern), lit(0))).as("token"))
+      .where(trim(col("token")) =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
+  val tokenBpeSql: String =
+    s"""SELECT token, count(*) AS n
+       |FROM (SELECT unnest(regexp_extract_all(text,
+       |        '${BpeTokenPattern.replace("'", "''")}')) AS token
+       |      FROM documents)
+       |WHERE trim(token) <> ''
+       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
+
   /** Per-document quality signals: token counts, type-token ratio, mean
     * token length, a BPE-ish subtoken count (ceil(len/4) per token, the
     * standard ~4-chars-per-token budget heuristic), and a quality flag.
@@ -227,6 +259,7 @@ object TextAnalysis {
     "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
+    "token_bpe" -> (tokenBpe _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _)
@@ -236,6 +269,7 @@ object TextAnalysis {
     "tfidf_topk" -> tfidfTopkSql,
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
+    "token_bpe" -> tokenBpeSql,
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql

@@ -87,6 +87,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.rdd.getNumPartitions === 5)
   }
 
+  test("resizeThumb: strided byte thumbnail, <= budget, exact on a literal payload") {
+    val one = Seq((7L, "image", "png", "abcdefgh".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "format", "payload")
+    val small = Multimodal.resizeThumb(one).collect().head
+    // len 8 < budget 32 -> stride 1, identity thumbnail
+    assert(small.getAs[Long]("n_bytes") === 8L)
+    assert(small.getAs[Long]("stride") === 1L)
+    assert(small.getAs[String]("thumb_hex") === "6162636465666768".toUpperCase)
+
+    val corpus = Multimodal.resizeThumb(Multimodal.media(spark, sf))
+    val bad = corpus.where(
+      $"thumb_hex".isNull ||
+        org.apache.spark.sql.functions.length($"thumb_hex") > 2 * Multimodal.ThumbBudget ||
+        org.apache.spark.sql.functions.length($"thumb_hex") % 2 =!= 0).count()
+    assert(bad === 0)
+    assert(corpus.count() === Multimodal.media(spark, sf).count())
+  }
+
   test("sampleFrames: k frames of <=16 bytes per video row") {
     val frames = Multimodal.sampleFrames(Multimodal.media(spark, sf), 4)
     val vids = Multimodal.media(spark, sf).where($"kind" === "video").count()

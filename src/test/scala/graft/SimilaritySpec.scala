@@ -62,6 +62,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, f"recall collapsed: $mean%.3f")
   }
 
+  test("ann_lsh: sound (scores are true cosines), recall above floor, no cartesian") {
+    val lsh = Similarity.annLsh(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    val exactRows = Similarity.annTopk(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    // soundness: any (probe, vec) both paths scored must agree exactly
+    val exactAll = exactRows.map(r => (r._1, r._3) -> r._4).toMap
+    lsh.foreach { case (p, _, v, c) =>
+      exactAll.get((p, v)).foreach(e => assert(e === c,
+        s"LSH score $c != exact $e for ($p,$v)"))
+    }
+    assert(lsh.groupBy(_._1).size === 16)
+    // recall@10 vs the exact path
+    val truth = exactRows.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).toSet }
+    val got = lsh.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).toSet }
+    val recalls = truth.map { case (p, t) =>
+      got.getOrElse(p, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"LSH mean recall@10 = $mean%.3f (48 planes, 12 bands x 4 bits)")
+    assert(mean >= 0.8, f"recall collapsed: $mean%.3f")
+    // candidate generation must be the (band, key) equi-join, never a cartesian
+    val p = Similarity.annLsh(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"candidate join is a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"candidate join is a BNLJ:\n$p")
+  }
+
   test("dedup_embedding: every emitted pair verified >= 0.45; no cartesian in plan") {
     val pairs = Similarity.dedupEmbedding(spark, sf)
       .as[(Long, Long, Double)].collect()

@@ -36,6 +36,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("token_bpe: GPT-2-style pre-tokenization on a literal sentence") {
+    // the regex must cut contractions off, keep leading spaces on word
+    // tokens, split digit runs from letters, and isolate punctuation runs
+    import org.apache.spark.sql.functions.{explode, lit, regexp_extract_all}
+    val toks = Seq((1L, "It's 42 engines, isn't it?!")).toDF("doc_id", "text")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpeTokenPattern), lit(0))).as("t"))
+      .as[String].collect().toSeq
+    assert(toks === Seq("It", "'s", " 42", " engines", ",", " isn", "'t",
+      " it", "?!"))
+  }
+
+  test("token_bpe: top-50, descending, whitespace runs excluded") {
+    val top = TextAnalysis.tokenBpe(spark, sf).as[(String, Long)].collect()
+    assert(top.length === 50)
+    top.sliding(2).foreach { case Array((t1, n1), (t2, n2)) =>
+      assert(n1 > n2 || (n1 === n2 && t1 < t2))
+    }
+    assert(!top.exists(_._1.trim.isEmpty), "whitespace token leaked through")
+  }
+
   test("text_quality invariants: distinct <= tokens, subtokens >= tokens, ttr in (0,1]") {
     val q = TextAnalysis.textQuality(spark, sf).cache()
     assert(q.where(col("n_distinct") > col("n_tokens")).count() === 0)
