@@ -143,19 +143,23 @@ object Citations {
     * nothing) redistributed uniformly so total rank stays exactly 1.
     *
     * Scale: every round is ONE shuffle join on src and ONE aggregate on
-    * dst — the same keys each round, so at cluster scale you
-    * pre-partition the edge table once and every iteration reuses the
-    * layout. Lineage is cut with localCheckpoint every 3 rounds so the
-    * plan doesn't grow with the iteration count. Not DuckDB-oracled
-    * (iterative float fixpoints don't hash-match across engines);
-    * invariants are spec-tested instead. */
+    * dst. The checkpointed edge frame is pre-partitioned on src and the
+    * rank frame leaves each round hash-partitioned on id (localCheckpoint
+    * preserves outputPartitioning), so the per-round join re-exchanges
+    * NEITHER side — only the dst aggregate shuffles, which no PageRank
+    * formulation avoids. The dangling mass rides along as a broadcast
+    * 1-row aggregate instead of a per-round driver action, so each round
+    * is exactly one job (the eager checkpoint). Lineage is cut every
+    * round so the plan doesn't grow with the iteration count. Not
+    * DuckDB-oracled (iterative float fixpoints don't hash-match across
+    * engines); invariants are spec-tested in AnalyticsExtraSpec, values
+    * pinned by a closed-form fixture. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
                damping: Double = 0.85): DataFrame = {
     // Static sides pinned once: without the eager checkpoints every
-    // iteration's driver action (the dangling-mass sum) would re-run the
-    // ENTIRE lineage back to the scan, turning O(iters) work into
-    // O(iters²) — measured ~3.4s/round shrinking to ~2s/round at sf0.1.
-    val e = edges.localCheckpoint()
+    // round's materialization would re-run the ENTIRE lineage back to the
+    // scan, turning O(iters) work into O(iters²).
+    val e = edges.repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val n = nodes.count().toDouble
@@ -168,8 +172,10 @@ object Citations {
     var ranks = nodesWithDeg.select(col("id"), col("deg"),
       lit(1.0 / n).as("rank")).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val danglingMass = ranks.where(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+      // dangling mass as a broadcast scalar FRAME, not a driver collect:
+      // folding it into the round's plan keeps each round a single job
+      val dangling = broadcast(ranks.where(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
       val contribs = e
         .join(ranks.where(col("deg").isNotNull)
           .select(col("id"), (col("rank") / col("deg")).as("share")),
@@ -177,10 +183,11 @@ object Citations {
         .groupBy(col("dst")).agg(sum(col("share")).as("inbox"))
       ranks = nodesWithDeg
         .join(contribs, nodesWithDeg("id") === contribs("dst"), "left_outer")
+        .crossJoin(dangling)
         .select(nodesWithDeg("id"), nodesWithDeg("deg"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("inbox"), lit(0.0)) +
-              lit(danglingMass / n))).as("rank"))
+              col("dm") / lit(n))).as("rank"))
         .localCheckpoint()
     }
     ranks.select(col("id").as("paper_id"), round(col("rank"), 8).as("rank"))
