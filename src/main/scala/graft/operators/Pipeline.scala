@@ -31,6 +31,42 @@ object Pipeline {
       |       THEN 'train' ELSE 'holdout' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Stratified downsampling: rebalance the corpus so every language
+    * contributes (approximately) the minority language's document count —
+    * the domain-mixing step an LLM pipeline runs to control per-language /
+    * per-source weights. Membership is hash-thresholded, not RNG-sampled:
+    * per-stratum keep-fraction f = min_n/n_lang becomes a 5-hex-digit
+    * threshold `%05x` of floor(f·65536), and a doc survives iff
+    * '0'+md5(doc_id)[0..4) < threshold (equal-length strings, so the
+    * lexicographic compare IS the numeric compare; f=1 yields '10000',
+    * above every '0xxxx' key — the minority stratum keeps everything).
+    * Deterministic per-record, stable under reruns and repartitioning.
+    * Shape: one tiny per-lang count aggregate broadcast back onto the
+    * scan (strata counts are bounded by #langs × #sources, never corpus-
+    * sized), then a per-row filter — one scan, no corpus shuffle. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.load(s, d, "documents")
+    val counts = all.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minc = counts.agg(min(col("n_lang")).as("min_n"))
+    val thresholds = counts.crossJoin(broadcast(minc))
+      .select(col("lang"),
+        format_string("%05x", expr("(min_n * 65536) div n_lang")).as("thresh"))
+    all.join(broadcast(thresholds), Seq("lang"))
+      .where(concat(lit("0"),
+        substring(md5(col("doc_id").cast("string")), 1, 4)) < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_lang) AS min_n FROM c),
+      |t AS (SELECT lang, printf('%05x', (min_n * 65536) // n_lang) AS thresh
+      |      FROM c, m)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN t USING (lang)
+      |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thresh
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Apply near-dup decisions: drop every doc that appears as the LARGER
     * id of a verified near-dup pair (keep-smallest-id policy), via an
     * anti-join against the Dedup.dedupNear output — the composition step
@@ -90,18 +126,21 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> (sampleSplit _),
+    "sample_stratified" -> (sampleStratified _),
     "documents_deduped" -> (documentsDeduped _),
     "pack_batches" -> ((s, d) => packBatches(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "sample_split" -> sampleSplitSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "documents_deduped" -> documentsDedupedSql,
     "pack_batches" -> packBatchesSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "sample_split" -> Seq(col("doc_id")),
+    "sample_stratified" -> Seq(col("doc_id")),
     "documents_deduped" -> Seq(col("doc_id")),
     "pack_batches" -> Seq(col("doc_id"))
   )

@@ -210,6 +210,124 @@ object TextAnalysis {
       |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals per document: the token fraction
+    * covered by the most frequent word 2-gram and the duplicate-token
+    * fraction (Rae et al. 2021 §A1.1 use character fractions of the top
+    * n-grams and duplicate lines; token fractions are the same signal on
+    * this corpus's single-line docs). Shape: explode bigrams → two grouped
+    * aggregations, both collapsing map-side — the per-doc bigram histogram
+    * never materializes wider than (doc, distinct-bigram) and the exchange
+    * carries partial counts, so the operator is one explode + two shuffles
+    * regardless of document length. A per-row HOF (count each distinct
+    * bigram inside the array) would avoid the shuffles but is O(len²) per
+    * document — wrong at 100 TB where single docs reach book length.
+    * Ratios are integer products with one division + round(6), the
+    * house oracle discipline. */
+  def qualityRepetitionFrom(input: DataFrame): DataFrame = {
+    val base = input
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val stats = base.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+    val top = base
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |                 i -> concat_ws(' ', slice(ws, i, 2)))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_bigram_n"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    stats.join(top, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        round(coalesce(col("top_bigram_n"), lit(0L)) * 2 * lit(1.0)
+          / col("n_tokens"), 6).as("rep2_frac"),
+        round((col("n_tokens") - col("n_distinct")) * lit(1.0)
+          / col("n_tokens"), 6).as("dup_word_frac"))
+      .withColumn("is_clean",
+        col("rep2_frac") <= 0.2 && col("dup_word_frac") <= 0.9)
+  }
+
+  def qualityRepetition(s: SparkSession, d: String): DataFrame =
+    qualityRepetitionFrom(docs(s, d))
+
+  val qualityRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct FROM t),
+      |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      |         THEN [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]
+      |         ELSE [] END) AS bg FROM t),
+      |bc AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(n) AS top_bigram_n,
+      |               count(*) AS n_distinct_bigrams FROM bc GROUP BY 1)
+      |SELECT s.doc_id, s.n_tokens,
+      |  CAST(coalesce(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+      |  CAST(coalesce(top.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+      |  round(coalesce(top.top_bigram_n, 0) * 2 * 1.0 / s.n_tokens, 6) AS rep2_frac,
+      |  round((s.n_tokens - s.n_distinct) * 1.0 / s.n_tokens, 6) AS dup_word_frac,
+      |  (round(coalesce(top.top_bigram_n, 0) * 2 * 1.0 / s.n_tokens, 6) <= 0.2
+      |   AND round((s.n_tokens - s.n_distinct) * 1.0 / s.n_tokens, 6) <= 0.9) AS is_clean
+      |FROM stats s LEFT JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing patterns, applied in this order (emails first so the
+    * IP/phone digit patterns never fire inside an address; IPs before
+    * phones so a dotted quad is tagged <IP>, not eaten by the looser
+    * phone pattern). Every pattern is RE2-safe (no backreferences, no
+    * lookaround), so Java regex (Spark) and RE2 (DuckDB) match
+    * identically. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>",
+    """\+?\d[\d() -]{6,}\d""" -> "<PHONE>")
+
+  /** PII redaction over any (doc_id, text) frame: sequential
+    * regexp_replace per pattern with per-stage match counts (each count
+    * runs on the PREVIOUS stage's output, so an address redacted as
+    * <EMAIL> can't also count as a phone). Pure per-row projection — no
+    * shuffle, trivially partition-parallel at any scale. Exposed
+    * separately from the corpus query so the spec can feed real PII
+    * sentences (this corpus is digit-free, so the oracled query verifies
+    * the no-op path; TextAnalysisSpec pins the redaction behavior). */
+  def piiRedactFrom(input: DataFrame): DataFrame = {
+    val staged = PiiPatterns.zipWithIndex.foldLeft(
+      input.select(col("doc_id"), col("text").as("t0"))) {
+      case (df, ((pat, tag), i)) =>
+        df.withColumn(s"n_${i}",
+            size(regexp_extract_all(col(s"t$i"), lit(pat), lit(0))).cast("long"))
+          .withColumn(s"t${i + 1}", regexp_replace(col(s"t$i"), pat, tag))
+    }
+    staged.select(col("doc_id"),
+      col(s"t${PiiPatterns.size}").as("clean_text"),
+      col("n_0").as("n_email"), col("n_1").as("n_ip"), col("n_2").as("n_phone"),
+      (col("n_0") + col("n_1") + col("n_2")).as("n_pii"))
+  }
+
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedactFrom(docs(s, d))
+
+  val piiRedactSql: String = {
+    val Seq((email, eTag), (ip, ipTag), (phone, phTag)) = PiiPatterns
+    s"""SELECT doc_id,
+       |  regexp_replace(t2, '$phone', '$phTag', 'g') AS clean_text,
+       |  n_email, n_ip,
+       |  CAST(len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_phone,
+       |  n_email + n_ip
+       |    + CAST(len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_pii
+       |FROM (
+       |  SELECT doc_id, regexp_replace(t1, '$ip', '$ipTag', 'g') AS t2,
+       |         n_email,
+       |         CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ip
+       |  FROM (
+       |    SELECT doc_id, regexp_replace(text, '$email', '$eTag', 'g') AS t1,
+       |           CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** TF-IDF top-3 terms per document. Score = tf * N / df computed with
     * identical operation order on both engines (integer products, one
     * float division — no libm calls, so no cross-engine ULP risk). The
@@ -261,6 +379,8 @@ object TextAnalysis {
     "token_topk" -> (tokenTopk _),
     "token_bpe" -> (tokenBpe _),
     "text_quality" -> (textQuality _),
+    "quality_repetition" -> (qualityRepetition _),
+    "pii_redact" -> (piiRedact _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _)
   )
@@ -271,6 +391,8 @@ object TextAnalysis {
     "token_topk" -> tokenTopkSql,
     "token_bpe" -> tokenBpeSql,
     "text_quality" -> textQualitySql,
+    "quality_repetition" -> qualityRepetitionSql,
+    "pii_redact" -> piiRedactSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql
   )
@@ -279,6 +401,8 @@ object TextAnalysis {
     "tfidf_topk" -> Seq(col("doc_id"), col("rank")),
     "text_stats" -> Seq(col("lang"), col("source")),
     "text_quality" -> Seq(col("doc_id")),
+    "quality_repetition" -> Seq(col("doc_id")),
+    "pii_redact" -> Seq(col("doc_id")),
     "lang_id" -> Seq(col("doc_id")),
     "doc_fingerprint" -> Seq(col("doc_id"))
   )

@@ -20,6 +20,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(trainFrac > 0.8 && trainFrac < 0.95, s"train fraction $trainFrac")
   }
 
+  test("sample_stratified: deterministic, minority lang kept whole, strata balanced") {
+    val a = Pipeline.sampleStratified(spark, sf)
+      .as[(Long, String, String)].collect()
+    val b = Pipeline.sampleStratified(spark, sf)
+      .as[(Long, String, String)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    val orig = Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val minN = orig.values.min
+    val kept = a.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong }
+    // the minority stratum's threshold is '10000' > every '0xxxx' key
+    val minorityLang = orig.minBy { case (l, n) => (n, l) }._1
+    assert(kept(minorityLang) === minN)
+    // every stratum lands near min_n (hash-uniform: ±3sigma ~ ±3*sqrt(min_n))
+    orig.keys.foreach { l =>
+      val k = kept.getOrElse(l, 0L)
+      assert(k <= orig(l))
+      assert(math.abs(k - minN) <= math.max(5L, 3 * math.sqrt(minN.toDouble).toLong),
+        s"stratum $l kept $k, expected ~$minN")
+    }
+  }
+
+  test("sample_stratified plans broadcast joins only (no corpus shuffle)") {
+    val p = Pipeline.sampleStratified(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("documents_deduped: victims gone, survivors intact, smallest id kept per pair") {
     val victims = Dedup.dedupNear(spark, sf)
       .select("doc_b").as[Long].collect().toSet

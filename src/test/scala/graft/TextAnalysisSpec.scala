@@ -107,6 +107,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
   }
 
+  test("quality_repetition hand oracle: repeated bigram dominates") {
+    // "a b a b a b c": 7 tokens, bigrams [a b, b a, a b, b a, a b, b c]
+    // -> top "a b" x3, 3 distinct bigrams; distinct tokens {a,b,c}=3
+    val fx = Seq((1L, "a b a b a b c"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityRepetitionFrom(fx)
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nTok, topBg, nBg, rep2, dup, clean) = got(1L)
+    assert(nTok === 7L && topBg === 3L && nBg === 3L)
+    assert(rep2 === math.rint(6.0 / 7.0 * 1e6) / 1e6)
+    assert(dup === math.rint(4.0 / 7.0 * 1e6) / 1e6)
+    assert(!clean) // rep2 0.857 > 0.2
+    // single-token doc: no bigrams, zero fractions
+    val (_, n1, t1, b1, r1, d1, c1) = got(2L)
+    assert(n1 === 1L && t1 === 0L && b1 === 0L && r1 === 0.0 && d1 === 0.0 && c1)
+  }
+
+  test("quality_repetition is total over the corpus") {
+    val q = TextAnalysis.qualityRepetition(spark, sf)
+    assert(q.count() === Tables.load(spark, sf, "documents").count())
+    assert(q.where(col("rep2_frac") < 0 || col("dup_word_frac") < 0 ||
+      col("dup_word_frac") >= 1).count() === 0)
+  }
+
+  test("pii_redact scrubs emails, IPs, and phones from fixture sentences") {
+    val fx = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+      (2L, "server 192.168.0.1 talks to 10.0.0.254 nightly"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedactFrom(fx)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, c1, e1, i1, p1, t1) = got(1L)
+    assert(c1 === "mail me at <EMAIL> or call <PHONE>")
+    assert(e1 === 1L && i1 === 0L && p1 === 1L && t1 === 2L)
+    val (_, c2, e2, i2, p2, t2) = got(2L)
+    assert(c2 === "server <IP> talks to <IP> nightly")
+    assert(e2 === 0L && i2 === 2L && p2 === 0L && t2 === 2L)
+    val (_, c3, _, _, _, t3) = got(3L)
+    assert(c3 === "no pii here at all" && t3 === 0L)
+  }
+
+  test("pii_redact is a no-op on the digit-free corpus (oracled path)") {
+    val r = TextAnalysis.piiRedact(spark, sf)
+    assert(r.where(col("n_pii") =!= 0).count() === 0)
+    val changed = r.join(Tables.load(spark, sf, "documents"), Seq("doc_id"))
+      .where(col("clean_text") =!= col("text")).count()
+    assert(changed === 0)
+  }
+
   test("doc_fingerprint: exact_fp collides iff texts equal; shingle_fp stable under tiny edit") {
     val fp = TextAnalysis.docFingerprint(spark, sf)
       .as[(Long, String, String)].collect()
