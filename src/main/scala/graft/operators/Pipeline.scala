@@ -91,6 +91,60 @@ object Pipeline {
       |WHERE doc_id NOT IN (SELECT doc_id FROM victims)
       |ORDER BY doc_id""".stripMargin
 
+  /** The whole cleaning pipeline as ONE Catalyst plan: PII redaction →
+    * exact dedup (keep-smallest-id per content hash) → quality gate
+    * (textQuality's token-count and type-token-ratio bounds) → hash
+    * train/holdout split, emitting the training manifest (doc_id, lang,
+    * n_tokens, split). The point is composition: each stage is the same
+    * logic as its standalone operator, chained as DataFrames so Catalyst
+    * sees ONE tree — the scan is shared, the redaction projection fuses
+    * into the dedup's hash, and no stage materializes an intermediate.
+    * Scale shape: one shuffle for the dedup group (16-byte md5 keys, not
+    * bodies), one semi-join shuffle to apply it; quality + split are
+    * per-row. */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val cleaned = TextAnalysis
+      .piiRedactStaged(Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"),
+        col(s"t${TextAnalysis.PiiPatterns.size}").as("t"))
+    val keep = cleaned.groupBy(md5(col("t")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val quality = cleaned.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), split(col("t"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+      .where(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+        col("n_distinct") * 4 >= col("n_tokens"))
+    quality.select(col("doc_id"), col("lang"), col("n_tokens"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "train")
+        .otherwise("holdout").as("split"))
+  }
+
+  val pipelineE2eSql: String = {
+    val Seq((email, eTag), (ip, ipTag), (phone, phTag)) = TextAnalysis.PiiPatterns
+    s"""WITH red AS (
+       |  SELECT doc_id, lang,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '$eTag', 'g'), '$ip', '$ipTag', 'g'),
+       |      '$phone', '$phTag', 'g') AS t
+       |  FROM documents),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(t)),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT) AS n_distinct
+       |  FROM red WHERE doc_id IN (SELECT doc_id FROM keep))
+       |SELECT doc_id, lang, n_tokens,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+       |       THEN 'train' ELSE 'holdout' END AS split
+       |FROM q
+       |WHERE n_tokens BETWEEN 20 AND 1000 AND n_distinct * 4 >= n_tokens
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Sequence packing: assign documents to token-budget batches
     * (cumulative token count within a shard, batch = cum_before div
     * budget). Packing is SHARDED on purpose: a single global running sum
@@ -127,6 +181,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
+    "pipeline_e2e" -> (pipelineE2e _),
     "documents_deduped" -> (documentsDeduped _),
     "pack_batches" -> ((s, d) => packBatches(s, d))
   )
@@ -134,6 +189,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "pipeline_e2e" -> pipelineE2eSql,
     "documents_deduped" -> documentsDedupedSql,
     "pack_batches" -> packBatchesSql
   )
@@ -141,6 +197,7 @@ object Pipeline {
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "sample_split" -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
+    "pipeline_e2e" -> Seq(col("doc_id")),
     "documents_deduped" -> Seq(col("doc_id")),
     "pack_batches" -> Seq(col("doc_id"))
   )

@@ -292,19 +292,25 @@ object TextAnalysis {
     * separately from the corpus query so the spec can feed real PII
     * sentences (this corpus is digit-free, so the oracled query verifies
     * the no-op path; TextAnalysisSpec pins the redaction behavior). */
-  def piiRedactFrom(input: DataFrame): DataFrame = {
-    val staged = PiiPatterns.zipWithIndex.foldLeft(
-      input.select(col("doc_id"), col("text").as("t0"))) {
+  /** The staged redaction with every input column preserved — the
+    * composable form ([[graft.operators.Pipeline.pipelineE2e]] chains it
+    * ahead of dedup/quality/split without a join back for the columns it
+    * dropped). Adds `t{1..n}` (progressively redacted text) and `n_{i}`
+    * (stage match counts). */
+  def piiRedactStaged(input: DataFrame): DataFrame =
+    PiiPatterns.zipWithIndex.foldLeft(input.withColumn("t0", col("text"))) {
       case (df, ((pat, tag), i)) =>
         df.withColumn(s"n_${i}",
             size(regexp_extract_all(col(s"t$i"), lit(pat), lit(0))).cast("long"))
           .withColumn(s"t${i + 1}", regexp_replace(col(s"t$i"), pat, tag))
     }
-    staged.select(col("doc_id"),
-      col(s"t${PiiPatterns.size}").as("clean_text"),
-      col("n_0").as("n_email"), col("n_1").as("n_ip"), col("n_2").as("n_phone"),
-      (col("n_0") + col("n_1") + col("n_2")).as("n_pii"))
-  }
+
+  def piiRedactFrom(input: DataFrame): DataFrame =
+    piiRedactStaged(input.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        col(s"t${PiiPatterns.size}").as("clean_text"),
+        col("n_0").as("n_email"), col("n_1").as("n_ip"), col("n_2").as("n_phone"),
+        (col("n_0") + col("n_1") + col("n_2")).as("n_pii"))
 
   def piiRedact(s: SparkSession, d: String): DataFrame =
     piiRedactFrom(docs(s, d))

@@ -62,6 +62,30 @@ class PipelineSpec extends AnyFunSuite {
       .filterNot(victims.contains).foreach(a => assert(kept.contains(a)))
   }
 
+  test("pipeline_e2e composes redact -> dedup -> quality -> split consistently") {
+    val m = Pipeline.pipelineE2e(spark, sf)
+      .as[(Long, String, Long, String)].collect()
+    val docs = Tables.load(spark, sf, "documents")
+    // manifest is a subset of the corpus with no duplicate ids
+    assert(m.map(_._1).distinct.length === m.length)
+    assert(m.length <= docs.count())
+    // every surviving doc passes the quality gate
+    m.foreach { case (_, _, n, split) =>
+      assert(n >= 20 && n <= 1000)
+      assert(split == "train" || split == "holdout")
+    }
+    // split agrees with the standalone sampleSplit operator
+    val splits = Pipeline.sampleSplit(spark, sf)
+      .as[(Long, String)].collect().toMap
+    m.foreach { case (id, _, _, split) => assert(splits(id) === split) }
+    // exact-dup victims (same text, larger id) never survive
+    val dupVictims = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.tail).toSet
+    assert(m.map(_._1).toSet.intersect(dupVictims).isEmpty)
+  }
+
   test("pack_batches: batches respect the token budget within each shard") {
     val rows = Pipeline.packBatches(spark, sf, budget = 2000)
       .as[(Long, Int, Long, Long)].collect()
