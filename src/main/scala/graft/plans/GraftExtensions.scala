@@ -11,13 +11,19 @@ import graft.functions.CosineSimilarity
   * Activate with `spark.sql.extensions=graft.plans.GraftExtensions`
   * (Verify, Bench and the test base all do).
   *
-  * Currently injects one SQL function:
-  *   - `cosine_sim(array<float>, array<float>) -> double` — the fused
-  *     codegen kernel [[graft.functions.CosineSimilarity]].
+  * Injects:
+  *   - SQL function `cosine_sim(array<float>, array<float>) -> double` —
+  *     the fused codegen kernel [[graft.functions.CosineSimilarity]];
+  *   - optimizer rule [[FuseCosine]] — rewrites the declarative
+  *     `aggregate(zip_with(...)) / (sqrt(...) * sqrt(...))` cosine into
+  *     that kernel automatically (bit-identical by the kernel's numeric
+  *     contract), so the naive formulation gets the fast path without the
+  *     caller asking.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => FuseCosine)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

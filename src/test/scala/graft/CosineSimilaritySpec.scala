@@ -36,8 +36,12 @@ class CosineSimilaritySpec extends AnyFunSuite {
   }
 
   test("fused kernel is bit-identical to the composable HOF formulation") {
-    val hof = Similarity.annTopk(spark, sf)
+    // keep the HOF side genuinely interpreted: the FuseCosine optimizer
+    // rule would otherwise rewrite it into the kernel under test
+    spark.conf.set("spark.graft.fuse_cosine", "false")
+    val hof = try Similarity.annTopk(spark, sf)
       .as[(Long, Int, Long, Double)].collect().toSet
+    finally spark.conf.unset("spark.graft.fuse_cosine")
     val fused = Similarity.annTopkFused(spark, sf)
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(fused === hof)
