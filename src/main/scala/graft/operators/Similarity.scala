@@ -119,20 +119,35 @@ object Similarity {
       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
   /** Nearest-centroid assignment: every vector of `vecs` gets the `take`
-    * closest of the C seed centroids (vec_id < C used as fixed seeds — a
-    * deterministic stand-in for trained centroids; the plumbing is the
-    * real IVF shape). One broadcast of C rows, one corpus scan, top-take
-    * via WindowGroupLimit. */
+    * closest of the C centroids (IVF coarse quantization). One broadcast
+    * of C rows, one corpus scan.
+    *
+    * take=1 (corpus assignment, every Lloyd training round) is an ARGMIN,
+    * not a top-k: it runs as `min(struct(-cos, cid))` with map-side
+    * partial aggregation, so each vector's C scored rows collapse to one
+    * BEFORE the exchange — at corpus scale the shuffle carries one row
+    * per vector, where the window formulation would sort and exchange all
+    * corpus×C rows. Ordering matches the window form exactly: struct
+    * comparison on (-cos, cid) = (cos desc, cid asc). take>1 (the
+    * nprobe-cluster probe fan-out — probe-set-sized, never corpus-sized)
+    * keeps the WindowGroupLimit path. */
   private def assignClusters(vecs: DataFrame, centroids: DataFrame,
                              take: Int, idCol: String): DataFrame = {
     val scored = vecs.crossJoin(broadcast(centroids))
       .select(col(idCol), col("embedding"),
         col("cid"), expr(cosFused("ce", "embedding")).as("ccos"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    scored.withColumn("crank", row_number().over(w))
-      .where(col("crank") <= take)
-      .select(col(idCol), col("embedding"), col("cid"))
+    if (take == 1) {
+      scored.groupBy(col(idCol))
+        .agg(min(struct((-col("ccos")).as("nc"), col("cid").as("cid"))).as("m"),
+          first(col("embedding")).as("embedding"))
+        .select(col(idCol), col("embedding"), col("m.cid").as("cid"))
+    } else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= take)
+        .select(col(idCol), col("embedding"), col("cid"))
+    }
   }
 
   private def seedCentroids(e: DataFrame): DataFrame =
