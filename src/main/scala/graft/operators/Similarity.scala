@@ -27,6 +27,9 @@ import graft.Tables
   *     projection LSH (48 deterministic hyperplanes, 12 bands x 4 bits);
   *     candidates share a band's bit-slice, scored exactly. Same
   *     recall-vs-exact contract as `ann_ivf`, measured in SimilaritySpec.
+  *   - `ann_pq`: the memory-compressed path — product quantization
+  *     (M=8 subspaces × 16 codes, Jégou et al.), ADC table scoring over
+  *     4-byte codes, exact re-rank of the shortlist. Same contract.
   *   - `dedup_embedding`: embedding-cosine near-dup pairs, blocked by
   *     shared IVF cluster (multi-assigned to top-2 clusters for recall),
   *     exact-verified at cos >= 0.45. Rows-only checked: cluster blocking
@@ -316,6 +319,148 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  // ---------- product quantization (PQ) ----------------------------------
+
+  private val PqM = 8          // subspaces
+  private val PqSub = 8        // dims per subspace (M * Sub = embedding dim)
+  private val PqK = 16         // codes per subspace -> 4 bits each
+  private val PqRerank = 80    // ADC shortlist re-ranked exactly
+
+  /** Squared L2 over two small float subvectors, double accumulation in
+    * index order (the codebook math is Euclidean — Jégou et al.'s PQ —
+    * unlike the cosine used for the IVF coarse quantizer). */
+  private def l2Expr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+       |            (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+       |                      * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  /** (vec_id, m, sub): each vector split into M contiguous subvectors —
+    * the PQ decomposition, one explode per vector. */
+  private def subvectors(vecs: DataFrame, idCol: String): DataFrame =
+    vecs.select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqSub + 1, $PqSub))"))
+          .as(Seq("m", "sub")))
+
+  /** Train the M independent sub-codebooks (K centroids each) with a few
+    * deterministic Lloyd rounds, ALL subspaces in one DataFrame
+    * computation: rows are (m, code, centroid), assignment is an argmin
+    * L2 join on the broadcast M×K codebook, the update is a per-dimension
+    * mean (posexplode + group + rebuild), rounded to 6 decimals for
+    * run-to-run reproducibility — the same discipline as the IVF coarse
+    * quantizer. Seeds: the subvectors of the first K corpus vectors. */
+  private def trainCodebooks(e: DataFrame, iters: Int = 2): DataFrame = {
+    val subs = subvectors(e, "vec_id").localCheckpoint()
+    var books = subs.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sub").as("ce"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(books), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sub"), col("code"),
+          expr(l2Expr("sub", "ce")).as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("mc"),
+          first(col("sub")).as("sub"))
+        .select(col("m"), col("mc.code").as("code"), col("sub"))
+      val means = assigned
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("mv"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("m"), col("code"),
+          expr("transform(pm, x -> CAST(x.mv AS FLOAT))").as("mean"))
+      books = books.select(col("m"), col("code"), col("ce").as("prev"))
+        .join(means, Seq("m", "code"), "left_outer")
+        .select(col("m"), col("code"),
+          coalesce(col("mean"), col("prev")).as("ce"))
+        .localCheckpoint()
+    }
+    books
+  }
+
+  /** Codebooks are a model artifact like the IVF centroids — O(M × K ×
+    * Sub) floats, trained once per dataset. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Float])]]()
+
+  private def trainedCodebooks(s: SparkSession, d: String): DataFrame = {
+    val rows = codebookCache.computeIfAbsent(d, _ =>
+      trainCodebooks(emb(s, d)).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq)
+    val sp = s
+    import sp.implicits._
+    rows.toDF("m", "code", "ce")
+  }
+
+  /** PQ-compressed approximate top-k with exact re-rank.
+    *
+    * The 100-TB story is MEMORY BANDWIDTH: the scored representation of a
+    * vector is M 4-bit codes (4 bytes here vs 256 bytes of floats — the
+    * compressed index is what a scan reads), and scoring a candidate is M
+    * table lookups instead of a D-element loop. Shape: corpus codes are
+    * (vec_id, m, code) rows; a probe's ADC table (M × K partial dots +
+    * sub-centroid norms, built from the broadcast codebook) joins them on
+    * (m, code) — broadcast, never a shuffle of the corpus — and
+    * sum-aggregates to an approximate cosine with map-side combine. The
+    * ADC top-`PqRerank` shortlist is then re-scored EXACTLY against the
+    * full vectors (one semi-join-sized lookup per probe), so emitted
+    * scores are true cosines — soundness exact, recall measured in
+    * SimilaritySpec against the brute-force twin. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val books = trainedCodebooks(s, d)
+    // encode: nearest sub-centroid per (vec, m) — argmin with map-side
+    // combine, same shape as the IVF corpus assignment
+    val codes = subvectors(e, "vec_id").join(broadcast(books), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        expr(l2Expr("sub", "ce")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.code").as("code"))
+    // per-probe ADC tables: partial dot against every sub-centroid, plus
+    // the sub-centroid norm contribution for the approximate |x|
+    val probes = e.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val tables = subvectors(
+        probes.select(col("probe_id"), col("pe").as("embedding")), "probe_id")
+      .join(broadcast(books), Seq("m"))
+      .select(col("probe_id"), col("m"), col("code"),
+        expr(s"""aggregate(zip_with(sub, ce,
+                 |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                 |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("pdot"),
+        expr(s"""aggregate(zip_with(ce, ce,
+                 |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                 |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("cn2"))
+    val pnorms = probes.select(col("probe_id"),
+      expr("sqrt(aggregate(zip_with(pe, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))").as("pn"))
+    // ADC score: sum of table entries over the candidate's codes
+    val adc = codes.join(broadcast(tables), Seq("m", "code"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .join(broadcast(pnorms), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (col("adot") / (col("pn") * sqrt(col("an2")))).as("adc"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= PqRerank)
+      .select(col("probe_id"), col("vec_id"))
+    // exact re-rank of the shortlist
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist
+      .join(e, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr(cosFused("pe", "embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs (cos >= 0.45), blocked by shared IVF
     * cluster with multi-assignment (each vector joins its top-2 clusters)
     * — never all-pairs. Emitted pairs are exact cosines; recall is
@@ -338,6 +483,7 @@ object Similarity {
     "ann_topk_fused" -> (annTopkFused _),
     "ann_ivf" -> (annIvf _),
     "ann_lsh" -> (annLsh _),
+    "ann_pq" -> (annPq _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
 
@@ -355,6 +501,7 @@ object Similarity {
     "ann_topk_fused" -> Seq(col("probe_id"), col("rank")),
     "ann_ivf" -> Seq(col("probe_id"), col("rank")),
     "ann_lsh" -> Seq(col("probe_id"), col("rank")),
+    "ann_pq" -> Seq(col("probe_id"), col("rank")),
     "dedup_embedding" -> Seq(col("vec_a"), col("vec_b"))
   )
 }

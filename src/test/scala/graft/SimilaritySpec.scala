@@ -89,6 +89,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"candidate join is a BNLJ:\n$p")
   }
 
+  test("ann_pq: sound (exact re-ranked scores), recall above floor, no cartesian") {
+    val exact = Similarity.annTopk(spark, sf)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.annPq(spark, sf)
+    val got = pq.select("probe_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    // soundness: emitted scores are TRUE cosines (the re-rank contract) —
+    // every (probe, vec) present in the exact top-k must carry the same score
+    val exactScores = Similarity.annTopk(spark, sf)
+      .select("probe_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, v, c) => (p, v) -> c }.toMap
+    got.foreach { case (p, v, c) =>
+      exactScores.get((p, v)).foreach(e => assert(c === e, s"score drift ($p,$v)"))
+    }
+    val recall = got.map(r => (r._1, r._2)).toSet.intersect(exact).size.toDouble / exact.size
+    info(f"PQ recall@10 vs exact: $recall%.3f")
+    assert(recall >= 0.70, f"PQ recall $recall%.3f below floor")
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup_embedding: every emitted pair verified >= 0.45; no cartesian in plan") {
     val pairs = Similarity.dedupEmbedding(spark, sf)
       .as[(Long, Long, Double)].collect()
