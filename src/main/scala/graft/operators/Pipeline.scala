@@ -102,25 +102,42 @@ object Pipeline {
     * Scale shape: one shuffle for the dedup group (16-byte md5 keys, not
     * bodies), one semi-join shuffle to apply it; quality + split are
     * per-row. */
-  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
-    val cleaned = TextAnalysis
-      .piiRedactStaged(Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("text")))
+  /** The STATELESS pipeline stages — PII redaction, quality gate, hash
+    * split — as one per-row transform over any (doc_id, lang, text)
+    * frame, emitting the content hash of the REDACTED text alongside the
+    * manifest columns. Pure projections and filters, so the identical
+    * code runs in batch ([[pipelineE2e]]) and inside a streaming query
+    * ([[graft.streaming.DocStreams.cleanStream]]) — batch/stream parity
+    * is by construction, and asserted in DocStreamsSpec. */
+  def cleanStages(input: DataFrame): DataFrame =
+    TextAnalysis.piiRedactStaged(
+        input.select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"),
         col(s"t${TextAnalysis.PiiPatterns.size}").as("t"))
-    val keep = cleaned.groupBy(md5(col("t")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val quality = cleaned.join(keep, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), split(col("t"), " ").as("ws"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), md5(col("t")).as("text_md5"),
+        split(col("t"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), col("text_md5"),
         size(col("ws")).cast("long").as("n_tokens"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
       .where(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
         col("n_distinct") * 4 >= col("n_tokens"))
-    quality.select(col("doc_id"), col("lang"), col("n_tokens"),
-      when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "train")
-        .otherwise("holdout").as("split"))
+      .select(col("doc_id"), col("lang"), col("text_md5"), col("n_tokens"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "train")
+          .otherwise("holdout").as("split"))
+
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    // quality is content-determined, so every member of a content group
+    // passes or fails together — deduping after the gate keeps exactly
+    // the same survivors as deduping before it. The min-id representative
+    // is selected by ONE row_number window over the content hash (single
+    // shuffle, single evaluation of the redaction subtree) rather than a
+    // group-then-semi-join, which would evaluate the stages twice and
+    // shuffle twice.
+    val w = Window.partitionBy(col("text_md5")).orderBy(col("doc_id").asc)
+    cleanStages(Tables.load(s, d, "documents"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"))
   }
 
   val pipelineE2eSql: String = {

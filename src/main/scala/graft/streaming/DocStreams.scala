@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Pipeline}
 
 /** One (doc, band) row entering the streaming near-dedup state. */
 case class BandedDoc(band: Int, key: Long, doc_id: Long,
@@ -45,6 +45,19 @@ object DocStreams {
   def dedupExactStream(docs: DataFrame): DataFrame =
     docs.withColumn("text_md5", md5(col("text")))
       .dropDuplicates("text_md5")
+
+  /** The cleaning pipeline AT INGEST — the streaming twin of
+    * [[graft.operators.Pipeline.pipelineE2e]]: the stateless stages
+    * (redact → quality gate → hash split) run as the SAME code
+    * ([[graft.operators.Pipeline.cleanStages]] — per-row projections, so
+    * they stream unchanged), composed with exact content dedup across
+    * micro-batches. The dedup POLICY differs by mode on purpose: batch
+    * keeps the smallest doc_id per content group, streaming keeps the
+    * first ARRIVAL — identical content-level output (one representative
+    * per distinct redacted text, all content-determined columns equal),
+    * which is what DocStreamsSpec asserts. */
+  def cleanStream(docs: DataFrame): DataFrame =
+    Pipeline.cleanStages(docs).dropDuplicates("text_md5")
 
   /** Incremental MinHash-LSH near-dedup: every arriving doc is banded with
     * the SAME signature construction as the batch operator

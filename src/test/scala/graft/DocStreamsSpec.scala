@@ -61,6 +61,49 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batchDistinct === 150)
   }
 
+  test("streaming clean pipeline: content-level parity with batch pipeline_e2e") {
+    val docs = Tables.load(spark, sf, "documents")
+    val streamDir = Files.createTempDirectory("graft-clean-in").toString
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-clean-tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$streamDir/$name")
+      Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    // batch 2 includes RE-TEXTED copies of batch-1 docs under new ids:
+    // the cross-batch dedup state must suppress them
+    val now = System.currentTimeMillis()
+    writeBatch(docs.where($"doc_id" < 250), "000.parquet", now - 60000)
+    writeBatch(docs.where($"doc_id" >= 250).unionByName(
+      docs.where($"doc_id" < 40).withColumn("doc_id", $"doc_id" + 20000)),
+      "001.parquet", now)
+
+    val q = DocStreams.cleanStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("doc_clean")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val stream = spark.table("doc_clean")
+    // the re-texted copies are exact content dups of already-ingested
+    // docs: none may survive
+    assert(stream.where($"doc_id" >= 20000).count() === 0,
+      "cross-batch duplicate slipped through the streaming cleaner")
+    // content-level parity with the batch pipeline: one representative
+    // per distinct redacted text, identical content-determined columns
+    val streamContent = stream.select("text_md5", "lang", "n_tokens")
+      .as[(String, String, Long)].collect().toSet
+    val batchContent = graft.operators.Pipeline.pipelineE2e(spark, sf)
+      .join(graft.operators.Pipeline.cleanStages(docs), Seq("doc_id", "lang", "n_tokens", "split"))
+      .select("text_md5", "lang", "n_tokens")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamContent === batchContent)
+  }
+
   test("streaming near-dedup: pair set matches batch MinHash-LSH across micro-batches") {
     val docs = Tables.load(spark, sf, "documents")
     // split the corpus by doc_id parity into two micro-batches, so every
