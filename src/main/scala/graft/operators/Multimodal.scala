@@ -27,11 +27,13 @@ case class MediaFeatures(media_id: Long, kind: String, width: Int,
   * codec would be invoked per batch), binary slicing, array-of-binary
   * frame columns, and partition preservation (no shuffle through decode).
   *
-  * DECODE IS A STUB: this container has no image/audio codecs, so
-  * [[Multimodal.decodeFeatures]] computes a documented deterministic fake
-  * (byte-sum-derived dimensions) in place of a real `libjpeg`/`ffmpeg`
-  * call. Swapping in a real decoder changes only the inside of the batch
-  * loop, nothing about the distributed shape.
+  * DECODE IS A STUB for compressed formats: this container has no
+  * image/video codecs, so [[Multimodal.decodeFeatures]] defaults to a
+  * documented deterministic fake (byte-sum-derived dimensions) in place
+  * of a `libjpeg`/`ffmpeg` call. One REAL codec exists behind the same
+  * seam — [[Multimodal.wavDecoder]], a dependency-free RIFF/WAVE PCM
+  * header parser — proving that swapping in a real decoder changes only
+  * the `decode` argument, nothing about the distributed shape.
   */
 object Multimodal {
 
@@ -99,6 +101,65 @@ object Multimodal {
       val frames = if (m.kind == "video") 1 + m.payload.length % 16 else 1
       MediaFeatures(m.media_id, m.kind, width, height, frames, sum)
     }
+
+  /** A REAL dependency-free codec for one format: RIFF/WAVE PCM, parsed
+    * byte-level (chunk walk from offset 12; no codec library involved, so
+    * it runs in this container). Audio semantics mapped onto the shared
+    * feature schema: width = channels, height = bits/sample, n_frames =
+    * PCM sample frames (data bytes / block align), byte_sum = unsigned
+    * sum of the data chunk. Non-WAV or malformed payloads fall back to
+    * [[stubDecoder]]'s row — a decoder NEVER throws on bad media
+    * (PERMISSIVE, the same contract as every ingest path here). The
+    * point: the [[Decoder]] seam carries a real codec unchanged —
+    * MultimodalSpec feeds synthesized WAV bytes through the SAME
+    * `decodeFeatures` plumbing and pins the parsed values. */
+  val wavDecoder: Decoder = batch =>
+    batch.iterator.map { m =>
+      parseWav(m.payload) match {
+        case Some(w) =>
+          var sum = 0L
+          var i = w.dataOff
+          val end = math.min(w.dataOff + w.dataLen, m.payload.length)
+          while (i < end) { sum += (m.payload(i) & 0xff); i += 1 }
+          val blockAlign = w.channels * (w.bits / 8)
+          val frames = if (blockAlign > 0) w.dataLen / blockAlign else 0
+          MediaFeatures(m.media_id, m.kind, w.channels, w.bits, frames, sum)
+        case None => stubDecoder(Seq(m)).next()
+      }
+    }
+
+  private case class WavInfo(channels: Int, bits: Int, sampleRate: Int,
+                             dataOff: Int, dataLen: Int)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b.slice(o, o + 4), "US-ASCII")
+
+  private def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, bits, rate
+    var data: Option[(Int, Int)] = None     // offset, length
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "fmt " && sz >= 16) {
+        if (le16(b, off + 8) != 1) return None // PCM only
+        fmt = Some((le16(b, off + 10), le16(b, off + 22), le32(b, off + 12)))
+      } else if (id == "data") {
+        data = Some((off + 8, sz))
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    for ((ch, bits, rate) <- fmt; (dOff, dLen) <- data
+         if ch > 0 && (bits == 8 || bits == 16 || bits == 24 || bits == 32))
+      yield WavInfo(ch, bits, rate, dOff, dLen)
+  }
 
   /** Decode + feature extraction over explicit per-partition batches.
     * The codec is INJECTED: swapping the stub for a real decoder changes

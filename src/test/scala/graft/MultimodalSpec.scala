@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{MediaRow, Multimodal}
+import graft.operators.{MediaFeatures, MediaRow, Multimodal}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -103,6 +103,39 @@ class MultimodalSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.length($"thumb_hex") % 2 =!= 0).count()
     assert(bad === 0)
     assert(corpus.count() === Multimodal.media(spark, sf).count())
+  }
+
+  test("wavDecoder: real RIFF/WAVE PCM parse through the same decode seam") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wavBytes(samples: Seq[Short], channels: Short = 1,
+                 rate: Int = 8000): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+        .putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val samples = Seq[Short](0, 1000, -1000, 32767, -32768)
+    val wav = wavBytes(samples)
+    val junk = "definitely not a riff container".getBytes("UTF-8")
+    val ds = Seq(
+      MediaRow(1L, "audio", "wav", wav),
+      MediaRow(2L, "audio", "wav", junk)).toDS()
+    val got = Multimodal.decodeFeatures(ds, Multimodal.wavDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    // parsed: width=channels, height=bits, frames=sample count,
+    // byte_sum = unsigned sum of the PCM data bytes
+    val expectSum = wav.drop(44).foldLeft(0L)((a, b) => a + (b & 0xff))
+    assert(got(1L) === MediaFeatures(1L, "audio", 1, 16, samples.length, expectSum))
+    // malformed payload: PERMISSIVE fallback to the stub's deterministic row
+    assert(got(2L) === Multimodal.stubDecoder(
+      Seq(MediaRow(2L, "audio", "wav", junk))).next())
   }
 
   test("sampleFrames: k frames of <=16 bytes per video row") {
