@@ -128,6 +128,45 @@ object Multimodal {
       }
     }
 
+  /** Image twin of [[wavDecoder]]: uncompressed BMP (BITMAPINFOHEADER or
+    * later, BI_RGB only), parsed byte-level. width/height from the info
+    * header (a negative height means top-down rows; reported absolute),
+    * n_frames = 1, byte_sum over the pixel array. Same PERMISSIVE
+    * contract: anything else falls back to the stub row. */
+  val bmpDecoder: Decoder = batch =>
+    batch.iterator.map { m =>
+      parseBmp(m.payload) match {
+        case Some((w, h, pixOff)) =>
+          var sum = 0L
+          var i = pixOff
+          while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
+          MediaFeatures(m.media_id, m.kind, w, h, 1, sum)
+        case None => stubDecoder(Seq(m)).next()
+      }
+    }
+
+  /** Codec registry: route each row to its format's decoder, stub for
+    * formats without one — the dispatch shape a production media pipeline
+    * uses, still behind the single [[Decoder]] seam. */
+  def registryDecoder(codecs: Map[String, Decoder]): Decoder = batch =>
+    batch.iterator.flatMap(m =>
+      codecs.getOrElse(m.format, stubDecoder)(Seq(m)))
+
+  val defaultRegistry: Map[String, Decoder] =
+    Map("wav" -> wavDecoder, "bmp" -> bmpDecoder)
+
+  private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val pixOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    val comp = le32(b, 30)
+    if (hdrSize < 40 || comp != 0 || w <= 0 || h == 0 ||
+      pixOff < 54 || pixOff > b.length) None
+    else Some((w, math.abs(h), pixOff))
+  }
+
   private case class WavInfo(channels: Int, bits: Int, sampleRate: Int,
                              dataOff: Int, dataLen: Int)
 

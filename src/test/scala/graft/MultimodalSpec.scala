@@ -138,6 +138,36 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(MediaRow(2L, "audio", "wav", junk))).next())
   }
 
+  test("bmpDecoder + registry: real BMP parse, per-format dispatch, stub fallback") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmpBytes(w: Int, h: Int): Array[Byte] = {
+      val rowBytes = ((w * 3 + 3) / 4) * 4 // 24bpp rows padded to 4 bytes
+      val dataLen = rowBytes * math.abs(h)
+      val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+        .putShort(0).putShort(0).putInt(54) // reserved, pixel offset
+        .putInt(40).putInt(w).putInt(h)     // info header, dims
+        .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+        .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      (0 until dataLen).foreach(i => bb.put((i % 7).toByte))
+      bb.array()
+    }
+    val bmp = bmpBytes(2, 2) // 2x2, rowBytes 8, dataLen 16
+    val expectSum = bmp.drop(54).foldLeft(0L)((a, b) => a + (b & 0xff))
+    val rows = Seq(
+      MediaRow(1L, "image", "bmp", bmp),
+      MediaRow(2L, "audio", "wav", "junk".getBytes("UTF-8")),
+      MediaRow(3L, "video", "mp4", "no mp4 codec here".getBytes("UTF-8")))
+    val got = Multimodal.decodeFeatures(rows.toDS(),
+        Multimodal.registryDecoder(Multimodal.defaultRegistry))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(1L) === MediaFeatures(1L, "image", 2, 2, 1, expectSum))
+    // wav junk: wavDecoder's PERMISSIVE fallback
+    assert(got(2L) === Multimodal.stubDecoder(Seq(rows(1))).next())
+    // mp4 has no registered codec: registry routes straight to the stub
+    assert(got(3L) === Multimodal.stubDecoder(Seq(rows(2))).next())
+  }
+
   test("sampleFrames: k frames of <=16 bytes per video row") {
     val frames = Multimodal.sampleFrames(Multimodal.media(spark, sf), 4)
     val vids = Multimodal.media(spark, sf).where($"kind" === "video").count()
