@@ -137,6 +137,7 @@ object SparkEntry {
     "events_sessionize" -> Seq(col("user_id"), col("session_start")),
     "events_json_extract" -> Seq(col("event_type")),
     "events_distinct_users" -> Seq(col("event_type")),
+    "events_funnel" -> Seq(col("stage")),
     "events_daily_share" -> Seq(col("day"), col("event_type"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
     Similarity.verifyOrder ++ Multimodal.verifyOrder ++

@@ -228,7 +228,46 @@ object EventAnalytics {
       |GROUP BY s.user_id, s.session_start, s.n_events
       |ORDER BY s.user_id, s.session_start""".stripMargin
 
+  /** Ordered funnel: view → click → purchase, strictly time-ordered per
+    * user (a click only counts after the user's FIRST view, a purchase
+    * only after that first qualifying click). Three conditional-min
+    * aggregations chained by joins on user_id — each stage shuffles once
+    * on the same high-cardinality key, and stage N's frame is one row per
+    * surviving user, so the joins shrink monotonically. Stage counts come
+    * out as one 3-row union of scalar aggregates. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.where(col("event_type") === "click").join(v, Seq("user_id"))
+      .where(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.where(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .where(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_view_click_purchase").as("stage"), col("n_users")))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_view_click").as("stage"), col("n_users")))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(ts) AS c_ts FROM events e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts > v_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(ts) AS p_ts FROM events e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts > c_ts GROUP BY 1)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_view_click', count(*) FROM c
+      |UNION ALL SELECT '3_view_click_purchase', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_tumbling_hour" -> (tumblingHour _),
@@ -240,6 +279,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "events_tumbling_hour" -> tumblingHourSql,

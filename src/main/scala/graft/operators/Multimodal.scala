@@ -271,9 +271,13 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
-    // stub-decode path: rows-only in the driver gate (no SQL twin for a
-    // fake decoder); exact values pinned in MultimodalSpec
-    "media_decode" -> ((s, d) => decodeFeatures(mediaTyped(s, d)).toDF()),
+    // decode path through the production codec registry (WAV/BMP real,
+    // stub for codec-less formats; this corpus's payloads are text bytes,
+    // so every row takes the documented stub fallback — values pinned in
+    // MultimodalSpec). Rows-only in the driver gate: no SQL twin for a
+    // decoder.
+    "media_decode" -> ((s, d) => decodeFeatures(mediaTyped(s, d),
+      registryDecoder(defaultRegistry)).toDF()),
     "media_resize" -> ((s, d) => resizeThumb(media(s, d))),
     // frames flattened to ONE scalar string per row: verification harnesses
     // hash/sort rows, and an array<string> column is not sortable there —

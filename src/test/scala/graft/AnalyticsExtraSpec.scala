@@ -3,13 +3,23 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.{col, sum => fsum}
 
-import graft.operators.{Citations, Profiling, TextAnalysis}
+import graft.operators.{Citations, EventAnalytics, Profiling, TextAnalysis}
 
 class AnalyticsExtraSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
   val sf = "/root/testdata/sf0.001"
+
+  test("events_funnel: stages shrink monotonically and stay ordered") {
+    val stages = EventAnalytics.eventsFunnel(spark, sf)
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(stages.map(_._1).toSeq ===
+      Seq("1_view", "2_view_click", "3_view_click_purchase"))
+    val ns = stages.map(_._2)
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel widened: ${ns.toSeq}")
+    assert(ns(0) > 0, "no viewers in the corpus - fixture not exercising the funnel")
+  }
 
   test("degree distribution: papers-weighted sum reproduces totals") {
     val edges = Citations.edges(spark, sf)
