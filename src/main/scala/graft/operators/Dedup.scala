@@ -43,12 +43,15 @@ object Dedup {
     * shorter than n units emit the whole text as one shingle —
     * `sequence(1, greatest(len-(n-1), 1))` is [1] and the window clamps,
     * exactly the DuckDB twins' CASE fallback. */
-  private def wordShingleRows(s: SparkSession, d: String, n: Int): DataFrame =
-    Tables.load(s, d, "documents")
+  private[operators] def wordShingleRowsFrom(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(expr(s"sequence(1, greatest(size(ws) - ${n - 1}, 1))")).as("i"))
       .select(col("doc_id"), expr(s"concat_ws(' ', slice(ws, i, $n))").as("sh"))
+
+  private def wordShingleRows(s: SparkSession, d: String, n: Int): DataFrame =
+    wordShingleRowsFrom(Tables.load(s, d, "documents"), n)
 
   /** One (doc_id, sh) row per character-n-gram occurrence (same design
     * and fallback as [[wordShingleRows]]). */
@@ -191,11 +194,16 @@ object Dedup {
     * just-above-threshold pair under 1e-3 and of the observed J>=0.85
     * pairs under 1e-9; the word-shingle background J (~0.05) keeps the
     * candidate volume tiny even with r=2. */
-  def dedupNear(s: SparkSession, d: String): DataFrame = {
-    val rows = wordShingleRows(s, d, 3)
+  /** The composable core over any (doc_id, text) frame — what the
+    * property suite drives with planted near-duplicates. */
+  def dedupNearFrom(docs: DataFrame): DataFrame = {
+    val rows = wordShingleRowsFrom(docs, 3)
     verifiedJaccard(candidatePairs(bandKeys(rows, rowsPerBand = 2, numBands = 16)),
       shingleArrays(rows), num = 3, den = 5)
   }
+
+  def dedupNear(s: SparkSession, d: String): DataFrame =
+    dedupNearFrom(Tables.load(s, d, "documents"))
 
   /** Same LSH machinery on character 9-gram shingles, J >= 0.7 — catches
     * near-dups that word shingling misses (reflowed whitespace, small

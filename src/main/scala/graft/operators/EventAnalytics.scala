@@ -228,6 +228,38 @@ object EventAnalytics {
       |GROUP BY s.user_id, s.session_start, s.n_events
       |ORDER BY s.user_id, s.session_start""".stripMargin
 
+  /** Day-N retention cohorts: users grouped by their first-seen day, then
+    * for each later active day the distinct-user count at that day
+    * offset (0..7). Two shuffles — the per-user cohort aggregate and the
+    * final (cohort, offset) count — with the (user, day) activity frame
+    * deduped BEFORE the join so the fact side shrinks from events to
+    * user-days first. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.load(s, d, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ud.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .where(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      |            FROM events),
+      |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+      |SELECT c.cohort_day,
+      |       CAST(date_diff('day', c.cohort_day, ud.day) AS INT) AS day_offset,
+      |       count(DISTINCT ud.user_id) AS n_users
+      |FROM ud JOIN cohort c USING (user_id)
+      |WHERE date_diff('day', c.cohort_day, ud.day) <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Ordered funnel: view → click → purchase, strictly time-ordered per
     * user (a click only counts after the user's FIRST view, a purchase
     * only after that first qualifying click). Three conditional-min
@@ -268,6 +300,7 @@ object EventAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_tumbling_hour" -> (tumblingHour _),
@@ -280,6 +313,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "events_tumbling_hour" -> tumblingHourSql,

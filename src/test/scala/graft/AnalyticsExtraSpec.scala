@@ -21,6 +21,18 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(ns(0) > 0, "no viewers in the corpus - fixture not exercising the funnel")
   }
 
+  test("events_retention: offset-0 equals cohort sizes; later offsets never exceed") {
+    val r = EventAnalytics.eventsRetention(spark, sf)
+      .as[(java.sql.Timestamp, Int, Long)].collect()
+    val byCohort = r.groupBy(_._1)
+    byCohort.foreach { case (_, rows) =>
+      val m = rows.map(x => x._2 -> x._3).toMap
+      assert(m.contains(0), "cohort missing its own day-0 row")
+      m.foreach { case (_, n) => assert(n <= m(0), s"offset count exceeds cohort size: $m") }
+    }
+    assert(r.forall(x => x._2 >= 0 && x._2 <= 7))
+  }
+
   test("degree distribution: papers-weighted sum reproduces totals") {
     val edges = Citations.edges(spark, sf)
     val dist = Citations.degreeDistribution(edges).cache()
