@@ -42,6 +42,7 @@ object SparkEntry {
       Citations.degreeDistribution(Citations.edges(s, d))),
     "cocitation_topk" -> ((s, d) =>
       Citations.coCitationTopk(Citations.edges(s, d))),
+    "citation_reach" -> ((s, d) => Citations.citationReach(s, d)),
     // iterative float fixpoint — rows-only in the driver gate (no SQL
     // twin); invariants spec-tested in AnalyticsExtraSpec. 6 rounds: the
     // ranking ordering stabilizes well before the values fully converge
@@ -50,6 +51,7 @@ object SparkEntry {
   )
 
   private val citationOracles: Map[String, String] = Map(
+    "citation_reach" -> Citations.citationReachSql,
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -104,6 +106,7 @@ object SparkEntry {
     "citation_counts" -> Seq(col("paper_id")),
     "citation_counts_salted" -> Seq(col("paper_id")),
     "citation_degree_dist" -> Seq(col("citations")),
+    "citation_reach" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

@@ -135,6 +135,45 @@ object Citations {
       .limit(20)
   }
 
+  /** Min-hop reachability within 3 hops of the 5 most-cited papers,
+    * written as a RECURSIVE CTE (Spark 4 executes it as iterative
+    * frontier expansion — each recursion step is one distributed join,
+    * the same shape pageRank hand-codes). The per-path UNION ALL rows
+    * collapse through the final min(hop) aggregate; the hop < 3 guard
+    * bounds the recursion depth, and fan-out is the out-degree of the
+    * frontier, never the whole graph. Oracled with the IDENTICAL
+    * recursive SQL in DuckDB — the point is that the declarative
+    * iterative form is now portable across both engines. */
+  def citationReach(s: SparkSession, d: String): DataFrame = {
+    edges(s, d).createOrReplaceTempView("graft_citation_edges")
+    s.sql(
+      """WITH RECURSIVE seeds AS (
+        |  SELECT dst AS id FROM graft_citation_edges
+        |  GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 5),
+        |r(id, hop) AS (
+        |  SELECT id, 0 AS hop FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, r.hop + 1 FROM r
+        |  JOIN graft_citation_edges e ON e.src = r.id
+        |  WHERE r.hop < 3)
+        |SELECT id AS paper_id, CAST(min(hop) AS INT) AS min_hop
+        |FROM r GROUP BY id""".stripMargin)
+  }
+
+  val citationReachSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+      |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+      |seeds AS (SELECT dst AS id FROM e
+      |          GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 5),
+      |r(id, hop) AS (
+      |  SELECT id, 0 AS hop FROM seeds
+      |  UNION ALL
+      |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.id
+      |  WHERE r.hop < 3)
+      |SELECT id AS paper_id, CAST(min(hop) AS INT) AS min_hop
+      |FROM r GROUP BY id ORDER BY paper_id""".stripMargin
+
   /** PageRank over the citation graph — the canonical iterative graph
     * computation, expressed as repeated join+aggregate rounds
     * (Pregel-style message passing in DataFrame form): each paper sends

@@ -21,6 +21,15 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(ns(0) > 0, "no viewers in the corpus - fixture not exercising the funnel")
   }
 
+  test("citation_reach: exactly 5 seeds at hop 0, hops bounded at 3") {
+    val r = Citations.citationReach(spark, sf).as[(String, Int)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x._2 >= 0 && x._2 <= 3))
+    assert(r.count(_._2 == 0) === 5, "seed set must sit at hop 0")
+    // paper_ids unique (min-hop is a function)
+    assert(r.map(_._1).distinct.length === r.length)
+  }
+
   test("events_retention: offset-0 equals cohort sizes; later offsets never exceed") {
     val r = EventAnalytics.eventsRetention(spark, sf)
       .as[(java.sql.Timestamp, Int, Long)].collect()

@@ -71,11 +71,7 @@ object DedupProps extends Properties("Dedup") {
       import spark.implicits._
       val got = Dedup.dedupNearFrom(c.docs.toDF("doc_id", "text"))
         .as[(Long, Long, Long, Long)].collect().toSet
-      val expected = oracle(c.docs)
-      if (got != expected) {
-        println(s"MISMATCH got=$got expected=$expected")
-      }
-      got == expected
+      got == oracle(c.docs)
     }
 
   property("dedup_near invariant under repartition(k)") =
