@@ -145,7 +145,11 @@ object Citations {
     * recursive SQL in DuckDB — the point is that the declarative
     * iterative form is now portable across both engines. */
   def citationReach(s: SparkSession, d: String): DataFrame = {
-    edges(s, d).createOrReplaceTempView("graft_citation_edges")
+    // pin the edge frame once: every recursion step joins against it, and
+    // without the checkpoint each step re-scans the parquet and re-derives
+    // the projection (same reasoning as pageRank's static sides)
+    edges(s, d).localCheckpoint()
+      .createOrReplaceTempView("graft_citation_edges")
     s.sql(
       """WITH RECURSIVE seeds AS (
         |  SELECT dst AS id FROM graft_citation_edges
