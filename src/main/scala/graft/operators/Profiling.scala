@@ -49,15 +49,32 @@ object Profiling {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Same operator, unchanged, on the string-heavy documents table —
+    * the schema-driven claim demonstrated on a second shape. */
+  def profileDocuments(s: SparkSession, d: String): DataFrame =
+    profile(Tables.load(s, d, "documents"))
+
+  val profileDocumentsSql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct, count(*) AS n_rows FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "profile_orders" -> (profileOrders _)
+    "profile_orders" -> (profileOrders _),
+    "profile_documents" -> (profileDocuments _)
   )
 
   val oracles: Map[String, String] = Map(
-    "profile_orders" -> profileOrdersSql
+    "profile_orders" -> profileOrdersSql,
+    "profile_documents" -> profileDocumentsSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
-    "profile_orders" -> Seq(col("col_name"))
+    "profile_orders" -> Seq(col("col_name")),
+    "profile_documents" -> Seq(col("col_name"))
   )
 }
