@@ -62,11 +62,14 @@ object Dedup {
       .select(col("doc_id"), expr(s"substr(text, i, $n)").as("sh"))
 
   /** Per-doc shingle arrays for the exact-verify stage, rebuilt from the
-    * exploded rows by a plain collect_list aggregation — the aggregation
+    * exploded rows by a collect_set aggregation — the aggregation
     * exchange doubles as the materialization barrier, so the arrays are
-    * built once per doc, never per candidate pair. */
+    * built once per doc, never per candidate pair. collect_set (not
+    * collect_list): the verify stage computes SET intersection/union, so
+    * deduping at aggregation time shrinks the arrays every candidate
+    * pair walks — identical inter/union sizes by construction. */
   private def shingleArrays(rows: DataFrame): DataFrame =
-    rows.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
+    rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
 
   // ---------- MinHash-LSH ------------------------------------------------
 
