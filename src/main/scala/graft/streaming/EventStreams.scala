@@ -1,10 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.operators.EventAnalytics
+
+/** Per-user funnel progress carried across micro-batches (event-time
+  * micros; None = stage not reached). */
+case class FunnelProgress(vTs: Option[Long], cTs: Option[Long], pTs: Option[Long])
+
+/** Emitted when a user first reaches a funnel stage. */
+case class StageReached(user_id: Long, stage: String, ts: java.sql.Timestamp)
 
 /** Incremental (Structured Streaming) execution of the event-time
   * analytics: the SAME window transforms as batch
@@ -78,6 +86,57 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_users"))
+
+  /** Incremental funnel: per-user view → click → purchase progression as
+    * explicit flatMapGroupsWithState state (the custom-state streaming
+    * pattern — a per-key monotone state machine, not a windowed
+    * aggregate). Emits one [[StageReached]] row the first time a user
+    * reaches each stage, with the batch operator's strict ordering rule
+    * (a click counts only with ts strictly after the first view, a
+    * purchase only strictly after that first qualifying click).
+    *
+    * Exactness contract: identical to [[graft.operators.EventAnalytics
+    * .eventsFunnel]] when events arrive in event-time order ACROSS
+    * micro-batches (within a batch the handler sorts by ts); an earlier
+    * view arriving after the state has advanced cannot rewind it —
+    * streaming funnels are order-sensitive by nature. State is three
+    * optional longs per user, monotone and small; unbounded horizon by
+    * design, like exact dedup. Parity vs the batch stage counts is
+    * asserted in StreamingSpec on a time-split stream. */
+  def funnelStream(events: DataFrame): Dataset[StageReached] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, StageReached](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(None, None, None))
+          val out = List.newBuilder[StageReached]
+          // full microsecond precision: getTime is millis-truncated, and
+          // the strict ordering rule needs the sub-ms part
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          rows.toSeq.sortBy(r => micros(r._3)).foreach { case (_, tpe, ts) =>
+            val t = micros(ts)
+            tpe match {
+              case "view" if st.vTs.isEmpty =>
+                st = st.copy(vTs = Some(t))
+                out += StageReached(user, "1_view", ts)
+              case "click" if st.cTs.isEmpty && st.vTs.exists(_ < t) =>
+                st = st.copy(cTs = Some(t))
+                out += StageReached(user, "2_view_click", ts)
+              case "purchase" if st.pTs.isEmpty && st.cTs.exists(_ < t) =>
+                st = st.copy(pTs = Some(t))
+                out += StageReached(user, "3_view_click_purchase", ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 
   /** Bounded-state variant: `dropDuplicatesWithinWatermark` EVICTS a
     * (type, user) dedup entry once the watermark passes its event time,

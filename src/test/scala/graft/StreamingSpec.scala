@@ -130,4 +130,49 @@ class StreamingSpec extends AnyFunSuite {
     val batch = EventAnalytics.tumblingHour(spark, sf)
     assert(rows(stream) === rows(batch))
   }
+
+  test("streaming funnel: stage counts match batch across time-split micro-batches") {
+    // two micro-batches split very early (2nd percentile of event time),
+    // so nearly every user's funnel spans the split and exercises
+    // cross-batch state carry
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: raw int64 nanos
+    val med = raw.selectExpr("CAST(percentile(ts, 0.02) AS LONG)")
+      .first().getLong(0)
+    val dir = Files.createTempDirectory("graft-funnel").toFile.getAbsolutePath
+    def writePart(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-funnel-tmp").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"))
+      new File(s"$dir/$name").setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writePart(raw.where(col("ts") < med), "000.parquet", now - 60000)
+    writePart(raw.where(col("ts") >= med), "001.parquet", now)
+
+    val emitted = runStream(
+      EventStreams.funnelStream(
+        EventStreams.readEvents(spark, dir, maxFilesPerTrigger = Some(1))).toDF(),
+      "s_funnel")
+    // each user reaches each stage at most once
+    assert(emitted.groupBy("user_id", "stage").count()
+      .where(col("count") > 1).count() === 0)
+    val streamCounts = emitted.groupBy("stage").count()
+      .as[(String, Long)].collect().toMap
+    val batchCounts = EventAnalytics.eventsFunnel(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(streamCounts === batchCounts.filter(_._2 > 0))
+    // cross-batch progress actually exercised: someone reaches a later
+    // stage after the split while their view landed before it
+    val firstBatchViewers = raw.where(col("ts") < med)
+      .where(col("event_type") === "view")
+      .select("user_id").distinct().as[Long].collect().toSet
+    val lateAdvancers = emitted
+      .where(col("stage") =!= "1_view" &&
+        col("ts") >= timestamp_micros(lit(med / 1000)))
+      .select("user_id").as[Long].collect().toSet
+    assert(lateAdvancers.exists(firstBatchViewers.contains),
+      "no user advanced past the split - the split did not test state carry")
+  }
 }
