@@ -21,4 +21,17 @@ object BucketedSink {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Hive-partitioned parquet sink — the training-data handoff layout:
+    * one `col=value/` directory tree per partition column (e.g.
+    * `split=train/lang=en/`), so a downstream trainer reads exactly its
+    * slice with PARTITION PRUNING (the scan's PartitionFilters, no data
+    * read outside the slice — asserted in SinkSpec). Partition columns
+    * should be low-cardinality (split, lang, date); high-cardinality
+    * partitioning shatters the layout into tiny files. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }
