@@ -326,14 +326,16 @@ object Similarity {
   private val PqK = 16         // codes per subspace -> 4 bits each
   private val PqRerank = 80    // ADC shortlist re-ranked exactly
 
-  /** Squared L2 over two small float subvectors, double accumulation in
-    * index order (the codebook math is Euclidean — Jégou et al.'s PQ —
-    * unlike the cosine used for the IVF coarse quantizer). */
+  /** Squared L2 over two float subvectors (the codebook math is Euclidean
+    * — Jégou et al.'s PQ — unlike the cosine used for the IVF coarse
+    * quantizer), through the native codegen kernel
+    * ([[graft.functions.L2SqDistance]], SQL name `l2_sq`): PQ training
+    * and corpus encoding evaluate this corpus × K times per subspace, so
+    * the one-loop kernel (bit-identical fold order to the
+    * `aggregate(zip_with(...))` form) is the difference between a codegen
+    * loop and an interpreted lambda in the hottest PQ stage. */
   private def l2Expr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-       |            (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-       |                      * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    s"l2_sq($a, $b)"
 
   /** (vec_id, m, sub): each vector split into M contiguous subvectors —
     * the PQ decomposition, one explode per vector. */

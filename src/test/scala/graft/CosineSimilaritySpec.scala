@@ -47,6 +47,28 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(fused === hof)
   }
 
+  test("l2_sq: exact values, codegen'd, bit-identical to the HOF fold") {
+    val one = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0f, 4.0f, 6.0f)))
+      .toDF("a", "b").select(expr("l2_sq(a, b)")).as[Double].head()
+    assert(one === 14.0) // 1 + 4 + 9
+    // bit-identical to the interpreted fold on real corpus vectors
+    val pairs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("embedding AS a", "reverse(embedding) AS b")
+    val hof = pairs.selectExpr(
+      """aggregate(zip_with(a, b,
+        |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |            * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d""".stripMargin)
+      .as[Double].collect()
+    val fused = pairs.selectExpr("l2_sq(a, b) AS d").as[Double].collect()
+    assert(fused.toSeq === hof.toSeq)
+    // whole-stage codegen participation, like cosine_sim
+    val plan = pairs.selectExpr("l2_sq(a, b)")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("l2_sq")),
+      s"l2_sq Project not codegen'd:\n$plan")
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     val plan = Tables.load(spark, sf, "embeddings")
       .select(expr("cosine_sim(embedding, embedding)").as("c"))
