@@ -43,15 +43,19 @@ object SparkEntry {
     "cocitation_topk" -> ((s, d) =>
       Citations.coCitationTopk(Citations.edges(s, d))),
     "citation_reach" -> ((s, d) => Citations.citationReach(s, d)),
-    // iterative float fixpoint — rows-only in the driver gate (no SQL
-    // twin); invariants spec-tested in AnalyticsExtraSpec. 6 rounds: the
-    // ranking ordering stabilizes well before the values fully converge
+    // 6 rounds: the ranking ordering stabilizes well before the values
+    // fully converge; invariants spec-tested in AnalyticsExtraSpec
     "citation_pagerank" -> ((s, d) =>
       Citations.pageRank(Citations.edges(s, d), iterations = 6))
   )
 
   private val citationOracles: Map[String, String] = Map(
     "citation_reach" -> Citations.citationReachSql,
+    // a float fixpoint CAN be oracled when the iteration count is fixed
+    // and both engines run operation-identical double arithmetic: the
+    // unrolled CTE's only divergence is summation order (~1e-15 relative),
+    // eight orders below the final round(rank, 8) grid
+    "citation_pagerank" -> Citations.pageRankSql(iterations = 6),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -107,6 +111,7 @@ object SparkEntry {
     "citation_counts_salted" -> Seq(col("paper_id")),
     "citation_degree_dist" -> Seq(col("citations")),
     "citation_reach" -> Seq(col("paper_id")),
+    "citation_pagerank" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

@@ -236,6 +236,46 @@ object Citations {
     ranks.select(col("id").as("paper_id"), round(col("rank"), 8).as("rank"))
   }
 
+  /** DuckDB twin of [[pageRank]]: the fixed-iteration fixpoint UNROLLED as
+    * one chained CTE per round (standard SQL forbids aggregation inside a
+    * recursive term, so unrolling is the portable spelling of a bounded
+    * iteration). Arithmetic is kept operation-for-operation identical to
+    * the Spark side — same `(1 - d)/n` spelling, same coalesce points,
+    * same final `round(rank, 8)` — so the only cross-engine difference is
+    * floating-point summation ORDER, whose ~1e-15 relative noise sits
+    * eight orders of magnitude below the rounding grid. That makes this
+    * float fixpoint hash-matchable, not just rows-only. */
+  def pageRankSql(iterations: Int = 6, damping: Double = 0.85): String = {
+    // bare decimal literals parse as DECIMAL in DuckDB; the CAST keeps
+    // every operation in IEEE doubles, mirroring the Scala expressions
+    val d = s"CAST($damping AS DOUBLE)"
+    val rounds = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.id, nd.deg,
+         |    (1 - $d) / (SELECT n FROM params)
+         |    + $d * (coalesce(inbox.s, 0.0)
+         |        + (SELECT coalesce(sum(rank), 0.0) FROM r${k - 1} WHERE deg IS NULL)
+         |          / (SELECT n FROM params)) AS rank
+         |  FROM nd
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(p.rank / p.deg) AS s
+         |    FROM e JOIN r${k - 1} p ON p.id = e.src
+         |    WHERE p.deg IS NOT NULL
+         |    GROUP BY e.dst) inbox ON inbox.dst = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+       |nd AS (SELECT n.id, d.deg FROM nodes n LEFT JOIN deg d USING (id)),
+       |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT id, deg, 1.0 / (SELECT n FROM params) AS rank FROM nd),
+       |$rounds
+       |SELECT id AS paper_id, round(rank, 8) AS rank
+       |FROM r$iterations ORDER BY paper_id""".stripMargin
+  }
+
   /** O16 (reference check.py:31-33): console top-k print. The reference's
     * label says "Top 10" but prints 30 (SURVEY.md §2.3.7 — a cosmetic bug);
     * the spec is 30 rows, so that is what we label and print. */
