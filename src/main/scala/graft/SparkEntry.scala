@@ -140,6 +140,7 @@ object SparkEntry {
     "agg_percentiles" -> Seq(col("o_orderpriority")),
     "unpivot_revenue" -> Seq(col("l_returnflag"), col("metric")),
     "subquery_above_brand_avg" -> Seq(col("p_partkey")),
+    "q4_late_orders" -> Seq(col("o_orderpriority")),
     "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
     "events_sliding_hour" -> Seq(col("window_start")),
     "events_sessionize" -> Seq(col("user_id"), col("session_start")),

@@ -67,9 +67,21 @@ object Dedup {
     * built once per doc, never per candidate pair. collect_set (not
     * collect_list): the verify stage computes SET intersection/union, so
     * deduping at aggregation time shrinks the arrays every candidate
-    * pair walks — identical inter/union sizes by construction. */
+    * pair walks — identical inter/union sizes by construction.
+    *
+    * Elements are the 8-byte `xxhash64` fingerprints of the shingles, not
+    * the strings: the exchange carries longs instead of shingle text (for
+    * char 9-grams that is ~every corpus byte ×9 through the shuffle), and
+    * the candidate-pair set ops compare longs instead of strings. The
+    * set SIZES — the only thing the verify stage reads — equal the
+    * string-set sizes unless two distinct shingles of the same pair
+    * collide in 64 bits: at ~10⁴ shingles per pair that probability is
+    * ~10⁻¹², far below the LSH stage's own documented miss probability,
+    * and DedupSpec's brute-force twin pins the emitted sizes against the
+    * string formulation. */
   private def shingleArrays(rows: DataFrame): DataFrame =
-    rows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+    rows.groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("sh"))).as("shingles"))
 
   // ---------- MinHash-LSH ------------------------------------------------
 
@@ -330,6 +342,84 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Position-carrying variant of [[wordShingleRowsFrom]]: one
+    * (doc_id, n_tok, i, sh) row per word-n-gram occurrence, for operators
+    * that need to map a shingle hit back onto the token positions it
+    * covers. Same codegen'd explode+slice shape, same short-doc fallback. */
+  private def wordShinglePosRows(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tok"),
+        explode(expr(s"sequence(1, greatest(size(ws) - ${n - 1}, 1))")).as("i"))
+      .select(col("doc_id"), col("n_tok"), col("i"),
+        expr(s"concat_ws(' ', slice(ws, i, $n))").as("sh"))
+
+  /** Exact-substring duplication coverage (the MassiveText/RefinedWeb-style
+    * span-dedup signal): for each doc, how many of its token positions are
+    * covered by some word 10-gram that also occurs in ANOTHER doc. The
+    * per-doc `dup_token` fraction is the usual "drop or trim" decision
+    * input for exact-substring dedup.
+    *
+    * Scale shape — every exchange carries longs, never text:
+    *  1. cross-doc duplicated shingles are found by `groupBy(xxhash64(sh))`
+    *     keeping groups with `min(doc_id) <> max(doc_id)` — a single
+    *     map-side-combining aggregate over 8-byte keys (min≠max detects
+    *     "seen in ≥2 docs" without a countDistinct expand);
+    *  2. occurrences re-find their group by an equi-join on the same hash;
+    *  3. covered positions explode as integer sequences, deduped by a
+    *     (doc_id, pos) distinct, counted per doc.
+    * 64-bit shingle collisions could only merge two distinct shingles into
+    * one group (~1e-8 at corpus scale), far below the signal noise floor;
+    * the DuckDB twin groups on the strings themselves and hash-matches. */
+  def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    val rows = wordShinglePosRows(Tables.load(s, d, "documents"), 10)
+      .select(col("doc_id"), col("n_tok"), col("i"), xxhash64(col("sh")).as("h"))
+    val dup = rows.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .where(col("lo") =!= col("hi")).select(col("h"))
+    val covered = rows.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr("sequence(i, least(i + 9, CAST(n_tok AS INT)))")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
+  /** Benchmark-contamination audit: for each HOLDOUT doc (the hash split
+    * of Pipeline.sampleSplit — deterministic, computable per record), how
+    * many of its distinct word 8-grams also occur anywhere in the TRAIN
+    * split. The canonical pre-training leakage check, run eval-set-by-
+    * eval-set before training.
+    *
+    * Scale shape: both sides reduce to DISTINCT 8-byte shingle hashes
+    * before meeting — the train side is one `distinct` of longs (the big
+    * aggregate, map-side combining), the holdout side one distinct of
+    * (doc_id, long). The hit count is a left-semi join on the hash: at
+    * real scale the EVAL side is the tiny one (a benchmark suite, not 12%
+    * of the corpus), so AQE broadcast-flips the probe; the shuffle spelling
+    * here is the general case. The DuckDB twin joins the strings. */
+  def contaminationCheck(s: SparkSession, d: String): DataFrame = {
+    val withSplit = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) < "e").as("is_train"))
+    def shingles(df: DataFrame) =
+      wordShingleRowsFrom(df, 8).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val trainH = shingles(withSplit.where(col("is_train")))
+      .select(col("h")).distinct()
+    val evalSh = shingles(withSplit.where(!col("is_train"))).distinct()
+    val totals = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(trainH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   // ---------- DuckDB twins ----------------------------------------------
 
   private val wordShinglesCte: String =
@@ -374,7 +464,9 @@ object Dedup {
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "dedup_ngram" -> (dedupNgram _),
     "simhash_fingerprints" -> (simhashFingerprints _),
-    "simhash_pairs" -> (simhashPairs _)
+    "simhash_pairs" -> (simhashPairs _),
+    "dedup_spans" -> (dedupSpans _),
+    "contamination_check" -> (contaminationCheck _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -407,7 +499,39 @@ object Dedup {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, n_tok, i, array_to_string(ws[i:i+9], ' ') AS sh
+        |  FROM (SELECT doc_id, ws, len(ws) AS n_tok,
+        |          unnest(generate_series(1, greatest(len(ws) - 9, 1))) AS i
+        |        FROM t)),
+        |dup AS (SELECT sh FROM sh GROUP BY sh HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, unnest(generate_series(s.i, least(s.i + 9, s.n_tok))) AS p
+        |  FROM sh s JOIN dup USING (sh)),
+        |per_doc AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+        |       coalesce(p.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
+        |FROM t LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' AS is_train
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, is_train, array_to_string(ws[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, is_train, ws,
+        |          unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+        |        FROM t)),
+        |tr AS (SELECT DISTINCT sh FROM sh WHERE is_train),
+        |ev AS (SELECT doc_id, sh FROM sh WHERE NOT is_train)
+        |SELECT ev.doc_id, count(*)::BIGINT AS n_shingles,
+        |       count(tr.sh)::BIGINT AS n_hits
+        |FROM ev LEFT JOIN tr USING (sh)
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -416,6 +540,8 @@ object Dedup {
     "dedup_clusters" -> Seq(col("doc_id")),
     "dedup_ngram" -> Seq(col("doc_a"), col("doc_b")),
     "simhash_fingerprints" -> Seq(col("doc_id")),
-    "simhash_pairs" -> Seq(col("doc_a"), col("doc_b"))
+    "simhash_pairs" -> Seq(col("doc_a"), col("doc_b")),
+    "dedup_spans" -> Seq(col("doc_id")),
+    "contamination_check" -> Seq(col("doc_id"))
   )
 }

@@ -384,6 +384,34 @@ object Relational {
       .where(col("p_retailprice") > col("brand_avg"))
   }
 
+  /** TPC-H Q4 pattern: correlated EXISTS, decorrelated to a left-semi
+    * join (the plan Catalyst produces for EXISTS, written directly):
+    * orders in a one-quarter window having at least one lineitem that
+    * shipped more than 30 days after the order date, counted by priority.
+    * The semi-join probes on o_orderkey and keeps the first match per
+    * order — no duplicate-then-distinct, no correlated re-execution; the
+    * inequality rides the join condition so it filters DURING the probe. */
+  def q4LateOrders(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-04-01 00:00:00"))
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q4LateOrdersSql: String =
+    """SELECT o.o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
   val subqueryAboveBrandAvgSql: String =
     """SELECT p_partkey, p_brand, p_retailprice, brand_avg FROM (
       |  SELECT p_partkey, p_brand, p_retailprice,
@@ -470,7 +498,8 @@ object Relational {
     "scalar_string_funcs" -> (scalarStringFuncs _),
     "scalar_date_monthly" -> (scalarDateMonthly _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
-    "subquery_above_brand_avg" -> (subqueryAboveBrandAvg _)
+    "subquery_above_brand_avg" -> (subqueryAboveBrandAvg _),
+    "q4_late_orders" -> (q4LateOrders _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +526,7 @@ object Relational {
     "scalar_string_funcs" -> scalarStringFuncsSql,
     "scalar_date_monthly" -> scalarDateMonthlySql,
     "pivot_status_by_priority" -> pivotStatusByPrioritySql,
-    "subquery_above_brand_avg" -> subqueryAboveBrandAvgSql
+    "subquery_above_brand_avg" -> subqueryAboveBrandAvgSql,
+    "q4_late_orders" -> q4LateOrdersSql
   )
 }

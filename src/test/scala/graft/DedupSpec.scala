@@ -131,4 +131,56 @@ class DedupSpec extends AnyFunSuite {
       .map(p => (p._1, p._2)).toSet
     assert(got === brute)
   }
+
+  test("dedup_spans: hashed-shingle coverage equals the string-keyed twin") {
+    import org.apache.spark.sql.functions._
+    // string-keyed twin of the operator (what the DuckDB oracle does):
+    // group occurrences by the shingle STRING, not its 64-bit hash
+    val rows = Tables.load(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws", size($"ws").cast("long").as("n_tok"),
+        explode(expr("sequence(1, greatest(size(ws) - 9, 1))")).as("i"))
+      .select($"doc_id", $"n_tok", $"i",
+        expr("concat_ws(' ', slice(ws, i, 10))").as("sh"))
+    val dup = rows.groupBy($"sh")
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .where($"lo" =!= $"hi").select($"sh")
+    val expected = rows.join(dup, Seq("sh"), "left_semi")
+      .select($"doc_id",
+        explode(expr("sequence(i, least(i + 9, CAST(n_tok AS INT)))")).as("p"))
+      .distinct().groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.dedupSpans(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === Tables.load(spark, sf, "documents").count())
+    got.foreach { case (id, nTok, nDup) =>
+      assert(nDup >= 0 && nDup <= nTok, s"doc $id coverage $nDup out of $nTok")
+      assert(nDup === expected.getOrElse(id, 0L), s"doc $id")
+    }
+    assert(got.exists(_._3 > 0), "corpus has near-dups; no covered spans found")
+  }
+
+  test("contamination_check: hashed overlap equals the string-keyed twin; holdout rows only") {
+    import org.apache.spark.sql.functions._
+    val withSplit = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text",
+        (substring(md5($"doc_id".cast("string")), 1, 1) < "e").as("is_train"))
+    def sh(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr("sequence(1, greatest(size(ws) - 7, 1))")).as("i"), $"ws")
+      .select($"doc_id", expr("concat_ws(' ', slice(ws, i, 8))").as("s"))
+      .distinct()
+    val train = sh(withSplit.where($"is_train")).select($"s").distinct()
+    val expected = sh(withSplit.where(!$"is_train"))
+      .join(train, Seq("s"), "left_semi")
+      .groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    val holdoutIds = withSplit.where(!$"is_train").select($"doc_id")
+      .as[Long].collect().toSet
+    val got = Dedup.contaminationCheck(spark, sf).as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === holdoutIds)
+    got.foreach { case (id, n, hits) =>
+      assert(hits >= 0 && hits <= n)
+      assert(hits === expected.getOrElse(id, 0L), s"doc $id")
+    }
+  }
 }

@@ -121,4 +121,25 @@ class RelationalSpec extends AnyFunSuite {
       assert(!globalSort, s"$n plans a global Sort:\n$p")
     }
   }
+
+  test("q4_late_orders plans a LEFT SEMI join and matches the SQL EXISTS form") {
+    val df = graft.operators.Relational.q4LateOrders(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
+    Tables.load(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    Tables.load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    val viaSql = spark.sql(
+      """SELECT o.o_orderpriority, count(*) AS n_orders
+        |FROM orders_v o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem_v l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o.o_orderpriority""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    val got = df.as[(String, Long)].collect().toMap
+    assert(got === viaSql)
+    assert(got.values.sum > 0)
+  }
 }
