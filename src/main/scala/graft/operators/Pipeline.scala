@@ -162,6 +162,88 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Weighted domain mixing with UPSAMPLING — the data-recipe step that
+    * sets per-source epoch multiplicity (a source with weight 2.5 is seen
+    * 2.5× per training epoch). Each doc emits `floor(w)` copies plus one
+    * more iff its hash-fraction falls under `frac(w)` — so a source's
+    * emitted row count is within 1 doc-hash quantum of `w · n_source`,
+    * and WHICH docs get the extra epoch is content-hash-deterministic
+    * (stable under reruns, repartitioning, engines), not RNG-sampled.
+    * The fractional test reuses [[sampleStratified]]'s equal-length-hex
+    * compare: threshold = %04x of floor(frac(w)·65536), survive iff
+    * md5(doc_id)[0..4) < threshold. Weights here derive from the source
+    * number (1.0/1.5/2.0/2.5 cycling) so every branch — integer weight,
+    * fractional weight, no-extra-copy — is exercised and oracled.
+    * Shape: per-row projection + explode of a ≤3-element sequence; no
+    * shuffle, no stratum table (the weight is computable per record). */
+  def mixEpochs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        (lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 4)
+          .cast("double") * 0.5).as("w"))
+      .select(col("doc_id"), col("source"),
+        floor(col("w")).cast("int").as("base"),
+        format_string("%04x",
+          ((col("w") - floor(col("w"))) * 65536).cast("int")).as("thresh"))
+      .select(col("doc_id"), col("source"),
+        (col("base") +
+          when(substring(md5(col("doc_id").cast("string")), 1, 4)
+            < col("thresh"), 1).otherwise(0)).as("n_copies"))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, n_copies)")).as("epoch"))
+
+  val mixEpochsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CAST(1 AS DOUBLE)
+      |      + (CAST(substr(source, 4) AS INT) % 4) * CAST(0.5 AS DOUBLE) AS w
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(w) AS INT)
+      |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      |             < printf('%04x', CAST((w - floor(w)) * 65536 AS INT))
+      |           THEN 1 ELSE 0 END AS n_copies
+      |  FROM w)
+      |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
+      |FROM n ORDER BY doc_id, epoch""".stripMargin
+
+  /** Deterministic global training order (the corpus shuffle every epoch
+    * needs), WITHOUT the single-partition global window: the shuffle key
+    * is md5(seed:doc_id), its first byte is a bucket, and the global
+    * ordinal is (bucket offset) + (within-bucket rank) — exact, because
+    * the bucket is a PREFIX of the sort key, so ordering by (bucket,
+    * rest) is ordering by the key. The within-bucket row_number windows
+    * run in parallel across 256 hash-balanced buckets; the offset table
+    * is a 256-row aggregate (its tiny ordering window is driver-scale by
+    * construction) broadcast back. Changing `seed` reshuffles; the same
+    * seed reproduces the identical order on any engine. */
+  def corpusShuffle(s: SparkSession, d: String,
+                    seed: String = "epoch0"): DataFrame = {
+    val keyed = Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("bucket", substring(col("skey"), 1, 2))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wRank = Window.partitionBy(col("bucket"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed.withColumn("r", row_number().over(wRank))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"),
+        (col("offset") + col("r")).cast("long").as("shuffle_pos"))
+  }
+
+  val corpusShuffleSql: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |    AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Sequence packing: assign documents to token-budget batches
     * (cumulative token count within a shard, batch = cum_before div
     * budget). Packing is SHARDED on purpose: a single global running sum
@@ -200,7 +282,9 @@ object Pipeline {
     "sample_stratified" -> (sampleStratified _),
     "pipeline_e2e" -> (pipelineE2e _),
     "documents_deduped" -> (documentsDeduped _),
-    "pack_batches" -> ((s, d) => packBatches(s, d))
+    "pack_batches" -> ((s, d) => packBatches(s, d)),
+    "mix_epochs" -> (mixEpochs _),
+    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,7 +292,9 @@ object Pipeline {
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "documents_deduped" -> documentsDedupedSql,
-    "pack_batches" -> packBatchesSql
+    "pack_batches" -> packBatchesSql,
+    "mix_epochs" -> mixEpochsSql,
+    "corpus_shuffle" -> corpusShuffleSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -216,6 +302,8 @@ object Pipeline {
     "sample_stratified" -> Seq(col("doc_id")),
     "pipeline_e2e" -> Seq(col("doc_id")),
     "documents_deduped" -> Seq(col("doc_id")),
-    "pack_batches" -> Seq(col("doc_id"))
+    "pack_batches" -> Seq(col("doc_id")),
+    "mix_epochs" -> Seq(col("doc_id"), col("epoch")),
+    "corpus_shuffle" -> Seq(col("doc_id"))
   )
 }

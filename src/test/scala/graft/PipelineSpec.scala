@@ -103,4 +103,56 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mix_epochs: copies per doc are floor(w) or floor(w)+1; source totals track w") {
+    val docs = Tables.load(spark, sf, "documents")
+    val srcN = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val rows = Pipeline.mixEpochs(spark, sf).as[(Long, String, Int)].collect()
+    def weight(src: String): Double = 1.0 + (src.drop(3).toInt % 4) * 0.5
+    // per-doc: epochs are exactly 1..n with n in {floor(w), floor(w)+1}
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((id, src), rs) =>
+      val epochs = rs.map(_._3).sorted.toSeq
+      assert(epochs === (1 to epochs.length), s"doc $id epochs $epochs")
+      val base = math.floor(weight(src)).toInt
+      assert(epochs.length === base || epochs.length === base + 1,
+        s"doc $id from $src emitted ${epochs.length} copies for w=${weight(src)}")
+    }
+    // per-source totals within hash noise of w * n (±3 sigma of Binomial)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val expect = weight(src) * srcN(src)
+      val sigma = math.sqrt(srcN(src) * 0.25) // worst-case frac variance
+      assert(math.abs(rs.length - expect) <= math.max(4.0, 3 * sigma),
+        s"$src emitted ${rs.length}, expected ~$expect")
+    }
+    // per-row op: the plan must not shuffle the corpus
+    val plan = Pipeline.mixEpochs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mix_epochs shuffles:\n$plan")
+  }
+
+  test("corpus_shuffle: a 1..N permutation matching the global-window twin") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Pipeline.corpusShuffle(spark, sf).as[(Long, Long)].collect()
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(got.length === n)
+    assert(got.map(_._2).sorted.toSeq === (1L to n)) // exact permutation
+    // the bucketed two-phase ordinal must equal the direct (unscalable)
+    // global-window formulation
+    val twin = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("p", row_number().over(Window.orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("p").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, pos) => assert(pos === twin(id), s"doc $id") }
+    // seed changes the order
+    val reseeded = Pipeline.corpusShuffle(spark, sf, seed = "epoch1")
+      .as[(Long, Long)].collect().toMap
+    val same = got.count { case (id, pos) => reseeded(id) == pos }
+    assert(same < n / 4, s"$same/$n positions unchanged across seeds")
+    // the corpus-sized window is bucket-partitioned (parallel); no
+    // single-partition global sort-window over the corpus
+    val plan = Pipeline.corpusShuffle(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("[bucket"), s"within-bucket window missing:\n$plan")
+  }
 }

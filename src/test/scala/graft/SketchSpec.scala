@@ -45,6 +45,37 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch overestimates token counts by at most eps * total") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.util.sketch.CountMinSketch
+    // heavy-hitter counting under memory bounds: the CMS guarantee is
+    // count <= estimate <= count + eps * N with probability 1 - delta.
+    // Build the sketch distributed (one partial per partition, merged by
+    // the aggregate — the map-side-combine shape), read it on the driver.
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+    val exact = toks.groupBy($"tok").count().as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    val eps = 0.005
+    val sketchBytes = toks
+      .select(count_min_sketch($"tok", lit(eps), lit(0.01), lit(42)).as("s"))
+      .first().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val top = exact.toSeq.sortBy(-_._2).take(50)
+    top.foreach { case (tok, ex) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= ex, s"CMS underestimated '$tok': $est < $ex")
+      assert(est <= ex + (eps * total).toLong + 1,
+        s"CMS overestimated '$tok' beyond the eps bound: $est vs $ex")
+    }
+    // the top-k ranking by CMS estimate agrees on the clear heavy hitters
+    val exactTop10 = top.take(10).map(_._1).toSet
+    val cmsTop10 = exact.keys.toSeq.map(t => t -> cms.estimateCount(t))
+      .sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    assert((exactTop10 & cmsTop10).size >= 8,
+      s"CMS top-10 diverged: $cmsTop10 vs $exactTop10")
+  }
+
   test("approx percentile brackets the exact percentile (order totals)") {
     val exactMedian = Tables.load(spark, sf, "orders")
       .select(expr("percentile(o_totalprice, 0.5)")).first().getDouble(0)
