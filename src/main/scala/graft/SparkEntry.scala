@@ -147,6 +147,7 @@ object SparkEntry {
     "events_json_extract" -> Seq(col("event_type")),
     "events_distinct_users" -> Seq(col("event_type")),
     "events_funnel" -> Seq(col("stage")),
+    "events_attribution" -> Seq(col("event_id")),
     "events_retention" -> Seq(col("cohort_day"), col("day_offset")),
     "events_daily_share" -> Seq(col("day"), col("event_type"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++

@@ -298,7 +298,57 @@ object EventAnalytics {
       |UNION ALL SELECT '3_view_click_purchase', count(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** The view→purchase attribution INTERVAL JOIN as joined pairs — every
+    * (purchase, preceding view within 1 h by the same user). Factored out
+    * so the streaming twin ([[graft.streaming.EventStreams
+    * .attributionStream]]) runs the IDENTICAL join expression as a
+    * watermarked stream-stream join; parity on the pair set is asserted
+    * in StreamingSpec. Inner join: pairs only. */
+  def attributionPairsFrom(events: DataFrame): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    purchases.join(views,
+      col("v_user") === col("user_id") &&
+        col("view_ts") <= col("p_ts") &&
+        col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"), col("view_ts"), col("p_ts"))
+  }
+
+  /** Per-purchase attribution counts: how many views by the same user in
+    * the hour before each purchase (0 kept via left join). The equi-key
+    * (user_id) carries the join — the time bound is a post-probe filter,
+    * so this shuffles both sides once on user_id, never a cartesian; at
+    * skew (one hot user) the interval bound caps the per-key pair
+    * blow-up at views-per-hour × purchases of that user. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    purchases.join(views,
+        col("v_user") === col("user_id") &&
+          col("view_ts") <= col("p_ts") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .groupBy(col("event_id"), col("user_id"), col("p_ts"))
+      .agg(count(col("view_ts")).as("n_views_1h"))
+  }
+
+  val eventsAttributionSql: String =
+    """WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.p_ts, count(v.view_ts) AS n_views_1h
+      |FROM p LEFT JOIN v
+      |  ON v.user_id = p.user_id
+      | AND v.view_ts <= p.p_ts AND v.view_ts >= p.p_ts - INTERVAL 1 HOUR
+      |GROUP BY p.event_id, p.user_id, p.p_ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (eventsAttribution _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
     "join_asof" -> (joinAsof _),
@@ -312,6 +362,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_attribution" -> eventsAttributionSql,
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,
     "join_asof" -> joinAsofSql,

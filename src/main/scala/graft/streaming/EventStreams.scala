@@ -151,4 +151,33 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_users"))
+
+  /** Watermarked STREAM-STREAM interval join — the incremental twin of
+    * [[graft.operators.EventAnalytics.attributionPairsFrom]]: purchases
+    * joined to same-user views from the preceding hour, both sides fed
+    * from the event stream. The join expression is the batch one
+    * verbatim; what streaming adds is state management, and the interval
+    * condition is what makes it bounded: a view can only ever match
+    * purchases within [view_ts, view_ts + 1 h], so once the purchase
+    * watermark passes view_ts + 1 h the view's state row is evicted —
+    * state holds ~one hour of views + `delay` of purchases, independent
+    * of stream length. The view side's watermark is delay + the 1 h join
+    * window, so a view is never dropped while a purchase it could match
+    * is still admissible. Inner join ⇒ pairs emit as soon as both rows
+    * have arrived (no flush-wait); parity on the pair SET vs batch is
+    * asserted in StreamingSpec. */
+  def attributionStream(events: DataFrame,
+                        delay: String = DefaultDelay): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "70 minutes") // = DefaultDelay + the 1 h window
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    purchases.join(views,
+        col("v_user") === col("user_id") &&
+          col("view_ts") <= col("p_ts") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"), col("view_ts"), col("p_ts"))
+  }
 }

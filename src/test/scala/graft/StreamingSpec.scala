@@ -175,4 +175,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(lateAdvancers.exists(firstBatchViewers.contains),
       "no user advanced past the split - the split did not test state carry")
   }
+
+  test("stream-stream attribution join: pair set == batch interval join") {
+    val stream = runStream(
+      EventStreams.attributionStream(events()), "s_attrib")
+      .where(col("event_id") >= 0) // drop any sentinel-side artifacts
+    val batch = EventAnalytics.attributionPairsFrom(
+      Tables.load(spark, sf, "events"))
+    assert(rows(stream) === rows(batch))
+    assert(rows(stream).nonEmpty, "no view->purchase pairs in the corpus")
+    // the join state is interval-bounded: pairs span at most one hour
+    val spans = spark.table("s_attrib")
+      .select((unix_micros(col("p_ts")) - unix_micros(col("view_ts"))).as("d"))
+      .as[Long].collect()
+    assert(spans.forall(d => d >= 0 && d <= 3600L * 1000000L))
+  }
 }
