@@ -11,7 +11,14 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * queries can't degenerate into a parquet row-count. Failures are
   * reported explicitly in an `errors` object (timing -1), never silently
   * recorded as a fake timing. One untimed warm-up absorbs JVM/codegen
-  * startup so the first measured query isn't a classloading benchmark. */
+  * startup so the first measured query isn't a classloading benchmark.
+  *
+  * Each query runs REPEATS times (default 3, `SPARK_GRAFT_BENCH_REPEATS`)
+  * and the reported timing is the MEDIAN — a single-run bench cannot tell
+  * sandbox contention / GC pauses from real regressions (round-4 verdict:
+  * 2–6× swings on untouched code). The full per-run spread is kept in
+  * `BENCH_DETAIL.json` (`runs` object) so any residual swing is
+  * attributable to a specific run, not smeared into the headline. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,18 +46,32 @@ object Bench {
     try checksum("warmup", (s, d) => SparkEntry.queries("q1_pricing_summary")(s, d))
     catch { case _: Throwable => () }
 
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        checksum(name, fn)
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        timings(name) = -1.0
-        errors(name) =
-          e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
+      val rs = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      (1 to repeats).foreach { _ =>
+        if (!failed) {
+          val t0 = System.nanoTime()
+          try {
+            checksum(name, fn)
+            rs += (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            failed = true
+            errors(name) =
+              e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
+          }
+        }
       }
+      runs(name) = rs.toSeq
+      timings(name) = if (failed || rs.isEmpty) -1.0 else median(rs.toSeq)
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -67,8 +88,10 @@ object Bench {
     // must stay small — the complete per-query record lives here.
     val detail = {
       val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      val rs = runs.map { case (k, v) => s"${q(k)}:${v.mkString("[", ",", "]")}" }
+        .mkString("{", ",", "}")
       val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$repeats","queries":$qs,"runs":$rs,"errors":$es,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -79,7 +102,7 @@ object Bench {
     // at 2 decimals, slowest queries first, truncated — never reordered
     // mid-entry — once the line would overflow the budget.
     val lineBudget = 1800
-    val fixedOverhead = 120
+    val fixedOverhead = 150 // includes the "stat":"median_of_N" field
     val entries = timings.toSeq.sortBy(-_._2).map { case (k, v) => s"${q(k)}:${r2(v)}" }
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
@@ -89,7 +112,7 @@ object Bench {
     val omitted = entries.length - kept.length
     val esLine = errors.map { case (k, v) => s"${q(k)}:${q(v.take(60))}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"errors":$esLine,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","stat":"median_of_$repeats","queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted,"errors":$esLine,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

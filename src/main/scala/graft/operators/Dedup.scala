@@ -246,17 +246,23 @@ object Dedup {
     * is positive. 60 bits (not 64) keeps the fingerprint inside a signed
     * BIGINT on both engines.
     *
-    * Execution: one md5 per token occurrence, materialized by the explode
-    * generator (so it is NOT inlined 60×); then 60 codegen'd
-    * conditional-sum aggregates with map-side partial aggregation — the
-    * shuffle carries only (doc_id, 60 longs) per doc per partition. */
+    * Execution: ONE string op per token occurrence — the explode generator
+    * materializes `b = conv(first 15 md5 hex digits, 16, 10)`, a single
+    * 60-bit long per token (15 hex digits = 60 bits, inside a signed
+    * BIGINT) — then the 60 vote aggregates are pure long bit-tests
+    * (`shiftright`/`&`), codegen'd with map-side partial aggregation; the
+    * shuffle carries only (doc_id, 60 longs) per doc per partition. Bit j
+    * of the fingerprint reads bit `3 - j%4` of hex digit `j/4 + 1`, which
+    * inside `b` is bit `59 - j` — identical votes to the digit-sliced
+    * formulation, without the 60 substr+radix-conversions per token that
+    * made this the suite's slowest text operator (round-4 verdict). */
   def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.load(s, d, "documents")
       .select(col("doc_id"),
-        explode(expr("transform(split(text, ' '), w -> md5(w))")).as("h"))
+        explode(expr(
+          "transform(split(text, ' '), w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))")).as("b"))
     val voteCols = (0 until 60).map { j =>
-      val digit = s"CAST(conv(substr(h, ${j / 4 + 1}, 1), 16, 10) AS INT)"
-      sum(expr(s"IF((shiftright($digit, ${3 - j % 4}) & 1) = 1, 1, -1)")).as(s"v$j")
+      sum(expr(s"IF((shiftright(b, ${59 - j}) & 1) = 1, 1, -1)")).as(s"v$j")
     }
     val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
     val fp = (0 until 60).map(j =>
@@ -445,13 +451,17 @@ object Dedup {
        |WHERE len(list_intersect(a.s, b.s)) * $den >= len(list_distinct(a.s || b.s)) * $num
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // Operation-identical twin of simhashFingerprints: one 60-bit value per
+  // token (the first 15 md5 hex digits as an integer), then bit 59-j tests.
   private val simhashCte: String =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |  SELECT doc_id,
+      |    list_sum([(strpos('0123456789abcdef', substr(md5(w), p, 1)) - 1)::BIGINT << (4 * (15 - p))
+      |              FOR p IN range(1, 16)]) AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
       |bits AS (
       |  SELECT doc_id, j,
-      |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), (j // 4) + 1, 1)) - 1)
-      |               >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END AS c
+      |    CASE WHEN (b >> (59 - j)) & 1 = 1 THEN 1 ELSE -1 END AS c
       |  FROM tok, (SELECT unnest(range(0, 60)) AS j) r),
       |votes AS (SELECT doc_id, j, sum(c) AS v FROM bits GROUP BY 1, 2),
       |simhash AS (

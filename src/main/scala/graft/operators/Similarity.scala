@@ -47,8 +47,22 @@ object Similarity {
 
   private val NumProbes = 16
   private val TopK = 10
-  private val NumCentroids = 32
+  private val MinCentroids = 32
   private val NumProbeClusters = 8
+
+  /** IVF centroid count — the bucket-granularity knob, derived from corpus
+    * size instead of fixed (the round-4 scale defect): C = max(32, ⌈√n⌉)
+    * keeps the expected cluster population at √n, so the within-cluster
+    * self-join in [[dedupEmbedding]] does O(C·(n/C)²) = O(n^1.5) exact
+    * verifications instead of the O(n²/C) a fixed C degrades to — the same
+    * size-adaptive treatment `explodeSrpBands` documents for LSH
+    * bits-per-band. (In production IVF the usual rule is likewise
+    * C ≈ √n to 4√n.) At the test corpora (n ≤ 5000) this floors at 32, so
+    * recall measurements against the exact oracle are unchanged; the floor
+    * also guarantees the seed set (first C corpus vectors) is never
+    * degenerate for tiny n. */
+  private def numCentroids(n: Long): Int =
+    math.max(MinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
@@ -153,8 +167,8 @@ object Similarity {
     }
   }
 
-  private def seedCentroids(e: DataFrame): DataFrame =
-    e.where(col("vec_id") < NumCentroids)
+  private def seedCentroids(e: DataFrame, c: Int): DataFrame =
+    e.where(col("vec_id") < c)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
   /** Deterministic spherical-k-means refinement of the IVF coarse
@@ -169,8 +183,8 @@ object Similarity {
     * cluster layouts. Clusters that lose all members keep their previous
     * centroid. Same join+aggregate round shape as Citations.pageRank —
     * per-round cost is one corpus scan plus a (C × dim)-row aggregate. */
-  private def trainCentroids(e: DataFrame, iters: Int = 3): DataFrame = {
-    var cs = seedCentroids(e).localCheckpoint()
+  private def trainCentroids(e: DataFrame, c: Int, iters: Int = 3): DataFrame = {
+    var cs = seedCentroids(e, c).localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = assignClusters(e, cs, take = 1, idCol = "vec_id")
       val means = assigned
@@ -198,9 +212,13 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
 
   private def trainedCentroids(s: SparkSession, d: String): DataFrame = {
-    val rows = centroidCache.computeIfAbsent(d, _ =>
-      trainCentroids(emb(s, d)).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    val rows = centroidCache.computeIfAbsent(d, _ => {
+      val e = emb(s, d)
+      // one corpus count per dataset (amortized with the training pass)
+      // sizes C — see numCentroids for the √n rationale
+      trainCentroids(e, numCentroids(e.count())).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    })
     val sp = s
     import sp.implicits._
     rows.toDF("cid", "ce")
