@@ -93,14 +93,16 @@ object SparkEntry {
   def queries: Map[String, Q] =
     citationQueries ++ Relational.queries ++ EventAnalytics.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Profiling.queries ++ Pipeline.queries
+      Multimodal.queries ++ Profiling.queries ++ Pipeline.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     citationOracles ++ Relational.oracles ++ EventAnalytics.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Profiling.oracles ++ Pipeline.oracles
+      Multimodal.oracles ++ Profiling.oracles ++ Pipeline.oracles ++
+      Sketches.oracles
 
   /** Deterministic presentation order per query, applied ONLY by the
     * Verify harness before writing (the driver's hash compare wants stable
@@ -152,5 +154,5 @@ object SparkEntry {
     "events_daily_share" -> Seq(col("day"), col("event_type"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
     Similarity.verifyOrder ++ Multimodal.verifyOrder ++
-    Profiling.verifyOrder ++ Pipeline.verifyOrder
+    Profiling.verifyOrder ++ Pipeline.verifyOrder ++ Sketches.verifyOrder
 }

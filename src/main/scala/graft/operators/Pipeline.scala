@@ -249,15 +249,34 @@ object Pipeline {
     * budget). Packing is SHARDED on purpose: a single global running sum
     * would serialize the whole corpus through one partition, while
     * per-shard packing is embarrassingly parallel and is how real
-    * pipelines pack (per input shard/file). Deterministic order within a
-    * shard (doc_id), deterministic shard (doc_id mod 8). */
-  def packBatches(s: SparkSession, d: String, budget: Int = 2000): DataFrame = {
+    * pipelines pack (per input shard/file).
+    *
+    * The shard count is SCALE-ADAPTIVE, not a literal: n_shards =
+    * max(8, ceil(total_tokens / targetShardTokens)), the same treatment
+    * [[Similarity]]'s numCentroids knob got — a fixed shard count would
+    * mean each window partition running-sums corpus/8 tokens at 100 TB
+    * (serialized, spill-heavy), while the target-tokens knob keeps every
+    * shard's running sum at ~targetShardTokens regardless of corpus size
+    * (~6M shards at 25T tokens, each a small independent task). The count
+    * derives from one column-pruned aggregate broadcast back onto the
+    * scan, so shard assignment stays doc_id-deterministic given the
+    * corpus: same docs ⇒ same n_shards ⇒ same shards, on any engine —
+    * the DuckDB twin computes the identical scalar. */
+  def packBatches(s: SparkSession, d: String, budget: Int = 2000,
+                  targetShardTokens: Long = 4L * 1024 * 1024): DataFrame = {
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val nShards = broadcast(toks.agg(
+      greatest(lit(8L),
+        ceil(sum(col("n_tokens")) / lit(targetShardTokens.toDouble)))
+        .as("n_shards")))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.load(s, d, "documents")
+    toks.crossJoin(nShards)
       .select(col("doc_id"),
-        (col("doc_id") % 8).cast("int").as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        (col("doc_id") % col("n_shards")).cast("int").as("shard"),
+        col("n_tokens"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
@@ -265,17 +284,120 @@ object Pipeline {
   }
 
   val packBatchesSql: String =
-    """SELECT doc_id, shard, n_tokens,
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (SELECT greatest(8, CAST(ceil(sum(n_tokens) / 4194304.0) AS BIGINT))
+      |        AS n_shards FROM t)
+      |SELECT doc_id, shard, n_tokens,
       |       CAST(cum_before // 2000 AS BIGINT) AS batch_id FROM (
       |  SELECT doc_id, shard, n_tokens,
       |         coalesce(sum(n_tokens) OVER (
       |           PARTITION BY shard ORDER BY doc_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       |  FROM (
-      |    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-      |           len(string_split(text, ' ')) AS n_tokens
-      |    FROM documents))
+      |    SELECT doc_id, CAST(doc_id % (SELECT n_shards FROM p) AS INT) AS shard,
+      |           n_tokens
+      |    FROM t))
       |ORDER BY doc_id""".stripMargin
+
+  /** The full pretraining-manifest assembly — [[mixEpochs]] →
+    * [[corpusShuffle]] → [[packBatches]] — composed as ONE Catalyst tree,
+    * the way [[pipelineE2e]] composes the cleaning stages. A user wants
+    * the chained manifest as one query: per-source epoch multiplicity,
+    * then a seeded global training order over the (doc, epoch) instances,
+    * then token-budget batch packing along that order.
+    *
+    * Composition is where the plan wins: the mix stage is a per-row
+    * projection + a ≤3-element explode fused straight onto the scan (no
+    * join back to `documents` — n_tokens rides the same row), and the
+    * shuffle and pack stages share ONE exchange+sort: both windows
+    * (`row_number` for the global ordinal, the running token sum for
+    * packing) are defined over the identical (shard, skey-order) spec, so
+    * Catalyst evaluates them in a single Window operator over a single
+    * sort — packing rides the shuffle stage's partitioning for free.
+    * The shard here IS the shuffle bucket (a prefix of the sort key, so
+    * per-shard order is a contiguous slice of the seeded global order):
+    * 256 hash-balanced buckets whose offsets come from a 256-row
+    * broadcast aggregate, exactly [[corpusShuffle]]'s shape. Everything
+    * is md5-deterministic — same corpus + seed ⇒ the same manifest on any
+    * engine, which is what lets DuckDB hash-match a "shuffled" corpus. */
+  def pretrainManifest(s: SparkSession, d: String, seed: String = "epoch0",
+                       budget: Int = 2000): DataFrame = {
+    // stage 1: mix — mixEpochs' weight arithmetic verbatim, carrying
+    // n_tokens so pack needs no second scan
+    val mixed = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 4)
+          .cast("double") * 0.5).as("w"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("w")).cast("int") +
+          when(substring(md5(col("doc_id").cast("string")), 1, 4)
+            < format_string("%04x",
+              ((col("w") - floor(col("w"))) * 65536).cast("int")), 1)
+            .otherwise(0)).as("n_copies"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(1, n_copies)")).as("epoch"))
+    // stage 2: shuffle — the (doc, epoch) instance is the shuffled unit,
+    // so the key covers both; bucket = first byte of the key
+    val keyed = mixed
+      .withColumn("skey", md5(concat(lit(seed), lit(":"),
+        col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))))
+      .withColumn("shard", substring(col("skey"), 1, 2))
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("shard"), col("offset"))
+    // stages 2+3 share this spec: one exchange, one sort, one Window op
+    val wRank = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"), col("epoch"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
+      .join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("epoch"), col("shard"),
+        (col("offset") + col("r")).cast("long").as("shuffle_pos"),
+        col("n_tokens"),
+        expr(s"cum_before div $budget").as("batch_id"))
+  }
+
+  val pretrainManifestSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(1 AS DOUBLE)
+      |      + (CAST(substr(source, 4) AS INT) % 4) * CAST(0.5 AS DOUBLE) AS w
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(floor(w) AS INT)
+      |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      |             < printf('%04x', CAST((w - floor(w)) * 65536 AS INT))
+      |           THEN 1 ELSE 0 END AS n_copies
+      |  FROM w),
+      |e AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
+      |  FROM n),
+      |k AS (
+      |  SELECT doc_id, epoch, n_tokens,
+      |    md5('epoch0:' || CAST(doc_id AS VARCHAR) || ':'
+      |        || CAST(epoch AS VARCHAR)) AS skey
+      |  FROM e),
+      |r AS (
+      |  SELECT doc_id, epoch, substr(skey, 1, 2) AS shard,
+      |    CAST(row_number() OVER (ORDER BY skey, doc_id, epoch) AS BIGINT)
+      |      AS shuffle_pos,
+      |    n_tokens,
+      |    coalesce(sum(n_tokens) OVER (
+      |      PARTITION BY substr(skey, 1, 2) ORDER BY skey, doc_id, epoch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM k)
+      |SELECT doc_id, epoch, shard, shuffle_pos, n_tokens,
+      |       CAST(cum_before // 2000 AS BIGINT) AS batch_id
+      |FROM r ORDER BY doc_id, epoch""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> (sampleSplit _),
@@ -284,7 +406,8 @@ object Pipeline {
     "documents_deduped" -> (documentsDeduped _),
     "pack_batches" -> ((s, d) => packBatches(s, d)),
     "mix_epochs" -> (mixEpochs _),
-    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d))
+    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
+    "pretrain_manifest" -> ((s, d) => pretrainManifest(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,7 +417,8 @@ object Pipeline {
     "documents_deduped" -> documentsDedupedSql,
     "pack_batches" -> packBatchesSql,
     "mix_epochs" -> mixEpochsSql,
-    "corpus_shuffle" -> corpusShuffleSql
+    "corpus_shuffle" -> corpusShuffleSql,
+    "pretrain_manifest" -> pretrainManifestSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -304,6 +428,7 @@ object Pipeline {
     "documents_deduped" -> Seq(col("doc_id")),
     "pack_batches" -> Seq(col("doc_id")),
     "mix_epochs" -> Seq(col("doc_id"), col("epoch")),
-    "corpus_shuffle" -> Seq(col("doc_id"))
+    "corpus_shuffle" -> Seq(col("doc_id")),
+    "pretrain_manifest" -> Seq(col("doc_id"), col("epoch"))
   )
 }

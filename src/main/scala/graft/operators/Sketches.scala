@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate sketches as PRODUCTION queries — the sub-linear-memory
+  * aggregates a 100-TB pipeline runs constantly, where the exact twin
+  * ([[EventAnalytics.distinctUsers]], [[TextAnalysis.tokenTopk]]) is the
+  * correctness oracle but too expensive to be the daily job.
+  *
+  * Sketch internals are engine-specific, so these are NOT DuckDB-oracled
+  * (rows-only in the driver gate, like the ANN family); the contract is
+  * error-bounded agreement with the exact oracled operators, asserted in
+  * SketchSpec.
+  */
+object Sketches {
+
+  /** HLL approximate distinct users per event type — the sketch twin of
+    * [[EventAnalytics.distinctUsers]]. `approx_count_distinct` is
+    * Spark's HyperLogLog++ aggregate: fixed O(2^p) registers per group
+    * regardless of cardinality, mergeable map-side partials, whole-stage
+    * codegen. At 100 TB the exact distinct shuffles every (type, user)
+    * pair; the sketch shuffles a few KB of registers per group. rsd=0.02
+    * ⇒ p=14 registers, ~2% relative error (bound asserted vs the exact
+    * twin in SketchSpec). */
+  def distinctUsersApprox(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+
+  /** Count-min sketch knobs: depth d rows × width w counters. The CMS
+    * guarantee: exact ≤ estimate, and estimate ≤ exact + 2N/w with
+    * probability ≥ 1 − 2^−d per query (Cormode–Muthukrishnan). Width is
+    * the accuracy/memory knob — the whole sketch is d×w longs (320 KB
+    * here) INDEPENDENT of corpus size, which is the point at 100 TB. */
+  val CmsDepth = 5
+  val CmsWidth = 8192
+
+  /** CMS heavy hitters: top-k tokens by count-min estimate — the
+    * bounded-memory twin of [[TextAnalysis.tokenTopk]]'s exact
+    * vocabulary aggregate.
+    *
+    * The sketch is built as a plain DataFrame aggregate, not a binary
+    * blob: each token occurrence increments its d=(row, bucket) cells
+    * with bucket = xxhash64(row, tok) mod w, so the sketch IS a
+    * groupBy(row, bucket).count() whose key space is capped at d×w —
+    * map-side partial aggregation shrinks every input partition to ≤40960
+    * rows before the (tiny) shuffle, no matter how many tokens flow in.
+    * Estimation is the same hash expansion on the DISTINCT vocabulary
+    * joined against the broadcast sketch, min over the d cells. No UDFs,
+    * no driver-side sketch object, everything codegen'd.
+    *
+    * Scale shape: one corpus scan; the sketch shuffle is ≤d×w rows; the
+    * candidate side is vocabulary-sized (vocab ≪ corpus occurrences —
+    * that reduction, occurrences → distinct, is what the whole query
+    * exists for); the sketch join is broadcast by construction. Error
+    * bound + top-k ranking agreement vs the exact twin: SketchSpec. */
+  def tokenHeavyHitters(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val toks = Tables.load(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    def cells(df: DataFrame): DataFrame = df
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("row_i"))
+      .withColumn("bucket", pmod(xxhash64(col("row_i"), col("tok")), lit(CmsWidth)))
+    val sketch = cells(toks)
+      .groupBy(col("row_i"), col("bucket")).agg(count(lit(1)).as("c"))
+    val vocab = toks.distinct()
+    cells(vocab)
+      .join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy(col("tok")).agg(min(col("c")).as("est_count"))
+      .orderBy(col("est_count").desc, col("tok").asc)
+      .limit(k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_distinct_users_approx" -> (distinctUsersApprox _),
+    "token_heavy_hitters" -> ((s, d) => tokenHeavyHitters(s, d))
+  )
+
+  /** No DuckDB twins: sketch register/cell contents are engine-specific
+    * (HLL++ register layout; xxhash64 is Spark-native). The driver gate
+    * records rows-only; the numeric contracts live in SketchSpec. */
+  val oracles: Map[String, String] = Map.empty
+
+  val verifyOrder: Map[String, Seq[Column]] = Map(
+    "events_distinct_users_approx" -> Seq(col("event_type"))
+  )
+}

@@ -104,6 +104,86 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_batches: shard count scales with corpus tokens / targetShardTokens") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val totalTokens = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).first().getLong(0)
+    // default knob at test scale: 8 shards (the floor)
+    val defShards = Pipeline.packBatches(spark, sf)
+      .select("shard").distinct().as[Int].collect().toSet
+    assert(defShards.subsetOf((0 until 8).toSet) && defShards.size === 8)
+    // non-default knob: the shard count derives from the corpus
+    val target = 512L
+    val expectShards = math.max(8L, math.ceil(totalTokens / target.toDouble).toLong)
+    assert(expectShards > 8, s"corpus too small to exercise the knob: $totalTokens tokens")
+    val rows = Pipeline.packBatches(spark, sf, budget = 2000,
+      targetShardTokens = target).as[(Long, Int, Long, Long)].collect()
+    assert(rows.length === docs.count())
+    // shard assignment is doc_id mod the derived count — deterministic
+    rows.foreach { case (id, shard, _, _) =>
+      assert(shard === (id % expectShards).toInt, s"doc $id shard $shard")
+    }
+    // the budget invariant holds at the non-default count too
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, n, batch) =>
+        assert(batch === cum / 2000)
+        cum += n
+      }
+    }
+  }
+
+  test("pretrain_manifest: mix -> shuffle -> pack composed consistently") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val m = Pipeline.pretrainManifest(spark, sf)
+      .as[(Long, Int, String, Long, Long, Long)].collect()
+    // stage-1 parity: the (doc, epoch) instances are exactly mixEpochs'
+    val mixed = Pipeline.mixEpochs(spark, sf)
+      .select("doc_id", "epoch").as[(Long, Int)].collect().toSet
+    assert(m.map(r => (r._1, r._2)).toSet === mixed)
+    assert(m.length === mixed.size)
+    // stage-2 parity: shuffle_pos is the 1..N permutation the direct
+    // (unscalable) global-window twin produces over the same seeded key
+    assert(m.map(_._4).sorted.toSeq === (1L to m.length))
+    val twin = Pipeline.mixEpochs(spark, sf)
+      .select(col("doc_id"), col("epoch"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))).as("k"))
+      .withColumn("p",
+        row_number().over(Window.orderBy(col("k"), col("doc_id"), col("epoch"))))
+      .select(col("doc_id"), col("epoch"), col("p").cast("long"))
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    m.foreach(r => assert(r._4 === twin((r._1, r._2)), s"doc ${r._1} epoch ${r._2}"))
+    // stage-3 parity: within a shard, batches pack along shuffle order
+    m.groupBy(_._3).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._4).foreach { case (_, _, _, _, n, batch) =>
+        assert(batch === cum / 2000)
+        cum += n
+      }
+    }
+  }
+
+  test("pretrain_manifest plan: pack rides the shuffle stage's sort (one Window op)") {
+    val plan = Pipeline.pretrainManifest(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the global-ordinal row_number and the packing running sum must be
+    // evaluated by the SAME Window operator (same partition + order spec
+    // => one exchange, one sort); a second corpus-sized sort would mean
+    // the composition degraded to sequential stages
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    val fused = windowLines.filter(l =>
+      l.contains("row_number()") && l.contains("sum(n_tokens"))
+    assert(fused.size === 1, s"expected one fused Window, got:\n${windowLines.mkString("\n")}")
+    // no OTHER corpus-partitioned window: everything else ordering by
+    // shard is the 256-row offset aggregate
+    assert(windowLines.count(l => l.contains("row_number()")) === 1)
+  }
+
   test("mix_epochs: copies per doc are floor(w) or floor(w)+1; source totals track w") {
     val docs = Tables.load(spark, sf, "documents")
     val srcN = docs.groupBy("source").count().as[(String, Long)].collect().toMap

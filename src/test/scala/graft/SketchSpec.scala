@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventAnalytics, Relational}
+import graft.operators.{EventAnalytics, Relational, Sketches}
 
 /** Differential tests for sketch-based approximations against their exact
   * twins. Sketch internals differ across engines, so these are NOT
@@ -17,11 +17,11 @@ class SketchSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("HLL approx distinct users per event type tracks the exact counts") {
+    // the PRODUCTION query (SparkEntry: events_distinct_users_approx),
+    // bounded against its exact oracled twin
     val exact = EventAnalytics.distinctUsers(spark, sf)
       .select($"event_type", $"n_users").as[(String, Long)].collect().toMap
-    val approx = Tables.load(spark, sf, "events")
-      .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("n_users"))
+    val approx = Sketches.distinctUsersApprox(spark, sf)
       .as[(String, Long)].collect().toMap
     assert(approx.keySet === exact.keySet)
     exact.foreach { case (k, ex) =>
@@ -74,6 +74,37 @@ class SketchSpec extends AnyFunSuite {
       .sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
     assert((exactTop10 & cmsTop10).size >= 8,
       s"CMS top-10 diverged: $cmsTop10 vs $exactTop10")
+  }
+
+  test("token_heavy_hitters: CMS estimates bounded and top-k agrees with exact") {
+    // the PRODUCTION query (SparkEntry: token_heavy_hitters) vs the exact
+    // vocabulary counts: the CMS guarantee is exact <= est <= exact + 2N/w
+    // (w.h.p.), and the clear heavy hitters must surface in the top-k
+    val exact = Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").count().as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    val est = Sketches.tokenHeavyHitters(spark, sf, k = 50)
+      .as[(String, Long)].collect()
+    assert(est.length === math.min(50, exact.size))
+    est.foreach { case (tok, e) =>
+      val ex = exact(tok)
+      assert(e >= ex, s"CMS underestimated '$tok': $e < $ex")
+      assert(e <= ex + 2L * total / Sketches.CmsWidth + 1,
+        s"CMS overestimated '$tok' beyond the 2N/w bound: $e vs $ex")
+    }
+    val exactTop10 = exact.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(10).map(_._1).toSet
+    val cmsTop10 = est.take(10).map(_._1).toSet
+    assert((exactTop10 & cmsTop10).size >= 8,
+      s"CMS top-10 diverged: $cmsTop10 vs $exactTop10")
+  }
+
+  test("token_heavy_hitters plan: sketch join broadcasts, no cartesian/SMJ on the sketch") {
+    val plan = Sketches.tokenHeavyHitters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"sketch join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("approx percentile brackets the exact percentile (order totals)") {

@@ -131,6 +131,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(stream) === rows(batch))
   }
 
+  test("out-of-order arrival within the delay merges exactly as batch") {
+    // Shuffled-arrival construction: partition event time into days and
+    // hold each day's FINAL 5 minutes back one micro-batch — those events
+    // arrive AFTER earlier-timestamped events of the next day (genuinely
+    // out of order across batches), but the watermark when they arrive is
+    // ~(previous day end - 15 min), i.e. they are always late-but-within
+    // the 10-minute delay, so the contract says they must merge into
+    // their (still open) windows and sessions exactly as in batch.
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: raw int64 nanos
+    val dayN = 24L * 3600 * 1000000000L
+    val holdN = 5L * 60 * 1000000000L
+    val tagged = raw
+      .withColumn("day", expr(s"ts div $dayN"))
+      .withColumn("late", expr(s"ts % $dayN >= ${dayN - holdN}"))
+    val nLate = tagged.where(col("late")).count()
+    assert(nLate > 0, "no events in any day's final 5 minutes - nothing shuffled")
+    val days = tagged.select("day").distinct().as[Long].collect().sorted.toSeq
+
+    val dir = Files.createTempDirectory("graft-ooo").toFile.getAbsolutePath
+    def writePart(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-ooo-tmp").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"))
+      new File(s"$dir/$name").setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    val cols = raw.columns.map(col)
+    days.zipWithIndex.foreach { case (d, i) =>
+      val chunk = tagged.where(
+        (col("day") === d && !col("late")) || (col("day") === d - 1 && col("late")))
+      writePart(chunk.select(cols: _*), f"$i%03d.parquet",
+        now - (days.length - i + 2) * 60000L)
+    }
+    // the last day's held-back tail, then the flush sentinel
+    writePart(tagged.where(col("day") === days.last && col("late"))
+      .select(cols: _*), f"${days.length}%03d.parquet", now - 60000L)
+    val sentinelName = f"${days.length + 1}%03d_sentinel.parquet"
+    Files.copy(Paths.get(s"$streamDir/001_sentinel.parquet"),
+      Paths.get(s"$dir/$sentinelName"))
+    new File(s"$dir/$sentinelName").setLastModified(now)
+
+    def ooo(): DataFrame =
+      EventStreams.readEvents(spark, dir, maxFilesPerTrigger = Some(1))
+    val tumbling = runStream(EventStreams.tumblingHour(ooo()), "s_ooo_tumbling")
+      .where(col("window_start") <= timestamp_micros(lit(maxMicros)))
+    assert(rows(tumbling) === rows(EventAnalytics.tumblingHour(spark, sf)))
+    val sessions = runStream(EventStreams.sessionize(ooo()), "s_ooo_session")
+      .where(col("user_id") >= 0)
+    assert(rows(sessions) === rows(EventAnalytics.sessionize(spark, sf)))
+  }
+
   test("streaming funnel: stage counts match batch across time-split micro-batches") {
     // two micro-batches split very early (2nd percentile of event time),
     // so nearly every user's funnel spans the split and exercises
