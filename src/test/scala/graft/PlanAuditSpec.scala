@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Blanket physical-plan audit over the ENTIRE query surface — the
+  * programmatic complement of PLANS.md's curated walkthroughs. Every
+  * member of SparkEntry.queries is plan-checked for the scale-killers
+  * that individual specs assert pointwise:
+  *
+  *  - no CartesianProduct anywhere (candidate generation must block);
+  *  - no ScalaUDF / interpreted lambdas in any plan (everything stays
+  *    inside whole-stage codegen);
+  *  - SinglePartition exchanges only where the data funneling through
+  *    them is driver-scale BY CONSTRUCTION (global scalar aggregates,
+  *    ≤256-row offset tables, final top-k merges) — the pinned whitelist
+  *    below. A new query (or a regression to an old one) that serializes
+  *    corpus-scale data through one partition fails this spec loudly.
+  *
+  * Building a plan is cheap, but a few operators (pageRank's eager
+  * checkpoints, the ANN model fits) execute during CONSTRUCTION — so
+  * this runs at sf0.001, where those are sub-second.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose plan funnels a (bounded, documented) frame through a
+    * SinglePartition exchange — measured, not guessed: these 8 are the
+    * ONLY members of the 82-query surface that plan one at all (top-k
+    * merges plan as TakeOrderedAndProject, not exchanges; grids and
+    * model fits stay partitioned or broadcast). Every entry is one of:
+    *  - a global scalar aggregate (1-row frame): sample_stratified's
+    *    min_n, pack_batches' n_shards, tfidf's document count N,
+    *    events_funnel's 3 stage counts;
+    *  - the ≤256-row bucket-offset table of the seeded shuffle
+    *    (corpus_shuffle, pretrain_manifest);
+    *  - a schema-bounded profile (one row per COLUMN, not per record:
+    *    profile_documents, profile_orders).
+    * Corpus-sized frames NEVER appear here — that is the assertion. */
+  val singlePartitionOk: Set[String] = Set(
+    // global scalar aggregates (1-row frames)
+    "sample_stratified", "pack_batches", "tfidf_topk", "events_funnel",
+    // ≤256-row bucket-offset tables
+    "corpus_shuffle", "pretrain_manifest",
+    // schema-bounded profiles (rows = #columns)
+    "profile_documents", "profile_orders"
+  )
+
+  test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+    val cartesian = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(cartesian.isEmpty, s"cartesian products in: $cartesian")
+    val udfs = plans.collect {
+      case (n, p) if p.contains("ScalaUDF") || p.contains("BatchEvalPython") => n
+    }
+    assert(udfs.isEmpty, s"UDFs in: $udfs")
+    val single = plans.collect {
+      case (n, p) if p.contains("Exchange SinglePartition") => n
+    }.toSet
+    val unexplained = single -- singlePartitionOk
+    assert(unexplained.isEmpty,
+      s"NEW single-partition exchanges need a bounded-size justification: $unexplained")
+    val stale = singlePartitionOk -- single
+    assert(stale.isEmpty,
+      s"whitelist entries no longer needed (plan improved? update the list): $stale")
+  }
+}
