@@ -57,26 +57,60 @@ object Sketches {
     * that reduction, occurrences → distinct, is what the whole query
     * exists for); the sketch join is broadcast by construction. Error
     * bound + top-k ranking agreement vs the exact twin: SketchSpec. */
+  /** The d hash cells of each `tok` row: (row_i, bucket) per CMS row.
+    * Shared by the batch query and the streaming ingest twin
+    * ([[graft.streaming.DocStreams.tokenSketchStream]]) so both build
+    * bit-identical sketches — xxhash64 is deterministic, so a sketch is
+    * a pure function of the token multiset, mergeable and
+    * engine-order-independent. */
+  def cmsCells(toksOrVocab: DataFrame): DataFrame = toksOrVocab
+    .select(col("tok"),
+      explode(sequence(lit(0), lit(CmsDepth - 1))).as("row_i"))
+    .withColumn("bucket", pmod(xxhash64(col("row_i"), col("tok")), lit(CmsWidth)))
+
+  /** The sketch itself: a ≤ d×w-row count table. Works unchanged on a
+    * streaming frame (it is just a groupBy — state bounded at d×w keys
+    * BY CONSTRUCTION, unlike exact token counts whose state is
+    * vocabulary-sized). */
+  def cmsSketch(toks: DataFrame): DataFrame =
+    cmsCells(toks).groupBy(col("row_i"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Point estimates for `candidates` (a 1-column `tok` frame) against a
+    * materialized sketch table: re-hash, probe the (broadcast) sketch,
+    * min over the d cells. */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame): DataFrame =
+    cmsCells(candidates)
+      .join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy(col("tok")).agg(min(col("c")).as("est_count"))
+
   def tokenHeavyHitters(s: SparkSession, d: String, k: Int = 50): DataFrame = {
     val toks = Tables.load(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
-    def cells(df: DataFrame): DataFrame = df
-      .select(col("tok"),
-        explode(sequence(lit(0), lit(CmsDepth - 1))).as("row_i"))
-      .withColumn("bucket", pmod(xxhash64(col("row_i"), col("tok")), lit(CmsWidth)))
-    val sketch = cells(toks)
-      .groupBy(col("row_i"), col("bucket")).agg(count(lit(1)).as("c"))
-    val vocab = toks.distinct()
-    cells(vocab)
-      .join(broadcast(sketch), Seq("row_i", "bucket"))
-      .groupBy(col("tok")).agg(min(col("c")).as("est_count"))
+    cmsEstimate(cmsSketch(toks), toks.distinct())
       .orderBy(col("est_count").desc, col("tok").asc)
       .limit(k)
   }
 
+  /** Approximate event-value quantiles per event type — the sketch twin
+    * of an exact `percentile` aggregate. `percentile_approx` is Spark's
+    * Greenwald–Khanna-style quantile summary: bounded memory
+    * (O(accuracy) per group) and mergeable partials, vs the exact
+    * percentile which buffers every value of a group on one reducer.
+    * accuracy=10000 ⇒ rank error ≤ n/10000 per group; the value-space
+    * bound vs the exact twin is asserted in SketchSpec. Flat columns
+    * (not an array) so the driver's rows-only gate can read it. */
+  def valuePercentilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_approx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_distinct_users_approx" -> (distinctUsersApprox _),
-    "token_heavy_hitters" -> ((s, d) => tokenHeavyHitters(s, d))
+    "token_heavy_hitters" -> ((s, d) => tokenHeavyHitters(s, d)),
+    "events_value_percentiles_approx" -> (valuePercentilesApprox _)
   )
 
   /** No DuckDB twins: sketch register/cell contents are engine-specific
@@ -85,6 +119,7 @@ object Sketches {
   val oracles: Map[String, String] = Map.empty
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
-    "events_distinct_users_approx" -> Seq(col("event_type"))
+    "events_distinct_users_approx" -> Seq(col("event_type")),
+    "events_value_percentiles_approx" -> Seq(col("event_type"))
   )
 }

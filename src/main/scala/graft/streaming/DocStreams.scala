@@ -1,11 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, md5}
+import org.apache.spark.sql.functions.{col, explode, md5, split}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Pipeline}
+import graft.operators.{Dedup, Pipeline, Sketches}
 
 /** One (doc, band) row entering the streaming near-dedup state. */
 case class BandedDoc(band: Int, key: Long, doc_id: Long,
@@ -58,6 +58,24 @@ object DocStreams {
     * which is what DocStreamsSpec asserts. */
   def cleanStream(docs: DataFrame): DataFrame =
     Pipeline.cleanStages(docs).dropDuplicates("text_md5")
+
+  /** Count-min sketch maintained AT INGEST — the streaming twin of
+    * [[graft.operators.Sketches.tokenHeavyHitters]]'s sketch side, built
+    * by the IDENTICAL [[graft.operators.Sketches.cmsSketch]] code (a
+    * plain groupBy, so it streams unchanged in complete mode). This is
+    * the sketch family's reason to exist in a stream: the aggregation
+    * state is bounded at d×w = 40960 rows BY CONSTRUCTION no matter how
+    * many tokens flow past — contrast [[dedupExactStream]], whose
+    * unbounded state is the price of exactness. And because the sketch
+    * is a pure deterministic function of the token multiset (xxhash64
+    * cells, mergeable counts), the streamed sketch is BIT-IDENTICAL to
+    * the batch sketch over the same corpus — so query-time estimates
+    * ([[graft.operators.Sketches.cmsEstimate]] over the materialized
+    * table) agree exactly between the two modes. Parity asserted in
+    * DocStreamsSpec across multi-batch arrival. */
+  def tokenSketchStream(docs: DataFrame): DataFrame =
+    Sketches.cmsSketch(
+      docs.select(explode(split(col("text"), " ")).as("tok")))
 
   /** Incremental MinHash-LSH near-dedup: every arriving doc is banded with
     * the SAME signature construction as the batch operator

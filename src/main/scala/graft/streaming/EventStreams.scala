@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, expr}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
@@ -151,6 +151,21 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_users"))
+
+  /** HLL distinct AT INGEST — the streaming twin of
+    * [[graft.operators.Sketches.distinctUsersApprox]] and the
+    * bounded-state answer to [[distinctUsers]]' unbounded dedup rows:
+    * `approx_count_distinct` keeps ONE fixed HLL++ register block per
+    * event_type (a few KB, rsd=0.02 ⇒ 2^14 registers) regardless of how
+    * many users stream past, with no horizon trade-off — unlike
+    * [[distinctUsersWithinWatermark]], nothing is ever evicted, the
+    * sketch just absorbs. Register updates are max-merges
+    * (order-independent), so the streamed estimate is IDENTICAL to the
+    * batch estimate over the same event set — asserted exactly, not
+    * within-tolerance, in StreamingSpec. */
+  def distinctUsersApproxStream(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
 
   /** Watermarked STREAM-STREAM interval join — the incremental twin of
     * [[graft.operators.EventAnalytics.attributionPairsFrom]]: purchases

@@ -104,6 +104,51 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamContent === batchContent)
   }
 
+  test("streaming CMS sketch: bit-identical to batch, state bounded at d x w") {
+    import graft.operators.Sketches
+    val docs = Tables.load(spark, sf, "documents")
+    val streamDir = Files.createTempDirectory("graft-cms-in").toString
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-cms-tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$streamDir/$name")
+      Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeBatch(docs.where($"doc_id" % 2 === 0), "000.parquet", now - 60000)
+    writeBatch(docs.where($"doc_id" % 2 === 1), "001.parquet", now)
+
+    val q = DocStreams.tokenSketchStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("doc_cms")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("doc_cms")
+      .as[(Int, Long, Long)].collect().toSet
+    // bounded state: the sketch can never exceed depth x width keys
+    assert(streamed.size <= Sketches.CmsDepth * Sketches.CmsWidth)
+    // the sketch is a pure function of the token multiset, so streaming
+    // it over two micro-batches lands on the batch sketch EXACTLY
+    val batch = Sketches.cmsSketch(
+        docs.select(explode(split($"text", " ")).as("tok")))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // and therefore query-time estimates agree exactly between modes
+    val vocab = docs.select(explode(split($"text", " ")).as("tok")).distinct()
+    val fromStream = Sketches.cmsEstimate(spark.table("doc_cms"), vocab)
+      .as[(String, Long)].collect().toMap
+    val fromBatch = Sketches.tokenHeavyHitters(spark, sf, k = 10)
+      .as[(String, Long)].collect()
+    fromBatch.foreach { case (tok, est) =>
+      assert(fromStream(tok) === est, s"estimate drift for '$tok'")
+    }
+  }
+
   test("streaming near-dedup: pair set matches batch MinHash-LSH across micro-batches") {
     val docs = Tables.load(spark, sf, "documents")
     // split the corpus by doc_id parity into two micro-batches, so every

@@ -107,6 +107,35 @@ class SketchSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("events_value_percentiles_approx: rank error within the GK guarantee") {
+    // the PRODUCTION query vs the raw per-group value distributions. The
+    // GK contract is RANK-space, not value-space (a sparse p99 tail can
+    // put adjacent ranks far apart in value): the returned value must be
+    // an actual group member whose empirical rank is within
+    // n/accuracy (+1 for discretization) of the target rank.
+    val groups = Tables.load(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    val approx = Sketches.valuePercentilesApprox(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.map(_._1).toSet === groups.keySet)
+    approx.foreach { case (t, a50, a90, a99) =>
+      val vs = groups(t)
+      val n = vs.length
+      Seq((a50, 0.5, "p50"), (a90, 0.9, "p90"), (a99, 0.99, "p99")).foreach {
+        case (a, q, lbl) =>
+          assert(vs.contains(a), s"$t $lbl: $a is not a group member")
+          // empirical rank range of the returned value (ties included)
+          val lo = vs.indexWhere(_ >= a) + 1
+          val hi = vs.lastIndexWhere(_ <= a) + 1
+          val target = q * n
+          val tol = n / 10000.0 + 1
+          assert(lo - tol <= target && target <= hi + tol,
+            s"$t $lbl: value $a spans ranks [$lo,$hi], target $target, n=$n")
+      }
+    }
+  }
+
   test("approx percentile brackets the exact percentile (order totals)") {
     val exactMedian = Tables.load(spark, sf, "orders")
       .select(expr("percentile(o_totalprice, 0.5)")).first().getDouble(0)

@@ -105,6 +105,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(stream) === rows(batch))
   }
 
+  test("streaming HLL distinct: estimate identical to batch (order-independent merges)") {
+    val stream = runStream(
+      EventStreams.distinctUsersApproxStream(events()), "s_distinct_hll",
+      mode = "complete")
+      .where(col("event_type") =!= "__sentinel")
+      .select("event_type", "n_users_approx")
+    val batch = graft.operators.Sketches.distinctUsersApprox(spark, sf)
+    // NOT within-tolerance: HLL register merges are max-operations, so
+    // the same user set yields the same registers in any arrival order
+    assert(rows(stream) === rows(batch))
+    assert(rows(stream).nonEmpty)
+  }
+
   test("watermark drops too-late events (contract documented on EventStreams)") {
     // A third file with an event OLDER than watermark-after-sentinel must
     // not resurrect a closed window: re-run over a dir that also contains
