@@ -68,5 +68,32 @@ class PlanAuditSpec extends AnyFunSuite {
     val stale = singlePartitionOk -- single
     assert(stale.isEmpty,
       s"whitelist entries no longer needed (plan improved? update the list): $stale")
+    // BroadcastNestedLoopJoin is the other cartesian-class operator: fine
+    // when the build side is a 1-row scalar frame (a constant folded into
+    // every row), corpus-death otherwise. Pin the measured set.
+    val bnlj = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
+    }.toSet
+    val bnljUnexplained = bnlj -- oneRowBuildOk
+    assert(bnljUnexplained.isEmpty,
+      s"NEW nested-loop joins need a 1-row-build justification: $bnljUnexplained")
+    assert((oneRowBuildOk -- bnlj).isEmpty,
+      s"BNLJ whitelist entries no longer needed: ${oneRowBuildOk -- bnlj}")
   }
+
+  /** Queries whose plan contains a BroadcastNestedLoopJoin — measured;
+    * every build side is SMALL BY CONSTRUCTION, one of two shapes:
+    *  - a 1-ROW scalar aggregate folded onto every row:
+    *    sample_stratified's min_n, pack_batches' total-token count,
+    *    tfidf_topk's document count N, dedup_embedding's threshold;
+    *  - the bounded probe/model frame of the ANN queries (16 probe
+    *    vectors / C centroids — O(query set), not O(corpus)), which
+    *    every corpus row must score against BY DEFINITION of top-k
+    *    search: ann_topk, ann_topk_fused, ann_ivf.
+    * Nothing corpus-sized ever builds a nested loop — that is the
+    * assertion. */
+  lazy val oneRowBuildOk: Set[String] = Set(
+    "sample_stratified", "pack_batches", "tfidf_topk", "dedup_embedding",
+    "ann_topk", "ann_topk_fused", "ann_ivf"
+  )
 }
