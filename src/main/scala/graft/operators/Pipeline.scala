@@ -210,20 +210,28 @@ object Pipeline {
 
   /** Deterministic global training order (the corpus shuffle every epoch
     * needs), WITHOUT the single-partition global window: the shuffle key
-    * is md5(seed:doc_id), its first byte is a bucket, and the global
-    * ordinal is (bucket offset) + (within-bucket rank) — exact, because
-    * the bucket is a PREFIX of the sort key, so ordering by (bucket,
-    * rest) is ordering by the key. The within-bucket row_number windows
-    * run in parallel across 256 hash-balanced buckets; the offset table
-    * is a 256-row aggregate (its tiny ordering window is driver-scale by
-    * construction) broadcast back. Changing `seed` reshuffles; the same
-    * seed reproduces the identical order on any engine. */
-  def corpusShuffle(s: SparkSession, d: String,
-                    seed: String = "epoch0"): DataFrame = {
+    * is md5(seed:doc_id), its first `bucketHexChars` hex digits are a
+    * bucket, and the global ordinal is (bucket offset) + (within-bucket
+    * rank) — exact, because the bucket is a PREFIX of the sort key, so
+    * ordering by (bucket, rest) is ordering by the key. The within-bucket
+    * row_number windows run in parallel across 16^bucketHexChars
+    * hash-balanced buckets; the offset table is a 16^bucketHexChars-row
+    * aggregate (its ordering window is bounded by construction)
+    * broadcast back. Changing `seed` reshuffles; the same seed reproduces
+    * the identical order on any engine.
+    *
+    * `bucketHexChars` is the parallelism knob, and the prefix property
+    * makes it FREE: the emitted ordinals are IDENTICAL for every value
+    * (PipelineSpec asserts k=3 == k=2 == the direct global window), so
+    * at 100 TB you raise it (k=4 ⇒ 65536 buckets of ~corpus/65536 rows
+    * each; offset table still broadcast-sized) without touching results
+    * — no re-oracle, no semantic change, just smaller window tasks. */
+  def corpusShuffle(s: SparkSession, d: String, seed: String = "epoch0",
+                    bucketHexChars: Int = 2): DataFrame = {
     val keyed = Tables.load(s, d, "documents")
       .select(col("doc_id"),
         md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("skey"))
-      .withColumn("bucket", substring(col("skey"), 1, 2))
+      .withColumn("bucket", substring(col("skey"), 1, bucketHexChars))
     val wOff = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -318,12 +326,16 @@ object Pipeline {
     * sort — packing rides the shuffle stage's partitioning for free.
     * The shard here IS the shuffle bucket (a prefix of the sort key, so
     * per-shard order is a contiguous slice of the seeded global order):
-    * 256 hash-balanced buckets whose offsets come from a 256-row
-    * broadcast aggregate, exactly [[corpusShuffle]]'s shape. Everything
-    * is md5-deterministic — same corpus + seed ⇒ the same manifest on any
-    * engine, which is what lets DuckDB hash-match a "shuffled" corpus. */
+    * 16^bucketHexChars hash-balanced buckets whose offsets come from a
+    * broadcast aggregate of that many rows, exactly [[corpusShuffle]]'s
+    * shape — and like there, `bucketHexChars` is the 100-TB parallelism
+    * knob: shuffle_pos is INVARIANT to it (prefix property), while the
+    * shard/batch labels legitimately refine with it (packing granularity,
+    * like [[packBatches]]' target). Everything is md5-deterministic —
+    * same corpus + seed ⇒ the same manifest on any engine, which is what
+    * lets DuckDB hash-match a "shuffled" corpus. */
   def pretrainManifest(s: SparkSession, d: String, seed: String = "epoch0",
-                       budget: Int = 2000): DataFrame = {
+                       budget: Int = 2000, bucketHexChars: Int = 2): DataFrame = {
     // stage 1: mix — mixEpochs' weight arithmetic verbatim, carrying
     // n_tokens so pack needs no second scan
     val mixed = Tables.load(s, d, "documents")
@@ -344,7 +356,7 @@ object Pipeline {
     val keyed = mixed
       .withColumn("skey", md5(concat(lit(seed), lit(":"),
         col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))))
-      .withColumn("shard", substring(col("skey"), 1, 2))
+      .withColumn("shard", substring(col("skey"), 1, bucketHexChars))
     val wOff = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy(col("shard")).agg(count(lit(1)).as("n"))

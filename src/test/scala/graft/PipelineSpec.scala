@@ -235,4 +235,34 @@ class PipelineSpec extends AnyFunSuite {
     val plan = Pipeline.corpusShuffle(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("[bucket"), s"within-bucket window missing:\n$plan")
   }
+
+  test("bucketHexChars is a free parallelism knob: ordinals invariant across widths") {
+    // the bucket is a PREFIX of the md5 sort key, so the bucket count
+    // (16^k) changes task granularity but NEVER the emitted global order
+    // — the property that lets a 100-TB run raise k without re-oracling
+    val k2 = Pipeline.corpusShuffle(spark, sf).as[(Long, Long)].collect().toMap
+    Seq(1, 3).foreach { k =>
+      val kk = Pipeline.corpusShuffle(spark, sf, bucketHexChars = k)
+        .as[(Long, Long)].collect().toMap
+      assert(kk === k2, s"ordinals drifted at bucketHexChars=$k")
+    }
+    // pretrain_manifest: shuffle_pos equally invariant; shard/batch
+    // labels refine with k but packing stays budget-valid per shard
+    val m2 = Pipeline.pretrainManifest(spark, sf)
+      .select("doc_id", "epoch", "shuffle_pos")
+      .as[(Long, Int, Long)].collect()
+      .map { case (d, e, p) => ((d, e), p) }.toMap
+    val m3rows = Pipeline.pretrainManifest(spark, sf, bucketHexChars = 3)
+      .as[(Long, Int, String, Long, Long, Long)].collect()
+    m3rows.foreach(r => assert(m2((r._1, r._2)) === r._4,
+      s"shuffle_pos drifted for (${r._1},${r._2}) at k=3"))
+    assert(m3rows.map(_._3).forall(_.length == 3))
+    m3rows.groupBy(_._3).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._4).foreach { case (_, _, _, _, n, batch) =>
+        assert(batch === cum / 2000)
+        cum += n
+      }
+    }
+  }
 }
