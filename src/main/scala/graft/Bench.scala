@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * projected column of every row through the full plan, so projection-only
   * queries can't degenerate into a parquet row-count. Failures are
   * reported explicitly in an `errors` object (timing -1), never silently
-  * recorded as a fake timing. One untimed warm-up absorbs JVM/codegen
-  * startup so the first measured query isn't a classloading benchmark.
+  * recorded as a fake timing. One global untimed warm-up absorbs
+  * JVM/codegen startup so the first measured query isn't a classloading
+  * benchmark, and each query additionally gets its OWN untimed warm-up
+  * run so the timed medians don't embed first-touch page-cache and AQE
+  * statistics effects (which produced 10× max/min per-query spreads in
+  * rounds 4–6).
   *
   * Each query runs REPEATS times (default 3, `SPARK_GRAFT_BENCH_REPEATS`)
   * and the reported timing is the MEDIAN — a single-run bench cannot tell
@@ -57,6 +61,17 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val rs = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
+      // per-query untimed warm-up: the first execution of a query pays
+      // page-cache population and AQE statistics that later runs reuse
+      // (r6 verdict: citation_reach ran [29.59, 4.44, 2.74] — the median
+      // itself was ~60% warm-up). One discarded run per query keeps the
+      // timed repeats measuring the plan, not the cache state.
+      try checksum(name, fn)
+      catch { case e: Throwable =>
+        failed = true
+        errors(name) =
+          e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
+      }
       (1 to repeats).foreach { _ =>
         if (!failed) {
           val t0 = System.nanoTime()

@@ -9,7 +9,9 @@ import java.nio.file.{Files, Paths}
   * operators keep their scale-shaped, sort-free plans. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // usage: Verify <sfDir> <outDir> [queryName...] — names filter the
+    // dump to a subset (dev loop); the driver always passes none.
+    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
     // if a session already exists (VerifySpec drives this main in-JVM),
     // reuse it and leave it running; only stop what we created
     val preExisting = SparkSession.getActiveSession
@@ -28,7 +30,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val sorted = SparkEntry.verifyOrder.get(name)

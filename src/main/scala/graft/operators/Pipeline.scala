@@ -228,13 +228,33 @@ object Pipeline {
     * — no re-oracle, no semantic change, just smaller window tasks. */
   def corpusShuffle(s: SparkSession, d: String, seed: String = "epoch0",
                     bucketHexChars: Int = 2): DataFrame = {
+    // the explicit repartition pins ONE exchange that BOTH consumers
+    // below (the bucket-count aggregate and the within-bucket window)
+    // read from — ReuseExchange dedupes the identical subtrees, so the
+    // corpus is scanned and md5-keyed ONCE (r6 verdict: without the pin,
+    // the offsets branch re-derived the scan — a 2× I/O tax at 100 TB).
+    // Same pattern as coCitationTopk's pinned self-join exchange. Two
+    // details make the canonical plans actually match (without them, the
+    // optimizer specializes each branch's copy of the subtree and the
+    // exchanges stop being equal): the explicit isNotNull sits below the
+    // exchange on BOTH branches (the join would otherwise infer it on
+    // the window branch only — the offsets branch's inferred copy is
+    // blocked above the unpartitioned offset window), and the offsets
+    // count is taken over coalesce(skey, cast(doc_id)) — exactly
+    // count(*) on this frame (the filter below already dropped null
+    // keys), but statically nullable, so the count-elimination rewrite
+    // can't reduce it to count(1) and column pruning keeps the offsets
+    // branch requiring the SAME columns the window branch does.
     val keyed = Tables.load(s, d, "documents")
       .select(col("doc_id"),
         md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("skey"))
       .withColumn("bucket", substring(col("skey"), 1, bucketHexChars))
+      .where(col("bucket").isNotNull)
+      .repartition(col("bucket"))
     val wOff = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(coalesce(col("skey"), col("doc_id").cast("string"))).as("n"))
       .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
       .select(col("bucket"), col("offset"))
     val wRank = Window.partitionBy(col("bucket"))
@@ -353,13 +373,23 @@ object Pipeline {
         explode(expr("sequence(1, n_copies)")).as("epoch"))
     // stage 2: shuffle — the (doc, epoch) instance is the shuffled unit,
     // so the key covers both; bucket = first byte of the key
+    // pin ONE exchange on the keyed frame (the corpusShuffle pattern,
+    // incl. its isNotNull / count-over-struct canonicalization details —
+    // see there): ReuseExchange feeds both the offsets aggregate and the
+    // fused ordinal/packing window from the same shuffle files, so the
+    // scan + mix/explode subtree is evaluated ONCE instead of twice.
     val keyed = mixed
       .withColumn("skey", md5(concat(lit(seed), lit(":"),
         col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))))
       .withColumn("shard", substring(col("skey"), 1, bucketHexChars))
+      .where(col("shard").isNotNull)
+      .repartition(col("shard"))
     val wOff = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+    val offsets = keyed.groupBy(col("shard"))
+      .agg(count(coalesce(col("skey"),
+        concat(col("doc_id").cast("string"), col("n_tokens").cast("string"),
+          col("epoch").cast("string")))).as("n"))
       .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
       .select(col("shard"), col("offset"))
     // stages 2+3 share this spec: one exchange, one sort, one Window op

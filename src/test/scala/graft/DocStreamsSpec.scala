@@ -149,6 +149,49 @@ class DocStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CMS estimate path e2e: top-k list equals batch token_heavy_hitters") {
+    import graft.operators.Sketches
+    // the full serving path over an INGEST-TIME sketch: stream the corpus
+    // in three uneven micro-batches, then probe the materialized sketch
+    // table with cmsEstimate and rank top-k exactly like the batch query.
+    // The ordered heavy-hitter list must MATCH the batch
+    // token_heavy_hitters output row for row — closing the gap between
+    // "the sketches agree" and "a user serving heavy-hitters from the
+    // streamed sketch gets the same answer".
+    val docs = Tables.load(spark, sf, "documents")
+    val streamDir = Files.createTempDirectory("graft-cms-serve-in").toString
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-cms-serve-tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$streamDir/$name")
+      Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeBatch(docs.where($"doc_id" % 3 === 0), "000.parquet", now - 120000)
+    writeBatch(docs.where($"doc_id" % 3 === 1), "001.parquet", now - 60000)
+    writeBatch(docs.where($"doc_id" % 3 === 2), "002.parquet", now)
+    val q = DocStreams.tokenSketchStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("doc_cms_serve")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val k = 50
+    val vocab = docs.select(explode(split($"text", " ")).as("tok")).distinct()
+    val servedFromStream = Sketches.cmsEstimate(spark.table("doc_cms_serve"), vocab)
+      .orderBy($"est_count".desc, $"tok".asc)
+      .limit(k)
+      .as[(String, Long)].collect().toSeq
+    val batchList = Sketches.tokenHeavyHitters(spark, sf, k = k)
+      .as[(String, Long)].collect().toSeq
+    assert(servedFromStream === batchList,
+      "streamed-sketch heavy-hitter list diverged from batch token_heavy_hitters")
+  }
+
   test("streaming near-dedup: pair set matches batch MinHash-LSH across micro-batches") {
     val docs = Tables.load(spark, sf, "documents")
     // split the corpus by doc_id parity into two micro-batches, so every
