@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes per-query records in the driver's CORRECTNESS
+format ({rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}) — used to produce the committed sf0.1 artifact.
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 SQL in DuckDB against the same parquet tables, loads the corresponding
@@ -39,23 +43,36 @@ def main():
     n_ok = n_fail = 0
     spark_dirs = [d for d in os.listdir(out_dir)
                   if os.path.isdir(os.path.join(out_dir, d))]
+    records = {}
+    def rec(name, rows_match=None, schema_match=None, hash_match=None,
+            spark_rows=None, oracle_rows=None, err=None):
+        records[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows, "err": err}
     for name in sorted(spark_dirs):
         spark_df = load_spark(out_dir, name)
+        n_spark = 0 if spark_df is None else len(spark_df)
         if name not in oracles:
-            print(f"[rows-only] {name}: {0 if spark_df is None else len(spark_df)} rows")
+            print(f"[rows-only] {name}: {n_spark} rows")
+            rec(name, spark_rows=n_spark, err="no_oracle")
             continue
         try:
             duck_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
+            rec(name, spark_rows=n_spark, err=f"oracle_sql: {e}")
             n_fail += 1
             continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"[FAIL] {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            rec(name, rows_match=len(a) == len(b), schema_match=False,
+                hash_match=False, spark_rows=len(a), oracle_rows=len(b))
             n_fail += 1
         elif len(a) != len(b):
             print(f"[FAIL] {name}: rows {len(a)} vs {len(b)}")
+            rec(name, rows_match=False, schema_match=True, hash_match=False,
+                spark_rows=len(a), oracle_rows=len(b))
             n_fail += 1
         elif not a.equals(b):
             diff = (a != b).any(axis=1)
@@ -63,15 +80,23 @@ def main():
             print(f"[FAIL] {name}: value mismatch at canon row {i}:")
             print("  spark:", a.loc[i].to_dict())
             print("  duck :", b.loc[i].to_dict())
+            rec(name, rows_match=True, schema_match=True, hash_match=False,
+                spark_rows=len(a), oracle_rows=len(b))
             n_fail += 1
         else:
             print(f"[OK]   {name}: {len(a)} rows")
+            rec(name, rows_match=True, schema_match=True, hash_match=True,
+                spark_rows=len(a), oracle_rows=len(b))
             n_ok += 1
     missing = set(oracles) - set(spark_dirs)
     for m in sorted(missing):
         print(f"[FAIL] {m}: oracle present but no spark output")
+        rec(m, err="no_spark_output")
         n_fail += 1
     print(f"\n{n_ok} ok, {n_fail} fail")
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(dict(sorted(records.items())), f, indent=2)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

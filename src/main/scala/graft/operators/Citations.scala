@@ -207,14 +207,19 @@ object Citations {
     // un-checkpointed round's plan references the previous ranks TWICE
     // (dangling scan + contribs join), so chaining k rounds between cuts
     // re-executes the oldest round up to 2^(k-1) times inside one job —
-    // but saves k-1 materialization jobs. On 600k edges the fixed
-    // per-job cost dominates the per-round compute: measured at sf0.1,
-    // cut-every-round 7.8 s, every-2 ~5.6 s, every-3 ~4.9 s, every-4+
-    // climbs again as the 2^(k-1) recompute overtakes the saved jobs.
-    // Results are bit-identical for any cadence (checkpointing changes
-    // WHERE the plan is cut, never the arithmetic) — probe-verified, and
-    // the hash oracle pins it. The final round always cuts, keeping the
-    // returned plan bounded.
+    // but saves k-1 materialization jobs. Measured under BENCH conditions
+    // (graft.CadenceSweep: local[32], sf0.1, checksum materialization,
+    // median of 3 after an untimed warm-up, two independent JVMs — table
+    // in BASELINE.md): every-round ~9.7-10.8 s, every-2/3/4 all ~8-9 s
+    // and statistically indistinguishable from each other. So the real,
+    // reproducible effect is "any cadence >= 2 beats every-round by
+    // ~15-20%"; finer distinctions are inside run-to-run noise (earlier
+    // standalone measurements suggesting every-3 ~4.9 s did not survive
+    // bench conditions and are superseded by the sweep). Results are
+    // bit-identical for any cadence (checkpointing changes WHERE the
+    // plan is cut, never the arithmetic) — probe-verified, and the hash
+    // oracle pins it. The final round always cuts, keeping the returned
+    // plan bounded.
     val e = edges.repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pipeline, Similarity}
+
+/** Scale-dependence gate at sf0.1 — the round-6 verdict's point: the
+  * correctness gate only ever ran at sf0.01, so behavior that CHANGES
+  * with data volume (scale-adaptive knobs, ANN recall at fixed
+  * probe/band/code budgets, AQE plan switches) was never exercised at
+  * the size the bench times. sf0.1 is genuinely bigger where it counts:
+  * documents 5,000 rows / ~271k tokens (vs 500 / ~28k), embeddings
+  * 2,000 vectors (vs 500).
+  *
+  * The DuckDB oracle's sf0.1 twin lives outside ScalaTest (the driver
+  * gate + scripts/oracle_check.py run against any sfDir; the round-7
+  * artifact CORRECTNESS_SF01_r07.json records the full 75-query compare
+  * at sf0.1) — this spec covers what the oracle can't: recall floors
+  * and knob engagement.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sf01 = "/root/testdata/sf0.1"
+
+  // ---- scale-adaptive knob boundaries on REAL sf0.1 data ------------------
+
+  test("pack_batches at sf0.1: n_shards > 8 engages on real data") {
+    val docs = Tables.load(spark, sf01, "documents")
+    val totalTokens = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).first().getLong(0)
+    // sf0.1 has ~271k tokens — under the 4M default target (still 8
+    // shards), so engage the adaptive branch with a 16k target:
+    // ceil(271k/16k) = 17 shards, derived from the real corpus
+    val target = 16384L
+    val expectShards = math.max(8L, math.ceil(totalTokens / target.toDouble).toLong)
+    assert(expectShards > 8, s"corpus too small to engage the knob: $totalTokens tokens")
+    val rows = Pipeline.packBatches(spark, sf01, budget = 2000,
+      targetShardTokens = target).as[(Long, Int, Long, Long)].collect()
+    assert(rows.length === docs.count())
+    rows.foreach { case (id, shard, _, _) =>
+      assert(shard === (id % expectShards).toInt, s"doc $id shard $shard")
+    }
+    // budget invariant at the engaged count
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, n, batch) =>
+        assert(batch === cum / 2000)
+        cum += n
+      }
+    }
+  }
+
+  test("corpus_shuffle at sf0.1: exact 1..N permutation, ReusedExchange holds") {
+    val n = Tables.load(spark, sf01, "documents").count()
+    val df = Pipeline.corpusShuffle(spark, sf01)
+    // collect through THIS Dataset's QueryExecution (.as[...] would spawn
+    // a fresh one), so the plan inspected below is the executed AQE-final
+    // plan where stage reuse is visible
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === n)
+    assert(got.map(_._2).sorted.toSeq === (1L to n))
+    // the one-scan shape must hold at this scale too: after execution the
+    // final adaptive plan funnels the offsets branch through a reuse
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("FileScan")) === 1,
+      s"offsets branch re-scans at sf0.1:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ReusedExchange") || l.contains("ReusedQueryStage")), plan)
+  }
+
+  // ---- ANN recall floors at sf0.1 (2,000-vector corpus) -------------------
+  // At 4x the corpus with unchanged probe/band/code budgets, recall
+  // legitimately degrades; these floors pin the MEASURED sf0.1 values
+  // (round 7: IVF 0.931, LSH 0.863, PQ 0.625 — info() prints the live
+  // number) with a small margin. Note IVF degrades least: C grows with
+  // sqrt(n) (C=45 here vs 32 at 500 vectors), so nprobe=8 scans a
+  // shrinking corpus FRACTION while per-cluster occupancy stays ~sqrt(n)
+  // — that adaptivity is the 100-TB design. LSH (12 bands x 4 bits) and
+  // PQ (fixed code budget) have static knobs: the knobs to raise at
+  // larger corpora are bands/bits-per-band (LSH — more, finer bands) and
+  // M/nbits (PQ — longer codes), or a larger re-rank candidate pool.
+
+  lazy val exact01: Map[Long, Set[Long]] = Similarity.annTopk(spark, sf01)
+    .as[(Long, Int, Long, Double)].collect()
+    .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).toSet }
+
+  private def meanRecall(got: Map[Long, Set[Long]]): Double = {
+    val rs = exact01.map { case (p, truth) =>
+      got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("ann_ivf recall@10 at sf0.1 stays above floor (C grows with sqrt(n))") {
+    val got = Similarity.annIvf(spark, sf01)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).toSet }
+    val mean = meanRecall(got)
+    info(f"IVF mean recall@10 at sf0.1 = $mean%.3f (nprobe=8 of C=45 clusters)")
+    assert(mean >= 0.90, f"IVF recall collapsed at sf0.1: $mean%.3f (measured 0.931)")
+  }
+
+  test("ann_lsh recall@10 at sf0.1 stays above floor (12 bands x 4 bits)") {
+    val got = Similarity.annLsh(spark, sf01)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).toSet }
+    val mean = meanRecall(got)
+    info(f"LSH mean recall@10 at sf0.1 = $mean%.3f (48 planes, 12 bands x 4 bits)")
+    assert(mean >= 0.82, f"LSH recall collapsed at sf0.1: $mean%.3f (measured 0.863)")
+  }
+
+  test("ann_pq recall@10 at sf0.1 stays above floor") {
+    val exactPairs = exact01.flatMap { case (p, vs) => vs.map(v => (p, v)) }.toSet
+    val got = Similarity.annPq(spark, sf01)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exactPairs).size.toDouble / exactPairs.size
+    info(f"PQ recall@10 at sf0.1 = $recall%.3f")
+    assert(recall >= 0.60, f"PQ recall collapsed at sf0.1: $recall%.3f (measured 0.625)")
+  }
+}
