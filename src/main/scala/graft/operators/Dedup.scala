@@ -426,6 +426,56 @@ object Dedup {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Bits (m) and probes-per-key (k) of [[contaminationBloom]]'s filter.
+    * m is the 100-TB knob: the set-bit table is ≤ m rows BY CONSTRUCTION
+    * no matter how many train shingles exist (the same bounded-state
+    * argument as Sketches' d×w CMS). At the default 2^20 bits / k=4 and
+    * ~20k distinct train shingles (test corpus), the fill fraction is
+    * ~0.07 and the false-positive rate ~p^4 ≈ 3e-5; size m ≈ 10·k·n for
+    * a real eval suite. */
+  val BloomBits: Long = 1L << 20
+  val BloomK: Int = 4
+
+  /** Approximate contamination audit — [[contaminationCheck]]'s
+    * bounded-state twin, the same relationship the CMS/HLL sketches have
+    * to their exact aggregates. The exact audit's train side is a
+    * DISTINCT of every train 8-gram hash: vocabulary-scale state through
+    * a shuffle, then a corpus-sized semi-join. Here the train side folds
+    * into a BLOOM FILTER materialized as a set-bit table (k double-hashed
+    * positions per key, then distinct) — ≤ m rows regardless of corpus
+    * size — and the eval side probes it with a broadcast join: a
+    * contaminated 8-gram has all k bits set. One-sided error by
+    * construction: every exact hit is a bloom hit (no false negatives —
+    * spec-asserted doc-by-doc vs the exact twin in DedupSpec), false
+    * positives bounded by the fill rate. Rows-only by design (the
+    * estimate is approximate); the serving columns mirror the exact
+    * audit's so callers can swap one for the other. */
+  def contaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val withSplit = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) < "e").as("is_train"))
+    def shingles(df: DataFrame) =
+      wordShingleRowsFrom(df, 8).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    def bloomPositions(df: DataFrame) = df
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(BloomK - 1))).as("i"))
+      .select(col("doc_id"), col("h"),
+        pmod(xxhash64(col("i"), col("h")), lit(BloomBits)).as("bit"))
+    val bits = bloomPositions(
+        shingles(withSplit.where(col("is_train"))).select(lit(0L).as("doc_id"), col("h")))
+      .select(col("bit")).distinct()
+    val evalSh = shingles(withSplit.where(!col("is_train"))).distinct()
+    val totals = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = bloomPositions(evalSh)
+      .join(broadcast(bits), Seq("bit"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k_present"))
+      .where(col("k_present") === BloomK)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits_approx"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits_approx"), lit(0L)).as("n_hits_approx"))
+  }
+
   // ---------- DuckDB twins ----------------------------------------------
 
   private val wordShinglesCte: String =
@@ -476,7 +526,8 @@ object Dedup {
     "simhash_fingerprints" -> (simhashFingerprints _),
     "simhash_pairs" -> (simhashPairs _),
     "dedup_spans" -> (dedupSpans _),
-    "contamination_check" -> (contaminationCheck _)
+    "contamination_check" -> (contaminationCheck _),
+    "contamination_bloom" -> (contaminationBloom _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -552,6 +603,7 @@ object Dedup {
     "simhash_fingerprints" -> Seq(col("doc_id")),
     "simhash_pairs" -> Seq(col("doc_a"), col("doc_b")),
     "dedup_spans" -> Seq(col("doc_id")),
-    "contamination_check" -> Seq(col("doc_id"))
+    "contamination_check" -> Seq(col("doc_id")),
+    "contamination_bloom" -> Seq(col("doc_id"))
   )
 }

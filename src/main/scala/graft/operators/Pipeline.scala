@@ -208,6 +208,69 @@ object Pipeline {
       |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
       |FROM n ORDER BY doc_id, epoch""".stripMargin
 
+  /** Temperature-scaled language mixing — the other standard data-recipe
+    * knob next to [[mixEpochs]]' fixed per-source weights: sampling
+    * probability q_l ∝ n_l^α (α = 0.5 default), the exponentiated
+    * smoothing used by multilingual pretraining recipes to lift
+    * low-resource languages without letting the head language dominate.
+    * Per-doc epoch multiplicity m_l = N·n_l^(α-1) / Σ_t n_t^α, so one
+    * epoch still draws ~N documents: head languages get m < 1
+    * (hash-thresholded downsampling — docs with 0 copies drop out),
+    * tail languages m > 1 (upsampled copies). Multiplicity is realized
+    * exactly like mixEpochs: floor(m) copies plus one more iff
+    * md5(doc_id)[0..4) falls under frac(m)'s %04x threshold —
+    * content-hash-deterministic, stable under reruns and engines.
+    *
+    * m is rounded to 6 decimals BEFORE thresholding on both engines:
+    * the Σ n^α term is a float sum whose addition order differs between
+    * Spark and DuckDB, and the rounding grid absorbs that ~1-ulp noise
+    * the same way pageRank's round(rank, 8) does — the %04x threshold
+    * then quantizes identically.
+    *
+    * Scale shape: one #langs-row aggregate → 1-row Σ reduction →
+    * broadcast multiplicity table back onto the scan; the per-row work
+    * is a hash compare and a ≤⌈m⌉-element explode. One scan, no corpus
+    * shuffle — the same shape sampleStratified plans. */
+  def mixTemperature(s: SparkSession, d: String, alpha: Double = 0.5): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("lang"))
+    val strata = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val tot = strata.agg(
+      sum(pow(col("n_lang"), lit(alpha))).as("z"),
+      sum(col("n_lang")).as("n_total"))
+    val mult = strata.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        round(col("n_total") * pow(col("n_lang"), lit(alpha - 1)) / col("z"), 6)
+          .as("m"))
+    docs.join(broadcast(mult), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (floor(col("m")).cast("int") +
+          when(substring(md5(col("doc_id").cast("string")), 1, 4)
+            < format_string("%04x",
+              ((col("m") - floor(col("m"))) * 65536).cast("int")), 1)
+            .otherwise(0)).as("n_copies"))
+      // unlike DuckDB's generate_series, Spark's sequence(1, 0) yields a
+      // DESCENDING [1, 0] — drop the 0-copy docs before exploding
+      .where(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1, n_copies)")).as("epoch"))
+  }
+
+  val mixTemperatureSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |t AS (SELECT sum(pow(n_lang, 0.5)) AS z, sum(n_lang) AS n_total FROM c),
+      |m AS (SELECT lang, round(n_total * pow(n_lang, -0.5) / z, 6) AS m
+      |      FROM c, t),
+      |n AS (
+      |  SELECT d.doc_id, d.lang,
+      |    CAST(floor(m.m) AS INT)
+      |    + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+      |             < printf('%04x', CAST((m.m - floor(m.m)) * 65536 AS INT))
+      |           THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN m USING (lang))
+      |SELECT doc_id, lang,
+      |       CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
+      |FROM n ORDER BY doc_id, epoch""".stripMargin
+
   /** Deterministic global training order (the corpus shuffle every epoch
     * needs), WITHOUT the single-partition global window: the shuffle key
     * is md5(seed:doc_id), its first `bucketHexChars` hex digits are a
@@ -448,6 +511,7 @@ object Pipeline {
     "documents_deduped" -> (documentsDeduped _),
     "pack_batches" -> ((s, d) => packBatches(s, d)),
     "mix_epochs" -> (mixEpochs _),
+    "mix_temperature" -> ((s, d) => mixTemperature(s, d)),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "pretrain_manifest" -> ((s, d) => pretrainManifest(s, d))
   )
@@ -459,6 +523,7 @@ object Pipeline {
     "documents_deduped" -> documentsDedupedSql,
     "pack_batches" -> packBatchesSql,
     "mix_epochs" -> mixEpochsSql,
+    "mix_temperature" -> mixTemperatureSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "pretrain_manifest" -> pretrainManifestSql
   )
@@ -470,6 +535,7 @@ object Pipeline {
     "documents_deduped" -> Seq(col("doc_id")),
     "pack_batches" -> Seq(col("doc_id")),
     "mix_epochs" -> Seq(col("doc_id"), col("epoch")),
+    "mix_temperature" -> Seq(col("doc_id"), col("epoch")),
     "corpus_shuffle" -> Seq(col("doc_id")),
     "pretrain_manifest" -> Seq(col("doc_id"), col("epoch"))
   )

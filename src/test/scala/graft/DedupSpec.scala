@@ -183,4 +183,30 @@ class DedupSpec extends AnyFunSuite {
       assert(hits === expected.getOrElse(id, 0L), s"doc $id")
     }
   }
+
+  test("contamination_bloom: no false negatives vs exact; false positives bounded") {
+    val exact = Dedup.contaminationCheck(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = Dedup.contaminationBloom(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // same serving shape: one row per holdout doc, same shingle totals
+    assert(approx.map(_._1).toSet === exact.keySet)
+    var extra = 0L; var shingles = 0L
+    approx.foreach { case (id, n, hits) =>
+      val (nEx, hitsEx) = exact(id)
+      assert(n === nEx, s"doc $id shingle total drift")
+      // the bloom guarantee: a set member NEVER tests negative
+      assert(hits >= hitsEx, s"doc $id false negative: bloom $hits < exact $hitsEx")
+      assert(hits <= n)
+      extra += hits - hitsEx; shingles += n
+    }
+    // fill ~0.07 at m=2^20/k=4 over the test corpus => FP ~ 3e-5; allow
+    // two orders of margin so the assertion pins collapse, not luck
+    assert(extra <= math.max(2L, shingles / 300),
+      s"false-positive rate collapsed: $extra extra hits over $shingles shingles")
+    // the set-bit table the eval side probes is bounded BY CONSTRUCTION
+    val plan = Dedup.contaminationBloom(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bits table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

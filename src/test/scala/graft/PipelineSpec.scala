@@ -209,6 +209,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"mix_epochs shuffles:\n$plan")
   }
 
+  test("mix_temperature: multiplicity follows n^alpha; head down, tail up; ~N per epoch") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val langN = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val n = langN.values.sum
+    val z = langN.values.map(math.pow(_, 0.5)).sum
+    def m(lang: String): Double =
+      BigDecimal(n * math.pow(langN(lang), -0.5) / z)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Pipeline.mixTemperature(spark, sf)
+      .as[(Long, String, Int)].collect()
+    // per-doc: epochs are exactly 1..c with c in {floor(m), floor(m)+1};
+    // docs with 0 copies legitimately absent (head-language downsampling)
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((id, lang), rs) =>
+      val epochs = rs.map(_._3).sorted.toSeq
+      assert(epochs === (1 to epochs.length), s"doc $id epochs $epochs")
+      val base = math.floor(m(lang)).toInt
+      assert(epochs.length === base || epochs.length === base + 1,
+        s"doc $id ($lang) emitted ${epochs.length} for m=${m(lang)}")
+    }
+    // the recipe's direction: the majority language is downsampled below
+    // 1 copy/doc, the minority upsampled above — and totals track m * n_l
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val head = langN.maxBy(_._2)._1
+    val tail = langN.minBy(_._2)._1
+    assert(byLang(head) < langN(head), s"head lang $head not downsampled")
+    assert(byLang(tail) > langN(tail), s"tail lang $tail not upsampled")
+    langN.keys.foreach { lang =>
+      val expect = m(lang) * langN(lang)
+      val sigma = math.sqrt(langN(lang) * 0.25)
+      assert(math.abs(byLang.getOrElse(lang, 0) - expect) <= math.max(4.0, 3 * sigma),
+        s"$lang emitted ${byLang.getOrElse(lang, 0)}, expected ~$expect")
+    }
+    // one epoch still draws ~N documents overall
+    assert(math.abs(rows.length - n.toDouble) <= 3 * math.sqrt(n.toDouble))
+    // plan: per-row + broadcast multiplicity table — the corpus never
+    // shuffles (only the #langs-row stratum aggregate exchanges)
+    val plan = Pipeline.mixTemperature(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"multiplicity table not broadcast:\n$plan")
+  }
+
   test("corpus_shuffle: a 1..N permutation matching the global-window twin") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -26,13 +26,13 @@ class PlanAuditSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
-    * SinglePartition exchange — measured, not guessed: these 8 are the
-    * ONLY members of the 83-query surface that plan one at all (top-k
+    * SinglePartition exchange — measured, not guessed: these 9 are the
+    * ONLY members of the 85-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
     *    min_n, pack_batches' n_shards, tfidf's document count N,
-    *    events_funnel's 3 stage counts;
+    *    events_funnel's 3 stage counts, mix_temperature's Σ n_lang^α;
     *  - the ≤256-row bucket-offset table of the seeded shuffle
     *    (corpus_shuffle, pretrain_manifest);
     *  - a schema-bounded profile (one row per COLUMN, not per record:
@@ -41,6 +41,7 @@ class PlanAuditSpec extends AnyFunSuite {
   val singlePartitionOk: Set[String] = Set(
     // global scalar aggregates (1-row frames)
     "sample_stratified", "pack_batches", "tfidf_topk", "events_funnel",
+    "mix_temperature",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
@@ -85,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * every build side is SMALL BY CONSTRUCTION, one of two shapes:
     *  - a 1-ROW scalar aggregate folded onto every row:
     *    sample_stratified's min_n, pack_batches' total-token count,
-    *    tfidf_topk's document count N, dedup_embedding's threshold;
+    *    tfidf_topk's document count N, dedup_embedding's threshold,
+    *    mix_temperature's (z, n_total) pair;
     *  - the bounded probe/model frame of the ANN queries (16 probe
     *    vectors / C centroids — O(query set), not O(corpus)), which
     *    every corpus row must score against BY DEFINITION of top-k
@@ -94,6 +96,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * assertion. */
   lazy val oneRowBuildOk: Set[String] = Set(
     "sample_stratified", "pack_batches", "tfidf_topk", "dedup_embedding",
+    "mix_temperature",
     "ann_topk", "ann_topk_fused", "ann_ivf"
   )
 }

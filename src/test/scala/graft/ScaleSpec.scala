@@ -72,6 +72,18 @@ class ScaleSpec extends AnyFunSuite {
       l.contains("ReusedExchange") || l.contains("ReusedQueryStage")), plan)
   }
 
+  test("pretrain_manifest at sf0.1: one scan (offsets ride the ReusedExchange)") {
+    val df = Pipeline.pretrainManifest(spark, sf01)
+    val rows = df.collect()
+    assert(rows.length > Tables.load(spark, sf01, "documents").count(),
+      "mix stage emitted no extra epochs")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("FileScan")) === 1,
+      s"offsets branch re-derives the mix/explode subtree at sf0.1:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ReusedExchange") || l.contains("ReusedQueryStage")), plan)
+  }
+
   // ---- ANN recall floors at sf0.1 (2,000-vector corpus) -------------------
   // At 4x the corpus with unchanged probe/band/code budgets, recall
   // legitimately degrades; these floors pin the MEASURED sf0.1 values
