@@ -450,20 +450,36 @@ object Dedup {
     * positives bounded by the fill rate. Rows-only by design (the
     * estimate is approximate); the serving columns mirror the exact
     * audit's so callers can swap one for the other. */
+  /** The k probe positions of each `h` row — shared by the batch audit
+    * and the streaming ingest twin so both set the identical bits. */
+  private def bloomPositions(df: DataFrame): DataFrame = df
+    .select(df.columns.map(col) :+
+      explode(sequence(lit(0), lit(BloomK - 1))).as("i"): _*)
+    .withColumn("bit", pmod(xxhash64(col("i"), col("h")), lit(BloomBits)))
+
+  /** The Bloom filter itself, as a ≤ m-row set-bit table over the TRAIN
+    * split's distinct word 8-grams. A bit is set or not regardless of how
+    * many keys map to it, so the table is a pure function of the shingle
+    * SET — mergeable, arrival-order-independent, and therefore identical
+    * whether built in one batch pass or maintained incrementally at
+    * ingest ([[graft.streaming.DocStreams.contaminationBitsStream]] runs
+    * this same code on a stream; bit-set parity asserted in
+    * DocStreamsSpec). Spelled as a groupBy (not distinct) so the
+    * identical plan streams in complete mode, the
+    * [[Sketches.cmsSketch]] argument: state ≤ m rows BY CONSTRUCTION. */
+  def contaminationBits(trainDocs: DataFrame): DataFrame =
+    bloomPositions(
+        wordShingleRowsFrom(trainDocs, 8).select(xxhash64(col("sh")).as("h")))
+      .groupBy(col("bit")).agg(count(lit(1)).as("n_probes"))
+
   def contaminationBloom(s: SparkSession, d: String): DataFrame = {
     val withSplit = Tables.load(s, d, "documents")
       .select(col("doc_id"), col("text"),
         (substring(md5(col("doc_id").cast("string")), 1, 1) < "e").as("is_train"))
     def shingles(df: DataFrame) =
       wordShingleRowsFrom(df, 8).select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    def bloomPositions(df: DataFrame) = df
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(BloomK - 1))).as("i"))
-      .select(col("doc_id"), col("h"),
-        pmod(xxhash64(col("i"), col("h")), lit(BloomBits)).as("bit"))
-    val bits = bloomPositions(
-        shingles(withSplit.where(col("is_train"))).select(lit(0L).as("doc_id"), col("h")))
-      .select(col("bit")).distinct()
+    val bits = contaminationBits(withSplit.where(col("is_train")))
+      .select(col("bit"))
     val evalSh = shingles(withSplit.where(!col("is_train"))).distinct()
     val totals = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = bloomPositions(evalSh)

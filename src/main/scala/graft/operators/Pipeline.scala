@@ -233,7 +233,13 @@ object Pipeline {
     * shuffle — the same shape sampleStratified plans. */
   def mixTemperature(s: SparkSession, d: String, alpha: Double = 0.5): DataFrame = {
     val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("lang"))
-    val strata = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    // explicit isNotNull below the strata aggregate: the multiplicity
+    // join infers it on one copy of the subtree only, which would stop
+    // the two strata scans (per-lang counts; Σ reduction) canonicalizing
+    // equal — with the pin, ReuseExchange computes the aggregate once
+    // (the corpus_shuffle trick, see there)
+    val strata = docs.where(col("lang").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     val tot = strata.agg(
       sum(pow(col("n_lang"), lit(alpha))).as("z"),
       sum(col("n_lang")).as("n_total"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, explode, md5, split}
+import org.apache.spark.sql.functions.{col, explode, md5, split, substring}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
@@ -76,6 +76,23 @@ object DocStreams {
   def tokenSketchStream(docs: DataFrame): DataFrame =
     Sketches.cmsSketch(
       docs.select(explode(split(col("text"), " ")).as("tok")))
+
+  /** Contamination Bloom filter maintained AT INGEST — the streaming twin
+    * of [[graft.operators.Dedup.contaminationBloom]]'s train side, built
+    * by the IDENTICAL [[graft.operators.Dedup.contaminationBits]] code (a
+    * plain groupBy, so it streams unchanged in complete mode). Same
+    * bounded-state argument as [[tokenSketchStream]]: the set-bit table
+    * can never exceed m = BloomBits rows no matter how much training text
+    * flows past, and because a bit is set regardless of key multiplicity,
+    * the streamed bit SET is identical to the batch one over the same
+    * corpus — so eval-side probes against the materialized table give the
+    * same contamination verdicts in both modes (parity asserted in
+    * DocStreamsSpec). At ingest time this is the practical shape: the
+    * filter is ready the moment training data lands, and benchmark sweeps
+    * probe it without re-scanning the corpus. */
+  def contaminationBitsStream(docs: DataFrame): DataFrame =
+    Dedup.contaminationBits(
+      docs.where(substring(md5(col("doc_id").cast("string")), 1, 1) < "e"))
 
   /** Incremental MinHash-LSH near-dedup: every arriving doc is banded with
     * the SAME signature construction as the batch operator

@@ -192,6 +192,42 @@ class DocStreamsSpec extends AnyFunSuite {
       "streamed-sketch heavy-hitter list diverged from batch token_heavy_hitters")
   }
 
+  test("streaming contamination bits: bit set identical to batch, state bounded at m") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents")
+    val streamDir = Files.createTempDirectory("graft-bloom-in").toString
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-bloom-tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$streamDir/$name")
+      Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeBatch(docs.where($"doc_id" % 2 === 0), "000.parquet", now - 60000)
+    writeBatch(docs.where($"doc_id" % 2 === 1), "001.parquet", now)
+
+    val q = DocStreams.contaminationBitsStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("doc_bloom")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamedBits = spark.table("doc_bloom").select("bit")
+      .as[Long].collect().toSet
+    // bounded state: the filter can never exceed m bits
+    assert(streamedBits.size <= Dedup.BloomBits)
+    // a bit is set regardless of key multiplicity, so streaming the
+    // corpus in micro-batches lands on the batch bit set EXACTLY
+    val train = docs.where(substring(md5($"doc_id".cast("string")), 1, 1) < "e")
+    val batchBits = Dedup.contaminationBits(train).select("bit")
+      .as[Long].collect().toSet
+    assert(streamedBits === batchBits)
+  }
+
   test("streaming near-dedup: pair set matches batch MinHash-LSH across micro-batches") {
     val docs = Tables.load(spark, sf, "documents")
     // split the corpus by doc_id parity into two micro-batches, so every
