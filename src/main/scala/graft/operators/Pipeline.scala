@@ -67,6 +67,62 @@ object Pipeline {
       |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thresh
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * per-language top-k documents by priority −ln(u)/w, where w is the
+    * document's token count and u ∈ (0,1) — the textbook weighted
+    * reservoir, which a data-recipe pipeline uses to draw a
+    * token-mass-proportional subset (long documents proportionally more
+    * likely) for inspection sets, eval carve-outs, or seed corpora.
+    * Deterministic, not RNG-sampled: u derives from md5(doc_id)'s leading
+    * 15 hex digits ((v + 0.5) / 2^60, strictly inside (0,1)), so
+    * membership is stable under reruns, repartitioning, and engines —
+    * DuckDB reproduces the exact draw via CAST('0x…' AS UBIGINT). Both
+    * engines parse the same decimal/hex into the same nearest-double,
+    * divide by an exact power of two, and take libm ln; the priority is
+    * rounded to 6 decimals (the [[graft.operators.Citations]] pageRank
+    * float-oracle precedent) with doc_id tie-break, so the cross-engine
+    * compare is on a shared grid.
+    *
+    * Scale shape: per-row projection, then ONE hash exchange on lang and
+    * a per-partition top-k — Spark plans the rank-filter as
+    * WindowGroupLimit, so each map task forwards only its local top-k
+    * per language, never the corpus. */
+  def sampleWeighted(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val prio = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("weight"))
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("double") + lit(0.5)) / lit(1152921504606846976.0)) // 2^60
+      .withColumn("priority", round(-log(col("u")) / col("weight"), 6))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    prio.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("doc_id"), col("weight"), col("priority"),
+        col("rank"))
+  }
+
+  val sampleWeightedSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+      |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |          AS UBIGINT) AS DOUBLE) + 0.5)
+      |      / 1152921504606846976.0 AS u
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang, doc_id, weight,
+      |         round(-ln(u) / weight, 6) AS priority
+      |  FROM t),
+      |r AS (
+      |  SELECT lang, doc_id, weight, priority,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |                            ORDER BY priority, doc_id) AS INT) AS rank
+      |  FROM p)
+      |SELECT lang, doc_id, weight, priority, rank FROM r
+      |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
   /** Apply near-dup decisions: drop every doc that appears as the LARGER
     * id of a verified near-dup pair (keep-smallest-id policy), via an
     * anti-join against the Dedup.dedupNear output — the composition step
@@ -513,6 +569,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "pipeline_e2e" -> (pipelineE2e _),
     "documents_deduped" -> (documentsDeduped _),
     "pack_batches" -> ((s, d) => packBatches(s, d)),
@@ -525,6 +582,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_weighted" -> sampleWeightedSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "documents_deduped" -> documentsDedupedSql,
     "pack_batches" -> packBatchesSql,
@@ -537,6 +595,7 @@ object Pipeline {
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "sample_split" -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
+    "sample_weighted" -> Seq(col("lang"), col("rank")),
     "pipeline_e2e" -> Seq(col("doc_id")),
     "documents_deduped" -> Seq(col("doc_id")),
     "pack_batches" -> Seq(col("doc_id")),

@@ -30,6 +30,9 @@ import graft.Tables
   *   - `ann_pq`: the memory-compressed path — product quantization
   *     (M=8 subspaces × 16 codes, Jégou et al.), ADC table scoring over
   *     4-byte codes, exact re-rank of the shortlist. Same contract.
+  *   - `ann_ivf_pq`: both at once — IVF cluster pruning feeding PQ ADC
+  *     scoring (the IVFADC composed index), the layout billion-scale
+  *     deployments actually run. Same contract.
   *   - `dedup_embedding`: embedding-cosine near-dup pairs, blocked by
   *     shared IVF cluster (multi-assigned to top-2 clusters for recall),
   *     exact-verified at cos >= 0.45. Rows-only checked: cluster blocking
@@ -431,19 +434,42 @@ object Similarity {
   def annPq(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val books = trainedCodebooks(s, d)
-    // encode: nearest sub-centroid per (vec, m) — argmin with map-side
-    // combine, same shape as the IVF corpus assignment
-    val codes = subvectors(e, "vec_id").join(broadcast(books), Seq("m"))
+    val codes = corpusCodes(e, books)
+    val probes = e.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val tables = adcTables(probes, books)
+    // ADC score: sum of table entries over the candidate's codes
+    val adc = codes.join(broadcast(tables), Seq("m", "code"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .join(broadcast(probeNorms(probes)), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (col("adot") / (col("pn") * sqrt(col("an2")))).as("adc"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= PqRerank)
+      .select(col("probe_id"), col("vec_id"))
+    exactRerank(shortlist, e, probes)
+  }
+
+  /** PQ-encode the corpus: nearest sub-centroid per (vec, m) — argmin
+    * with map-side combine, same shape as the IVF corpus assignment.
+    * (vec_id, m, code): the 4-bit-per-subspace compressed index. */
+  private def corpusCodes(e: DataFrame, books: DataFrame): DataFrame =
+    subvectors(e, "vec_id").join(broadcast(books), Seq("m"))
       .select(col("vec_id"), col("m"), col("code"),
         expr(l2Expr("sub", "ce")).as("d2"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("d2"), col("code"))).as("mc"))
       .select(col("vec_id"), col("m"), col("mc.code").as("code"))
-    // per-probe ADC tables: partial dot against every sub-centroid, plus
-    // the sub-centroid norm contribution for the approximate |x|
-    val probes = e.where(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val tables = subvectors(
+
+  /** Per-probe ADC lookup tables: partial dot against every sub-centroid,
+    * plus the sub-centroid norm contribution for the approximate |x|.
+    * O(probes × M × K) rows — broadcast-sized by construction. */
+  private def adcTables(probes: DataFrame, books: DataFrame): DataFrame =
+    subvectors(
         probes.select(col("probe_id"), col("pe").as("embedding")), "probe_id")
       .join(broadcast(books), Seq("m"))
       .select(col("probe_id"), col("m"), col("code"),
@@ -453,22 +479,16 @@ object Similarity {
         expr(s"""aggregate(zip_with(ce, ce,
                  |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                  |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("cn2"))
-    val pnorms = probes.select(col("probe_id"),
+
+  private def probeNorms(probes: DataFrame): DataFrame =
+    probes.select(col("probe_id"),
       expr("sqrt(aggregate(zip_with(pe, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))").as("pn"))
-    // ADC score: sum of table entries over the candidate's codes
-    val adc = codes.join(broadcast(tables), Seq("m", "code"))
-      .where(col("vec_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
-      .join(broadcast(pnorms), Seq("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        (col("adot") / (col("pn") * sqrt(col("an2")))).as("adc"))
-    val wAdc = Window.partitionBy(col("probe_id"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
-      .where(col("arank") <= PqRerank)
-      .select(col("probe_id"), col("vec_id"))
-    // exact re-rank of the shortlist
+
+  /** Exact cosine re-rank of a (probe_id, vec_id) shortlist — emitted
+    * scores are always true cosines regardless of how the shortlist was
+    * produced (ADC, IVF pruning, or both). */
+  private def exactRerank(shortlist: DataFrame, e: DataFrame,
+      probes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     shortlist
@@ -479,6 +499,54 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** IVF-PQ — the composed billion-scale index layout (Jégou et al.'s
+    * IVFADC): the coarse quantizer prunes the candidate set to the
+    * probe's nprobe nearest clusters (~nprobe/C of the corpus), and PQ
+    * codes score those candidates via ADC table lookups, so the scan
+    * touches 4-byte codes instead of 256-byte vectors AND only a
+    * cluster-pruned slice of them — the two savings multiply. The ADC
+    * shortlist is re-ranked exactly, so emitted scores are true cosines;
+    * recall vs the exact `ann_topk` is measured in SimilaritySpec (it
+    * composes both stages' misses, so it sits at or below each stage's
+    * own recall — the price of the multiplied savings).
+    *
+    * Scale shape: both model artifacts (centroids, codebooks) broadcast;
+    * the candidate join is an equi-join on cid (bucketed, never
+    * all-pairs); ADC scoring joins codes on (probe_id, m, code) against a
+    * broadcast table and sum-aggregates with map-side combine. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cs = trainedCentroids(s, d)
+    val books = trainedCodebooks(s, d)
+    val corpus = assignClusters(e, cs, take = 1, idCol = "vec_id")
+      .select(col("vec_id"), col("cid"))
+    val codes = corpusCodes(e, books)
+    val probes = e.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val probeClusters = assignClusters(
+        probes.select(col("probe_id"), col("pe").as("embedding")), cs,
+        take = NumProbeClusters, idCol = "probe_id")
+      .select(col("probe_id"), col("cid"))
+    // IVF prune: a candidate shares one of the probe's nprobe clusters
+    val cands = probeClusters.join(corpus, Seq("cid"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id")).distinct()
+    // ADC over the pruned candidates only
+    val adc = cands.join(codes, Seq("vec_id"))
+      .join(broadcast(adcTables(probes, books)), Seq("probe_id", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .join(broadcast(probeNorms(probes)), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (col("adot") / (col("pn") * sqrt(col("an2")))).as("adc"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= PqRerank)
+      .select(col("probe_id"), col("vec_id"))
+    exactRerank(shortlist, e, probes)
   }
 
   /** Embedding-cosine near-dup pairs (cos >= 0.45), blocked by shared IVF
@@ -504,6 +572,7 @@ object Similarity {
     "ann_ivf" -> (annIvf _),
     "ann_lsh" -> (annLsh _),
     "ann_pq" -> (annPq _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
 
@@ -522,6 +591,7 @@ object Similarity {
     "ann_ivf" -> Seq(col("probe_id"), col("rank")),
     "ann_lsh" -> Seq(col("probe_id"), col("rank")),
     "ann_pq" -> Seq(col("probe_id"), col("rank")),
+    "ann_ivf_pq" -> Seq(col("probe_id"), col("rank")),
     "dedup_embedding" -> Seq(col("vec_a"), col("vec_b"))
   )
 }

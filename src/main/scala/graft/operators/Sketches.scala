@@ -107,8 +107,39 @@ object Sketches {
         percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_approx"))
 
+  /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
+    * sketches matter at 100 TB: build one Apache DataSketches HLL sketch
+    * PER (day, event_type) partition (`hll_sketch_agg` — the sketch
+    * column a daily batch job would persist next to its partition), then
+    * answer the cross-day question by UNIONING the stored sketches
+    * (`hll_union_agg`) instead of re-scanning the raw events. Distinct
+    * counts don't sum — a user active on 5 days must count once — which
+    * is exactly what the sketch union gets right and a per-day count
+    * rollup gets wrong. Emits, per event_type: the union-of-days
+    * estimate, the naive sum of per-day estimates (wrong on purpose —
+    * the gap demonstrates WHY the union is needed), and n_days. The
+    * union estimate must agree with the exact all-days distinct within
+    * HLL error; SketchSpec asserts that bound and that naive_sum ≥
+    * merged for every type.
+    *
+    * Scale shape: stage 1 groups on (day, type) — full parallelism, HLL
+    * register blocks as map-side partials; stage 2 shuffles ONE sketch
+    * blob per (day, type) — day-count-sized, not event-count-sized. */
+  def distinctUsersMerge(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_users_merged"),
+        sum(hll_sketch_estimate(col("sketch"))).as("n_users_naive_sum"),
+        count(lit(1)).as("n_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_distinct_users_approx" -> (distinctUsersApprox _),
+    "events_distinct_users_merge" -> (distinctUsersMerge _),
     "token_heavy_hitters" -> ((s, d) => tokenHeavyHitters(s, d)),
     "events_value_percentiles_approx" -> (valuePercentilesApprox _)
   )
@@ -120,6 +151,7 @@ object Sketches {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "events_distinct_users_approx" -> Seq(col("event_type")),
+    "events_distinct_users_merge" -> Seq(col("event_type")),
     "events_value_percentiles_approx" -> Seq(col("event_type"))
   )
 }

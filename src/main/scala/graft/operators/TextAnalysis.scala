@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -384,6 +385,94 @@ object TextAnalysis {
       |  FROM scored)
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Per-document mean token log-probability under the corpus unigram LM
+    * — the classic perplexity-proxy quality score (documents of rare /
+    * gibberish tokens score far below fluent text; a pipeline thresholds
+    * on it next to [[textQuality]]'s surface heuristics).
+    *
+    * Determinism discipline: the per-document score is a SUM of float
+    * contributions, and a plain double sum is reduce-order-dependent —
+    * nondeterministic across partitionings, let alone engines. So each
+    * token's log-prob is rounded to 9 decimals ONCE (per distinct corpus
+    * token) and fixed as DECIMAL(18,9); per-document accumulation then
+    * runs in exact decimal arithmetic (associative, order-free), and
+    * only the final per-token mean returns to double (round 6). DuckDB
+    * reproduces every step — that makes a float-sum query hash-oracle-able.
+    *
+    * Scale shape: explode → (doc, tok) count with map-side combine →
+    * vocabulary join (vocab ≪ occurrences) → per-doc decimal sum. The
+    * corpus total is a 1-row broadcast; no corpus-sized frame ever
+    * funnels to one partition. */
+  def qualityUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("n_total").cast("double")), 9)
+          .cast("decimal(18,9)").as("logp"))
+    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+      .join(logp, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k").cast("decimal(18,0)") * col("logp")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("lp_per_tok"))
+  }
+
+  val qualityUnigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      |total AS (SELECT sum(cnt) AS n_total FROM vocab),
+      |logp AS (
+      |  SELECT tok,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
+      |         AS DECIMAL(18,9)) AS logp
+      |  FROM vocab, total),
+      |dk AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+      |       round(CAST(sum(CAST(k AS DECIMAL(18,0)) * logp) AS DOUBLE)
+      |             / CAST(sum(k) AS DOUBLE), 6) AS lp_per_tok
+      |FROM dk JOIN logp USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Document-length distribution on a log2 grid — the diagnostic a
+    * packing/truncation recipe reads before choosing a sequence budget
+    * (what share of documents, and of total character mass, falls in each
+    * power-of-two length band). Bucket = floor(log2(n_chars)) + 1,
+    * computed as length(bin(n_chars)) — pure INTEGER bit-length, so
+    * exact-power-of-two boundary values can never flip buckets the way a
+    * float log2 epsilon would, and DuckDB's bin() agrees digit-for-digit.
+    * Scale shape: one partial-aggregated exchange whose key domain is
+    * ≤64 BY CONSTRUCTION (bit lengths of a long); the share window runs
+    * over that ≤64-row aggregate, not the corpus. */
+  def docLengthHistogram(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.load(s, d, "documents")
+      .select(length(bin(col("n_chars"))).cast("int").as("bucket"),
+        col("n_chars"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    g.withColumn("share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()), 6))
+      .select(col("bucket"), col("n_docs"), col("sum_chars"), col("share"))
+  }
+
+  val docLengthHistogramSql: String =
+    """WITH b AS (
+      |  SELECT CAST(length(bin(n_chars)) AS INT) AS bucket, n_chars
+      |  FROM documents),
+      |g AS (
+      |  SELECT bucket, count(*) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM b GROUP BY 1)
+      |SELECT bucket, n_docs, sum_chars,
+      |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS share
+      |FROM g ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
@@ -393,7 +482,9 @@ object TextAnalysis {
     "quality_repetition" -> (qualityRepetition _),
     "pii_redact" -> (piiRedact _),
     "lang_id" -> (langId _),
-    "doc_fingerprint" -> (docFingerprint _)
+    "doc_fingerprint" -> (docFingerprint _),
+    "doc_length_histogram" -> (docLengthHistogram _),
+    "quality_unigram_logprob" -> (qualityUnigramLogprob _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -405,7 +496,9 @@ object TextAnalysis {
     "quality_repetition" -> qualityRepetitionSql,
     "pii_redact" -> piiRedactSql,
     "lang_id" -> langIdSql,
-    "doc_fingerprint" -> docFingerprintSql
+    "doc_fingerprint" -> docFingerprintSql,
+    "doc_length_histogram" -> docLengthHistogramSql,
+    "quality_unigram_logprob" -> qualityUnigramLogprobSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -415,6 +508,8 @@ object TextAnalysis {
     "quality_repetition" -> Seq(col("doc_id")),
     "pii_redact" -> Seq(col("doc_id")),
     "lang_id" -> Seq(col("doc_id")),
-    "doc_fingerprint" -> Seq(col("doc_id"))
+    "doc_fingerprint" -> Seq(col("doc_id")),
+    "doc_length_histogram" -> Seq(col("bucket")),
+    "quality_unigram_logprob" -> Seq(col("doc_id"))
   )
 }

@@ -278,6 +278,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("[bucket"), s"within-bucket window missing:\n$plan")
   }
 
+  test("sample_weighted: deterministic E-S draw, dense per-lang ranks, weighted bias") {
+    val docs = Tables.load(spark, sf, "documents")
+    val langN = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val a = Pipeline.sampleWeighted(spark, sf)
+      .as[(String, Long, Long, Double, Int)].collect()
+    val b = Pipeline.sampleWeighted(spark, sf)
+      .as[(String, Long, Long, Double, Int)].collect()
+    assert(a.sortBy(r => (r._1, r._5)).toSeq === b.sortBy(r => (r._1, r._5)).toSeq)
+    // exactly min(k, n_lang) rows per language, ranks dense from 1,
+    // priorities non-decreasing in rank (the E-S min-k order)
+    a.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length === math.min(20L, langN(lang)).toInt, s"lang=$lang")
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq === (1 to rows.length))
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
+    }
+    // token-mass bias: the weighted sample's mean weight should exceed
+    // the corpus mean (long docs are proportionally more likely) — a
+    // structural property of -ln(u)/w priorities, not a statistical
+    // accident at this draw size (k*langs ~ 2/5 of the corpus)
+    val corpusMean = docs
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("double"))
+      .as[Double].collect().sum / langN.values.sum
+    val sampleMean = a.map(_._3.toDouble).sum / a.length
+    assert(sampleMean > corpusMean,
+      f"weighted sample mean $sampleMean%.1f <= corpus mean $corpusMean%.1f")
+  }
+
+  test("sample_weighted plan: per-lang top-k pushes down as WindowGroupLimit") {
+    val plan = Pipeline.sampleWeighted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not push down:\n$plan")
+  }
+
   test("bucketHexChars is a free parallelism knob: ordinals invariant across widths") {
     // the bucket is a PREFIX of the md5 sort key, so the bucket count
     // (16^k) changes task granularity but NEVER the emitted global order

@@ -26,26 +26,32 @@ class PlanAuditSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
-    * SinglePartition exchange — measured, not guessed: these 9 are the
-    * ONLY members of the 85-query surface that plan one at all (top-k
+    * SinglePartition exchange — measured, not guessed: these 10 are the
+    * ONLY members of the 90-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
     *    min_n, pack_batches' n_shards, tfidf's document count N,
-    *    events_funnel's 3 stage counts, mix_temperature's Σ n_lang^α;
+    *    events_funnel's 3 stage counts, mix_temperature's Σ n_lang^α,
+    *    quality_unigram_logprob's corpus token total;
     *  - the ≤256-row bucket-offset table of the seeded shuffle
     *    (corpus_shuffle, pretrain_manifest);
     *  - a schema-bounded profile (one row per COLUMN, not per record:
-    *    profile_documents, profile_orders).
+    *    profile_documents, profile_orders);
+    *  - a domain-bounded aggregate: doc_length_histogram's share window
+    *    runs over the post-aggregate frame whose key is a long's bit
+    *    length — ≤64 rows BY CONSTRUCTION.
     * Corpus-sized frames NEVER appear here — that is the assertion. */
   val singlePartitionOk: Set[String] = Set(
     // global scalar aggregates (1-row frames)
     "sample_stratified", "pack_batches", "tfidf_topk", "events_funnel",
-    "mix_temperature",
+    "mix_temperature", "quality_unigram_logprob",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
-    "profile_documents", "profile_orders"
+    "profile_documents", "profile_orders",
+    // ≤64-row bit-length-domain aggregate
+    "doc_length_histogram"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -87,16 +93,18 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - a 1-ROW scalar aggregate folded onto every row:
     *    sample_stratified's min_n, pack_batches' total-token count,
     *    tfidf_topk's document count N, dedup_embedding's threshold,
-    *    mix_temperature's (z, n_total) pair;
+    *    mix_temperature's (z, n_total) pair, quality_unigram_logprob's
+    *    corpus token total;
     *  - the bounded probe/model frame of the ANN queries (16 probe
     *    vectors / C centroids — O(query set), not O(corpus)), which
     *    every corpus row must score against BY DEFINITION of top-k
-    *    search: ann_topk, ann_topk_fused, ann_ivf.
+    *    search: ann_topk, ann_topk_fused, ann_ivf, ann_ivf_pq (its
+    *    coarse-quantizer assignment — the PQ stages stay equi-joined).
     * Nothing corpus-sized ever builds a nested loop — that is the
     * assertion. */
   lazy val oneRowBuildOk: Set[String] = Set(
     "sample_stratified", "pack_batches", "tfidf_topk", "dedup_embedding",
-    "mix_temperature",
-    "ann_topk", "ann_topk_fused", "ann_ivf"
+    "mix_temperature", "quality_unigram_logprob",
+    "ann_topk", "ann_topk_fused", "ann_ivf", "ann_ivf_pq"
   )
 }

@@ -15,7 +15,7 @@ import graft.operators.{Pipeline, Similarity}
   *
   * The DuckDB oracle's sf0.1 twin lives outside ScalaTest (the driver
   * gate + scripts/oracle_check.py run against any sfDir; the round-7
-  * artifact CORRECTNESS_SF01_r07.json records the full 75-query compare
+  * artifact CORRECTNESS_SF01_r07.json records the full 78-oracle compare
   * at sf0.1) — this spec covers what the oracle can't: recall floors
   * and knob engagement.
   */
@@ -132,5 +132,18 @@ class ScaleSpec extends AnyFunSuite {
     val recall = got.intersect(exactPairs).size.toDouble / exactPairs.size
     info(f"PQ recall@10 at sf0.1 = $recall%.3f")
     assert(recall >= 0.60, f"PQ recall collapsed at sf0.1: $recall%.3f (measured 0.625)")
+  }
+
+  test("ann_ivf_pq recall@10 at sf0.1: composed misses stay near the PQ floor") {
+    // the composed index misses when EITHER stage misses; since IVF
+    // recall is ~0.93 here, the compose should track PQ's ~0.63 closely
+    // — a collapse below PQ-minus-IVF-losses means the stages interact
+    // badly (e.g. pruning drops exactly the vectors PQ ranks well)
+    val exactPairs = exact01.flatMap { case (p, vs) => vs.map(v => (p, v)) }.toSet
+    val got = Similarity.annIvfPq(spark, sf01)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exactPairs).size.toDouble / exactPairs.size
+    info(f"IVF-PQ composed recall@10 at sf0.1 = $recall%.3f")
+    assert(recall >= 0.55, f"IVF-PQ recall collapsed at sf0.1: $recall%.3f")
   }
 }

@@ -111,6 +111,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ann_ivf_pq: sound (exact re-ranked scores), composed recall above floor") {
+    val exactRows = Similarity.annTopk(spark, sf)
+      .select("probe_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val exact = exactRows.map(r => (r._1, r._2)).toSet
+    val exactScores = exactRows.map { case (p, v, c) => (p, v) -> c }.toMap
+    val got = Similarity.annIvfPq(spark, sf)
+      .select("probe_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    // soundness: emitted scores are TRUE cosines (the re-rank contract)
+    got.foreach { case (p, v, c) =>
+      exactScores.get((p, v)).foreach(e => assert(c === e, s"score drift ($p,$v)"))
+    }
+    // the composed index misses when EITHER stage misses, so its recall
+    // sits at or below min(ivf, pq) — floor accordingly
+    val recall = got.map(r => (r._1, r._2)).toSet.intersect(exact).size.toDouble / exact.size
+    info(f"IVF-PQ composed recall@10 vs exact: $recall%.3f")
+    assert(recall >= 0.60, f"IVF-PQ recall $recall%.3f below floor")
+    val plan = Similarity.annIvfPq(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup_embedding: every emitted pair verified >= 0.45; no cartesian in plan") {
     val pairs = Similarity.dedupEmbedding(spark, sf)
       .as[(Long, Long, Double)].collect()

@@ -136,6 +136,30 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("events_distinct_users_merge: sketch union = exact within HLL error; naive sum inflates") {
+    val exact = EventAnalytics.distinctUsers(spark, sf)
+      .select($"event_type", $"n_users").as[(String, Long)].collect().toMap
+    val merged = Sketches.distinctUsersMerge(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(merged.map(_._1).toSet === exact.keySet)
+    merged.foreach { case (k, m, naive, nDays) =>
+      val ex = exact(k)
+      // lgK=12 => rsd ~ 1.04/sqrt(2^12) ~ 1.6%; allow 5% for union slop
+      assert(math.abs(m - ex).toDouble / ex <= 0.05,
+        s"$k: merged $m vs exact $ex drifted > 5%")
+      // distinct counts don't sum: a user active on multiple days is
+      // counted once by the union, nDays times by the naive rollup —
+      // the naive sum must be >= the merged estimate (strictly >, in
+      // this synthetic data where users recur across days)
+      assert(naive >= m, s"$k: naive $naive < merged $m")
+      assert(nDays > 1, s"$k spans only $nDays day(s) — merge untested")
+    }
+    // the inflation must actually manifest somewhere, or the test is
+    // vacuous (i.e. the data would have no cross-day repeat users)
+    assert(merged.exists { case (k, m, naive, _) => naive > m * 1.5 },
+      "no event_type shows naive-sum inflation; cross-day repeats absent?")
+  }
+
   test("approx percentile brackets the exact percentile (order totals)") {
     val exactMedian = Tables.load(spark, sf, "orders")
       .select(expr("percentile(o_totalprice, 0.5)")).first().getDouble(0)

@@ -178,4 +178,56 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(two(1L) === two(2L))
   }
+
+  test("doc_length_histogram: integer bit-length buckets, exact partition of the corpus") {
+    val hist = TextAnalysis.docLengthHistogram(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("n_chars")).as[Long].collect()
+    // brute-force twin: bucket = bit length of n_chars
+    val expected = docs.groupBy(n => 64 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, ns) => (b, ns.length.toLong, ns.sum) }
+      .toSeq.sortBy(_._1)
+    assert(hist.map(h => (h._1, h._2, h._3)).toSeq === expected)
+    // shares: each = round(n/total, 6), so the sum is 1 within rounding slack
+    assert(hist.map(_._2).sum === docs.length.toLong)
+    val shareSum = hist.map(_._4).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5 * hist.length, s"share sum $shareSum")
+    // power-of-two boundary safety: a doc of exactly 2^k chars must land
+    // in bucket k+1 (bit length), never k — the float-log2 failure mode
+    val probe = Seq(1023L, 1024L, 1025L).toDF("n_chars")
+      .select(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.bin(col("n_chars"))).cast("int").as("b"))
+      .as[Int].collect().toSeq
+    assert(probe === Seq(10, 11, 11))
+  }
+
+  test("quality_unigram_logprob: matches an exact local decimal recompute") {
+    val got = TextAnalysis.qualityUnigramLogprob(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, lp) => id -> ((n, lp)) }.toMap
+    // local twin with the SAME decimal discipline: logp rounded to 9dp
+    // HALF_UP once per distinct token, contributions summed exactly
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val tokens = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val counts = tokens.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val nTotal = counts.values.map(_.toLong).sum
+    val logp = counts.map { case (t, c) =>
+      t -> BigDecimal(math.log(c.toDouble / nTotal.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(got.size === docs.length)
+    tokens.foreach { case (id, toks) =>
+      val s = toks.groupBy(identity).map { case (t, xs) =>
+        BigDecimal(xs.length) * logp(t) }.sum
+      val expect = BigDecimal(s.toDouble / toks.length.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, lp) = got(id)
+      assert(n === toks.length.toLong, s"doc $id token count")
+      assert(lp === expect, s"doc $id: got $lp expect $expect")
+    }
+    // scores are log-probs: strictly negative for any vocab > 1
+    assert(got.values.forall(_._2 < 0))
+  }
 }
