@@ -138,6 +138,56 @@ object EventAnalytics {
       |       round(n * 100.0 / sum(n) OVER (PARTITION BY day), 6) AS pct
       |FROM daily ORDER BY day, event_type""".stripMargin
 
+  /** Per-type daily-count anomaly score — the monitoring query an event
+    * pipeline runs to flag outlier days (traffic spikes, dropped
+    * ingestion): z = (n − mean)/stddev over the type's daily counts.
+    *
+    * Determinism discipline: no `avg`/`stddev_samp` over doubles (their
+    * reduce order is partition-nondeterministic). Daily counts are
+    * integers, so Σn and Σn² are EXACT long aggregates; the z-score is
+    * derived from them in a fixed-shape double expression —
+    * z = (n·days − Σn) / sqrt((days·Σn² − (Σn)²) · days/(days−1)) —
+    * a pure function of exact integers, identical on any partitioning
+    * and engine, so the query hash-oracles. Zero-variance types emit
+    * z = 0 (exact integer test, not a float epsilon).
+    *
+    * Scale shape: the daily aggregate is the only corpus-sized shuffle;
+    * stats are one row per event_type (broadcast back onto the daily
+    * frame). */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .where(col("days") > 1)
+      .select(col("day"), col("event_type"), col("n"),
+        when(col("days") * col("s2") - col("s1") * col("s1") === 0, lit(0.0))
+          .otherwise(round(
+            (col("n") * col("days") - col("s1")).cast("double") /
+              sqrt((col("days") * col("s2") - col("s1") * col("s1")).cast("double")
+                * col("days").cast("double") / (col("days").cast("double") - 1.0)),
+            6)).as("z"))
+  }
+
+  val eventsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS days, sum(n) AS s1, sum(n*n) AS s2
+      |  FROM daily GROUP BY 1)
+      |SELECT day, event_type, n,
+      |  CASE WHEN days*s2 - s1*s1 = 0 THEN 0.0
+      |       ELSE round(CAST(n*days - s1 AS DOUBLE)
+      |            / sqrt(CAST(days*s2 - s1*s1 AS DOUBLE) * CAST(days AS DOUBLE)
+      |                   / (CAST(days AS DOUBLE) - 1.0)), 6) END AS z
+      |FROM daily JOIN stats USING (event_type)
+      |WHERE days > 1
+      |ORDER BY day, event_type""".stripMargin
+
   /** As-of join: for each click, the most recent at-or-before purchase of
     * the same user. Spark has no native ASOF JOIN, and the naive encoding
     * (range join, then per-row argmax) expands quadratically in events per
@@ -358,7 +408,8 @@ object EventAnalytics {
     "events_sessionize" -> (sessionize _),
     "events_json_extract" -> (jsonExtract _),
     "events_distinct_users" -> (distinctUsers _),
-    "events_daily_share" -> (dailyShare _)
+    "events_daily_share" -> (dailyShare _),
+    "events_anomaly" -> (eventsAnomaly _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,6 +423,7 @@ object EventAnalytics {
     "events_sessionize" -> sessionizeSql,
     "events_json_extract" -> jsonExtractSql,
     "events_distinct_users" -> distinctUsersSql,
-    "events_daily_share" -> dailyShareSql
+    "events_daily_share" -> dailyShareSql,
+    "events_anomaly" -> eventsAnomalySql
   )
 }

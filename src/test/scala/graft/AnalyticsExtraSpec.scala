@@ -155,4 +155,29 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans === 1, s"expected one scan:\n$plan")
   }
+
+  test("events_anomaly: z-scores match a local exact-integer recompute") {
+    val got = EventAnalytics.eventsAnomaly(spark, sf)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    // local twin with the same exact-integer formulation
+    val daily = got.map { case (day, t, n, _) => (day, t) -> n }.toMap
+    val byType = got.groupBy(_._2)
+    byType.foreach { case (_, rows) =>
+      val days = rows.length.toLong
+      val s1 = rows.map(_._3).sum
+      val s2 = rows.map(r => r._3 * r._3).sum
+      rows.foreach { case (day, t, n, z) =>
+        val b = days * s2 - s1 * s1
+        val expect = if (b == 0) 0.0
+          else BigDecimal((n * days - s1).toDouble /
+              math.sqrt(b.toDouble * days.toDouble / (days.toDouble - 1.0)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(z === expect, s"($day,$t)")
+      }
+      // z-scores of a complete group sum to ~0 (mean-centered)
+      val zSum = rows.map(_._4).sum
+      assert(math.abs(zSum) < 1e-3, s"z sum $zSum")
+    }
+    assert(daily.nonEmpty)
+  }
 }
