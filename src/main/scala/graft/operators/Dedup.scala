@@ -43,7 +43,7 @@ object Dedup {
     * shorter than n units emit the whole text as one shingle —
     * `sequence(1, greatest(len-(n-1), 1))` is [1] and the window clamps,
     * exactly the DuckDB twins' CASE fallback. */
-  private[operators] def wordShingleRowsFrom(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def wordShingleRowsFrom(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
@@ -79,7 +79,7 @@ object Dedup {
     * ~10⁻¹², far below the LSH stage's own documented miss probability,
     * and DedupSpec's brute-force twin pins the emitted sizes against the
     * string formulation. */
-  private def shingleArrays(rows: DataFrame): DataFrame =
+  private[graft] def shingleArrays(rows: DataFrame): DataFrame =
     rows.groupBy(col("doc_id"))
       .agg(collect_set(xxhash64(col("sh"))).as("shingles"))
 
@@ -106,8 +106,8 @@ object Dedup {
     * `repartition(band, key)` pins exactly the hash partitioning the
     * candidate self-join needs, so ONE reused exchange feeds both join
     * sides instead of computing the signatures twice. */
-  private def bandKeys(shingleRows: DataFrame, rowsPerBand: Int,
-                       numBands: Int): DataFrame = {
+  private[graft] def bandKeys(shingleRows: DataFrame, rowsPerBand: Int,
+                              numBands: Int): DataFrame = {
     val hashed = shingleRows.select(col("doc_id"), xxhash64(col("sh")).as("h1"))
     val mhCols = (0 until numBands * rowsPerBand).map(j =>
       min(xxhash64(col("h1"), lit(j))).as(s"mh$j"))

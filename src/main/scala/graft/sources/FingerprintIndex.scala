@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Persisted MinHash-LSH fingerprint index — the INCREMENTAL dedup
+  * pattern. A 100-TB corpus is not deduped from scratch per ingest
+  * batch: the corpus's fingerprints (LSH band keys for candidate
+  * generation, xxhash64 shingle sets for exact verification) are
+  * computed ONCE and persisted; each new batch then computes only its
+  * OWN fingerprints and joins them against the stored index — O(batch)
+  * work per increment, never O(corpus), and the corpus TEXT is never
+  * re-read (the index carries everything verification needs).
+  *
+  * The hash construction is byte-identical to [[Dedup.dedupNear]]'s
+  * in-memory pipeline (same shingling, same double-hashed minhash
+  * family, same band keys), so a (corpus doc, new doc) pair lands in
+  * the same buckets — and gets the same verdict — whether deduped
+  * incrementally or in one batch. DedupSpec asserts exactly that
+  * equivalence, plus a brute-force cross-Jaccard twin.
+  *
+  * Layout: two parquet tables under `path` —
+  *   bands/    (doc_id, band, key)       — candidate generation
+  *   shingles/ (doc_id, shingles)        — array<long> fingerprints
+  * Both are written partitioned by their join-side key hash (parquet's
+  * default row-group layout suffices: the band join shuffles on
+  * (band, key), which no static layout can pre-provide for an unseen
+  * batch; what matters is that the stored side is fingerprints, orders
+  * of magnitude smaller than text).
+  */
+object FingerprintIndex {
+
+  val DefaultShingleN = 3
+  val DefaultRowsPerBand = 2
+  val DefaultNumBands = 16
+
+  /** Fingerprint `docs` (doc_id, text) and persist the index at `path`. */
+  def writeIndex(docs: DataFrame, path: String,
+                 n: Int = DefaultShingleN,
+                 rowsPerBand: Int = DefaultRowsPerBand,
+                 numBands: Int = DefaultNumBands): Unit = {
+    val rows = Dedup.wordShingleRowsFrom(docs, n)
+    Dedup.bandKeys(rows, rowsPerBand, numBands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Dedup.shingleArrays(rows)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Near-dup pairs between a NEW batch and the indexed corpus, at
+    * Jaccard >= num/den (default 3/5, [[Dedup.dedupNear]]'s threshold).
+    * Emits (corpus_id, new_id, inter_size, union_size) for every
+    * verified cross pair. The new batch is fingerprinted with the same
+    * construction; candidates come from the (band, key) equi-join
+    * against the stored bands (shuffle keyed on high-cardinality band
+    * keys, never a cartesian); verification joins the stored shingle
+    * arrays — corpus text is never touched. */
+  def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame, path: String,
+                        n: Int = DefaultShingleN,
+                        rowsPerBand: Int = DefaultRowsPerBand,
+                        numBands: Int = DefaultNumBands,
+                        num: Int = 3, den: Int = 5): DataFrame = {
+    val newRows = Dedup.wordShingleRowsFrom(newDocs, n)
+    val newBands = Dedup.bandKeys(newRows, rowsPerBand, numBands)
+      .select(col("band"), col("key"), col("doc_id").as("new_id"))
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+    val cands = idxBands.join(newBands, Seq("band", "key"))
+      .where(col("corpus_id") =!= col("new_id"))
+      .select(col("corpus_id"), col("new_id")).distinct()
+    val idxShingles = spark.read.parquet(s"$path/shingles")
+      .select(col("doc_id").as("corpus_id"), col("shingles").as("sa"))
+    val newShingles = Dedup.shingleArrays(newRows)
+      .select(col("doc_id").as("new_id"), col("shingles").as("sb"))
+    cands
+      .join(idxShingles, Seq("corpus_id"))
+      .join(newShingles, Seq("new_id"))
+      .select(col("corpus_id"), col("new_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_size"),
+        size(array_union(col("sa"), col("sb"))).cast("long").as("union_size"))
+      .where(col("inter_size") * den >= col("union_size") * num)
+  }
+
+  /** Append a batch's fingerprints to the index (the post-ingest step:
+    * once a batch is admitted, its fingerprints join the corpus index so
+    * FUTURE batches dedup against it too). Parquet append — no read,
+    * no rewrite of the existing index. */
+  def appendToIndex(docs: DataFrame, path: String,
+                    n: Int = DefaultShingleN,
+                    rowsPerBand: Int = DefaultRowsPerBand,
+                    numBands: Int = DefaultNumBands): Unit = {
+    val rows = Dedup.wordShingleRowsFrom(docs, n)
+    Dedup.bandKeys(rows, rowsPerBand, numBands)
+      .write.mode("append").parquet(s"$path/bands")
+    Dedup.shingleArrays(rows)
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+}

@@ -209,4 +209,40 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"bits table not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("fingerprint index: incremental dedup equals the one-batch pipeline on cross pairs") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.FingerprintIndex
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("fpindex").toString
+    FingerprintIndex.writeIndex(corpus, dir)
+    // incremental: new batch vs the STORED index (corpus text untouched)
+    val inc = FingerprintIndex.dedupAgainstIndex(spark, batch, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, nw, i, u) =>
+        (math.min(c, nw), math.max(c, nw)) -> ((i, u)) }.toMap
+    // one-batch twin: the full pipeline's verified pairs, restricted to
+    // the (even, odd) cross pairs the incremental run can see
+    val full = Dedup.dedupNearFrom(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .filter { case (a, b, _, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, i, u) => (a, b) -> ((i, u)) }.toMap
+    assert(inc === full,
+      s"incremental pairs drifted: inc=${inc.keySet} full=${full.keySet}")
+    assert(inc.nonEmpty, "no cross-half near-dups at sf0.001 — twin is vacuous")
+    // admit the batch: append its fingerprints, then the NEXT batch (the
+    // even half again, as a stand-in) must also see the odd half's docs
+    FingerprintIndex.appendToIndex(batch, dir)
+    val round2 = FingerprintIndex.dedupAgainstIndex(spark, corpus, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, nw, i, u) =>
+        (math.min(c, nw), math.max(c, nw)) -> ((i, u)) }.toMap
+    // the grown index holds both halves, so round 2 surfaces even-even
+    // pairs (probe docs vs their round-1 fingerprints) AND the cross
+    // pairs; the cross slice must again equal the one-batch twin
+    val round2Cross = round2.filter { case ((a, b), _) => (a % 2 == 0) != (b % 2 == 0) }
+    assert(round2Cross === full, "post-append cross pairs drifted")
+  }
 }
