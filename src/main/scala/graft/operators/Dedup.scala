@@ -203,6 +203,46 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text form for case/punctuation-robust matching: lowercase,
+    * non-alphanumerics to spaces, runs collapsed, trimmed. Regex classes
+    * chosen to mean the same thing in Java regex (Spark) and RE2 (DuckDB)
+    * — the [[TextAnalysis.PiiPatterns]] discipline. */
+  private[graft] def normText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  private val normTextSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Canonicalization projection: per-doc normalized-form fingerprint and
+    * token count — the cleanup step that runs BEFORE exact dedup so
+    * trivially-reformatted copies (case, punctuation, whitespace reflow)
+    * fingerprint identically. Pure per-row projection, no shuffle. */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens_norm"))
+
+  val textNormalizeSql: String =
+    s"""SELECT doc_id, md5($normTextSql) AS norm_md5,
+       |  CAST(len(string_split($normTextSql, ' ')) AS BIGINT) AS n_tokens_norm
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup on the CANONICAL form — [[dedupExact]]'s robust twin:
+    * copies differing only in case/punctuation/whitespace collapse into
+    * one group. Same scale shape (16-byte fingerprints through the one
+    * shuffle, bodies never exchanged). */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .groupBy(md5(normText(col("text"))).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val dedupNormalizedSql: String =
+    s"""SELECT md5($normTextSql) AS norm_md5,
+       |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY norm_md5""".stripMargin
+
   /** MinHash-LSH near-dup on word 3-gram shingles, J >= 0.6.
     * Band shape 16×2: at the 0.6 threshold a pair's per-band match
     * probability is 0.36, so 16 bands push the miss probability of a
@@ -536,6 +576,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_normalized" -> (dedupNormalized _),
+    "text_normalize" -> (textNormalize _),
     "dedup_near" -> (dedupNear _),
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "dedup_ngram" -> (dedupNgram _),
@@ -550,6 +592,8 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
+    "dedup_normalized" -> dedupNormalizedSql,
+    "text_normalize" -> textNormalizeSql,
     "dedup_near" -> jaccardPairsSql(wordShinglesCte, 3, 5),
     "dedup_clusters" ->
       s"""${wordShinglesCte.replaceFirst("WITH sh", "WITH RECURSIVE sh")},
@@ -613,6 +657,8 @@ object Dedup {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "dedup_exact" -> Seq(col("text_md5")),
+    "dedup_normalized" -> Seq(col("norm_md5")),
+    "text_normalize" -> Seq(col("doc_id")),
     "dedup_near" -> Seq(col("doc_a"), col("doc_b")),
     "dedup_clusters" -> Seq(col("doc_id")),
     "dedup_ngram" -> Seq(col("doc_a"), col("doc_b")),

@@ -210,6 +210,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("text_normalize / dedup_normalized: case, punctuation, whitespace collapse to one group") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val fix = Seq(
+      (1L, "Hello, World!  This is FINE."),
+      (2L, "hello world this is fine"),
+      (3L, "hello   world,,, THIS is... fine"),
+      (4L, "something else entirely")).toDF("doc_id", "text")
+    val norm = fix.select(col("doc_id"),
+      md5(Dedup.normText(col("text"))).as("m")).as[(Long, String)].collect().toMap
+    assert(norm(1L) === norm(2L) && norm(2L) === norm(3L),
+      "reformatted copies must fingerprint identically")
+    assert(norm(4L) !== norm(1L))
+    // corpus: group sizes partition the corpus exactly
+    val nd = Dedup.dedupNormalized(spark, sf).as[(String, Long, Long)].collect()
+    assert(nd.map(_._3).sum === Tables.load(spark, sf, "documents").count())
+    // normalized grouping is at most as fine as raw-exact grouping
+    val ne = Dedup.dedupExact(spark, sf).as[(String, Long, Long)].collect()
+    assert(nd.length <= ne.length)
+  }
+
   test("fingerprint index: incremental dedup equals the one-batch pipeline on cross pairs") {
     import org.apache.spark.sql.functions.col
     import graft.sources.FingerprintIndex
