@@ -404,16 +404,21 @@ object TextAnalysis {
     * corpus total is a 1-row broadcast; no corpus-sized frame ever
     * funnels to one partition. */
   def qualityUnigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.load(s, d, "documents")
+    // ONE corpus scan: the (doc, tok) occurrence counts are the common
+    // subtree — the vocabulary re-aggregates from them (sum of k over
+    // docs ≡ occurrence count), so ReuseExchange feeds both the logp
+    // branch and the join side from the same shuffle files, and the
+    // vocab aggregate reads distinct (doc, tok) pairs, not occurrences
+    val dk = Tables.load(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val vocab = dk.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
     val logp = vocab.crossJoin(broadcast(total))
       .select(col("tok"),
         round(log(col("cnt").cast("double") / col("n_total").cast("double")), 9)
           .cast("decimal(18,9)").as("logp"))
-    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
-      .join(logp, Seq("tok"))
+    dk.join(logp, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"),
         sum(col("k").cast("decimal(18,0)") * col("logp")).as("s"))
