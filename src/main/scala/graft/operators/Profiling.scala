@@ -63,18 +63,41 @@ object Profiling {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** The z-curve key [[graft.sources.ZOrderLayout]] clusters by, as an
+    * oracled query: z = interleave(o_custkey bits, order-age-days bits).
+    * Pure integer shift/mask/add — bit-identical in any engine — so the
+    * layout tool's arithmetic is under the same hash gate as the
+    * relational operators (the write-side clustering property itself is
+    * asserted in ZOrderSpec). Per-row projection, no shuffle. */
+  def layoutZorder(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"),
+        graft.sources.ZOrderLayout.zValue(
+          col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")), bits = 16).as("z"))
+
+  val layoutZorderSql: String = {
+    val z = graft.sources.ZOrderLayout.zValueSql(
+      "o_custkey", "datediff('day', DATE '1992-01-01', o_orderdate)", bits = 16)
+    s"""SELECT o_orderkey, $z AS z
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
-    "profile_documents" -> (profileDocuments _)
+    "profile_documents" -> (profileDocuments _),
+    "layout_zorder" -> (layoutZorder _)
   )
 
   val oracles: Map[String, String] = Map(
     "profile_orders" -> profileOrdersSql,
-    "profile_documents" -> profileDocumentsSql
+    "profile_documents" -> profileDocumentsSql,
+    "layout_zorder" -> layoutZorderSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "profile_orders" -> Seq(col("col_name")),
-    "profile_documents" -> Seq(col("col_name"))
+    "profile_documents" -> Seq(col("col_name")),
+    "layout_zorder" -> Seq(col("o_orderkey"))
   )
 }
