@@ -136,9 +136,10 @@ object TextAnalysis {
   private def markerList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("array(", ", ", ")")
 
-  /** Core of the heuristic over any (doc_id, lang, text) frame — exposed
-    * so the spec can feed real sentences, not just the synthetic corpus. */
-  def langIdFrom(input: DataFrame): DataFrame = {
+  /** (doc_id, lang, pred_lang, score) over any (doc_id, lang, text)
+    * frame — the shared prediction subtree of [[langIdFrom]] (per-doc
+    * output) and [[langIdEval]] (confusion matrix). */
+  private def langPredictions(input: DataFrame): DataFrame = {
     val scoreCols = markers.map { case (l, ws) =>
       expr(s"CAST(size(filter(ws, w -> array_contains(${markerList(ws)}, w))) AS BIGINT)")
         .as(s"s_$l")
@@ -155,12 +156,27 @@ object TextAnalysis {
     input
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .select(col("doc_id") +: col("lang") +: scoreCols: _*)
-      .select(col("doc_id"), pred.as("pred_lang"),
-        greatest(langs.map(l => col(s"s_$l")): _*).as("score"),
-        (pred === col("lang")).as("is_match"))
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+        greatest(langs.map(l => col(s"s_$l")): _*).as("score"))
   }
 
+  /** Core of the heuristic over any (doc_id, lang, text) frame — exposed
+    * so the spec can feed real sentences, not just the synthetic corpus. */
+  def langIdFrom(input: DataFrame): DataFrame =
+    langPredictions(input)
+      .select(col("doc_id"), col("pred_lang"), col("score"),
+        (col("pred_lang") === col("lang")).as("is_match"))
+
   def langId(s: SparkSession, d: String): DataFrame = langIdFrom(docs(s, d))
+
+  /** Lang-id confusion matrix — the EVAL query a pipeline runs after any
+    * classifier stage: one row per (label, prediction) cell. Same
+    * prediction subtree as [[langId]] (per-row projection), then one
+    * tiny aggregate whose key space is #langs² by construction. */
+  def langIdEval(s: SparkSession, d: String): DataFrame =
+    langPredictions(docs(s, d))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
 
   val langIdSql: String = {
     def duckList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -184,6 +200,27 @@ object TextAnalysis {
       |    SCORES
       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
       |ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+  }
+
+  val langIdEvalSql: String = {
+    def duckList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = markers.map { case (l, ws) =>
+      s"CAST(len(list_filter(ws, w -> list_contains(${duckList(ws)}, w))) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    """WITH p AS (
+      |  SELECT lang,
+      |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |         WHEN s_fr >= s_zh THEN 'fr'
+      |         ELSE 'zh' END AS pred_lang
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      SCORES
+      |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)))
+      |SELECT lang, pred_lang, count(*) AS n_docs
+      |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+        .replace("SCORES", scores)
   }
 
   /** Content fingerprints: whole-text md5 (exact-dup key) and the minimum
@@ -487,6 +524,7 @@ object TextAnalysis {
     "quality_repetition" -> (qualityRepetition _),
     "pii_redact" -> (piiRedact _),
     "lang_id" -> (langId _),
+    "lang_id_eval" -> (langIdEval _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_length_histogram" -> (docLengthHistogram _),
     "quality_unigram_logprob" -> (qualityUnigramLogprob _)
@@ -501,6 +539,7 @@ object TextAnalysis {
     "quality_repetition" -> qualityRepetitionSql,
     "pii_redact" -> piiRedactSql,
     "lang_id" -> langIdSql,
+    "lang_id_eval" -> langIdEvalSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_length_histogram" -> docLengthHistogramSql,
     "quality_unigram_logprob" -> qualityUnigramLogprobSql
@@ -513,6 +552,7 @@ object TextAnalysis {
     "quality_repetition" -> Seq(col("doc_id")),
     "pii_redact" -> Seq(col("doc_id")),
     "lang_id" -> Seq(col("doc_id")),
+    "lang_id_eval" -> Seq(col("lang"), col("pred_lang")),
     "doc_fingerprint" -> Seq(col("doc_id")),
     "doc_length_histogram" -> Seq(col("bucket")),
     "quality_unigram_logprob" -> Seq(col("doc_id"))

@@ -202,6 +202,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(probe === Seq(10, 11, 11))
   }
 
+  test("lang_id_eval: confusion matrix partitions the corpus; diagonal = lang_id matches") {
+    val cm = TextAnalysis.langIdEval(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(cm.map(_._3).sum === Tables.load(spark, sf, "documents").count())
+    val diag = cm.filter(r => r._1 == r._2).map(_._3).sum
+    val matches = TextAnalysis.langId(spark, sf)
+      .where(col("is_match")).count()
+    assert(diag === matches, "confusion diagonal must equal per-doc match count")
+    // each label row sums to that language's corpus count
+    val perLang = Tables.load(spark, sf, "documents")
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    cm.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(cells.map(_._3).sum === perLang(lang), s"row $lang")
+    }
+  }
+
   test("quality_unigram_logprob: matches an exact local decimal recompute") {
     val got = TextAnalysis.qualityUnigramLogprob(spark, sf)
       .as[(Long, Long, Double)].collect()
