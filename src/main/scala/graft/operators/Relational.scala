@@ -391,6 +391,31 @@ object Relational {
     * The semi-join probes on o_orderkey and keeps the first match per
     * order — no duplicate-then-distinct, no correlated re-execution; the
     * inequality rides the join condition so it filters DURING the probe. */
+  /** TPC-H Q6 analogue (forecast revenue change): the pure
+    * filter-and-aggregate scan — no join, no group key. The whole query
+    * is one codegen span over the pruned 4-column scan with every
+    * predicate pushed to parquet (`PushedFilters` carries the date
+    * range and both numeric bounds), partial sums map-side, and a 1-row
+    * exchange — at 100 TB this is I/O-bound by construction, the shape
+    * the scan-pruning machinery exists for. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   def q4LateOrders(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
       .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
@@ -479,6 +504,7 @@ object Relational {
     "unpivot_revenue" -> (unpivotRevenue _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "join_broadcast_region" -> (joinBroadcastRegion _),
     "join_semi" -> (joinSemi _),
@@ -507,6 +533,7 @@ object Relational {
     "unpivot_revenue" -> unpivotRevenueSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
+    "q6_forecast_revenue" -> q6Sql,
     "q5_region_revenue" -> q5Sql,
     "join_broadcast_region" -> joinBroadcastRegionSql,
     "join_semi" -> joinSemiSql,

@@ -27,13 +27,14 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
     * SinglePartition exchange — measured, not guessed: these 10 are the
-    * ONLY members of the 95-query surface that plan one at all (top-k
+    * ONLY members of the 96-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
     *    min_n, pack_batches' n_shards, tfidf's document count N,
     *    events_funnel's 3 stage counts, mix_temperature's Σ n_lang^α,
-    *    quality_unigram_logprob's corpus token total;
+    *    quality_unigram_logprob's corpus token total, q6's 1-row
+    *    global revenue aggregate;
     *  - the ≤256-row bucket-offset table of the seeded shuffle
     *    (corpus_shuffle, pretrain_manifest);
     *  - a schema-bounded profile (one row per COLUMN, not per record:
@@ -45,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
   val singlePartitionOk: Set[String] = Set(
     // global scalar aggregates (1-row frames)
     "sample_stratified", "pack_batches", "tfidf_topk", "events_funnel",
-    "mix_temperature", "quality_unigram_logprob",
+    "mix_temperature", "quality_unigram_logprob", "q6_forecast_revenue",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
