@@ -1,6 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 
 /** Per-round benchmark: wall-clock per query at SPARK_GRAFT_SF_DIR.
   *
@@ -26,25 +24,14 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // target environment is local[32] (one executor thread per core);
-    // default to every available core, shuffle partitions matched to it
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // target environment is local[32] (one executor thread per core) —
+    // session config, checksum, and median are BenchKit's single
+    // definitions, shared with CadenceSweep so "bench conditions" is a
+    // structural guarantee
+    val spark = BenchKit.session()
 
-    def checksum(name: String, fn: SparkEntry.Q): Unit = {
-      val df = fn(spark, sfDir)
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(bit_xor(col("h"))).collect()
-    }
+    def checksum(name: String, fn: SparkEntry.Q): Unit =
+      BenchKit.checksum(fn(spark, sfDir))
 
     // warm-up (untimed): JVM, codegen, parquet footers
     try checksum("warmup", (s, d) => SparkEntry.queries("q1_pricing_summary")(s, d))
@@ -54,10 +41,7 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    def median(xs: Seq[Double]): Double = BenchKit.median(xs)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val rs = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false

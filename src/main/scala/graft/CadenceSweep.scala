@@ -1,15 +1,14 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
-
 /** Dev tool: measure pageRank's localCheckpoint cadence under the SAME
   * conditions as graft.Bench (local[32] by default, matched shuffle
   * partitions, order-insensitive checksum materialization, one untimed
   * warm-up then median of 3) — the evidence the round-6 verdict asked
   * for: the cadence comment in Citations.pageRank cited standalone
-  * numbers the bench artifact couldn't reproduce. Not part of the query
-  * surface; never invoked by the driver.
+  * numbers the bench artifact couldn't reproduce. Session config,
+  * checksum, and median come from [[BenchKit]] — the SAME definitions
+  * Bench runs, structurally, not by parallel copy. Not part of the
+  * query surface; never invoked by the driver.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          sbt "runMain graft.CadenceSweep"
@@ -17,32 +16,16 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 object CadenceSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchKit.session()
+    val cpus = spark.sparkContext.defaultParallelism
 
-    def run(cadence: Int): Double = {
-      val df = graft.operators.Citations.pageRank(
-        graft.operators.Citations.edges(spark, sfDir), checkpointEvery = cadence)
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(bit_xor(col("h"))).collect()
-      0.0
-    }
+    def run(cadence: Int): Unit =
+      BenchKit.checksum(graft.operators.Citations.pageRank(
+        graft.operators.Citations.edges(spark, sfDir), checkpointEvery = cadence))
     def timed(cadence: Int): Double = {
       val t0 = System.nanoTime(); run(cadence); (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    def median(xs: Seq[Double]): Double = BenchKit.median(xs)
     val cadences = Seq(1, 2, 3, 4)
     // global + per-cadence warm-up, as in Bench
     run(3)

@@ -55,7 +55,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the dev-loop filter applies here too: a subset dump must not list
+    // oracles it wrote no parquet for, or the companion oracle_check.py
+    // reports every filtered-out query as a spurious failure
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (!preExisting) spark.stop()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,13 +161,22 @@ object EventAnalytics {
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("days"), sum(col("n")).as("s1"),
         sum(col("n") * col("n")).as("s2"))
+    // the products run in DECIMAL(38,0), not long: days·Σn² and (Σn)²
+    // overflow 64 bits once a type's count sums pass ~3e9 (real at the
+    // event scale this targets), where Spark would wrap silently while
+    // DuckDB's native 128-bit HUGEINT errors or keeps going — decimal
+    // keeps the Spark side exact (and equal to DuckDB's hugeint) to 38
+    // digits, preserving the pure-function-of-exact-integers contract
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val b = dec(col("days")) * dec(col("s2")) - dec(col("s1")) * dec(col("s1"))
+    val a = dec(col("n")) * dec(col("days")) - dec(col("s1"))
     daily.join(broadcast(stats), Seq("event_type"))
       .where(col("days") > 1)
       .select(col("day"), col("event_type"), col("n"),
-        when(col("days") * col("s2") - col("s1") * col("s1") === 0, lit(0.0))
+        when(b === 0, lit(0.0))
           .otherwise(round(
-            (col("n") * col("days") - col("s1")).cast("double") /
-              sqrt((col("days") * col("s2") - col("s1") * col("s1")).cast("double")
+            a.cast("double") /
+              sqrt(b.cast("double")
                 * col("days").cast("double") / (col("days").cast("double") - 1.0)),
             6)).as("z"))
   }

@@ -240,7 +240,7 @@ object Pipeline {
       .select(col("doc_id"), col("source"),
         floor(col("w")).cast("int").as("base"),
         format_string("%04x",
-          ((col("w") - floor(col("w"))) * 65536).cast("int")).as("thresh"))
+          floor((col("w") - floor(col("w"))) * 65536).cast("int")).as("thresh"))
       .select(col("doc_id"), col("source"),
         (col("base") +
           when(substring(md5(col("doc_id").cast("string")), 1, 4)
@@ -258,7 +258,7 @@ object Pipeline {
       |  SELECT doc_id, source,
       |    CAST(floor(w) AS INT)
       |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-      |             < printf('%04x', CAST((w - floor(w)) * 65536 AS INT))
+      |             < printf('%04x', CAST(floor((w - floor(w)) * 65536) AS INT))
       |           THEN 1 ELSE 0 END AS n_copies
       |  FROM w)
       |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
@@ -305,10 +305,16 @@ object Pipeline {
           .as("m"))
     docs.join(broadcast(mult), Seq("lang"))
       .select(col("doc_id"), col("lang"),
+        // explicit floor() before the int cast ON BOTH ENGINES: Spark's
+        // CAST(double AS int) truncates but DuckDB's rounds-to-nearest,
+        // so a bare cast diverges by 1 on any fractional product (and a
+        // frac near 1 would round to 65536, whose '%04x' is the 5-char
+        // '10000' that breaks the equal-length hex compare). floor is
+        // IEEE-identical everywhere.
         (floor(col("m")).cast("int") +
           when(substring(md5(col("doc_id").cast("string")), 1, 4)
             < format_string("%04x",
-              ((col("m") - floor(col("m"))) * 65536).cast("int")), 1)
+              floor((col("m") - floor(col("m"))) * 65536).cast("int")), 1)
             .otherwise(0)).as("n_copies"))
       // unlike DuckDB's generate_series, Spark's sequence(1, 0) yields a
       // DESCENDING [1, 0] — drop the 0-copy docs before exploding
@@ -318,7 +324,8 @@ object Pipeline {
   }
 
   val mixTemperatureSql: String =
-    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents
+      |           WHERE lang IS NOT NULL GROUP BY 1),
       |t AS (SELECT sum(pow(n_lang, 0.5)) AS z, sum(n_lang) AS n_total FROM c),
       |m AS (SELECT lang, round(n_total * pow(n_lang, -0.5) / z, 6) AS m
       |      FROM c, t),
@@ -326,7 +333,7 @@ object Pipeline {
       |  SELECT d.doc_id, d.lang,
       |    CAST(floor(m.m) AS INT)
       |    + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
-      |             < printf('%04x', CAST((m.m - floor(m.m)) * 65536 AS INT))
+      |             < printf('%04x', CAST(floor((m.m - floor(m.m)) * 65536) AS INT))
       |           THEN 1 ELSE 0 END AS n_copies
       |  FROM documents d JOIN m USING (lang))
       |SELECT doc_id, lang,
@@ -492,7 +499,7 @@ object Pipeline {
         (floor(col("w")).cast("int") +
           when(substring(md5(col("doc_id").cast("string")), 1, 4)
             < format_string("%04x",
-              ((col("w") - floor(col("w"))) * 65536).cast("int")), 1)
+              floor((col("w") - floor(col("w"))) * 65536).cast("int")), 1)
             .otherwise(0)).as("n_copies"))
       .select(col("doc_id"), col("n_tokens"),
         explode(expr("sequence(1, n_copies)")).as("epoch"))
@@ -541,7 +548,7 @@ object Pipeline {
       |  SELECT doc_id, n_tokens,
       |    CAST(floor(w) AS INT)
       |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-      |             < printf('%04x', CAST((w - floor(w)) * 65536 AS INT))
+      |             < printf('%04x', CAST(floor((w - floor(w)) * 65536) AS INT))
       |           THEN 1 ELSE 0 END AS n_copies
       |  FROM w),
       |e AS (

@@ -437,10 +437,18 @@ object Similarity {
     val codes = corpusCodes(e, books)
     val probes = e.where(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val tables = adcTables(probes, books)
-    // ADC score: sum of table entries over the candidate's codes
-    val adc = codes.join(broadcast(tables), Seq("m", "code"))
+    val scored = codes.join(broadcast(adcTables(probes, books)), Seq("m", "code"))
       .where(col("vec_id") =!= col("probe_id"))
+    exactRerank(adcShortlist(scored, probes), e, probes)
+  }
+
+  /** ADC score + top-PqRerank shortlist over a (probe_id, vec_id, pdot,
+    * cn2) frame — shared by [[annPq]] (whole corpus) and [[annIvfPq]]
+    * (IVF-pruned candidates), so the scoring formula and shortlist
+    * policy cannot drift between the two. Sum-aggregates with map-side
+    * combine; the per-probe top-N plans as WindowGroupLimit. */
+  private def adcShortlist(scored: DataFrame, probes: DataFrame): DataFrame = {
+    val adc = scored
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
       .join(broadcast(probeNorms(probes)), Seq("probe_id"))
@@ -448,10 +456,9 @@ object Similarity {
         (col("adot") / (col("pn") * sqrt(col("an2")))).as("adc"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
-    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+    adc.withColumn("arank", row_number().over(wAdc))
       .where(col("arank") <= PqRerank)
       .select(col("probe_id"), col("vec_id"))
-    exactRerank(shortlist, e, probes)
   }
 
   /** PQ-encode the corpus: nearest sub-centroid per (vec, m) — argmin
@@ -533,20 +540,11 @@ object Similarity {
     val cands = probeClusters.join(corpus, Seq("cid"))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
-    // ADC over the pruned candidates only
-    val adc = cands.join(codes, Seq("vec_id"))
+    // ADC over the pruned candidates only — same scoring/shortlist
+    // helper as annPq, different candidate source
+    val scored = cands.join(codes, Seq("vec_id"))
       .join(broadcast(adcTables(probes, books)), Seq("probe_id", "m", "code"))
-      .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
-      .join(broadcast(probeNorms(probes)), Seq("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        (col("adot") / (col("pn") * sqrt(col("an2")))).as("adc"))
-    val wAdc = Window.partitionBy(col("probe_id"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
-      .where(col("arank") <= PqRerank)
-      .select(col("probe_id"), col("vec_id"))
-    exactRerank(shortlist, e, probes)
+    exactRerank(adcShortlist(scored, probes), e, probes)
   }
 
   /** Embedding-cosine near-dup pairs (cos >= 0.45), blocked by shared IVF

@@ -36,16 +36,23 @@ object FingerprintIndex {
   val DefaultRowsPerBand = 2
   val DefaultNumBands = 16
 
-  /** Fingerprint `docs` (doc_id, text) and persist the index at `path`. */
+  /** Fingerprint `docs` (doc_id, text) and persist the index at `path`.
+    * The shingle rows are localCheckpoint-materialized so the two index
+    * tables (bands, shingle arrays) derive from ONE pass over the text —
+    * two lazy write jobs would each rescan and reshingle the corpus. */
   def writeIndex(docs: DataFrame, path: String,
                  n: Int = DefaultShingleN,
                  rowsPerBand: Int = DefaultRowsPerBand,
-                 numBands: Int = DefaultNumBands): Unit = {
-    val rows = Dedup.wordShingleRowsFrom(docs, n)
+                 numBands: Int = DefaultNumBands): Unit =
+    writeTables(docs, path, "overwrite", n, rowsPerBand, numBands)
+
+  private def writeTables(docs: DataFrame, path: String, mode: String,
+                          n: Int, rowsPerBand: Int, numBands: Int): Unit = {
+    val rows = Dedup.wordShingleRowsFrom(docs, n).localCheckpoint()
     Dedup.bandKeys(rows, rowsPerBand, numBands)
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .write.mode(mode).parquet(s"$path/bands")
     Dedup.shingleArrays(rows)
-      .write.mode("overwrite").parquet(s"$path/shingles")
+      .write.mode(mode).parquet(s"$path/shingles")
   }
 
   /** Near-dup pairs between a NEW batch and the indexed corpus, at
@@ -89,11 +96,6 @@ object FingerprintIndex {
   def appendToIndex(docs: DataFrame, path: String,
                     n: Int = DefaultShingleN,
                     rowsPerBand: Int = DefaultRowsPerBand,
-                    numBands: Int = DefaultNumBands): Unit = {
-    val rows = Dedup.wordShingleRowsFrom(docs, n)
-    Dedup.bandKeys(rows, rowsPerBand, numBands)
-      .write.mode("append").parquet(s"$path/bands")
-    Dedup.shingleArrays(rows)
-      .write.mode("append").parquet(s"$path/shingles")
-  }
+                    numBands: Int = DefaultNumBands): Unit =
+    writeTables(docs, path, "append", n, rowsPerBand, numBands)
 }

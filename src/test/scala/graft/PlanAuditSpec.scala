@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
-    * SinglePartition exchange — measured, not guessed: these 10 are the
+    * SinglePartition exchange — measured, not guessed: these 12 are the
     * ONLY members of the 96-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:

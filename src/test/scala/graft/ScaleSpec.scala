@@ -15,9 +15,9 @@ import graft.operators.{Pipeline, Similarity}
   *
   * The DuckDB oracle's sf0.1 twin lives outside ScalaTest (the driver
   * gate + scripts/oracle_check.py run against any sfDir; the round-7
-  * artifact CORRECTNESS_SF01_r07.json records the full 78-oracle compare
-  * at sf0.1) — this spec covers what the oracle can't: recall floors
-  * and knob engagement.
+  * artifact CORRECTNESS_SF01_r07.json records the 85-oracle compare at
+  * sf0.1) — this spec covers what the oracle can't: recall floors and
+  * knob engagement.
   */
 class ScaleSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
