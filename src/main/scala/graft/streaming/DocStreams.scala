@@ -46,6 +46,18 @@ object DocStreams {
     docs.withColumn("text_md5", md5(col("text")))
       .dropDuplicates("text_md5")
 
+  /** Incremental CANONICAL-FORM dedup — [[dedupExactStream]] on the
+    * normalized fingerprint ([[graft.operators.Dedup.normText]]: case /
+    * punctuation / whitespace robust), so trivially-reformatted copies
+    * are dropped at ingest too. Same per-row projection as the batch
+    * [[graft.operators.Dedup.dedupNormalized]] (shared normText code ⇒
+    * identical grouping by construction); same first-arrival-wins
+    * streaming policy and unbounded-state contract as the exact stream.
+    * Parity vs the batch keep-set is asserted in DocStreamsSpec. */
+  def dedupNormalizedStream(docs: DataFrame): DataFrame =
+    docs.withColumn("norm_md5", md5(Dedup.normText(col("text"))))
+      .dropDuplicates("norm_md5")
+
   /** The cleaning pipeline AT INGEST — the streaming twin of
     * [[graft.operators.Pipeline.pipelineE2e]]: the stateless stages
     * (redact → quality gate → hash split) run as the SAME code

@@ -61,6 +61,53 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batchDistinct === 150)
   }
 
+  test("streaming normalized dedup: reformatted copies never emit; batch keep-set parity") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = Files.createTempDirectory("graft-normstream").toString
+
+    // batch 1: docs 0..99 verbatim. batch 2: 50 REFORMATTED copies of
+    // docs 0..49 (uppercased + trailing punctuation — same canonical
+    // form) under new ids + genuinely new docs 100..149.
+    docs.where($"doc_id" < 100).coalesce(1).write.parquet(s"$dir/b1")
+    val reformatted = docs.where($"doc_id" < 50)
+      .withColumn("doc_id", $"doc_id" + 10000)
+      .withColumn("text", concat(upper($"text"), lit("!!!")))
+    val fresh = docs.where($"doc_id" >= 100 && $"doc_id" < 150)
+    reformatted.unionByName(fresh).coalesce(1).write.parquet(s"$dir/b2")
+
+    val streamDir = Files.createTempDirectory("graft-normstream-in").toString
+    def copyPart(sub: String, name: String): Unit = {
+      val part = new java.io.File(s"$dir/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$streamDir/$name"))
+    }
+    copyPart("b1", "000.parquet")
+    copyPart("b2", "001.parquet")
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$streamDir/000.parquet").setLastModified(now - 60000)
+    new java.io.File(s"$streamDir/001.parquet").setLastModified(now)
+
+    val q = DocStreams.dedupNormalizedStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("doc_norm_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val emitted = spark.table("doc_norm_dedup")
+    // the exact stream would pass all 200 (uppercased text is new bytes);
+    // the canonical-form stream drops the 50 reformats
+    assert(emitted.count() === 150)
+    assert(emitted.where($"doc_id" >= 10000).count() === 0,
+      "a reformatted copy slipped through the canonical-form dedup")
+    // keep-set parity with the batch twin on the same 150-doc corpus:
+    // same distinct canonical fingerprints survive
+    val streamKeys = emitted.select("norm_md5").as[String].collect().toSet
+    val batchKeys = docs.where($"doc_id" < 150)
+      .select(md5(Dedup.normText($"text")).as("m")).as[String].collect().toSet
+    assert(streamKeys === batchKeys)
+  }
+
   test("streaming clean pipeline: content-level parity with batch pipeline_e2e") {
     val docs = Tables.load(spark, sf, "documents")
     val streamDir = Files.createTempDirectory("graft-clean-in").toString
