@@ -36,6 +36,7 @@ object Bench {
     // warm-up (untimed): JVM, codegen, parquet footers
     try checksum("warmup", (s, d) => SparkEntry.queries("q1_pricing_summary")(s, d))
     catch { case _: Throwable => () }
+    Blocks.sweepAll(spark)
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -56,6 +57,15 @@ object Bench {
         errors(name) =
           e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
       }
+      // block-manager sweep OUTSIDE the timed region, after EVERY
+      // execution: each localCheckpoint a query takes leaves its blocks
+      // behind, and across ~100 queries × 4 executions the accumulation
+      // squeezes execution memory (r7: dedup_near 0.58 → 3.54 s with zero
+      // code change, monotonic within-query run times). Sweeping between
+      // runs makes each timed run self-contained — it already pays for
+      // its OWN checkpoints, it must not also pay rent on everyone
+      // else's. JVM/codegen/page-cache warm-up survives the sweep.
+      Blocks.sweepAll(spark)
       (1 to repeats).foreach { _ =>
         if (!failed) {
           val t0 = System.nanoTime()
@@ -67,6 +77,7 @@ object Bench {
             errors(name) =
               e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
           }
+          Blocks.sweepAll(spark)
         }
       }
       runs(name) = rs.toSeq

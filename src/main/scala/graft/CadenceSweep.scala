@@ -19,18 +19,25 @@ object CadenceSweep {
     val spark = BenchKit.session()
     val cpus = spark.sparkContext.defaultParallelism
 
-    def run(cadence: Int): Unit =
+    def run(cadence: Int): Unit = {
       BenchKit.checksum(graft.operators.Citations.pageRank(
         graft.operators.Citations.edges(spark, sfDir), checkpointEvery = cadence))
+      // bench conditions: no block carry-over between runs; the sweep is
+      // OUTSIDE timed()'s clock (timed measures the checksum call only)
+    }
     def timed(cadence: Int): Double = {
-      val t0 = System.nanoTime(); run(cadence); (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime(); run(cadence)
+      val dt = (System.nanoTime() - t0) / 1e9
+      Blocks.sweepAll(spark)
+      dt
     }
     def median(xs: Seq[Double]): Double = BenchKit.median(xs)
+    def warm(cadence: Int): Unit = { run(cadence); Blocks.sweepAll(spark) }
     val cadences = Seq(1, 2, 3, 4)
     // global + per-cadence warm-up, as in Bench
-    run(3)
+    warm(3)
     val results = cadences.map { c =>
-      run(c) // untimed warm-up for this cadence
+      warm(c) // untimed warm-up for this cadence
       val rs = (1 to 3).map(_ => timed(c))
       println(f"cadence=$c%d runs=${rs.map(r => f"$r%.2f").mkString("[", ",", "]")}%s median=${median(rs)}%.2f")
       c -> (rs, median(rs))

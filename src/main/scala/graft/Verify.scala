@@ -42,6 +42,9 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same block-manager discipline as Bench: a query's checkpoint
+      // blocks must not outlive its dump (graft.Blocks)
+      Blocks.sweepAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

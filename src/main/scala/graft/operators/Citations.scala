@@ -232,6 +232,11 @@ object Citations {
       .localCheckpoint()
     var ranks = nodesWithDeg.select(col("id"), col("deg"),
       lit(1.0 / n).as("rank")).localCheckpoint()
+    // the previous cut's blocks are dead the moment the next cut has
+    // materialized — release them then, so the loop's block-manager
+    // footprint is O(one rank frame), not O(iterations / cadence)
+    // frames (graft.Blocks has the leak numbers)
+    var lastCut = ranks
     for (i <- 1 to iterations) {
       // dangling mass as a broadcast scalar FRAME, not a driver collect:
       // folding it into the round's plan keeps each round a single job
@@ -249,9 +254,17 @@ object Citations {
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("inbox"), lit(0.0)) +
               col("dm") / lit(n))).as("rank"))
-      ranks = if (i % checkpointEvery == 0 || i == iterations)
-        next.localCheckpoint() else next
+      ranks = if (i % checkpointEvery == 0 || i == iterations) {
+        val cut = next.localCheckpoint() // eager: materialized before the release below
+        graft.Blocks.release(lastCut)
+        lastCut = cut
+        cut
+      } else next
     }
+    // the final cut is a lineage-free LogicalRDD — the returned frame no
+    // longer references the edge / degree frames, so their blocks go too
+    graft.Blocks.release(e)
+    graft.Blocks.release(nodesWithDeg)
     ranks.select(col("id").as("paper_id"), round(col("rank"), 8).as("rank"))
   }
 

@@ -372,10 +372,16 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") =!= col("old")).count()
+      // `changed` was the last reader of the previous round's labels —
+      // release them so the loop pins O(one label frame), not O(rounds)
+      graft.Blocks.release(labels)
       labels = next
       converged = changed == 0
       rounds += 1
     }
+    // the loop's working set (pair frame) is dead once labels converged;
+    // `labels` itself stays — the returned join below still reads it
+    graft.Blocks.release(pairs)
     if (!converged)
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxRounds rounds — component " +
@@ -481,10 +487,12 @@ object Dedup {
     * to their exact aggregates. The exact audit's train side is a
     * DISTINCT of every train 8-gram hash: vocabulary-scale state through
     * a shuffle, then a corpus-sized semi-join. Here the train side folds
-    * into a BLOOM FILTER materialized as a set-bit table (k double-hashed
-    * positions per key, then distinct) — ≤ m rows regardless of corpus
-    * size — and the eval side probes it with a broadcast join: a
-    * contaminated 8-gram has all k bits set. One-sided error by
+    * into a BLOOM FILTER (k double-hashed positions per key) densified
+    * to ONE ≤ 128 KiB broadcast bitmap — bounded regardless of corpus
+    * size — and the eval side tests all k bits as a codegen'd
+    * conjunction per shingle: no explode, no join, no re-group (the
+    * round-7 row-table probe cost 4.5× the exact twin; an approximation
+    * must not lose to what it approximates). One-sided error by
     * construction: every exact hit is a bloom hit (no false negatives —
     * spec-asserted doc-by-doc vs the exact twin in DedupSpec), false
     * positives bounded by the fill rate. Rows-only by design (the
@@ -492,10 +500,10 @@ object Dedup {
     * audit's so callers can swap one for the other. */
   /** The k probe positions of each `h` row — shared by the batch audit
     * and the streaming ingest twin so both set the identical bits. */
-  private def bloomPositions(df: DataFrame): DataFrame = df
+  private def bloomPositions(df: DataFrame, bits: Long = BloomBits): DataFrame = df
     .select(df.columns.map(col) :+
       explode(sequence(lit(0), lit(BloomK - 1))).as("i"): _*)
-    .withColumn("bit", pmod(xxhash64(col("i"), col("h")), lit(BloomBits)))
+    .withColumn("bit", pmod(xxhash64(col("i"), col("h")), lit(bits)))
 
   /** The Bloom filter itself, as a ≤ m-row set-bit table over the TRAIN
     * split's distinct word 8-grams. A bit is set or not regardless of how
@@ -507,9 +515,9 @@ object Dedup {
     * DocStreamsSpec). Spelled as a groupBy (not distinct) so the
     * identical plan streams in complete mode, the
     * [[Sketches.cmsSketch]] argument: state ≤ m rows BY CONSTRUCTION. */
-  def contaminationBits(trainDocs: DataFrame): DataFrame =
+  def contaminationBits(trainDocs: DataFrame, bits: Long = BloomBits): DataFrame =
     bloomPositions(
-        wordShingleRowsFrom(trainDocs, 8).select(xxhash64(col("sh")).as("h")))
+        wordShingleRowsFrom(trainDocs, 8).select(xxhash64(col("sh")).as("h")), bits)
       .groupBy(col("bit")).agg(count(lit(1)).as("n_probes"))
 
   def contaminationBloom(s: SparkSession, d: String): DataFrame = {
@@ -518,18 +526,65 @@ object Dedup {
         (substring(md5(col("doc_id").cast("string")), 1, 1) < "e").as("is_train"))
     def shingles(df: DataFrame) =
       wordShingleRowsFrom(df, 8).select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val bits = contaminationBits(withSplit.where(col("is_train")))
-      .select(col("bit"))
+    // Fold the set-bit table into ONE dense bitmap: ≤ 2^20 bits = 2^14
+    // longs = 128 KiB, bounded BY CONSTRUCTION no matter the corpus size
+    // (the same state bound as before — just materialized as an array
+    // instead of rows). The bit set is exactly [[contaminationBits]]'s,
+    // so streaming bit-set parity (DocStreamsSpec) is untouched. The
+    // words-collect is ≤ 2^14 rows — a model artifact like the IVF
+    // centroid cache, not a data-sized collect.
+    val wordRows = contaminationBits(withSplit.where(col("is_train")))
+      .selectExpr("CAST(bit div 64 AS INT) AS w",
+        "shiftleft(1L, CAST(bit % 64 AS INT)) AS m")
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("m"))
+      .collect()
+    val bm = new Array[Long]((BloomBits >> 6).toInt)
+    wordRows.foreach(r => bm(r.getInt(0)) = r.getLong(1))
+    val sp = s
+    import sp.implicits._
+    val bmDf = Seq(Tuple1(bm.toSeq)).toDF("bm")
     val evalSh = shingles(withSplit.where(!col("is_train"))).distinct()
     val totals = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = bloomPositions(evalSh)
-      .join(broadcast(bits), Seq("bit"))
-      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k_present"))
-      .where(col("k_present") === BloomK)
+    // Probe: the k positions tested as ONE codegen'd conjunction per
+    // shingle against the broadcast bitmap — no explode (was k× the eval
+    // rows), no join, no (doc_id, h) re-group. Same double-hashed
+    // positions as [[bloomPositions]] (xxhash64(i, h) mod m), so the
+    // verdict per shingle is bit-identical to the row-table formulation:
+    // one-sided error (no false negatives) is preserved by construction.
+    val allKSet = (0 until BloomK).map { i =>
+      val pos = s"pmod(xxhash64($i, h), ${BloomBits}L)"
+      s"((shiftright(element_at(bm, CAST($pos div 64 AS INT) + 1), CAST($pos % 64 AS INT)) & 1L) = 1L)"
+    }.mkString(" AND ")
+    val hits = evalSh.crossJoin(broadcast(bmDf))
+      .where(expr(allKSet))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits_approx"))
     totals.join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_hits_approx"), lit(0L)).as("n_hits_approx"))
+  }
+
+  /** The INCREMENTAL ingest path under the hash-oracle gate — the
+    * flagship "dedup a new batch against a 100-TB corpus" flow, end to
+    * end: fingerprint the corpus split ONCE into a persisted
+    * [[graft.sources.FingerprintIndex]] (LSH band keys + shingle-hash
+    * arrays), then dedup the incoming batch against the INDEX — O(batch)
+    * work, the corpus text never re-read. Splits reuse the repo's
+    * deterministic md5 split (contaminationCheck's): first md5 hex digit
+    * < 'e' is corpus (~87.5%), the rest is the incoming batch. The hash
+    * construction is byte-identical to [[dedupNear]]'s, so every
+    * cross-split pair at J >= 3/5 is found exactly as the one-batch
+    * operator finds it (DedupSpec asserts that equivalence; the LSH miss
+    * probability at the threshold is the same <1e-3 band math), and the
+    * DuckDB twin computes the same cross pairs EXACTLY from the shingle
+    * sets. The index write lands in the JVM temp dir keyed by dataset —
+    * each invocation is the full ingest cycle (index build + probe). */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+    val isCorpus = substring(md5(col("doc_id").cast("string")), 1, 1) < "e"
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fp_index_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    graft.sources.FingerprintIndex.writeIndex(docs.where(isCorpus), path)
+    graft.sources.FingerprintIndex.dedupAgainstIndex(s, docs.where(!isCorpus), path)
   }
 
   // ---------- DuckDB twins ----------------------------------------------
@@ -585,7 +640,8 @@ object Dedup {
     "simhash_pairs" -> (simhashPairs _),
     "dedup_spans" -> (dedupSpans _),
     "contamination_check" -> (contaminationCheck _),
-    "contamination_bloom" -> (contaminationBloom _)
+    "contamination_bloom" -> (contaminationBloom _),
+    "dedup_incremental" -> (dedupIncremental _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -652,7 +708,20 @@ object Dedup {
         |SELECT ev.doc_id, count(*)::BIGINT AS n_shingles,
         |       count(tr.sh)::BIGINT AS n_hits
         |FROM ev LEFT JOIN tr USING (sh)
-        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+    // the cross-split variant of jaccardPairsSql: corpus side × batch
+    // side, same shingle CTE, same 3/5 threshold — computes EXACTLY the
+    // pairs the incremental index probe must find
+    "dedup_incremental" ->
+      s"""$wordShinglesCte
+         |SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
+         |       len(list_intersect(a.s, b.s)) AS inter_size,
+         |       len(list_distinct(a.s || b.s)) AS union_size
+         |FROM sh a JOIN sh b
+         |  ON substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) < 'e'
+         | AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) >= 'e'
+         |WHERE len(list_intersect(a.s, b.s)) * 5 >= len(list_distinct(a.s || b.s)) * 3
+         |ORDER BY corpus_id, new_id""".stripMargin
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -666,6 +735,7 @@ object Dedup {
     "simhash_pairs" -> Seq(col("doc_a"), col("doc_b")),
     "dedup_spans" -> Seq(col("doc_id")),
     "contamination_check" -> Seq(col("doc_id")),
-    "contamination_bloom" -> Seq(col("doc_id"))
+    "contamination_bloom" -> Seq(col("doc_id")),
+    "dedup_incremental" -> Seq(col("corpus_id"), col("new_id"))
   )
 }

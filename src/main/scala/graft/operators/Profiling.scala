@@ -64,23 +64,52 @@ object Profiling {
   }
 
   /** The z-curve key [[graft.sources.ZOrderLayout]] clusters by, as an
-    * oracled query: z = interleave(o_custkey bits, order-age-days bits).
-    * Pure integer shift/mask/add — bit-identical in any engine — so the
-    * layout tool's arithmetic is under the same hash gate as the
-    * relational operators (the write-side clustering property itself is
-    * asserted in ZOrderSpec). Per-row projection, no shuffle. */
-  def layoutZorder(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "orders")
+    * oracled query: z = interleave(normalized o_custkey bits, normalized
+    * order-age-days bits). Both inputs are min-max-normalized to the full
+    * 16-bit width first, exactly as `writeZOrdered` does — raw custkeys
+    * exceed 2^16 from sf1 up, and truncated high bits would alias the
+    * curve (identically in both engines, so the oracle would stay green
+    * while the key stopped meaning anything). The stats ride a broadcast
+    * 1-row frame; normalization is floor((c-lo)/(hi-lo)*65535) in DOUBLE
+    * with the same operation order in both engines (IEEE ops on exact
+    * long inputs, then floor — deterministic cross-engine), and the
+    * interleave itself stays pure integer shift/mask/add. The write-side
+    * clustering property is asserted in ZOrderSpec. */
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("age"))
+    val stats = o.agg(min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
+      min(col("age")).as("age_lo"), max(col("age")).as("age_hi"))
+    def norm(c: String, lo: String, hi: String): Column =
+      when(col(hi) === col(lo), lit(0L)).otherwise(
+        floor((col(c) - col(lo)).cast("double") /
+          (col(hi) - col(lo)).cast("double") * lit(65535.0)))
+    o.crossJoin(broadcast(stats))
       .select(col("o_orderkey"),
         graft.sources.ZOrderLayout.zValue(
-          col("o_custkey"),
-          datediff(col("o_orderdate"), lit("1992-01-01")), bits = 16).as("z"))
+          norm("ck", "ck_lo", "ck_hi"),
+          norm("age", "age_lo", "age_hi"), bits = 16).as("z"))
+  }
 
   val layoutZorderSql: String = {
-    val z = graft.sources.ZOrderLayout.zValueSql(
-      "o_custkey", "datediff('day', DATE '1992-01-01', o_orderdate)", bits = 16)
-    s"""SELECT o_orderkey, $z AS z
-       |FROM orders ORDER BY o_orderkey""".stripMargin
+    val z = graft.sources.ZOrderLayout.zValueSql("na", "nb", bits = 16)
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS age
+      |  FROM orders),
+      |st AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+      |              min(age) AS age_lo, max(age) AS age_hi FROM o),
+      |n AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN ck_hi = ck_lo THEN 0
+      |         ELSE CAST(floor(CAST(ck - ck_lo AS DOUBLE) / CAST(ck_hi - ck_lo AS DOUBLE) * 65535.0) AS BIGINT) END AS na,
+      |    CASE WHEN age_hi = age_lo THEN 0
+      |         ELSE CAST(floor(CAST(age - age_lo AS DOUBLE) / CAST(age_hi - age_lo AS DOUBLE) * 65535.0) AS BIGINT) END AS nb
+      |  FROM o, st)""".stripMargin +
+      s"""
+         |SELECT o_orderkey, $z AS z
+         |FROM n ORDER BY o_orderkey""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

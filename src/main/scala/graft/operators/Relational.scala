@@ -404,11 +404,20 @@ object Relational {
         col("l_shipdate") < ts("1997-01-01 00:00:00") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      // accumulate in DECIMAL so the corpus-wide sum is order-free (a
+      // plain double sum's partition-nondeterministic reduce order could
+      // land within a half-cent of the rounding boundary at larger sf
+      // and flip the hash): each product casts to decimal(18,4) — ties
+      // at the 4th decimal are unreachable from binary doubles, so both
+      // engines round identically — then the exact decimal sum rounds to
+      // cents and returns to double. Same discipline as events_anomaly
+      // and quality_unigram_logprob.
+      .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
   val q6Sql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

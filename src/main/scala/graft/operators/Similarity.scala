@@ -64,7 +64,7 @@ object Similarity {
     * recall measurements against the exact oracle are unchanged; the floor
     * also guarantees the seed set (first C corpus vectors) is never
     * degenerate for tiny n. */
-  private def numCentroids(n: Long): Int =
+  private[graft] def numCentroids(n: Long): Int =
     math.max(MinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   private def emb(s: SparkSession, d: String): DataFrame =
@@ -189,6 +189,7 @@ object Similarity {
   private def trainCentroids(e: DataFrame, c: Int, iters: Int = 3): DataFrame = {
     var cs = seedCentroids(e, c).localCheckpoint()
     for (_ <- 1 to iters) {
+      val prev = cs
       val assigned = assignClusters(e, cs, take = 1, idCol = "vec_id")
       val means = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -201,6 +202,9 @@ object Similarity {
         .join(means, Seq("cid"), "left_outer")
         .select(col("cid"), coalesce(col("mean"), col("prev")).as("ce"))
         .localCheckpoint()
+      // the new cut is materialized (eager) — the superseded round's
+      // blocks are dead; release keeps the loop at O(one C-row frame)
+      graft.Blocks.release(prev)
     }
     cs
   }
@@ -214,13 +218,16 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
 
-  private def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+  private[graft] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
     val rows = centroidCache.computeIfAbsent(d, _ => {
       val e = emb(s, d)
       // one corpus count per dataset (amortized with the training pass)
       // sizes C — see numCentroids for the √n rationale
-      trainCentroids(e, numCentroids(e.count())).collect()
+      val trained = trainCentroids(e, numCentroids(e.count()))
+      val collected = trained.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      graft.Blocks.release(trained) // model now lives in this cache
+      collected
     })
     val sp = s
     import sp.implicits._
@@ -379,6 +386,7 @@ object Similarity {
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sub").as("ce"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      val prev = books
       val assigned = subs.join(broadcast(books), Seq("m"))
         .select(col("vec_id"), col("m"), col("sub"), col("code"),
           expr(l2Expr("sub", "ce")).as("d2"))
@@ -399,7 +407,11 @@ object Similarity {
         .select(col("m"), col("code"),
           coalesce(col("mean"), col("prev")).as("ce"))
         .localCheckpoint()
+      graft.Blocks.release(prev) // superseded round, new cut already live
     }
+    // books is lineage-free after its last cut; the exploded subvector
+    // frame (corpus-sized × M) is the loop's big pin — drop it now
+    graft.Blocks.release(subs)
     books
   }
 
@@ -409,9 +421,13 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Float])]]()
 
   private def trainedCodebooks(s: SparkSession, d: String): DataFrame = {
-    val rows = codebookCache.computeIfAbsent(d, _ =>
-      trainCodebooks(emb(s, d)).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq)
+    val rows = codebookCache.computeIfAbsent(d, _ => {
+      val trained = trainCodebooks(emb(s, d))
+      val collected = trained.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
+      graft.Blocks.release(trained) // model now lives in this cache
+      collected
+    })
     val sp = s
     import sp.implicits._
     rows.toDF("m", "code", "ce")

@@ -53,6 +53,8 @@ object FingerprintIndex {
       .write.mode(mode).parquet(s"$path/bands")
     Dedup.shingleArrays(rows)
       .write.mode(mode).parquet(s"$path/shingles")
+    // both index tables are on disk — the shingle scratch blocks are done
+    graft.Blocks.release(rows)
   }
 
   /** Near-dup pairs between a NEW batch and the indexed corpus, at

@@ -57,9 +57,16 @@ object ZOrderLayout {
     val (aMin, aMax, bMin, bMax) = (r.getLong(0), r.getLong(1),
       r.getLong(2), r.getLong(3))
     val top = (1L << bits) - 1
+    // divide FIRST, in double: the long spelling (c - lo) * top would
+    // silently overflow once a domain width exceeds ~2^63/top (~1.4e14
+    // at 16 bits) and z-cluster on garbage. The result only needs `bits`
+    // of precision, far inside double's 53-bit mantissa, so the double
+    // ratio is exact enough by construction; floor keeps the long cast
+    // deterministic.
     def scaled(c: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else ((col(c).cast("long") - lit(lo)) * lit(top) / lit(hi - lo)).cast("long")
+      else floor((col(c).cast("long") - lit(lo)).cast("double") /
+        lit((hi - lo).toDouble) * lit(top.toDouble))
     df.withColumn("__z",
         zValue(scaled(a, aMin, aMax), scaled(b, bMin, bMax), bits))
       .repartitionByRange(numFiles, col("__z"))

@@ -204,9 +204,12 @@ class DedupSpec extends AnyFunSuite {
     // two orders of margin so the assertion pins collapse, not luck
     assert(extra <= math.max(2L, shingles / 300),
       s"false-positive rate collapsed: $extra extra hits over $shingles shingles")
-    // the set-bit table the eval side probes is bounded BY CONSTRUCTION
+    // the filter state the eval side probes is bounded BY CONSTRUCTION:
+    // one broadcast 1-row bitmap (≤128 KiB), tested per shingle as a
+    // codegen'd conjunction — no explode, no equi-join, no re-group
     val plan = Dedup.contaminationBloom(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"bits table not broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bitmap not a broadcast 1-row frame:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 

@@ -26,15 +26,16 @@ class PlanAuditSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
-    * SinglePartition exchange — measured, not guessed: these 12 are the
-    * ONLY members of the 96-query surface that plan one at all (top-k
+    * SinglePartition exchange — measured, not guessed: these 13 are the
+    * ONLY members of the 97-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
     *    min_n, pack_batches' n_shards, tfidf's document count N,
     *    events_funnel's 3 stage counts, mix_temperature's Σ n_lang^α,
     *    quality_unigram_logprob's corpus token total, q6's 1-row
-    *    global revenue aggregate;
+    *    global revenue aggregate, layout_zorder's 4-value min-max
+    *    normalization stats;
     *  - the ≤256-row bucket-offset table of the seeded shuffle
     *    (corpus_shuffle, pretrain_manifest);
     *  - a schema-bounded profile (one row per COLUMN, not per record:
@@ -47,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // global scalar aggregates (1-row frames)
     "sample_stratified", "pack_batches", "tfidf_topk", "events_funnel",
     "mix_temperature", "quality_unigram_logprob", "q6_forecast_revenue",
+    "layout_zorder",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
@@ -96,6 +98,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *    tfidf_topk's document count N, dedup_embedding's threshold,
     *    mix_temperature's (z, n_total) pair, quality_unigram_logprob's
     *    corpus token total;
+    *  - a 1-row bounded MODEL frame folded onto every row:
+    *    contamination_bloom's ≤128 KiB Bloom bitmap (state ≤ 2^20 bits
+    *    BY CONSTRUCTION), layout_zorder's 4-value min-max stats row;
     *  - the bounded probe/model frame of the ANN queries (16 probe
     *    vectors / C centroids — O(query set), not O(corpus)), which
     *    every corpus row must score against BY DEFINITION of top-k
@@ -106,6 +111,7 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val oneRowBuildOk: Set[String] = Set(
     "sample_stratified", "pack_batches", "tfidf_topk", "dedup_embedding",
     "mix_temperature", "quality_unigram_logprob",
+    "contamination_bloom", "layout_zorder",
     "ann_topk", "ann_topk_fused", "ann_ivf", "ann_ivf_pq"
   )
 }
