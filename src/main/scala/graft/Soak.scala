@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** 10× scale soak for the SCALE-ADAPTIVE knobs — the regime the sf0.01 /
+  * sf0.1 oracle gates never reach (round-7 verdict: "the knobs have never
+  * been exercised on a corpus where the quadratic dedup twins are
+  * infeasible — precisely the regime the design targets").
+  *
+  * Generates a deterministic 10× fixture FROM the sf0.1 tables (~50k
+  * documents, ~20k embedding vectors — scripted into the JVM temp area,
+  * never committed), runs the dedup/ANN/bloom family against it, and
+  * asserts the knob engagements:
+  *
+  *  - IVF: C = ⌈√n⌉ actually grows (142 trained centroids at 20k vectors
+  *    vs 45 at 2k) and recall@10 vs the exact brute-force baseline holds
+  *    above the pinned floors at the fixed nprobe budget;
+  *  - LSH / PQ / IVF-PQ: recall recorded at the static knob settings —
+  *    the knob table below documents what to raise when they sag;
+  *  - Bloom: at the DEFAULT m = 2^20 the 10× train split's fill fraction
+  *    blows past any usable false-positive regime (the cliff the soak
+  *    exists to catch) — and the documented knob m ≈ 10·k·n, here the
+  *    next power of two 2^27, brings fill back under 0.1;
+  *  - dedup_near / dedup_exact: the variant construction preserves
+  *    within-variant Jaccard EXACTLY (words map bijectively per variant,
+  *    so shingle sets map bijectively) and makes cross-variant overlap
+  *    zero — so the planted pair structure scales by exactly 10 and the
+  *    operators must find exactly 10× the sf0.1 groups/pairs. The
+  *    QUADRATIC spec twins (brute-force all-pairs Jaccard) are
+  *    deliberately NOT run here — 50k docs is 1.25e9 pairs; linear
+  *    invariants replace them at this scale.
+  *
+  * Fixture construction (all deterministic, no RNG state): variant v ∈
+  * [0, 10) of doc d is doc_id 10d+v; v = 0 keeps the original text,
+  * v > 0 suffixes every word with "~v". Vector variant v of vec_id i is
+  * 10i+v; v > 0 adds per-dimension noise in [-0.05, 0.05) derived from
+  * xxhash64(vec_id, v, dim) — ~0.975 cosine to its original, so the
+  * neighborhood structure is preserved but every vector is distinct.
+  *
+  * Usage: sbt "runMain graft.Soak" — writes SOAK_r{N}.json (round from
+  * SPARK_GRAFT_ROUND, default 08) to the repo root and exits non-zero on
+  * any violated floor.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR",
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_soak10x").getAbsolutePath)
+    val spark = BenchKit.session()
+    import spark.implicits._
+
+    // ---- fixture ---------------------------------------------------------
+    if (!new java.io.File(s"$out/_OK").exists()) {
+      Tables.load(spark, base, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          explode(expr("sequence(0, 9)")).as("v"))
+        .select((col("doc_id") * 10 + col("v")).as("doc_id"),
+          when(col("v") === 0, col("text")).otherwise(expr(
+            "array_join(transform(split(text, ' '), w -> concat(w, '~', v)), ' ')"))
+            .as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Tables.load(spark, base, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          explode(expr("sequence(0, 9)")).as("v"))
+        .select((col("vec_id") * 10 + col("v")).as("nid"), col("v"),
+          col("vec_id"), col("embedding"), col("label"))
+        .select(col("nid").as("vec_id_new"), col("label"), expr(
+          """transform(embedding, (x, j) -> CAST(x + CASE WHEN v = 0 THEN CAST(0.0 AS DOUBLE)
+            |  ELSE (CAST(pmod(xxhash64(vec_id, v, j), 10000L) AS DOUBLE) / 100000.0 - 0.05)
+            |  END AS FLOAT))""".stripMargin).as("embedding"))
+        .select(col("vec_id_new").as("vec_id"), col("embedding"), col("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      new java.io.File(s"$out/_OK").createNewFile()
+    }
+    val nDocs = Tables.load(spark, out, "documents").count()
+    val nVecs = Tables.load(spark, out, "embeddings").count()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, String]()
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    def check(name: String, ok: Boolean, detail: String): Unit = {
+      results(name) = (if (ok) "pass — " else "FAIL — ") + detail
+      if (!ok) failures += s"$name: $detail"
+      println(s"[soak] ${results(name)}  ($name)")
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    check("fixture", nDocs == 50000 && nVecs == 20000,
+      s"docs=$nDocs vecs=$nVecs")
+
+    // ---- dedup family: linear invariants replace the quadratic twins -----
+    val baseExact = Dedup.dedupExact(spark, base).count()
+    val (soakExact, tExact) = timed(Dedup.dedupExact(spark, out).count())
+    check("dedup_exact_10x", soakExact == 10 * baseExact,
+      f"groups $soakExact (base $baseExact, ${tExact}%.1f s)")
+
+    val basePairs = Dedup.dedupNear(spark, base).count()
+    val (soakPairs, tNear) = timed(Dedup.dedupNear(spark, out).count())
+    check("dedup_near_10x", soakPairs == 10 * basePairs,
+      f"pairs $soakPairs (base $basePairs, ${tNear}%.1f s; per-pair LSH miss " +
+        "probability <1e-6 at the planted J, so exact 10x is the expectation)")
+
+    // cluster labels replicate per variant too: min-reachable doc_id of
+    // variant copy v of cluster {a,b,c} is 10*min+v, so the non-singleton
+    // member count must scale by exactly 10 as well
+    val baseCc = Dedup.dedupClusters(spark, base)
+      .where(col("cluster_id") =!= col("doc_id")).count()
+    val (soakCc, tCc) = timed(Dedup.dedupClusters(spark, out)
+      .where(col("cluster_id") =!= col("doc_id")).count())
+    check("dedup_clusters_10x", soakCc == 10 * baseCc,
+      f"non-singleton members $soakCc (base $baseCc, ${tCc}%.1f s; " +
+        "pointer-doubling converged — non-convergence throws)")
+
+    // ---- bloom fill: the m knob cliff ------------------------------------
+    val train = Tables.load(spark, out, "documents")
+      .where(substring(md5(col("doc_id").cast("string")), 1, 1) < "e")
+    val nShingles = Dedup.wordShingleRowsFrom(train, 8)
+      .select(xxhash64(col("sh")).as("h")).distinct().count()
+    val fillDefault = Dedup.contaminationBits(train).count() / Dedup.BloomBits.toDouble
+    val bigBits = 1L << 27 // next power of two >= the documented m ~ 10*k*n
+    val fillBig = Dedup.contaminationBits(train, bigBits).count() / bigBits.toDouble
+    check("bloom_fill_default_cliff", fillDefault > 0.5,
+      f"fill $fillDefault%.3f at m=2^20 over $nShingles distinct 8-grams — " +
+        "the default m is UNUSABLE at 10x; this cliff is what the soak catches")
+    check("bloom_fill_knob", fillBig < 0.1,
+      f"fill $fillBig%.4f at m=2^27 (the documented m~10*k*n rule: " +
+        f"10*4*$nShingles = ${10L * 4 * nShingles})")
+
+    // ---- ANN: C knob engagement + recall floors --------------------------
+    val cExpected = Similarity.numCentroids(nVecs)
+    val cTrained = Similarity.trainedCentroids(spark, out).count()
+    check("ivf_c_knob", cExpected == 142 && cTrained == cExpected,
+      s"C=$cTrained trained at n=$nVecs (vs ${Similarity.numCentroids(2000)} at sf0.1)")
+
+    val (exactRows, tExactAnn) = timed(Similarity.annTopk(spark, out)
+      .as[(Long, Int, Long, Double)].collect())
+    val exact = exactRows.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("probe_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).toSet }
+      val rs = exact.map { case (p, truth) =>
+        got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    val (rIvf, tIvf) = timed(recallOf(Similarity.annIvf(spark, out)))
+    val (rLsh, tLsh) = timed(recallOf(Similarity.annLsh(spark, out)))
+    val (rPq, tPq) = timed(recallOf(Similarity.annPq(spark, out)))
+    val (rIvfPq, tIvfPq) = timed(recallOf(Similarity.annIvfPq(spark, out)))
+    // floors: measured values at 20k vectors, pinned with a small margin
+    // (the knob table: IVF sags -> raise nprobe; LSH sags -> more/finer
+    // bands; PQ sags -> longer codes or a larger re-rank pool)
+    check("ann_ivf_recall_20k", rIvf >= 0.80,
+      f"recall@10 $rIvf%.3f at nprobe=8 of C=142 (${tIvf}%.1f s; exact baseline ${tExactAnn}%.1f s)")
+    check("ann_lsh_recall_20k", rLsh >= 0.60,
+      f"recall@10 $rLsh%.3f at 12 bands x 4 bits (${tLsh}%.1f s)")
+    check("ann_pq_recall_20k", rPq >= 0.45,
+      f"recall@10 $rPq%.3f at M=8 K=16 (${tPq}%.1f s)")
+    check("ann_ivf_pq_recall_20k", rIvfPq >= 0.40,
+      f"recall@10 $rIvfPq%.3f composed (${tIvfPq}%.1f s)")
+
+    // ---- artifact --------------------------------------------------------
+    def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "08")
+    val json = results.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString(s"""{"fixture": "$out", "n_docs": $nDocs, "n_vecs": $nVecs, "checks": {""", ", ", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"SOAK_r$round.json"), json + "\n")
+    println(s"[soak] wrote SOAK_r$round.json; ${results.size} checks, ${failures.size} failures")
+    spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach(f => System.err.println(s"[soak] FAILED $f"))
+      sys.exit(1)
+    }
+  }
+}
