@@ -1,11 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, explode, md5, split, substring}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, explode, greatest, least, md5, split, substring}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 import graft.operators.{Dedup, Pipeline, Sketches}
+import graft.sources.FingerprintIndex
 
 /** One (doc, band) row entering the streaming near-dedup state. */
 case class BandedDoc(band: Int, key: Long, doc_id: Long,
@@ -128,6 +129,57 @@ object DocStreams {
     * would hold (doc_id, signature) and fetch shingles from a doc store;
     * the distributed shape — hash-partitioned buckets, per-bucket state,
     * candidate-only verification — is exactly this one. */
+  /** Near-dedup at ingest against the PERSISTED fingerprint index — the
+    * streaming shape of the flagship incremental path (`dedup_incremental`
+    * runs one cycle of it; this runs the cycle forever). Each micro-batch:
+    *
+    *  1. finds its INTRA-batch near-dup pairs with the one-batch operator
+    *     ([[graft.operators.Dedup.dedupNearFrom]] — identical hash
+    *     construction, so stream and batch agree by construction);
+    *  2. probes the on-disk [[graft.sources.FingerprintIndex]] for CROSS
+    *     pairs against everything previously admitted — O(batch) work,
+    *     the admitted corpus's text is never re-read (the index carries
+    *     band keys + shingle fingerprints, all verification needs);
+    *  3. appends the batch's own fingerprints to the index (admission),
+    *     so FUTURE batches dedup against it.
+    *
+    * Emitted pairs (parquet-appended to `pairsOut`) over ANY micro-batch
+    * partition of a corpus equal the one-batch operator's pair set
+    * exactly: a pair is intra to exactly one batch or cross exactly once
+    * (the probe runs BEFORE the append, so a batch never self-pairs
+    * through the index) — DocStreamsSpec asserts set equality against
+    * [[graft.operators.Dedup.dedupNearFrom]] over a 3-batch arrival.
+    *
+    * Contrast with [[nearDupStream]]: that keeps bucket state inside the
+    * streaming checkpoint (one engine owns it); this externalizes the
+    * state as a queryable, batch-shared, restart-surviving parquet index
+    * — the right shape when the admitted corpus is 100 TB and other
+    * systems (batch jobs, the next round's bulk dedup) must see the same
+    * index. The micro-batch is localCheckpoint-pinned across its three
+    * uses (intra pairs, probe, append) and released before the batch
+    * commits. */
+  def indexIngestStream(docs: DataFrame, indexPath: String, pairsOut: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        val intra = Dedup.dedupNearFrom(b)
+        val cross =
+          if (new java.io.File(s"$indexPath/bands").exists())
+            FingerprintIndex.dedupAgainstIndex(s, b, indexPath)
+              .select(least(col("corpus_id"), col("new_id")).as("doc_a"),
+                greatest(col("corpus_id"), col("new_id")).as("doc_b"),
+                col("inter_size"), col("union_size"))
+          else intra.limit(0)
+        intra.unionByName(cross).write.mode("append").parquet(pairsOut)
+        FingerprintIndex.appendToIndex(b, indexPath)
+        graft.Blocks.release(b)
+        ()
+      }
+      .start()
+
   def nearDupStream(docs: DataFrame, n: Int = 3, rowsPerBand: Int = 2,
                     numBands: Int = 16, num: Int = 3,
                     den: Int = 5): Dataset[NearDupPair] = {

@@ -314,4 +314,59 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(stream.exists { case (a, b, _, _) => a % 2 != b % 2 },
       "no cross-batch pair in the corpus — parity split did not test state carry-over")
   }
+
+  test("streaming index ingest: pair set matches batch; persisted index matches one-shot build") {
+    val docs = Tables.load(spark, sf, "documents")
+    // three micro-batches by doc_id mod 3: every mixed-residue pair MUST
+    // come from the persisted-index probe (batch k vs the fingerprints
+    // batches <k appended), not from intra-batch dedup
+    val streamDir = Files.createTempDirectory("graft-idxingest-in").toString
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-idxingest-tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$streamDir/$name")
+      Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeBatch(docs.where($"doc_id" % 3 === 0), "000.parquet", now - 120000)
+    writeBatch(docs.where($"doc_id" % 3 === 1), "001.parquet", now - 60000)
+    writeBatch(docs.where($"doc_id" % 3 === 2), "002.parquet", now)
+
+    val idxDir = Files.createTempDirectory("graft-idxingest-idx").toString + "/idx"
+    val pairsDir = Files.createTempDirectory("graft-idxingest-out").toString + "/pairs"
+    val ckpt = Files.createTempDirectory("graft-idxingest-ckpt").toString
+    val q = DocStreams.indexIngestStream(
+      DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)),
+      idxDir, pairsDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    // pair-set parity: intra-batch pairs + index-cross pairs over the
+    // 3-batch partition == the one-batch operator over the whole corpus
+    val stream = spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b", "inter_size", "union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Dedup.dedupNearFrom(
+        docs.select($"doc_id", $"text"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream === batch,
+      s"ingest pairs drifted: missing=${batch -- stream} extra=${stream -- batch}")
+    assert(stream.exists { case (a, b, _, _) => a % 3 != b % 3 },
+      "no cross-batch pair — the split did not exercise the index probe")
+    // the grown index is byte-equivalent (as a row set) to a one-shot
+    // build over the same corpus: future consumers (batch jobs, the next
+    // ingest cycle) see the same index either way
+    val refDir = Files.createTempDirectory("graft-idxingest-ref").toString + "/idx"
+    graft.sources.FingerprintIndex.writeIndex(docs.select($"doc_id", $"text"), refDir)
+    def bandSet(p: String) = spark.read.parquet(s"$p/bands")
+      .select($"doc_id".cast("long"), $"band".cast("int"), $"key".cast("long"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(bandSet(idxDir) === bandSet(refDir),
+      "appended index diverged from one-shot build")
+  }
 }
