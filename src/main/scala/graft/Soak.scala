@@ -116,6 +116,27 @@ object Soak {
       f"non-singleton members $soakCc (base $baseCc, ${tCc}%.1f s; " +
         "pointer-doubling converged — non-convergence throws)")
 
+    // the flagship ingest path at 10×: index the ~87.5% corpus split
+    // (~43k docs), probe the ~6k-doc batch split. Invariant: the index
+    // probe finds EXACTLY the cross-split subset of dedup_near's pairs
+    // (same hash construction ⇒ same candidates, exact verification) —
+    // computable without any quadratic twin.
+    def isCorpusSide(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.charAt(0) < 'e'
+    }
+    val nearPairs = Dedup.dedupNear(spark, out)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val expectCross = nearPairs.filter { case (a, b) => isCorpusSide(a) != isCorpusSide(b) }
+      .map { case (a, b) => if (isCorpusSide(a)) (a, b) else (b, a) }
+    val (gotCross, tInc) = timed(Dedup.dedupIncremental(spark, out)
+      .select(col("corpus_id"), col("new_id")).as[(Long, Long)].collect().toSet)
+    check("dedup_incremental_10x", gotCross == expectCross,
+      f"index probe found ${gotCross.size} cross pairs == dedup_near's " +
+        f"cross-split subset (${tInc}%.1f s for index build + probe at 50k docs)")
+
     // ---- bloom fill: the m knob cliff ------------------------------------
     val train = Tables.load(spark, out, "documents")
       .where(substring(md5(col("doc_id").cast("string")), 1, 1) < "e")

@@ -478,7 +478,10 @@ object Dedup {
     * argument as Sketches' d×w CMS). At the default 2^20 bits / k=4 and
     * ~20k distinct train shingles (test corpus), the fill fraction is
     * ~0.07 and the false-positive rate ~p^4 ≈ 3e-5; size m ≈ 10·k·n for
-    * a real eval suite. */
+    * a real eval suite. Measured at the 10× soak (graft.Soak, ~2M
+    * distinct train 8-grams): the default m saturates (fill 0.999 —
+    * unusable) while the 10·k·n rule's m = 2^27 restores fill 0.057 —
+    * SOAK_r08.json pins both. */
   val BloomBits: Long = 1L << 20
   val BloomK: Int = 4
 
