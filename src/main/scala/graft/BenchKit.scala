@@ -26,6 +26,7 @@ private[graft] object BenchKit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Blocks.quietReleaseWarnings() // harness JVM: deliberate releases only
     spark
   }
 

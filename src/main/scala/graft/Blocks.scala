@@ -29,14 +29,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 private[graft] object Blocks {
 
-  // Unpersisting a lineage-truncated checkpoint logs one WARN per RDD
-  // ("cannot be recomputed after unpersisting") — here that is the
-  // DESIGN (superseded iterates are dead by contract), and ~100 bench
-  // queries' worth of releases would drown the harness output tail.
-  // Silence exactly that logger; real errors still surface.
-  try org.apache.logging.log4j.core.config.Configurator.setLevel(
-    "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
-  catch { case _: Throwable => () }
+  /** Unpersisting a lineage-truncated checkpoint logs one WARN per RDD
+    * ("cannot be recomputed after unpersisting") — in the harness mains
+    * that is pure by-design noise (~100 queries' worth of deliberate
+    * releases would drown the captured output tail), so Bench/Verify/
+    * CadenceSweep/Soak call this to silence exactly that logger. It is
+    * deliberately NOT a static init: a library must not reconfigure
+    * logging as an import side effect, and in a user session the WARN is
+    * the one early signal if a future code path ever releases a frame
+    * something still reads — production keeps it. */
+  def quietReleaseWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
   /** Unpersist the checkpointed RDD backing `df`, if `df` is the direct
     * result of a `localCheckpoint()`/`checkpoint()` call (its analyzed

@@ -99,11 +99,18 @@ object Soak {
     check("dedup_exact_10x", soakExact == 10 * baseExact,
       f"groups $soakExact (base $baseExact, ${tExact}%.1f s)")
 
+    // exact-equality scope: sf0.1's planted near-dup pairs sit at J >= 0.83
+    // (per-variant band-miss probability ~1e-9, so 10x-exact is the
+    // expectation there); a corpus with background pairs hovering AT the
+    // 0.6 threshold would make each re-hashed variant an independent
+    // ~1e-3 trial and exact equality too strict — this check is about the
+    // DRIVER FIXTURE, not arbitrary corpora.
+    val (nearPairs, tNear) = timed(Dedup.dedupNear(spark, out)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet)
     val basePairs = Dedup.dedupNear(spark, base).count()
-    val (soakPairs, tNear) = timed(Dedup.dedupNear(spark, out).count())
+    val soakPairs = nearPairs.size.toLong
     check("dedup_near_10x", soakPairs == 10 * basePairs,
-      f"pairs $soakPairs (base $basePairs, ${tNear}%.1f s; per-pair LSH miss " +
-        "probability <1e-6 at the planted J, so exact 10x is the expectation)")
+      f"pairs $soakPairs (base $basePairs, ${tNear}%.1f s)")
 
     // cluster labels replicate per variant too: min-reachable doc_id of
     // variant copy v of cluster {a,b,c} is 10*min+v, so the non-singleton
@@ -127,8 +134,6 @@ object Soak {
         .map("%02x".format(_)).mkString
       hex.charAt(0) < 'e'
     }
-    val nearPairs = Dedup.dedupNear(spark, out)
-      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
     val expectCross = nearPairs.filter { case (a, b) => isCorpusSide(a) != isCorpusSide(b) }
       .map { case (a, b) => if (isCorpusSide(a)) (a, b) else (b, a) }
     val (gotCross, tInc) = timed(Dedup.dedupIncremental(spark, out)
@@ -188,7 +193,7 @@ object Soak {
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "08")
     val json = results.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString(s"""{"fixture": "$out", "n_docs": $nDocs, "n_vecs": $nVecs, "checks": {""", ", ", "}}")
+      .mkString(s"""{"fixture": ${q(out)}, "n_docs": $nDocs, "n_vecs": $nVecs, "checks": {""", ", ", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"SOAK_r$round.json"), json + "\n")
     println(s"[soak] wrote SOAK_r$round.json; ${results.size} checks, ${failures.size} failures")
     spark.stop()

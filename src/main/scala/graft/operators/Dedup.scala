@@ -584,8 +584,13 @@ object Dedup {
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
     val isCorpus = substring(md5(col("doc_id").cast("string")), 1, 1) < "e"
+    // path is per-DATASET (so repeated invocations in one session reuse
+    // the overwrite slot) AND per-PROCESS (so two JVMs running against
+    // the same dataset — bench + a dev-loop verify — never race one
+    // writer's overwrite against the other's probe)
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_fp_index_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      "graft_fp_index_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
     graft.sources.FingerprintIndex.writeIndex(docs.where(isCorpus), path)
     graft.sources.FingerprintIndex.dedupAgainstIndex(s, docs.where(!isCorpus), path)
   }

@@ -100,4 +100,27 @@ object FingerprintIndex {
                     rowsPerBand: Int = DefaultRowsPerBand,
                     numBands: Int = DefaultNumBands): Unit =
     writeTables(docs, path, "append", n, rowsPerBand, numBands)
+
+  /** IDEMPOTENT append for at-least-once callers (streaming foreachBatch):
+    * the batch's fingerprints land in `ingest_batch=<id>` partition
+    * directories with OVERWRITE semantics, so a re-executed micro-batch
+    * (crash after a partial write, before the sink checkpoint committed)
+    * replaces its own previous attempt instead of duplicating rows —
+    * including the half-written case where bands landed but shingles did
+    * not. Parquet partition discovery folds the subdirectories back into
+    * one table when the index root is read (the extra `ingest_batch`
+    * column is inert — [[dedupAgainstIndex]] projects the columns it
+    * needs). Do not mix this layout with the flat [[appendToIndex]] under
+    * one root: partition discovery rejects conflicting structures. */
+  def appendBatchToIndex(docs: DataFrame, path: String, batchId: Long,
+                         n: Int = DefaultShingleN,
+                         rowsPerBand: Int = DefaultRowsPerBand,
+                         numBands: Int = DefaultNumBands): Unit = {
+    val rows = Dedup.wordShingleRowsFrom(docs, n).localCheckpoint()
+    Dedup.bandKeys(rows, rowsPerBand, numBands)
+      .write.mode("overwrite").parquet(s"$path/bands/ingest_batch=$batchId")
+    Dedup.shingleArrays(rows)
+      .write.mode("overwrite").parquet(s"$path/shingles/ingest_batch=$batchId")
+    graft.Blocks.release(rows)
+  }
 }

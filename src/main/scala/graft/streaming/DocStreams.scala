@@ -143,12 +143,20 @@ object DocStreams {
     *  3. appends the batch's own fingerprints to the index (admission),
     *     so FUTURE batches dedup against it.
     *
-    * Emitted pairs (parquet-appended to `pairsOut`) over ANY micro-batch
+    * Emitted pairs (parquet under `pairsOut`) over ANY micro-batch
     * partition of a corpus equal the one-batch operator's pair set
     * exactly: a pair is intra to exactly one batch or cross exactly once
     * (the probe runs BEFORE the append, so a batch never self-pairs
     * through the index) — DocStreamsSpec asserts set equality against
     * [[graft.operators.Dedup.dedupNearFrom]] over a 3-batch arrival.
+    *
+    * foreachBatch is AT-LEAST-ONCE: a crash between the side effects and
+    * the sink checkpoint re-executes the batch. Both side effects are
+    * therefore keyed by batchId with overwrite semantics — pairs land in
+    * `pairsOut/ingest_batch=<id>`, fingerprints via
+    * [[graft.sources.FingerprintIndex.appendBatchToIndex]] — so a
+    * re-execution replaces its own partial attempt instead of
+    * duplicating rows; the exactly-once pair contract survives restarts.
     *
     * Contrast with [[nearDupStream]]: that keeps bucket state inside the
     * streaming checkpoint (one engine owns it); this externalizes the
@@ -162,7 +170,7 @@ object DocStreams {
                         checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
         val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
         val intra = Dedup.dedupNearFrom(b)
@@ -173,8 +181,9 @@ object DocStreams {
                 greatest(col("corpus_id"), col("new_id")).as("doc_b"),
                 col("inter_size"), col("union_size"))
           else intra.limit(0)
-        intra.unionByName(cross).write.mode("append").parquet(pairsOut)
-        FingerprintIndex.appendToIndex(b, indexPath)
+        intra.unionByName(cross).write.mode("overwrite")
+          .parquet(s"$pairsOut/ingest_batch=$batchId")
+        FingerprintIndex.appendBatchToIndex(b, indexPath, batchId)
         graft.Blocks.release(b)
         ()
       }
