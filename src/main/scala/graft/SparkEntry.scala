@@ -43,6 +43,8 @@ object SparkEntry {
     "cocitation_topk" -> ((s, d) =>
       Citations.coCitationTopk(Citations.edges(s, d))),
     "citation_reach" -> ((s, d) => Citations.citationReach(s, d)),
+    "citation_triangles" -> ((s, d) =>
+      Citations.citationTriangles(Citations.edges(s, d))),
     // 6 rounds: the ranking ordering stabilizes well before the values
     // fully converge; invariants spec-tested in AnalyticsExtraSpec
     "citation_pagerank" -> ((s, d) =>
@@ -51,6 +53,7 @@ object SparkEntry {
 
   private val citationOracles: Map[String, String] = Map(
     "citation_reach" -> Citations.citationReachSql,
+    "citation_triangles" -> Citations.citationTrianglesSql,
     // a float fixpoint CAN be oracled when the iteration count is fixed
     // and both engines run operation-identical double arithmetic: the
     // unrolled CTE's only divergence is summation order (~1e-15 relative),
@@ -143,6 +146,7 @@ object SparkEntry {
     "unpivot_revenue" -> Seq(col("l_returnflag"), col("metric")),
     "subquery_above_brand_avg" -> Seq(col("p_partkey")),
     "q4_late_orders" -> Seq(col("o_orderpriority")),
+    "q18_big_orders" -> Seq(col("o_orderkey")),
     "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
     "events_sliding_hour" -> Seq(col("window_start")),
     "events_sessionize" -> Seq(col("user_id"), col("session_start")),

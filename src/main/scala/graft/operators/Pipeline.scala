@@ -573,7 +573,51 @@ object Pipeline {
       |       CAST(cum_before // 2000 AS BIGINT) AS batch_id
       |FROM r ORDER BY doc_id, epoch""".stripMargin
 
+  /** CDC-style latest-wins compaction — the "refresh the corpus with a
+    * new crawl" primitive: a base snapshot (every document at version 0)
+    * merged with a delta batch (the deterministic ~25% of docs whose
+    * md5(doc_id) leading hex < '4', re-ingested at version 1 with changed
+    * content — here n_chars+17 stands in for the new body). Keep the
+    * highest version per key.
+    *
+    * Deliberately NOT the row_number-over-(key ORDER BY version DESC)
+    * window formulation: a window must shuffle EVERY version of every key
+    * and sort within partitions before discarding the losers. max/max_by
+    * are ordinary declarative aggregates — partial map-side combine
+    * collapses each partition to one candidate per key BEFORE the
+    * exchange (and they hash-aggregate, where a struct-max would fall
+    * back to SortAggregate), so at 100 TB the shuffle carries one row per
+    * (partition, key) instead of the full version history. Version
+    * numbers are unique per key by construction, so max_by is exactly
+    * latest-wins (no tie ever consulted). */
+  def corpusUpsert(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val base = docs.select(col("doc_id"), lit(0L).as("version"), col("n_chars"))
+    val delta = docs
+      .where(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      .select(col("doc_id"), lit(1L).as("version"),
+        (col("n_chars") + lit(17)).as("n_chars"))
+    base.unionByName(delta)
+      .groupBy(col("doc_id"))
+      .agg(max(col("version")).as("version"),
+        max_by(col("n_chars"), col("version")).as("n_chars"))
+  }
+
+  val corpusUpsertSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS version, n_chars FROM documents),
+      |delta AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS version, n_chars + 17 AS n_chars
+      |  FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+      |merged AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      |SELECT doc_id, max(version) AS version,
+      |       max_by(n_chars, version) AS n_chars
+      |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_upsert" -> (corpusUpsert _),
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
@@ -587,6 +631,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_upsert" -> corpusUpsertSql,
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_weighted" -> sampleWeightedSql,
@@ -600,6 +645,7 @@ object Pipeline {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "corpus_upsert" -> Seq(col("doc_id")),
     "sample_split" -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "sample_weighted" -> Seq(col("lang"), col("rank")),

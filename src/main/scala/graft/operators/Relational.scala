@@ -453,6 +453,34 @@ object Relational {
       |  FROM part)
       |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin
 
+  /** TPC-H Q18 analogue (large-volume customers): orders whose total
+    * line-item quantity exceeds a rare threshold, with their customer.
+    * The aggregation runs FIRST and the HAVING filter collapses the fact
+    * table to a handful of keys before any join — at 100 TB the
+    * lineitem→orders join probes with the ~0.3% of orders that survive,
+    * never the full fact table, and the customer side is a broadcast dim.
+    * Quantities are integral, so the per-order sums are exact BIGINTs —
+    * no float discipline needed. */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .where(col("sum_qty") > 300)
+    val o = t(s, d, "orders")
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, sum_qty
+      |FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** UNION (distinct) of two predicates — dedup across branches. */
   def setopUnion(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
@@ -534,7 +562,8 @@ object Relational {
     "scalar_date_monthly" -> (scalarDateMonthly _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "subquery_above_brand_avg" -> (subqueryAboveBrandAvg _),
-    "q4_late_orders" -> (q4LateOrders _)
+    "q4_late_orders" -> (q4LateOrders _),
+    "q18_big_orders" -> (q18BigOrders _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -563,6 +592,7 @@ object Relational {
     "scalar_date_monthly" -> scalarDateMonthlySql,
     "pivot_status_by_priority" -> pivotStatusByPrioritySql,
     "subquery_above_brand_avg" -> subqueryAboveBrandAvgSql,
-    "q4_late_orders" -> q4LateOrdersSql
+    "q4_late_orders" -> q4LateOrdersSql,
+    "q18_big_orders" -> q18Sql
   )
 }

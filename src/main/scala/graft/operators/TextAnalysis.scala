@@ -515,7 +515,121 @@ object TextAnalysis {
       |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS share
       |FROM g ORDER BY bucket""".stripMargin
 
+  /** Inverted index (token → document-frequency + bounded posting list)
+    * — the retrieval-side artifact a corpus pipeline materializes next to
+    * the corpus itself. df is EXACT over all documents; the posting list
+    * is capped at `cap` lowest doc_ids, which is what bounds the
+    * operator at scale: a stopword appearing in every one of 10^9
+    * documents still emits a ≤`cap`-element list, because the
+    * `collect_list` only ever sees rows the row_number window already
+    * ranked ≤ cap (nulls are skipped by collect_list, so the aggregation
+    * buffer holds at most `cap` entries BY CONSTRUCTION — this is the
+    * bounded twin of the group-to-list scale bomb SURVEY.md O15 keeps out
+    * of production). One shuffle total: the window hash-partitions by
+    * token, and the follow-on groupBy(token) reuses that partitioning
+    * (no second exchange — asserted in PLANS.md). */
+  def invertedIndex(s: SparkSession, d: String, cap: Int = 20): DataFrame = {
+    val pairs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        expr(s"concat_ws(',', transform(array_sort(" +
+          s"collect_list(CASE WHEN rn <= $cap THEN doc_id END)), " +
+          "x -> CAST(x AS STRING)))").as("postings"))
+  }
+
+  val invertedIndexSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> ''),
+      |w AS (
+      |  SELECT token, doc_id,
+      |         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      |  FROM pairs)
+      |SELECT token, count(*) AS df,
+      |       string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+      |                  ',' ORDER BY doc_id) AS postings
+      |FROM w GROUP BY token ORDER BY token""".stripMargin
+
+  /** Okapi BM25 top-20 for a fixed conjunctive-ish query (k1=1.2,
+    * b=0.75, the robust idf ln((N-df+0.5)/(df+0.5)+1) that never goes
+    * negative) — lexical retrieval over the corpus, the complement of the
+    * embedding-space ANN family in `Similarity`. Shape at 100 TB: ONE
+    * corpus scan feeds both the per-(doc, term) counts (filtered to the
+    * query's terms BEFORE the aggregation, so the shuffle carries only
+    * matching occurrences) and the per-doc length rides the same rows as
+    * a constant-per-group max; df/N/avgdl are 1-row or |query|-row
+    * broadcast frames. Scoring is a per-row expression; top-20 plans as
+    * TakeOrderedAndProject. Scores round to 6 dp before the final order
+    * (the q1 float convention — ln/× ulp divergence sits ~8 orders below
+    * the grid). */
+  def searchBm25(s: SparkSession, d: String,
+                 terms: Seq[String] = Seq("vector", "stream", "filter"),
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("token"))
+    // Pin the per-(doc, term) aggregate once: both the scoring pipeline
+    // and the df branch read it, and Catalyst can't ReuseExchange the two
+    // (the df copy prunes k/dl away, changing the subtree — and count(k)
+    // doesn't survive as a pruning blocker because k is provably
+    // non-null, so the optimizer rewrites it back to a distinct). The
+    // frame is ≤ matching-docs × |terms| rows of fixed-width longs; the
+    // harness sweeps the block between queries.
+    val tf = docs.where(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("k"), max(col("dl")).as("dl"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = Tables.load(s, d, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)) *
+          (col("k") * lit(k1 + 1.0)) /
+          (col("k") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") * col("n_docs") / col("sum_dl")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val searchBm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS k, max(dl) AS dl
+      |  FROM toks WHERE token IN ('vector', 'stream', 'filter')
+      |  GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |           AS sum_dl
+      |  FROM documents)
+      |SELECT doc_id,
+      |       round(sum(
+      |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |         * (k * 2.2) / (k + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))
+      |       ), 6) AS score
+      |FROM tf JOIN df USING (token), stats
+      |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inverted_index" -> ((s, d) => invertedIndex(s, d)),
+    "search_bm25" -> ((s, d) => searchBm25(s, d)),
     "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
@@ -531,6 +645,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "inverted_index" -> invertedIndexSql,
+    "search_bm25" -> searchBm25Sql,
     "tfidf_topk" -> tfidfTopkSql,
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
@@ -546,6 +662,7 @@ object TextAnalysis {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "inverted_index" -> Seq(col("token")),
     "tfidf_topk" -> Seq(col("doc_id"), col("rank")),
     "text_stats" -> Seq(col("lang"), col("source")),
     "text_quality" -> Seq(col("doc_id")),

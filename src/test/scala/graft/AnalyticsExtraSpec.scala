@@ -68,6 +68,41 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(capped === Seq(("a", "b", 1L))) // only s2 survives
   }
 
+  test("citation_triangles: hand fixture — K4 + pendant edge, direction/dup/self-loop robust") {
+    // K4 on {a,b,c,d} = 4 triangles; d-e adds a wedge but no triangle.
+    // Degrees: a,b,c = 3; d = 4; e = 1 → wedges = 3*3 + 6 + 0 = 15;
+    // clustering = 3*4/15 = 0.8. Edges arrive messy on purpose: both
+    // directions, duplicates, and a self-loop must all canonicalize away.
+    val edges = Seq(
+      ("a", "b"), ("b", "a"),            // duplicate in both directions
+      ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"),
+      ("e", "e")                         // self-loop: dropped
+    ).toDF("src", "dst")
+    val got = Citations.citationTriangles(edges)
+      .as[(Long, Long, Double)].collect()
+    assert(got === Array((4L, 15L, 0.8)))
+  }
+
+  test("citation_triangles: brute-force twin on sf0.001 edges") {
+    // independent formulation: unoriented wedge join with a < b < c id
+    // ordering (correct but un-orientated — fine at sf0.001 scale)
+    val u = Citations.edges(spark, sf).where(col("src") =!= col("dst"))
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().as[(String, String)].collect().toSet
+    val nodes = u.flatMap { case (a, b) => Seq(a, b) }
+    val adj = nodes.map { n =>
+      n -> u.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+    }.toMap
+    val brute = u.toSeq.map { case (a, b) =>
+      (adj(a) intersect adj(b)).count(c => c > b) // a < b < c exactly once
+    }.sum
+    val got = Citations.citationTriangles(Citations.edges(spark, sf))
+      .select(col("triangles")).first().getLong(0)
+    assert(got === brute.toLong, s"operator $got vs brute-force $brute")
+  }
+
   test("tfidf: rare terms outscore common terms within a document") {
     val got = TextAnalysis.tfidfTopk(spark, sf).cache()
     assert(got.where(col("rank") === 1).count() ===

@@ -20,6 +20,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(trainFrac > 0.8 && trainFrac < 0.95, s"train fraction $trainFrac")
   }
 
+  test("corpus_upsert: latest-wins per key — delta docs at v1 with new payload, rest untouched") {
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "n_chars",
+        "substr(md5(CAST(doc_id AS STRING)), 1, 1) < '4' AS in_delta")
+      .as[(Long, Long, Boolean)].collect()
+    val got = Pipeline.corpusUpsert(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size === docs.length) // every key exactly once
+    docs.foreach { case (id, nc, inDelta) =>
+      val expected = if (inDelta) (1L, nc + 17) else (0L, nc)
+      assert(got(id) === expected, s"doc $id")
+    }
+    val nDelta = docs.count(_._3)
+    assert(nDelta > 0 && nDelta < docs.length) // both paths exercised
+  }
+
   test("sample_stratified: deterministic, minority lang kept whole, strata balanced") {
     val a = Pipeline.sampleStratified(spark, sf)
       .as[(Long, String, String)].collect()

@@ -26,8 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
-    * SinglePartition exchange — measured, not guessed: these 13 are the
-    * ONLY members of the 97-query surface that plan one at all (top-k
+    * SinglePartition exchange — measured, not guessed: these 15 are the
+    * ONLY members of the 102-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *    events_funnel's 3 stage counts, mix_temperature's Σ n_lang^α,
     *    quality_unigram_logprob's corpus token total, q6's 1-row
     *    global revenue aggregate, layout_zorder's 4-value min-max
-    *    normalization stats;
+    *    normalization stats, citation_triangles' triangle/wedge counts,
+    *    search_bm25's (n_docs, sum_dl) corpus stats;
     *  - the ≤256-row bucket-offset table of the seeded shuffle
     *    (corpus_shuffle, pretrain_manifest);
     *  - a schema-bounded profile (one row per COLUMN, not per record:
@@ -48,7 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // global scalar aggregates (1-row frames)
     "sample_stratified", "pack_batches", "tfidf_topk", "events_funnel",
     "mix_temperature", "quality_unigram_logprob", "q6_forecast_revenue",
-    "layout_zorder",
+    "layout_zorder", "citation_triangles", "search_bm25",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
@@ -112,6 +113,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "sample_stratified", "pack_batches", "tfidf_topk", "dedup_embedding",
     "mix_temperature", "quality_unigram_logprob",
     "contamination_bloom", "layout_zorder",
-    "ann_topk", "ann_topk_fused", "ann_ivf", "ann_ivf_pq"
+    "ann_topk", "ann_topk_fused", "ann_ivf", "ann_ivf_pq",
+    // citation_triangles: triangle count × wedge total — two 1-row
+    // scalar aggregates folded together for the clustering coefficient
+    "citation_triangles",
+    // search_bm25: the 1-row (n_docs, sum_dl) corpus-stats frame folded
+    // onto every scored (doc, term) row
+    "search_bm25"
   )
 }

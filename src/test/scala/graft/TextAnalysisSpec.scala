@@ -20,6 +20,64 @@ class TextAnalysisSpec extends AnyFunSuite {
       col("avg_chars") > col("max_chars")).count() === 0)
   }
 
+  test("inverted_index: exact df, postings = ascending prefix of min(df, cap) doc_ids") {
+    val idx = TextAnalysis.invertedIndex(spark, sf, cap = 20)
+      .as[(String, Long, String)].collect()
+    val truth = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+      .where(col("token") =!= "")
+      .select("token", "doc_id").distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2).sorted }
+    assert(idx.map(_._1).toSet === truth.keySet)
+    idx.foreach { case (token, df, postings) =>
+      val docs = truth(token)
+      assert(df === docs.length.toLong, s"df mismatch for '$token'")
+      val expect = docs.take(20).mkString(",")
+      assert(postings === expect, s"postings mismatch for '$token'")
+    }
+    // the cap actually binds somewhere (otherwise this spec tests nothing)
+    assert(idx.exists(r => r._2 > 20 && r._3.split(",").length == 20))
+  }
+
+  test("search_bm25: driver-side recompute matches; k=20 rows, descending scores") {
+    val got = TextAnalysis.searchBm25(spark, sf).as[(Long, Double)].collect()
+    assert(got.length === 20)
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // recompute from raw tokens with the same formula
+    val terms = Set("vector", "stream", "filter")
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .as[(Long, Seq[String])].collect()
+    val n = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scores = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val s = terms.toSeq.map { t =>
+        val k = toks.count(_ == t).toLong
+        if (k == 0) 0.0
+        else math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+          (k * 2.2) / (k + 1.2 * (0.25 + 0.75 * dl * n / sumDl.toDouble))
+      }.sum
+      if (s == 0.0) None else Some(id -> s)
+    }
+    // per-doc value check with a 1e-6 cushion (the aggregate's 3-term sum
+    // order is engine-internal, so a 1-ulp drift across the 6-dp rounding
+    // boundary is possible — the cross-engine EXACT check is the DuckDB
+    // oracle's job, this spec pins the formula)
+    val expectMap = scores.toMap
+    got.foreach { case (id, score) =>
+      assert(math.abs(score - expectMap(id)) <= 1e-6, s"doc $id")
+    }
+    // and the 20 returned really are a top-20 (no excluded doc beats the
+    // weakest included one by more than the rounding cushion)
+    val cutoff = got.map(_._2).min
+    val excludedMax = (expectMap -- got.map(_._1)).values.foldLeft(0.0)(math.max)
+    assert(excludedMax <= cutoff + 1e-6,
+      s"excluded doc scores $excludedMax above cutoff $cutoff")
+  }
+
   test("token_topk: capped at 50 rows, descending counts, deterministic tie-break") {
     val top = TextAnalysis.tokenTopk(spark, sf).as[(String, Long)].collect()
     val distinctTokens = Tables.load(spark, sf, "documents")
