@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, explode, greatest, least, md5, split, substring}
+import org.apache.spark.sql.functions.{col, explode, greatest, least, max, max_by, md5, split, substring}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
@@ -106,6 +106,23 @@ object DocStreams {
   def contaminationBitsStream(docs: DataFrame): DataFrame =
     Dedup.contaminationBits(
       docs.where(substring(md5(col("doc_id").cast("string")), 1, 1) < "e"))
+
+  /** Latest-wins upsert view maintained AT INGEST — the streaming twin of
+    * [[graft.operators.Pipeline.corpusUpsert]]: each arriving (key,
+    * version, payload) row merges into per-key latest-version state via
+    * the SAME max/max_by aggregate the batch compaction uses (declarative
+    * aggregates stream unchanged in complete/update mode: partial combine
+    * within the micro-batch, then a state merge). State is ONE row per
+    * live key — the minimum ANY upsert view must hold, because it IS the
+    * view — and there is deliberately no watermark: an upsert key never
+    * expires. Out-of-order arrivals fold in correctly (a v0 landing after
+    * its v1 cannot regress the view) because max/max_by are order-free —
+    * DocStreamsSpec asserts the streamed view equals the batch compaction
+    * over a shuffled multi-batch arrival. */
+  def upsertStream(updates: DataFrame): DataFrame =
+    updates.groupBy(col("doc_id"))
+      .agg(max(col("version")).as("version"),
+        max_by(col("n_chars"), col("version")).as("n_chars"))
 
   /** Incremental MinHash-LSH near-dedup: every arriving doc is banded with
     * the SAME signature construction as the batch operator

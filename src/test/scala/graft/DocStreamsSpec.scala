@@ -196,6 +196,63 @@ class DocStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming upsert: shuffled out-of-order arrival lands on the batch compaction") {
+    import graft.operators.Pipeline
+    // the batch operator's exact input: base = every doc at v0, delta =
+    // the md5<'4' quarter at v1 with n_chars+17
+    val docs = Tables.load(spark, sf, "documents")
+    val base = docs.selectExpr("doc_id", "CAST(0 AS LONG) AS version", "n_chars")
+    val delta = docs
+      .where(substring(md5($"doc_id".cast("string")), 1, 1) < "4")
+      .selectExpr("doc_id", "CAST(1 AS LONG) AS version",
+        "n_chars + 17 AS n_chars")
+    val updates = base.unionByName(delta)
+
+    // three micro-batches cut by a hash UNALIGNED with version, so many
+    // keys see v1 arrive BEFORE v0 — the out-of-order case the order-free
+    // aggregate must absorb
+    val streamDir = Files.createTempDirectory("graft-upsert-in").toString
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-upsert-tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$streamDir/$name")
+      Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val bucket = pmod(xxhash64($"doc_id" + $"version" * 7919), lit(3))
+    val now = System.currentTimeMillis()
+    writeBatch(updates.where(bucket === 0), "000.parquet", now - 120000)
+    writeBatch(updates.where(bucket === 1), "001.parquet", now - 60000)
+    writeBatch(updates.where(bucket === 2), "002.parquet", now)
+    // sanity: the cut really interleaves versions across batches
+    assert(updates.where(bucket === 0 && $"version" === 1).count() > 0)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val q = DocStreams.upsertStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir))
+      .writeStream.format("memory").queryName("doc_upsert")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("doc_upsert")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Pipeline.corpusUpsert(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // state bound: one row per live key, nothing more
+    assert(streamed.size === docs.count())
+  }
+
   test("streaming CMS estimate path e2e: top-k list equals batch token_heavy_hitters") {
     import graft.operators.Sketches
     // the full serving path over an INGEST-TIME sketch: stream the corpus
