@@ -45,6 +45,8 @@ object SparkEntry {
     "citation_reach" -> ((s, d) => Citations.citationReach(s, d)),
     "citation_triangles" -> ((s, d) =>
       Citations.citationTriangles(Citations.edges(s, d))),
+    "citation_local_clustering" -> ((s, d) =>
+      Citations.citationLocalClustering(Citations.edges(s, d))),
     // 6 rounds: the ranking ordering stabilizes well before the values
     // fully converge; invariants spec-tested in AnalyticsExtraSpec
     "citation_pagerank" -> ((s, d) =>
@@ -54,6 +56,7 @@ object SparkEntry {
   private val citationOracles: Map[String, String] = Map(
     "citation_reach" -> Citations.citationReachSql,
     "citation_triangles" -> Citations.citationTrianglesSql,
+    "citation_local_clustering" -> Citations.citationLocalClusteringSql,
     // a float fixpoint CAN be oracled when the iteration count is fixed
     // and both engines run operation-identical double arithmetic: the
     // unrolled CTE's only divergence is summation order (~1e-15 relative),
@@ -147,6 +150,7 @@ object SparkEntry {
     "subquery_above_brand_avg" -> Seq(col("p_partkey")),
     "q4_late_orders" -> Seq(col("o_orderpriority")),
     "q18_big_orders" -> Seq(col("o_orderkey")),
+    "q13_order_distribution" -> Seq(col("c_count")),
     "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
     "events_sliding_hour" -> Seq(col("window_start")),
     "events_sessionize" -> Seq(col("user_id"), col("session_start")),

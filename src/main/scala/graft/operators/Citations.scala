@@ -157,7 +157,11 @@ object Citations {
     * The wedge count Σ d(d-1)/2 and the triangle count are exact
     * integers, so the derived clustering coefficient 3T/W rounds
     * identically across engines. */
-  def citationTriangles(edges: DataFrame): DataFrame = {
+  /** Shared triangle machinery: the pinned undirected edge set, the
+    * degree table, and the closed-triangle row set (u, v1, v2) — one row
+    * per triangle, vertices NOT yet exploded. See [[citationTriangles]]
+    * for the orientation scale argument. */
+  private def triangleRows(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // Pin the undirected edge set once (the citationReach pattern): FIVE
     // downstream branches read it (two degree joins, both wedge sides,
     // the closing-edge probe, the wedge total) — without the checkpoint
@@ -186,14 +190,64 @@ object Citations {
     // a wedge (v1 < v2) closes iff {v1,v2} is an undirected edge, and u's
     // rows are already canonical (a < b) — so the probe is an equi-join
     val tri = wedges.join(u,
-        wedges("v1") === u("a") && wedges("v2") === u("b"), "left_semi")
-      .agg(count(lit(1)).as("triangles"))
+      wedges("v1") === u("a") && wedges("v2") === u("b"), "left_semi")
+    (u, deg, tri)
+  }
+
+  def citationTriangles(edges: DataFrame): DataFrame = {
+    val (_, deg, tri) = triangleRows(edges)
+    val triCount = tri.agg(count(lit(1)).as("triangles"))
     val wedgeTotal = deg
       .agg((sum(col("d") * (col("d") - lit(1))) / lit(2)).cast("long").as("wedges"))
-    tri.crossJoin(broadcast(wedgeTotal))
+    triCount.crossJoin(broadcast(wedgeTotal))
       .select(col("triangles"), col("wedges"),
         round(lit(3.0) * col("triangles") / col("wedges"), 6).as("clustering"))
   }
+
+  /** Per-node triangle counts + LOCAL clustering coefficient
+    * (Watts–Strogatz: 2t / d(d-1)), top-30 nodes by triangle count. Each
+    * closed triangle credits all three of its vertices — one explode of
+    * the 3-element vertex array, then a count per node (map-side
+    * combining; triangle rows are already bounded by the orientation
+    * argument, see [[citationTriangles]]) joined back to the degree
+    * table. t and d are exact integers, so the coefficient rounds
+    * identically across engines; top-30 plans as TakeOrderedAndProject
+    * with the id tie-break. */
+  def citationLocalClustering(edges: DataFrame, k: Int = 30): DataFrame = {
+    val (_, deg, tri) = triangleRows(edges)
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    perNode.join(deg, Seq("n"))
+      .select(col("n").as("paper_id"), col("triangles"), col("d").as("degree"),
+        round(lit(2.0) * col("triangles") / (col("d") * (col("d") - lit(1))), 6)
+          .as("local_clustering"))
+      .orderBy(col("triangles").desc, col("paper_id").asc)
+      .limit(k)
+  }
+
+  val citationLocalClusteringSql: String =
+    """WITH e AS (SELECT CAST(l_orderkey AS VARCHAR) AS src,
+      |                  CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+      |u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM e WHERE src <> dst GROUP BY 1, 2),
+      |deg AS (SELECT n, count(*) AS d FROM
+      |        (SELECT a AS n FROM u UNION ALL SELECT b FROM u) GROUP BY 1),
+      |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |                  THEN u.a ELSE u.b END AS u,
+      |             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |                  THEN u.b ELSE u.a END AS v
+      |      FROM u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+      |tri AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+      |        FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+      |        WHERE EXISTS (SELECT 1 FROM u
+      |                      WHERE u.a = e1.v AND u.b = e2.v)),
+      |pn AS (SELECT n, count(*) AS triangles FROM
+      |       (SELECT unnest([u, v1, v2]) AS n FROM tri) GROUP BY 1)
+      |SELECT n AS paper_id, triangles, d AS degree,
+      |       round(2.0 * triangles / (d * (d - 1)), 6) AS local_clustering
+      |FROM pn JOIN deg USING (n)
+      |ORDER BY triangles DESC, paper_id ASC LIMIT 30""".stripMargin
 
   val citationTrianglesSql: String =
     """WITH e AS (SELECT CAST(l_orderkey AS VARCHAR) AS src,

@@ -481,6 +481,36 @@ object Relational {
       |JOIN customer ON c_custkey = o_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q13 analogue (customer order-count distribution): how many
+    * customers placed k qualifying orders — INCLUDING k = 0, which is
+    * the semantic point: the filter on orders must apply BEFORE the left
+    * outer join (the ON-clause placement in Q13's SQL), because a WHERE
+    * after the join would silently drop the zero-order customers the
+    * query exists to count. Two-level aggregate on top: per-customer
+    * counts shuffle on c_custkey, then the distribution re-aggregates on
+    * the count itself — a log-scale key domain, a few dozen distinct
+    * values, so the second exchange is negligible at any sf (the
+    * degreeDistribution shape). */
+  def q13OrderDistribution(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    t(s, d, "customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY c_count""".stripMargin
+
   /** UNION (distinct) of two predicates — dedup across branches. */
   def setopUnion(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
@@ -563,7 +593,8 @@ object Relational {
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "subquery_above_brand_avg" -> (subqueryAboveBrandAvg _),
     "q4_late_orders" -> (q4LateOrders _),
-    "q18_big_orders" -> (q18BigOrders _)
+    "q18_big_orders" -> (q18BigOrders _),
+    "q13_order_distribution" -> (q13OrderDistribution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -593,6 +624,7 @@ object Relational {
     "pivot_status_by_priority" -> pivotStatusByPrioritySql,
     "subquery_above_brand_avg" -> subqueryAboveBrandAvgSql,
     "q4_late_orders" -> q4LateOrdersSql,
-    "q18_big_orders" -> q18Sql
+    "q18_big_orders" -> q18Sql,
+    "q13_order_distribution" -> q13Sql
   )
 }

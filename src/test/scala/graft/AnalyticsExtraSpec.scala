@@ -85,6 +85,22 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(got === Array((4L, 15L, 0.8)))
   }
 
+  test("citation_local_clustering: hand fixture — K4 nodes at 1.0, the bridge node at 0.5") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e")
+    ).toDF("src", "dst")
+    val got = Citations.citationLocalClustering(edges)
+      .as[(String, Long, Long, Double)].collect()
+    // all four K4 nodes sit in 3 triangles; a,b,c see a fully-connected
+    // neighborhood (coefficient 1.0), d's extra pendant edge dilutes it
+    // to 2*3/(4*3) = 0.5; e is in no triangle and does not appear
+    assert(got === Array(
+      ("a", 3L, 3L, 1.0), ("b", 3L, 3L, 1.0), ("c", 3L, 3L, 1.0),
+      ("d", 3L, 4L, 0.5)))
+  }
+
   test("citation_triangles: brute-force twin on sf0.001 edges") {
     // independent formulation: unoriented wedge join with a < b < c id
     // ordering (correct but un-orientated — fine at sf0.001 scale)

@@ -43,6 +43,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.where($"n_orders" === 0).count() === zero)
   }
 
+  test("q13: distribution equals a driver-side recompute and totals the customer set") {
+    val dist = Relational.q13OrderDistribution(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val custs = Tables.load(spark, sf, "customer")
+      .select("c_custkey").as[Long].collect()
+    assert(dist.values.sum === custs.length.toLong) // total partition
+    // independent recompute: per-customer qualifying-order counts from
+    // the raw tables, zero-inclusive (at this sf the zero bucket happens
+    // to be empty — every customer has a non-urgent order — so the
+    // equality below also proves no spurious zero rows appear; the
+    // zero-bucket-present case is covered by the outer-join-keeps-zeros
+    // test above, which shares the join shape)
+    val perCust = Tables.load(spark, sf, "orders")
+      .where($"o_orderpriority" =!= "1-URGENT")
+      .groupBy("o_custkey").count()
+      .as[(Long, Long)].collect().toMap
+    val expect = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(dist === expect)
+  }
+
   test("semi ∩ anti partition the customer set under the same predicate") {
     val semiUrgent = Tables.load(spark, sf, "customer")
       .join(Tables.load(spark, sf, "orders").where($"o_orderpriority" === "1-URGENT"),
