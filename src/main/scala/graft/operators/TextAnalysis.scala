@@ -121,6 +121,42 @@ object TextAnalysis {
       |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Percentile-threshold quality selection — "keep the top half of the
+    * corpus by type-token ratio": the quantile-cut every mixing recipe
+    * applies before training. Shape at 100 TB: scoring is a pure per-row
+    * projection; the median is ONE scalar aggregate whose state is
+    * bounded BY CONSTRUCTION — `percentile` accumulates counts per
+    * distinct value, and ttr rounds to a 6-dp grid in [0, 1], so the
+    * map can never exceed ~10^6 entries no matter the corpus size; the
+    * threshold then folds back as a 1-row broadcast and the filter is
+    * codegen'd. (With an unbounded score domain, swap in
+    * percentile_approx — same plan, mergeable GK state — and lose the
+    * oracle; the bounded grid is what lets this one stay exact AND
+    * hash-oracled.) Both engines interpolate the same (1-g)*lo + g*hi on
+    * the same rounded doubles (the agg_percentiles precedent), so the
+    * threshold and the kept set match exactly. */
+  def qualityThresholdFilter(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        round(size(array_distinct(col("ws"))) * lit(1.0) / size(col("ws")), 6)
+          .as("ttr"))
+    val thresh = scored
+      .agg(round(expr("percentile(ttr, 0.5)"), 6).as("ttr_median"))
+    scored.crossJoin(broadcast(thresh))
+      .where(col("ttr") >= col("ttr_median"))
+      .select(col("doc_id"), col("ttr"), col("ttr_median"))
+  }
+
+  val qualityThresholdFilterSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |         round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS ttr
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |t AS (SELECT round(quantile_cont(ttr, 0.5), 6) AS ttr_median FROM scored)
+      |SELECT doc_id, ttr, ttr_median FROM scored, t
+      |WHERE ttr >= ttr_median ORDER BY doc_id""".stripMargin
+
   /** Marker-word language ID: count stopword hits per language, argmax with
     * alphabetical tie-break. A deliberately simple, fully deterministic
     * n-gram-free heuristic — the point is the distributed shape (pure
@@ -630,6 +666,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "search_bm25" -> ((s, d) => searchBm25(s, d)),
+    "quality_threshold_filter" -> (qualityThresholdFilter _),
     "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
@@ -647,6 +684,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "inverted_index" -> invertedIndexSql,
     "search_bm25" -> searchBm25Sql,
+    "quality_threshold_filter" -> qualityThresholdFilterSql,
     "tfidf_topk" -> tfidfTopkSql,
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
@@ -663,6 +701,7 @@ object TextAnalysis {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "inverted_index" -> Seq(col("token")),
+    "quality_threshold_filter" -> Seq(col("doc_id")),
     "tfidf_topk" -> Seq(col("doc_id"), col("rank")),
     "text_stats" -> Seq(col("lang"), col("source")),
     "text_quality" -> Seq(col("doc_id")),

@@ -26,8 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
-    * SinglePartition exchange — measured, not guessed: these 15 are the
-    * ONLY members of the 104-query surface that plan one at all (top-k
+    * SinglePartition exchange — measured, not guessed: these 16 are the
+    * ONLY members of the 105-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *    quality_unigram_logprob's corpus token total, q6's 1-row
     *    global revenue aggregate, layout_zorder's 4-value min-max
     *    normalization stats, citation_triangles' triangle/wedge counts,
-    *    search_bm25's (n_docs, sum_dl) corpus stats;
+    *    search_bm25's (n_docs, sum_dl) corpus stats,
+    *    quality_threshold_filter's 1-row median-ttr aggregate (exact
+    *    percentile state bounded by the 6-dp score grid, ≤10^6 entries);
     *  - the ≤256-row bucket-offset table of the seeded shuffle
     *    (corpus_shuffle, pretrain_manifest);
     *  - a schema-bounded profile (one row per COLUMN, not per record:
@@ -50,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sample_stratified", "pack_batches", "tfidf_topk", "events_funnel",
     "mix_temperature", "quality_unigram_logprob", "q6_forecast_revenue",
     "layout_zorder", "citation_triangles", "search_bm25",
+    "quality_threshold_filter",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
@@ -119,6 +122,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "citation_triangles",
     // search_bm25: the 1-row (n_docs, sum_dl) corpus-stats frame folded
     // onto every scored (doc, term) row
-    "search_bm25"
+    "search_bm25",
+    // quality_threshold_filter: the 1-row median-ttr threshold folded
+    // onto every scored doc
+    "quality_threshold_filter"
   )
 }

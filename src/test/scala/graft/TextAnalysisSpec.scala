@@ -304,4 +304,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     // scores are log-probs: strictly negative for any vocab > 1
     assert(got.values.forall(_._2 < 0))
   }
+
+  test("quality_threshold_filter: kept set = docs at/above the exact median ttr") {
+    val got = TextAnalysis.qualityThresholdFilter(spark, sf)
+      .as[(Long, Double, Double)].collect()
+    // local twin with the SAME grid discipline: ttr rounded to 6dp, then
+    // the exact interpolated median lo + g*(hi - lo), rounded to 6dp
+    val ttr = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        id -> BigDecimal(ws.distinct.length * 1.0 / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val sorted = ttr.map(_._2).sorted
+    val rank = (sorted.length - 1) * 0.5
+    val (lo, g) = (sorted(rank.toInt), rank - rank.toInt)
+    val median = BigDecimal(lo + g * (sorted(math.ceil(rank).toInt) - lo))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectKept = ttr.filter(_._2 >= median).toMap
+    assert(got.length === expectKept.size)
+    got.foreach { case (id, t, m) =>
+      assert(m === median, s"threshold mismatch for doc $id")
+      assert(expectKept.get(id).contains(t), s"doc $id kept wrongly or ttr off")
+    }
+    // the cut actually cuts: some docs dropped, at most half + ties kept
+    assert(got.length < ttr.length && got.length >= ttr.length / 2)
+  }
 }
