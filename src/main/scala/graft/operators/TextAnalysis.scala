@@ -157,6 +157,46 @@ object TextAnalysis {
       |SELECT doc_id, ttr, ttr_median FROM scored, t
       |WHERE ttr >= ttr_median ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window document chunking — the pre-tokenization step every
+    * context-bounded consumer (embedding model, retrieval index, training
+    * sequence builder) applies: width-32 word windows at stride 24 (8-word
+    * overlap), a short final chunk kept so every token lands in ≥1 chunk.
+    * Chunk count is exact-integer math (1 + ceil-div(n-width, stride) via
+    * `(x + s-1) div s` — no floats anywhere, so the twin trivially
+    * hash-matches). Shape at 100 TB: a stateless projection + explode —
+    * zero shuffles, whole-stage codegen end to end, and rows fan out by
+    * only ~width/stride ≈ 1.33×; chunk boundaries never cross documents,
+    * so partitioning is preserved and downstream per-chunk work
+    * (embedding, dedup) parallelizes on the same splits. */
+  def docChunks(s: SparkSession, d: String,
+                width: Int = 32, stride: Int = 24): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("t",
+        (expr(s"(greatest(n - $width, 0) + ${stride - 1}) div $stride") + 1)
+          .cast("int"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("t") - 1)).as("chunk_idx"), col("ws"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("ws"), col("chunk_idx") * stride + 1, lit(width)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+
+  val docChunksSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, ws, len(ws) AS n
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |c AS (
+      |  SELECT doc_id, ws,
+      |         CAST(unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24)) AS INT) AS chunk_idx
+      |  FROM base)
+      |SELECT doc_id, chunk_idx,
+      |       CAST(len(ws[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS INT) AS n_tokens,
+      |       array_to_string(ws[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Marker-word language ID: count stopword hits per language, argmax with
     * alphabetical tie-break. A deliberately simple, fully deterministic
     * n-gram-free heuristic — the point is the distributed shape (pure
@@ -667,6 +707,7 @@ object TextAnalysis {
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "search_bm25" -> ((s, d) => searchBm25(s, d)),
     "quality_threshold_filter" -> (qualityThresholdFilter _),
+    "doc_chunks" -> ((s, d) => docChunks(s, d)),
     "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
@@ -685,6 +726,7 @@ object TextAnalysis {
     "inverted_index" -> invertedIndexSql,
     "search_bm25" -> searchBm25Sql,
     "quality_threshold_filter" -> qualityThresholdFilterSql,
+    "doc_chunks" -> docChunksSql,
     "tfidf_topk" -> tfidfTopkSql,
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
@@ -702,6 +744,7 @@ object TextAnalysis {
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "inverted_index" -> Seq(col("token")),
     "quality_threshold_filter" -> Seq(col("doc_id")),
+    "doc_chunks" -> Seq(col("doc_id"), col("chunk_idx")),
     "tfidf_topk" -> Seq(col("doc_id"), col("rank")),
     "text_stats" -> Seq(col("lang"), col("source")),
     "text_quality" -> Seq(col("doc_id")),

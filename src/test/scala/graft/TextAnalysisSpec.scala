@@ -331,4 +331,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the cut actually cuts: some docs dropped, at most half + ties kept
     assert(got.length < ttr.length && got.length >= ttr.length / 2)
   }
+
+  test("doc_chunks: exact sliding-window partition with overlap, full coverage") {
+    val (width, stride) = (32, 24)
+    val got = TextAnalysis.docChunks(spark, sf, width, stride)
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2) }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(got.keySet === docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val t = 1 + (math.max(ws.length - width, 0) + stride - 1) / stride
+      val chunks = got(id)
+      assert(chunks.length === t, s"doc $id chunk count")
+      chunks.foreach { case (_, i, n, ctext) =>
+        val expect = ws.slice(i * stride, i * stride + width)
+        assert(n === expect.length, s"doc $id chunk $i token count")
+        assert(ctext === expect.mkString(" "), s"doc $id chunk $i text")
+      }
+      // full coverage: the last chunk reaches the final word
+      assert((t - 1) * stride + chunks.last._3 === ws.length, s"doc $id tail")
+      // every non-final chunk is full width (the overlap invariant)
+      assert(chunks.dropRight(1).forall(_._3 == width), s"doc $id widths")
+    }
+    // somewhere the window actually slides (multi-chunk docs exist)
+    assert(got.values.exists(_.length > 1))
+  }
 }
