@@ -151,6 +151,9 @@ object SparkEntry {
     "q4_late_orders" -> Seq(col("o_orderpriority")),
     "q18_big_orders" -> Seq(col("o_orderkey")),
     "q13_order_distribution" -> Seq(col("c_count")),
+    "q7_volume_shipping" -> Seq(col("supp_nation"), col("cust_nation"),
+      col("l_year")),
+    "q10_returned_items" -> Seq(col("revenue").desc, col("c_custkey")),
     "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
     "events_sliding_hour" -> Seq(col("window_start")),
     "events_sessionize" -> Seq(col("user_id"), col("session_start")),

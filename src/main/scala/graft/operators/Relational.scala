@@ -511,6 +511,92 @@ object Relational {
       |  GROUP BY c_custkey)
       |GROUP BY c_count ORDER BY c_count""".stripMargin
 
+  /** TPC-H Q7 analogue (volume shipping): bilateral trade revenue between
+    * two nations by ship year. The nation pair is filtered INTO both
+    * broadcast dims before any join — supplier and customer rows outside
+    * the two nations never reach the fact-fact shuffle, so the only
+    * corpus-scale exchange (lineitem ⋈ orders) carries ~2/25ths of the
+    * probe side it would naively. Revenue follows the q6 decimal
+    * discipline: each product cast to DECIMAL(18,4) (ties at the 4th
+    * decimal unreachable from binary doubles), summed exactly
+    * (order-free), rounded once — hash-stable across engines and runs. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_7")
+    val pair = t(s, d, "nation").where(col("n_name").isin(na, nb))
+    val n1 = pair.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = pair.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+             col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+  }
+
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation,
+      |       CAST(year(l_shipdate) AS INT) AS l_year,
+      |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN (SELECT n_nationkey AS s_nk, n_name AS supp_nation FROM nation
+      |      WHERE n_name IN ('NATION_3', 'NATION_7')) n1 ON s_nationkey = s_nk
+      |JOIN (SELECT n_nationkey AS c_nk, n_name AS cust_nation FROM nation
+      |      WHERE n_name IN ('NATION_3', 'NATION_7')) n2 ON c_nationkey = c_nk
+      |WHERE supp_nation <> cust_nation
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q10 analogue (returned-item reporting): top-20 customers by
+    * revenue lost to returns in one quarter. The per-customer aggregate
+    * runs FIRST (one fact-fact shuffle on l_orderkey, then a re-aggregate
+    * keyed by o_custkey), the top-20 plans as TakeOrderedAndProject with a
+    * deterministic custkey tie-break, and only THOSE 20 rows join the
+    * customer/nation dims — at 100 TB the dim join touches 20 rows, not
+    * the fact table. Revenue follows the q6/q7 decimal discipline. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .where(col("o_orderdate") >= ts("1996-10-01 00:00:00") &&
+             col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    t(s, d, "lineitem").where(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(20)
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+  }
+
+  val q10Sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY o_custkey
+      |  ORDER BY revenue DESC, o_custkey LIMIT 20)
+      |SELECT c_custkey, c_name, revenue, round(c_acctbal, 2) AS c_acctbal, n_name
+      |FROM r JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey""".stripMargin
+
   /** UNION (distinct) of two predicates — dedup across branches. */
   def setopUnion(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
@@ -594,7 +680,9 @@ object Relational {
     "subquery_above_brand_avg" -> (subqueryAboveBrandAvg _),
     "q4_late_orders" -> (q4LateOrders _),
     "q18_big_orders" -> (q18BigOrders _),
-    "q13_order_distribution" -> (q13OrderDistribution _)
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q10_returned_items" -> (q10ReturnedItems _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -625,6 +713,8 @@ object Relational {
     "subquery_above_brand_avg" -> subqueryAboveBrandAvgSql,
     "q4_late_orders" -> q4LateOrdersSql,
     "q18_big_orders" -> q18Sql,
-    "q13_order_distribution" -> q13Sql
+    "q13_order_distribution" -> q13Sql,
+    "q7_volume_shipping" -> q7Sql,
+    "q10_returned_items" -> q10Sql
   )
 }

@@ -163,4 +163,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(got === viaSql)
     assert(got.values.sum > 0)
   }
+
+  test("q7: only the two nations appear, both directions, years in the window") {
+    val rows = graft.operators.Relational.q7VolumeShipping(spark, sf)
+      .as[(String, String, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    val nations = Set("NATION_3", "NATION_7")
+    rows.foreach { case (sn, cn, y, rev) =>
+      assert(nations(sn) && nations(cn) && sn != cn, s"bad pair ($sn,$cn)")
+      assert(y >= 1996 && y <= 1997, s"year $y outside ship window")
+      assert(rev > 0)
+    }
+    // at most the two directions exist (both at sf0.01+; the sf0.001
+    // fixture is small enough that one direction can be empty)
+    assert(rows.map(r => (r._1, r._2)).distinct.length <= 2)
+  }
+
+  test("q10: ≤20 rows, unique customers, revenue matches a recomputed top-20") {
+    val got = graft.operators.Relational.q10ReturnedItems(spark, sf)
+      .as[(Long, String, Double, Double, String)].collect()
+    assert(got.length === 20)
+    assert(got.map(_._1).distinct.length === 20)
+    // the revenue column is the exact per-customer aggregate: recompute
+    // the top-20 set independently via SQL on temp views
+    Tables.load(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    Tables.load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    val expect = spark.sql(
+      """SELECT o_custkey,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 20""".stripMargin)
+      .as[(Long, Double)].collect().toMap
+    assert(got.map(r => r._1 -> r._3).toMap === expect)
+  }
 }
