@@ -154,6 +154,8 @@ object SparkEntry {
     "q7_volume_shipping" -> Seq(col("supp_nation"), col("cust_nation"),
       col("l_year")),
     "q10_returned_items" -> Seq(col("revenue").desc, col("c_custkey")),
+    "q14_promo_revenue" -> Seq(col("month")),
+    "events_rolling_7d" -> Seq(col("user_id"), col("day")),
     "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
     "events_sliding_hour" -> Seq(col("window_start")),
     "events_sessionize" -> Seq(col("user_id"), col("session_start")),

@@ -197,6 +197,44 @@ object EventAnalytics {
       |WHERE days > 1
       |ORDER BY day, event_type""".stripMargin
 
+  /** Rolling 7-day per-user activity — the time-RANGE window frame
+    * (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over epoch days), which
+    * unlike a ROWS frame handles gaps in a user's active days correctly.
+    * Two-level shape: the daily aggregate is the only corpus-sized
+    * shuffle; the window then runs partition-local per user_id (a
+    * high-cardinality, evenly-spread key — never a single-partition
+    * funnel). Determinism discipline: per-row values fix to DECIMAL(18,6)
+    * once (ties at the 7th decimal unreachable from binary doubles), the
+    * daily and rolling sums accumulate exactly (order-free), and the one
+    * double conversion rounds on the same 6-dp grid in both engines. */
+  def rolling7d(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("day_value"))
+      .withColumn("day_num", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily.select(col("user_id"), col("day"), col("n_events"),
+      sum(col("n_events")).over(w).as("roll_events"),
+      round(sum(col("day_value")).over(w).cast("double"), 6).as("roll_value"))
+  }
+
+  val rolling7dSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+      |         sum(CAST(value AS DECIMAL(18,6))) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *, CAST(datediff('day', DATE '1970-01-01', day) AS INT) AS day_num
+      |       FROM daily)
+      |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+      |       CAST(sum(n_events) OVER w AS BIGINT) AS roll_events,
+      |       round(CAST(sum(day_value) OVER w AS DOUBLE), 6) AS roll_value
+      |FROM d2
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
   /** As-of join: for each click, the most recent at-or-before purchase of
     * the same user. Spark has no native ASOF JOIN, and the naive encoding
     * (range join, then per-row argmax) expands quadratically in events per
@@ -418,7 +456,8 @@ object EventAnalytics {
     "events_json_extract" -> (jsonExtract _),
     "events_distinct_users" -> (distinctUsers _),
     "events_daily_share" -> (dailyShare _),
-    "events_anomaly" -> (eventsAnomaly _)
+    "events_anomaly" -> (eventsAnomaly _),
+    "events_rolling_7d" -> (rolling7d _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -433,6 +472,7 @@ object EventAnalytics {
     "events_json_extract" -> jsonExtractSql,
     "events_distinct_users" -> distinctUsersSql,
     "events_daily_share" -> dailyShareSql,
-    "events_anomaly" -> eventsAnomalySql
+    "events_anomaly" -> eventsAnomalySql,
+    "events_rolling_7d" -> rolling7dSql
   )
 }

@@ -597,6 +597,39 @@ object Relational {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY revenue DESC, c_custkey""".stripMargin
 
+  /** TPC-H Q14 analogue (promotion effect): monthly share of revenue from
+    * promo parts — conditional aggregation over a fact ⋈ broadcast-dim
+    * join, the month key bounding the output to the date domain. Both
+    * sums follow the decimal discipline (exact, order-free); the final
+    * share is ONE fixed-shape double expression (cast, ×100, ÷, round 6)
+    * evaluated identically by both engines. */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("total"))
+      .select(col("month"),
+        round(col("promo").cast("double") * 100 / col("total").cast("double"), 6)
+          .as("promo_share"))
+
+  val q14Sql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', l_shipdate) AS month,
+      |         sum(CASE WHEN p_type = 'PROMO'
+      |                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT month,
+      |       round(CAST(promo AS DOUBLE) * 100 / CAST(total AS DOUBLE), 6) AS promo_share
+      |FROM m ORDER BY month""".stripMargin
+
   /** UNION (distinct) of two predicates — dedup across branches. */
   def setopUnion(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
@@ -682,7 +715,8 @@ object Relational {
     "q18_big_orders" -> (q18BigOrders _),
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
-    "q10_returned_items" -> (q10ReturnedItems _)
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_revenue" -> (q14PromoRevenue _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -715,6 +749,7 @@ object Relational {
     "q18_big_orders" -> q18Sql,
     "q13_order_distribution" -> q13Sql,
     "q7_volume_shipping" -> q7Sql,
-    "q10_returned_items" -> q10Sql
+    "q10_returned_items" -> q10Sql,
+    "q14_promo_revenue" -> q14Sql
   )
 }

@@ -157,6 +157,43 @@ object TextAnalysis {
       |SELECT doc_id, ttr, ttr_median FROM scored, t
       |WHERE ttr >= ttr_median ORDER BY doc_id""".stripMargin
 
+  /** Decile bucketing by quality score WITHOUT a global sort: `ntile()`
+    * over the whole corpus would funnel every row through one partition
+    * (the O(input) scale bomb); instead the 9 decile thresholds come from
+    * ONE bounded-state scalar aggregate (same 6-dp-grid `percentile`
+    * argument as [[qualityThresholdFilter]]), fold back as a 1-row
+    * broadcast, and each doc's bucket is a codegen'd sum of 9 threshold
+    * comparisons — a pure projection over one corpus scan. Ties land
+    * deterministically (>= on the shared grid), unlike ntile's
+    * arbitrary-split semantics, so the twin hash-matches. */
+  def qualityDeciles(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        round(size(array_distinct(col("ws"))) * lit(1.0) / size(col("ws")), 6)
+          .as("ttr"))
+    val ths = (1 to 9).map(i =>
+      round(expr(s"percentile(ttr, 0.$i)"), 6).as(s"t$i"))
+    val th = scored.agg(ths.head, ths.tail: _*)
+    val decile = (1 to 9).map(i =>
+      (col("ttr") >= col(s"t$i")).cast("int")).reduce(_ + _) + 1
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("ttr"), decile.cast("int").as("decile"))
+  }
+
+  val qualityDecilesSql: String = {
+    val ts = (1 to 9).map(i =>
+      s"round(quantile_cont(ttr, 0.$i), 6) AS t$i").mkString(", ")
+    val ind = (1 to 9).map(i => s"CAST(ttr >= t$i AS INT)").mkString(" + ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |         round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS ttr
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |t AS (SELECT $ts FROM scored)
+       |SELECT doc_id, ttr, CAST(1 + $ind AS INT) AS decile
+       |FROM scored, t ORDER BY doc_id""".stripMargin
+  }
+
   /** Sliding-window document chunking — the pre-tokenization step every
     * context-bounded consumer (embedding model, retrieval index, training
     * sequence builder) applies: width-32 word windows at stride 24 (8-word
@@ -708,6 +745,7 @@ object TextAnalysis {
     "search_bm25" -> ((s, d) => searchBm25(s, d)),
     "quality_threshold_filter" -> (qualityThresholdFilter _),
     "doc_chunks" -> ((s, d) => docChunks(s, d)),
+    "quality_deciles" -> (qualityDeciles _),
     "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
@@ -727,6 +765,7 @@ object TextAnalysis {
     "search_bm25" -> searchBm25Sql,
     "quality_threshold_filter" -> qualityThresholdFilterSql,
     "doc_chunks" -> docChunksSql,
+    "quality_deciles" -> qualityDecilesSql,
     "tfidf_topk" -> tfidfTopkSql,
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
@@ -745,6 +784,7 @@ object TextAnalysis {
     "inverted_index" -> Seq(col("token")),
     "quality_threshold_filter" -> Seq(col("doc_id")),
     "doc_chunks" -> Seq(col("doc_id"), col("chunk_idx")),
+    "quality_deciles" -> Seq(col("doc_id")),
     "tfidf_topk" -> Seq(col("doc_id"), col("rank")),
     "text_stats" -> Seq(col("lang"), col("source")),
     "text_quality" -> Seq(col("doc_id")),

@@ -21,6 +21,34 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(ns(0) > 0, "no viewers in the corpus - fixture not exercising the funnel")
   }
 
+  test("events_rolling_7d: rolling sums equal a brute-force day-window recompute") {
+    val got = EventAnalytics.rolling7d(spark, sf)
+      .as[(Long, java.sql.Timestamp, Long, Long, Double)].collect()
+    // brute-force twin from the raw events, same decimal discipline
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "CAST(date_trunc('day', ts) AS DATE) AS day",
+        "CAST(value AS DECIMAL(18,6)) AS v")
+      .as[(Long, java.sql.Date, java.math.BigDecimal)].collect()
+    val daily = raw.groupBy(r => (r._1, r._2.toLocalDate)).map { case ((u, day), rs) =>
+      (u, day) -> ((rs.length.toLong, rs.map(r => BigDecimal(r._3)).sum))
+    }
+    assert(got.length === daily.size)
+    got.foreach { case (u, dayTs, n, rollN, rollV) =>
+      val day = dayTs.toLocalDateTime.toLocalDate
+      assert(daily((u, day))._1 === n)
+      val window = daily.filter { case ((u2, d2), _) =>
+        u2 == u && !d2.isAfter(day) && d2.isAfter(day.minusDays(7))
+      }.values
+      assert(window.map(_._1).sum === rollN, s"user $u day $day roll_events")
+      val expectV = window.map(_._2).sum
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rollV === expectV, s"user $u day $day roll_value")
+    }
+    // gaps exist somewhere: some window spans fewer than 7 active days
+    // yet more than 1 (i.e. the RANGE frame is doing real work)
+    assert(got.exists(r => r._4 > r._3))
+  }
+
   test("citation_reach: exactly 5 seeds at hop 0, hops bounded at 3") {
     val r = Citations.citationReach(spark, sf).as[(String, Int)].collect()
     assert(r.nonEmpty)

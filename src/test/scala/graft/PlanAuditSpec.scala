@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
     * SinglePartition exchange — measured, not guessed: these 16 are the
-    * ONLY members of the 108-query surface that plan one at all (top-k
+    * ONLY members of the 111-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *    normalization stats, citation_triangles' triangle/wedge counts,
     *    search_bm25's (n_docs, sum_dl) corpus stats,
     *    quality_threshold_filter's 1-row median-ttr aggregate (exact
-    *    percentile state bounded by the 6-dp score grid, ≤10^6 entries);
+    *    percentile state bounded by the 6-dp score grid, ≤10^6 entries),
+    *    quality_deciles' 1-row 9-threshold twin of the same aggregate;
     *  - the ≤256-row bucket-offset table of the seeded shuffle
     *    (corpus_shuffle, pretrain_manifest);
     *  - a schema-bounded profile (one row per COLUMN, not per record:
@@ -52,7 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sample_stratified", "pack_batches", "tfidf_topk", "events_funnel",
     "mix_temperature", "quality_unigram_logprob", "q6_forecast_revenue",
     "layout_zorder", "citation_triangles", "search_bm25",
-    "quality_threshold_filter",
+    "quality_threshold_filter", "quality_deciles",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
@@ -123,8 +124,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // search_bm25: the 1-row (n_docs, sum_dl) corpus-stats frame folded
     // onto every scored (doc, term) row
     "search_bm25",
-    // quality_threshold_filter: the 1-row median-ttr threshold folded
-    // onto every scored doc
-    "quality_threshold_filter"
+    // quality_threshold_filter / quality_deciles: the 1-row threshold
+    // frame (median / 9 deciles) folded onto every scored doc
+    "quality_threshold_filter", "quality_deciles"
   )
 }

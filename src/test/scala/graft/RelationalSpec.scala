@@ -199,4 +199,16 @@ class RelationalSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(got.map(r => r._1 -> r._3).toMap === expect)
   }
+
+  test("q14: promo share in [0,100] per month; 100% iff every part is PROMO") {
+    val rows = graft.operators.Relational.q14PromoRevenue(spark, sf)
+      .as[(java.sql.Timestamp, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, share) =>
+      assert(share >= 0.0 && share <= 100.0, s"share $share out of range")
+    }
+    // the mix is real: the fixture has promo and non-promo parts, so the
+    // overall share is strictly interior
+    assert(rows.exists(r => r._2 > 0.0 && r._2 < 100.0))
+  }
 }

@@ -332,6 +332,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.length < ttr.length && got.length >= ttr.length / 2)
   }
 
+  test("quality_deciles: buckets 1-10, monotone in ttr, no global sort planned") {
+    val got = TextAnalysis.qualityDeciles(spark, sf)
+      .as[(Long, Double, Int)].collect()
+    assert(got.length === Tables.load(spark, sf, "documents").count())
+    assert(got.forall(r => r._3 >= 1 && r._3 <= 10))
+    // bucket is monotone in score: sort by ttr, deciles must be non-decreasing
+    val byScore = got.sortBy(_._2).map(_._3)
+    assert(byScore.zip(byScore.tail).forall { case (a, b) => a <= b })
+    // real spread: at least 8 distinct buckets at this sf (ties can merge a couple)
+    assert(got.map(_._3).distinct.length >= 8, s"only ${got.map(_._3).distinct.length} buckets")
+    // the scale contract: no ntile-style global sort in the plan
+    val p = TextAnalysis.qualityDeciles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true,")),
+      s"global sort planned:\n$p")
+  }
+
   test("doc_chunks: exact sliding-window partition with overlap, full coverage") {
     val (width, stride) = (32, 24)
     val got = TextAnalysis.docChunks(spark, sf, width, stride)
