@@ -155,6 +155,7 @@ object SparkEntry {
       col("l_year")),
     "q10_returned_items" -> Seq(col("revenue").desc, col("c_custkey")),
     "q14_promo_revenue" -> Seq(col("month")),
+    "q22_lost_customers" -> Seq(col("c_mktsegment")),
     "events_rolling_7d" -> Seq(col("user_id"), col("day")),
     "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
     "events_sliding_hour" -> Seq(col("window_start")),

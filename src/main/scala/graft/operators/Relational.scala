@@ -630,6 +630,77 @@ object Relational {
       |       round(CAST(promo AS DOUBLE) * 100 / CAST(total AS DOUBLE), 6) AS promo_share
       |FROM m ORDER BY month""".stripMargin
 
+  /** TPC-H Q19 analogue (discounted revenue): disjunctive brand/size/
+    * quantity predicates over lineitem ⋈ part. The join stays a plain
+    * equi-join on partkey (the OR block is a post-join filter, so the
+    * planner keeps hash join + codegen, never a nested loop); the
+    * brand/size half of each disjunct prunes the broadcast dim scan. One
+    * exact decimal sum out — a 1-row frame. */
+  def q19DiscountedRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "part")
+      .where((col("p_brand") === "Brand#3" && col("p_size").between(1, 15)) ||
+             (col("p_brand") === "Brand#12" && col("p_size").between(1, 25)) ||
+             (col("p_brand") === "Brand#21" && col("p_size").between(1, 35)))
+    t(s, d, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#21" && col("l_quantity").between(20, 40)))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 20)
+      |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  /** TPC-H Q22 analogue (lapsed high-value customers): above-average-
+    * balance customers with NO orders since the cutoff, by market
+    * segment. (The classic "never ordered" form is degenerate on this
+    * data — order coverage is total — so the anti-join predicate is the
+    * recency window instead, which keeps the decorrelated-NOT-EXISTS
+    * shape meaningful.) The average is NOT `avg()` over doubles
+    * (partition-order nondeterministic): it is a fixed-shape double
+    * division of an exact decimal sum by an exact count, broadcast as a
+    * 1-row frame; membership (`c_acctbal > avg_bal`) then compares
+    * identically on both engines. The recency test is a LEFT ANTI join —
+    * the date filter pushed INTO the orders scan, shuffling only the
+    * surviving key column. */
+  def q22LostCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val a = c.where(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_bal"))
+    val recent = t(s, d, "orders")
+      .where(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(a))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_acctbal"))
+  }
+
+  val q22Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, count(*) AS n_custs,
+      |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+      |FROM customer, a
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** UNION (distinct) of two predicates — dedup across branches. */
   def setopUnion(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
@@ -716,7 +787,9 @@ object Relational {
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
-    "q14_promo_revenue" -> (q14PromoRevenue _)
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q22_lost_customers" -> (q22LostCustomers _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -750,6 +823,8 @@ object Relational {
     "q13_order_distribution" -> q13Sql,
     "q7_volume_shipping" -> q7Sql,
     "q10_returned_items" -> q10Sql,
-    "q14_promo_revenue" -> q14Sql
+    "q14_promo_revenue" -> q14Sql,
+    "q19_discounted_revenue" -> q19Sql,
+    "q22_lost_customers" -> q22Sql
   )
 }

@@ -207,7 +207,14 @@ object TextAnalysis {
     * (embedding, dedup) parallelizes on the same splits. */
   def docChunks(s: SparkSession, d: String,
                 width: Int = 32, stride: Int = 24): DataFrame =
-    docs(s, d)
+    docChunksFrom(docs(s, d), width, stride)
+
+  /** Frame-based core of [[docChunks]] — a pure per-row projection +
+    * explode, so the SAME code is the streaming chunker at ingest
+    * ([[graft.streaming.DocStreams.chunkStream]]). */
+  def docChunksFrom(docs: DataFrame,
+                    width: Int = 32, stride: Int = 24): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("n", size(col("ws")))
       .withColumn("t",

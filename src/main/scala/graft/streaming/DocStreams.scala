@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, explode, greatest, least, max, max_b
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Pipeline, Sketches}
+import graft.operators.{Dedup, Pipeline, Sketches, TextAnalysis}
 import graft.sources.FingerprintIndex
 
 /** One (doc, band) row entering the streaming near-dedup state. */
@@ -106,6 +106,19 @@ object DocStreams {
   def contaminationBitsStream(docs: DataFrame): DataFrame =
     Dedup.contaminationBits(
       docs.where(substring(md5(col("doc_id").cast("string")), 1, 1) < "e"))
+
+  /** Sliding-window chunking AT INGEST — the streaming twin of
+    * [[graft.operators.TextAnalysis.docChunks]], running the IDENTICAL
+    * frame code ([[graft.operators.TextAnalysis.docChunksFrom]]). A
+    * stateless projection + explode streams unchanged in APPEND mode with
+    * zero state: each arriving document emits its chunks immediately and
+    * is forgotten — the ingest shape a chunk-embedding pipeline wants,
+    * since chunks can be embedded/indexed the moment a doc lands. Chunk
+    * ids are deterministic (doc_id, chunk_idx), so replays/late arrivals
+    * are idempotent downstream. Batch/stream parity across shuffled
+    * multi-batch arrival is asserted in DocStreamsSpec. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    TextAnalysis.docChunksFrom(docs)
 
   /** Latest-wins upsert view maintained AT INGEST — the streaming twin of
     * [[graft.operators.Pipeline.corpusUpsert]]: each arriving (key,

@@ -426,4 +426,35 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(bandSet(idxDir) === bandSet(refDir),
       "appended index diverged from one-shot build")
   }
+
+  test("streaming chunking: chunk set equals batch across multi-batch arrival, zero state") {
+    val docs = Tables.load(spark, sf, "documents").where($"doc_id" < 150)
+    val dir = Files.createTempDirectory("graft-chunkstream").toString
+    docs.where($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/b1")
+    docs.where($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/b2")
+    val streamDir = Files.createTempDirectory("graft-chunkstream-in").toString
+    def copyPart(sub: String, name: String): Unit = {
+      val part = new java.io.File(s"$dir/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$streamDir/$name"))
+    }
+    copyPart("b1", "000.parquet")
+    copyPart("b2", "001.parquet")
+
+    val q = DocStreams.chunkStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("doc_chunks_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append mode + no aggregation => the query carries ZERO state rows
+    assert(q.lastProgress.stateOperators.isEmpty
+      || q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+
+    val stream = spark.table("doc_chunks_stream")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val batch = graft.operators.TextAnalysis.docChunksFrom(docs)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(stream === batch, "streamed chunk set diverged from batch")
+    assert(stream.nonEmpty)
+  }
 }

@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
     * SinglePartition exchange — measured, not guessed: these 16 are the
-    * ONLY members of the 111-query surface that plan one at all (top-k
+    * ONLY members of the 113-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
@@ -54,6 +54,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "mix_temperature", "quality_unigram_logprob", "q6_forecast_revenue",
     "layout_zorder", "citation_triangles", "search_bm25",
     "quality_threshold_filter", "quality_deciles",
+    // q19's 1-row global revenue aggregate; q22's 1-row exact-ingredient
+    // average (both the q6 scalar-aggregate shape)
+    "q19_discounted_revenue", "q22_lost_customers",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
@@ -126,6 +129,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "search_bm25",
     // quality_threshold_filter / quality_deciles: the 1-row threshold
     // frame (median / 9 deciles) folded onto every scored doc
-    "quality_threshold_filter", "quality_deciles"
+    "quality_threshold_filter", "quality_deciles",
+    // q22: the 1-row average-balance frame folded onto every customer
+    "q22_lost_customers"
   )
 }

@@ -200,6 +200,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(r => r._1 -> r._3).toMap === expect)
   }
 
+  test("q19: one positive revenue row; the OR block keeps a hash join (no BNLJ)") {
+    val df = graft.operators.Relational.q19DiscountedRevenue(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunctive predicate degraded the join:\n$p")
+    val rows = df.as[Double].collect()
+    assert(rows.length === 1 && rows.head > 0.0)
+  }
+
+  test("q22: kept customers are above-average AND lapsed; segments partition them") {
+    val got = graft.operators.Relational.q22LostCustomers(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val custs = Tables.load(spark, sf, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .as[(Long, String, Double)].collect()
+    val withOrders = Tables.load(spark, sf, "orders")
+      .where($"o_orderdate" >= "2000-01-01")
+      .select($"o_custkey").as[Long].collect().toSet
+    val pos = custs.filter(_._3 > 0)
+    val avg = BigDecimal(pos.map(c => BigDecimal(c._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble).toDouble / pos.length
+    val kept = custs.filter(c => c._3 > avg && !withOrders(c._1))
+    assert(got.map(_._2).sum === kept.length.toLong)
+    val bySeg = kept.groupBy(_._2).map { case (s0, cs) => s0 -> cs.length.toLong }
+    assert(got.map(r => r._1 -> r._2).toMap === bySeg)
+  }
+
   test("q14: promo share in [0,100] per month; 100% iff every part is PROMO") {
     val rows = graft.operators.Relational.q14PromoRevenue(spark, sf)
       .as[(java.sql.Timestamp, Double)].collect()
