@@ -72,4 +72,44 @@ class ZOrderSpec extends AnyFunSuite {
     assert(math.max(zCk, zAg) < sAg * 0.7,
       f"z-order worst ${math.max(zCk, zAg)}%.2f not clearly better than single-sort worst $sAg%.2f")
   }
+
+  test("skipping index over a z-ordered layout: prunes files on BOTH dims, exact results") {
+    import graft.sources.SkippingIndex
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).as("age"))
+    val zDir = java.nio.file.Files.createTempDirectory("zskip").toString
+    ZOrderLayout.writeZOrdered(orders, zDir, "o_custkey", "age",
+      numFiles = 16, bits = 16)
+    val statsDir = java.nio.file.Files.createTempDirectory("zskip-stats").toString
+    SkippingIndex.writeStats(spark, zDir, statsDir, Seq("o_custkey", "age"))
+
+    // manifest shape: one row per data file, mins <= maxs
+    val stats = spark.read.parquet(statsDir)
+    val nFiles = new java.io.File(zDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(stats.count() === nFiles.toLong)
+    assert(stats.where(col("o_custkey_min") > col("o_custkey_max") ||
+      col("age_min") > col("age_max")).count() === 0)
+
+    // a narrow predicate on EITHER dimension reads a strict file subset
+    // yet returns exactly the full-scan answer
+    for ((c, lo, hi) <- Seq(("o_custkey", 100L, 200L), ("age", 1500L, 1700L))) {
+      val (df, read, total) = SkippingIndex.prunedRead(
+        spark, zDir, statsDir, c, lo, hi)
+      val got = df.select(col("o_orderkey")).as[Long].collect().sorted.toSeq
+      val expect = spark.read.parquet(zDir)
+        .where(col(c).between(lo, hi))
+        .select(col("o_orderkey")).as[Long].collect().sorted.toSeq
+      assert(got === expect, s"pruned read on $c diverged")
+      assert(got.nonEmpty, s"predicate on $c selected nothing — test is hollow")
+      assert(read < total, s"$c: no pruning ($read of $total files)")
+      info(s"$c in [$lo,$hi]: read $read of $total files")
+    }
+
+    // a range outside the domain prunes everything and yields zero rows
+    val (empty, read0, _) = SkippingIndex.prunedRead(
+      spark, zDir, statsDir, "o_custkey", -500L, -100L)
+    assert(read0 === 0 && empty.count() === 0L)
+  }
 }
