@@ -616,11 +616,72 @@ object Pipeline {
       |       max_by(n_chars, version) AS n_chars
       |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Token-BUDGET downsampling per language — "give me the first N tokens
+    * of each language, in a deterministic shuffled order": the data-budget
+    * allocation step a training recipe runs when the unit of account is
+    * tokens, not documents (contrast [[sampleStratified]], which balances
+    * document COUNTS). A doc is kept iff the cumulative token count of
+    * docs before it (md5 order) is still under budget — so the budget is
+    * a floor: the straddling document is kept, and every language
+    * contributes ≥ budget tokens when it has them.
+    *
+    * The cumulative sum is a DISTRIBUTED PREFIX SUM, not a naive
+    * per-lang window: `lang` has ~dozens of values, so
+    * `Window.partitionBy(lang)` would drag EVERY document of a language
+    * through ONE partition — the low-cardinality-window scale bomb this
+    * suite polices everywhere else. Instead (the [[corpusShuffle]]
+    * bucket-offset pattern): docs bucket by their md5's leading byte
+    * (256 buckets/lang); per-bucket token sums form a ≤ langs×256-row
+    * table BY CONSTRUCTION; running offsets over that tiny table
+    * broadcast back; and the within-bucket window runs on the
+    * high-cardinality (lang, bucket) key. Because the bucket is a PREFIX
+    * of the md5 sort key, (bucket, r, doc_id) order ≡ (r, doc_id) order,
+    * and integer addition is associative — so the two-level cum equals
+    * the naive single-window value EXACTLY, which is why the DuckDB twin
+    * can be the naive window and still hash-match. */
+  def sampleTokenBudget(s: SparkSession, d: String,
+                        budget: Long = 2000L): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("r", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", conv(substring(col("r"), 1, 2), 16, 10).cast("int"))
+    val offsets = docs.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("b_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("b_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bucket"), col("offset"))
+    val wIn = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("r"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum", col("offset") + sum(col("n_tokens")).over(wIn))
+      .where(col("cum") - col("n_tokens") < budget)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum"))
+  }
+
+  val sampleTokenBudgetSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR)) AS r
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY r, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM docs)
+      |SELECT lang, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum
+      |FROM c WHERE cum - n_tokens < 2000
+      |ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_upsert" -> (corpusUpsert _),
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
+    "sample_token_budget" -> ((s, d) => sampleTokenBudget(s, d)),
     "pipeline_e2e" -> (pipelineE2e _),
     "documents_deduped" -> (documentsDeduped _),
     "pack_batches" -> ((s, d) => packBatches(s, d)),
@@ -635,6 +696,7 @@ object Pipeline {
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_weighted" -> sampleWeightedSql,
+    "sample_token_budget" -> sampleTokenBudgetSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "documents_deduped" -> documentsDedupedSql,
     "pack_batches" -> packBatchesSql,
@@ -649,6 +711,7 @@ object Pipeline {
     "sample_split" -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "sample_weighted" -> Seq(col("lang"), col("rank")),
+    "sample_token_budget" -> Seq(col("lang"), col("doc_id")),
     "pipeline_e2e" -> Seq(col("doc_id")),
     "documents_deduped" -> Seq(col("doc_id")),
     "pack_batches" -> Seq(col("doc_id")),

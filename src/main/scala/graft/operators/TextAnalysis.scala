@@ -56,6 +56,33 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Top-50 corpus word bigrams — the collocation count feeding phrase
+    * vocabularies and tokenizer merge decisions. Same shape as
+    * [[tokenTopk]] one order up: explode bigrams (the CASE guard matters
+    * — Spark's `sequence(1, 0)` DESCENDS, so single-token docs must emit
+    * an empty array, matching DuckDB's empty `generate_series`), partial
+    * counts collapse map-side before the one exchange, and the top-50
+    * plans as TakeOrderedAndProject (bounded heap, never a global
+    * sort). */
+  def tokenBigrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |                 i -> concat_ws(' ', slice(ws, i, 2)))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(50)
+
+  val tokenBigramsSql: String =
+    """SELECT bigram, count(*) AS n FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+      |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin
+
   /** GPT-2-style BPE pre-tokenizer pattern: contraction suffixes, then
     * letter runs / digit runs / punctuation runs each with an optional
     * leading space, then whitespace runs. Alternation is leftmost-FIRST in
@@ -756,6 +783,7 @@ object TextAnalysis {
     "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
+    "token_bigrams" -> (tokenBigrams _),
     "token_bpe" -> (tokenBpe _),
     "text_quality" -> (textQuality _),
     "quality_repetition" -> (qualityRepetition _),
@@ -776,6 +804,7 @@ object TextAnalysis {
     "tfidf_topk" -> tfidfTopkSql,
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
+    "token_bigrams" -> tokenBigramsSql,
     "token_bpe" -> tokenBpeSql,
     "text_quality" -> textQualitySql,
     "quality_repetition" -> qualityRepetitionSql,

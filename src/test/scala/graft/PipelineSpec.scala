@@ -294,6 +294,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("[bucket"), s"within-bucket window missing:\n$plan")
   }
 
+  test("sample_token_budget: bucketed prefix sum equals the naive window; budget is a floor") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val budget = 2000L
+    val got = Pipeline.sampleTokenBudget(spark, sf, budget)
+      .as[(String, Long, Long, Long)].collect()
+    // the two-level cum must equal the direct (unscalable) per-lang
+    // window over the same md5 order
+    val twin = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("r"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("lang")).orderBy(col("r"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .as[(Long, String, Long, String, Long)].collect()
+    val twinCum = twin.map(t => t._1 -> t._5).toMap
+    got.foreach { case (_, id, _, cum) =>
+      assert(cum === twinCum(id), s"doc $id cum") }
+    // keep rule: kept iff cum-before < budget — recompute the keep set
+    val expectKeep = twin.filter(t => t._5 - t._3 < budget).map(_._1).toSet
+    assert(got.map(_._2).toSet === expectKeep)
+    // budget floor: each lang with >= budget tokens contributes >= budget,
+    // and dropping its last kept doc would fall under budget (minimality)
+    val perLang = got.groupBy(_._1)
+    val langTotals = twin.groupBy(_._2).map { case (l, ts) => l -> ts.map(_._3).sum }
+    perLang.foreach { case (lang, rows) =>
+      val kept = rows.map(_._3).sum
+      if (langTotals(lang) >= budget) {
+        assert(kept >= budget, s"$lang under budget: $kept")
+        val maxCum = rows.map(_._4).max
+        val lastTokens = rows.maxBy(_._4)._3
+        assert(maxCum - lastTokens < budget, s"$lang kept a doc past the floor")
+      } else assert(kept === langTotals(lang), s"$lang must keep everything")
+    }
+    // the corpus-sized window is bucket-partitioned; the only per-lang
+    // window runs over the bounded offset table
+    val plan = Pipeline.sampleTokenBudget(spark, sf, budget)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bucket"), s"bucketed prefix sum missing:\n$plan")
+  }
+
   test("sample_weighted: deterministic E-S draw, dense per-lang ranks, weighted bias") {
     val docs = Tables.load(spark, sf, "documents")
     val langN = docs.groupBy("lang").count().as[(String, Long)].collect().toMap

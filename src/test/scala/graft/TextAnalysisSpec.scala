@@ -332,6 +332,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.length < ttr.length && got.length >= ttr.length / 2)
   }
 
+  test("token_bigrams: top-50 matches a local recompute; bounded-heap plan") {
+    val got = TextAnalysis.tokenBigrams(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+    val counts = texts.flatMap(_.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq)
+      .groupBy(identity).map { case (bg, xs) => bg -> xs.length.toLong }
+    val expect = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.take(50)
+    assert(got === expect)
+    val p = TextAnalysis.tokenBigrams(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not a bounded heap:\n$p")
+  }
+
   test("quality_deciles: buckets 1-10, monotone in ttr, no global sort planned") {
     val got = TextAnalysis.qualityDeciles(spark, sf)
       .as[(Long, Double, Int)].collect()
