@@ -108,6 +108,29 @@ class ScaleSpec extends AnyFunSuite {
     rs.sum / rs.size
   }
 
+  test("sample_token_budget at sf0.1: every lang hits the floor; prefix sum stays bucketed") {
+    val budget = 2000L
+    val df = Pipeline.sampleTokenBudget(spark, sf01, budget)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // at sf0.1 every language has >> budget tokens, so each must land
+    // exactly on the floor: >= budget kept, strictly under once the last
+    // kept doc is removed
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val kept = rs.map(_._3).sum
+      assert(kept >= budget, s"$lang under budget at sf0.1: $kept")
+      val last = rs.maxBy(_._4)
+      assert(last._4 - last._3 < budget, s"$lang kept past the floor")
+    }
+    // the corpus-sized window must still be (lang, bucket)-partitioned —
+    // a regression to a bare per-lang window serializes each language
+    // through one partition at scale
+    val plan = df.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.exists(l => l.contains("bucket")),
+      s"within-bucket window missing at sf0.1:\n$plan")
+  }
+
   test("ann_ivf recall@10 at sf0.1 stays above floor (C grows with sqrt(n))") {
     val got = Similarity.annIvf(spark, sf01)
       .as[(Long, Int, Long, Double)].collect()
