@@ -162,12 +162,17 @@ object TextAnalysis {
     * hash-oracled.) Both engines interpolate the same (1-g)*lo + g*hi on
     * the same rounded doubles (the agg_percentiles precedent), so the
     * threshold and the kept set match exactly. */
-  def qualityThresholdFilter(s: SparkSession, d: String): DataFrame = {
-    val scored = docs(s, d)
+  /** (doc_id, ttr): type-token ratio on the 6-dp grid — the shared score
+    * column of the two quantile-cut operators below. */
+  private def ttrScored(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         round(size(array_distinct(col("ws"))) * lit(1.0) / size(col("ws")), 6)
           .as("ttr"))
+
+  def qualityThresholdFilter(s: SparkSession, d: String): DataFrame = {
+    val scored = ttrScored(s, d)
     val thresh = scored
       .agg(round(expr("percentile(ttr, 0.5)"), 6).as("ttr_median"))
     scored.crossJoin(broadcast(thresh))
@@ -194,11 +199,7 @@ object TextAnalysis {
     * deterministically (>= on the shared grid), unlike ntile's
     * arbitrary-split semantics, so the twin hash-matches. */
   def qualityDeciles(s: SparkSession, d: String): DataFrame = {
-    val scored = docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        round(size(array_distinct(col("ws"))) * lit(1.0) / size(col("ws")), 6)
-          .as("ttr"))
+    val scored = ttrScored(s, d)
     val ths = (1 to 9).map(i =>
       round(expr(s"percentile(ttr, 0.$i)"), 6).as(s"t$i"))
     val th = scored.agg(ths.head, ths.tail: _*)
