@@ -115,6 +115,40 @@ object TextAnalysis {
        |WHERE trim(token) <> ''
        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Tokenizer fertility per language: BPE-regex tokens per whitespace
+    * word — the diagnostic a tokenizer team reads to see which languages
+    * pay more tokens per word (fertility ≈ 1 for space-delimited prose
+    * the pre-tokenizer agrees with; higher when punctuation/digit runs
+    * split words apart). Both counts are exact per-row integers summed
+    * exactly; the ratio is one division + round(6) — the house
+    * discipline, so the per-lang rows hash-oracle. One scan, one
+    * bounded-key aggregate (rows = #langs), map-side combine. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0))
+    docs(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        size(filter(toks, t => trim(t) =!= "")).cast("long").as("b"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("b")).as("n_bpe"),
+        round(sum(col("b")) * lit(1.0) / sum(col("w")), 6).as("fertility"))
+  }
+
+  val tokenizerFertilitySql: String =
+    s"""WITH per AS (
+       |  SELECT lang, len(string_split(text, ' ')) AS w,
+       |         len(list_filter(regexp_extract_all(text,
+       |             '${BpeTokenPattern.replace("'", "''")}'),
+       |             t -> trim(t) <> '')) AS b
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(w) AS BIGINT) AS n_words,
+       |       CAST(sum(b) AS BIGINT) AS n_bpe,
+       |       round(sum(b) * 1.0 / sum(w), 6) AS fertility
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-document quality signals: token counts, type-token ratio, mean
     * token length, a BPE-ish subtoken count (ceil(len/4) per token, the
     * standard ~4-chars-per-token budget heuristic), and a quality flag.
@@ -785,6 +819,7 @@ object TextAnalysis {
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
     "token_bigrams" -> (tokenBigrams _),
+    "tokenizer_fertility" -> (tokenizerFertility _),
     "token_bpe" -> (tokenBpe _),
     "text_quality" -> (textQuality _),
     "quality_repetition" -> (qualityRepetition _),
@@ -806,6 +841,7 @@ object TextAnalysis {
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
     "token_bigrams" -> tokenBigramsSql,
+    "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_bpe" -> tokenBpeSql,
     "text_quality" -> textQualitySql,
     "quality_repetition" -> qualityRepetitionSql,
@@ -822,6 +858,7 @@ object TextAnalysis {
     "quality_threshold_filter" -> Seq(col("doc_id")),
     "doc_chunks" -> Seq(col("doc_id"), col("chunk_idx")),
     "quality_deciles" -> Seq(col("doc_id")),
+    "tokenizer_fertility" -> Seq(col("lang")),
     "tfidf_topk" -> Seq(col("doc_id"), col("rank")),
     "text_stats" -> Seq(col("lang"), col("source")),
     "text_quality" -> Seq(col("doc_id")),

@@ -347,6 +347,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not a bounded heap:\n$p")
   }
 
+  test("tokenizer_fertility: per-lang sums match text_quality-style local recompute") {
+    val got = TextAnalysis.tokenizerFertility(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val bpe = graft.operators.TextAnalysis.BpeTokenPattern.r
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val words = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val toks = ds.map(d => bpe.findAllIn(d._2).count(_.trim.nonEmpty).toLong).sum
+      val (_, nDocs, nWords, nBpe, fert) = got(lang)
+      assert(nDocs === ds.length.toLong)
+      assert(nWords === words, s"$lang words")
+      assert(nBpe === toks, s"$lang bpe tokens")
+      val expect = BigDecimal(toks * 1.0 / words)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(fert === expect, s"$lang fertility")
+    }
+    // fertility is a real signal: at least one lang above 1 (punctuation
+    // splits) and none absurd
+    assert(got.values.forall(r => r._5 > 0.5 && r._5 < 5.0))
+  }
+
   test("quality_deciles: buckets 1-10, monotone in ttr, no global sort planned") {
     val got = TextAnalysis.qualityDeciles(spark, sf)
       .as[(Long, Double, Int)].collect()
