@@ -641,13 +641,28 @@ object Pipeline {
     * can be the naive window and still hash-match. */
   def sampleTokenBudget(s: SparkSession, d: String,
                         budget: Long = 2000L): DataFrame = {
-    val docs = Tables.load(s, d, "documents")
+    // the explicit repartition pins ONE exchange both consumers read from
+    // (the per-bucket token aggregate and the within-bucket cumulative
+    // window) — ReuseExchange dedupes the identical subtrees, so the
+    // corpus is scanned and md5-keyed ONCE (the corpusShuffle pattern;
+    // without the pin the offsets branch re-derives the scan — a 2× I/O
+    // tax at 100 TB). Same two canonical-plan details as corpusShuffle:
+    // the isNotNull filter sits BELOW the exchange on both branches, and
+    // the offsets sum runs over coalesce(n_tokens, length(r), doc_id) —
+    // exactly sum(n_tokens) on this frame (n_tokens is never null), but
+    // statically nullable-chained so column pruning keeps the offsets
+    // branch requiring the SAME columns the window branch does and the
+    // two exchange subtrees stay byte-identical.
+    val keyed = Tables.load(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("r", md5(col("doc_id").cast("string")))
       .withColumn("bucket", conv(substring(col("r"), 1, 2), 16, 10).cast("int"))
-    val offsets = docs.groupBy(col("lang"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("b_tokens"))
+      .where(col("lang").isNotNull && col("bucket").isNotNull)
+      .repartition(col("lang"), col("bucket"))
+    val offsets = keyed.groupBy(col("lang"), col("bucket"))
+      .agg(sum(coalesce(col("n_tokens"), length(col("r")).cast("long"),
+        col("doc_id"))).as("b_tokens"))
       .withColumn("offset",
         coalesce(sum(col("b_tokens")).over(
           Window.partitionBy(col("lang")).orderBy(col("bucket"))
@@ -656,8 +671,9 @@ object Pipeline {
     val wIn = Window.partitionBy(col("lang"), col("bucket"))
       .orderBy(col("r"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.join(broadcast(offsets), Seq("lang", "bucket"))
-      .withColumn("cum", col("offset") + sum(col("n_tokens")).over(wIn))
+    keyed.withColumn("cum0", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum", col("offset") + col("cum0"))
       .where(col("cum") - col("n_tokens") < budget)
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum"))
   }

@@ -125,10 +125,16 @@ class ScaleSpec extends AnyFunSuite {
     // the corpus-sized window must still be (lang, bucket)-partitioned —
     // a regression to a bare per-lang window serializes each language
     // through one partition at scale
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
     assert(windowLines.exists(l => l.contains("bucket")),
       s"within-bucket window missing at sf0.1:\n$plan")
+    // and the one-scan shape must hold: the offsets branch rides the
+    // pinned exchange, never a second corpus scan
+    assert(plan.linesIterator.count(_.contains("FileScan")) === 1,
+      s"offsets branch re-scans at sf0.1:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ReusedExchange") || l.contains("ReusedQueryStage")), plan)
   }
 
   test("ann_ivf recall@10 at sf0.1 stays above floor (C grows with sqrt(n))") {
