@@ -92,6 +92,55 @@ object EventAnalytics {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Session-shape summary — the product-analytics rollup over
+    * [[sessionize]]: how long sessions run and how much they contain.
+    * Durations are exact integer seconds (timestamp difference — and the
+    * percentile interpolates the shared (1-g)·lo + g·hi on integers, the
+    * agg_percentiles precedent), the multi-event share is an integer
+    * ratio + round(6). Shape: the sessionization shuffle is the only
+    * corpus-sized exchange; the summary is one scalar aggregate (1-row
+    * frame through the whitelisted SinglePartition) whose percentile
+    * state is one entry per distinct duration/size — data-bounded here;
+    * for corpora where that histogram itself is unbounded, swap
+    * percentile_approx (mergeable GK state, same plan) and trade away
+    * the exact oracle. */
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    sessionize(s, d)
+      .select((unix_timestamp(col("session_end")) -
+        unix_timestamp(col("session_start"))).as("dur_s"),
+        col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(expr("percentile(dur_s, 0.5)"), 6).as("p50_duration_s"),
+        round(expr("percentile(dur_s, 0.9)"), 6).as("p90_duration_s"),
+        round(expr("percentile(n_events, 0.5)"), 6).as("p50_events"),
+        round(expr("percentile(n_events, 0.9)"), 6).as("p90_events"),
+        round(sum((col("n_events") > 1).cast("long")) * lit(1.0) /
+          count(lit(1)), 6).as("multi_event_share"))
+
+  val sessionStatsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT date_diff('second', min(ts), max(ts) + INTERVAL 30 MINUTE) AS dur_s,
+      |         count(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT count(*) AS n_sessions,
+      |       round(quantile_cont(dur_s, 0.5), 6) AS p50_duration_s,
+      |       round(quantile_cont(dur_s, 0.9), 6) AS p90_duration_s,
+      |       round(quantile_cont(n_events, 0.5), 6) AS p50_events,
+      |       round(quantile_cont(n_events, 0.9), 6) AS p90_events,
+      |       round(sum(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) * 1.0
+      |             / count(*), 6) AS multi_event_share
+      |FROM sessions""".stripMargin
+
   /** JSON extraction from the props column (semi-structured path access). */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "events")
@@ -457,7 +506,8 @@ object EventAnalytics {
     "events_distinct_users" -> (distinctUsers _),
     "events_daily_share" -> (dailyShare _),
     "events_anomaly" -> (eventsAnomaly _),
-    "events_rolling_7d" -> (rolling7d _)
+    "events_rolling_7d" -> (rolling7d _),
+    "events_session_stats" -> (sessionStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,6 +523,7 @@ object EventAnalytics {
     "events_distinct_users" -> distinctUsersSql,
     "events_daily_share" -> dailyShareSql,
     "events_anomaly" -> eventsAnomalySql,
-    "events_rolling_7d" -> rolling7dSql
+    "events_rolling_7d" -> rolling7dSql,
+    "events_session_stats" -> sessionStatsSql
   )
 }

@@ -49,6 +49,33 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(got.exists(r => r._4 > r._3))
   }
 
+  test("events_session_stats: consistent with the sessionize frame it summarizes") {
+    val row = EventAnalytics.sessionStats(spark, sf)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    val sessions = EventAnalytics.sessionize(spark, sf)
+      .selectExpr("CAST(unix_timestamp(session_end) - unix_timestamp(session_start) AS LONG) AS dur",
+        "n_events")
+      .as[(Long, Long)].collect()
+    val (n, p50d, p90d, p50e, p90e, share) = row
+    assert(n === sessions.length.toLong)
+    def pct(xs: Seq[Long], q: Double): Double = {
+      val s = xs.sorted; val rank = (s.length - 1) * q
+      val (lo, g) = (s(rank.toInt), rank - rank.toInt)
+      BigDecimal(lo + g * (s(math.ceil(rank).toInt) - lo))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(p50d === pct(sessions.map(_._1), 0.5))
+    assert(p90d === pct(sessions.map(_._1), 0.9))
+    assert(p50e === pct(sessions.map(_._2), 0.5))
+    assert(p90e === pct(sessions.map(_._2), 0.9))
+    val expectShare = BigDecimal(
+      sessions.count(_._2 > 1) * 1.0 / sessions.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(share === expectShare)
+    // every session lasts >= the 30-min close-out gap
+    assert(sessions.forall(_._1 >= 1800L))
+  }
+
   test("citation_reach: exactly 5 seeds at hop 0, hops bounded at 3") {
     val r = Citations.citationReach(spark, sf).as[(String, Int)].collect()
     assert(r.nonEmpty)

@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
     * SinglePartition exchange — measured, not guessed: these 16 are the
-    * ONLY members of the 116-query surface that plan one at all (top-k
+    * ONLY members of the 117-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
@@ -57,6 +57,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q19's 1-row global revenue aggregate; q22's 1-row exact-ingredient
     // average (both the q6 scalar-aggregate shape)
     "q19_discounted_revenue", "q22_lost_customers",
+    // events_session_stats' 1-row session-shape summary (percentile state
+    // one entry per distinct duration/size — data-bounded)
+    "events_session_stats",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
     // schema-bounded profiles (rows = #columns)
