@@ -156,6 +156,16 @@ object SparkEntry {
     "q10_returned_items" -> Seq(col("revenue").desc, col("c_custkey")),
     "q14_promo_revenue" -> Seq(col("month")),
     "q22_lost_customers" -> Seq(col("c_mktsegment")),
+    "q8_market_share" -> Seq(col("o_year")),
+    "q9_profit_by_nation" -> Seq(col("nation"), col("o_year")),
+    "q11_important_parts" -> Seq(col("p_partkey")),
+    "q12_priority_shipping" -> Seq(col("l_returnflag")),
+    "q15_top_supplier" -> Seq(col("s_suppkey")),
+    "q16_supplier_part_counts" -> Seq(col("supplier_cnt").desc,
+      col("p_brand"), col("p_type"), col("p_size")),
+    "q20_excess_suppliers" -> Seq(col("s_name")),
+    "window_distribution_funcs" -> Seq(col("c_custkey")),
+    "window_frame_bounds" -> Seq(col("o_custkey"), col("o_orderkey")),
     "events_rolling_7d" -> Seq(col("user_id"), col("day")),
     "events_tumbling_hour" -> Seq(col("window_start"), col("event_type")),
     "events_sliding_hour" -> Seq(col("window_start")),

@@ -26,8 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
-    * SinglePartition exchange — measured, not guessed: these 16 are the
-    * ONLY members of the 117-query surface that plan one at all (top-k
+    * SinglePartition exchange — measured, not guessed: these entries are
+    * the ONLY members of the 129-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
@@ -57,6 +57,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q19's 1-row global revenue aggregate; q22's 1-row exact-ingredient
     // average (both the q6 scalar-aggregate shape)
     "q19_discounted_revenue", "q22_lost_customers",
+    // q15's 1-row scalar max over the per-supplier revenue view; q17's
+    // 1-row final revenue sum; q11's 1-row global value cutoff — all the
+    // q6 scalar-aggregate shape
+    "q15_top_supplier", "q17_small_qty_revenue", "q11_important_parts",
     // events_session_stats' 1-row session-shape summary (percentile state
     // one entry per distinct duration/size — data-bounded)
     "events_session_stats",
@@ -134,6 +138,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // frame (median / 9 deciles) folded onto every scored doc
     "quality_threshold_filter", "quality_deciles",
     // q22: the 1-row average-balance frame folded onto every customer
-    "q22_lost_customers"
+    "q22_lost_customers",
+    // q11: the 1-row global value-cutoff frame folded onto every
+    // per-part value row (inequality predicate, so no hash join exists)
+    "q11_important_parts"
   )
 }

@@ -238,4 +238,121 @@ class RelationalSpec extends AnyFunSuite {
     // overall share is strictly interior
     assert(rows.exists(r => r._2 > 0.0 && r._2 < 100.0))
   }
+
+  test("q15: winners carry exactly the max revenue of the quarterly view") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q15TopSupplier(spark, sf)
+      .select($"s_suppkey", $"total_revenue").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    val view = Tables.load(spark, sf, "lineitem")
+      .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("r"))
+      .as[(Long, Double)].collect()
+    val best = view.map(_._2).max
+    assert(got.forall(_._2 == best))
+    assert(got.map(_._1).toSet === view.filter(_._2 == best).map(_._1).toSet)
+  }
+
+  test("q12: high+low partition the late lines per returnflag") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q12PriorityShipping(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2 + r._3)).toMap
+    val late = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+      .where($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === late)
+  }
+
+  test("q2: every winning offer equals the groupwise min over ALL offers for its part") {
+    val got = Relational.q2MinCostSupplier(spark, sf)
+      .select($"p_partkey", $"offer_price").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    // recompute the per-part min over the unrestricted offers frame
+    import org.apache.spark.sql.functions._
+    val size15 = Tables.load(spark, sf, "part").where($"p_size" === 15)
+      .select($"p_partkey").as[Long].collect().toSet
+    val euro = Tables.load(spark, sf, "supplier")
+      .join(broadcast(Tables.load(spark, sf, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.load(spark, sf, "region").where($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey").as[Long].collect().toSet
+    val mins = Tables.load(spark, sf, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      .as[(Long, Long, Double)].collect()
+      .filter(r => size15(r._1) && euro(r._2))
+      .groupBy(_._1).map { case (pk, rs) => pk -> rs.map(_._3).min }
+    got.foreach { case (pk, price) => assert(price == mins(pk)) }
+  }
+
+  test("q21: counted suppliers were the SOLE late supplier on multi-supplier F orders") {
+    import org.apache.spark.sql.functions._
+    val numwait = Relational.q21WaitingSuppliers(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(numwait.nonEmpty)
+    // driver-side recompute at sf0.001 scale
+    val lines = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders").where($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS")).as("late"))
+      .as[(Long, Long, Boolean)].collect()
+    val byOrder = lines.groupBy(_._1)
+    val supplierName = Tables.load(spark, sf, "supplier")
+      .select($"s_suppkey", $"s_name").as[(Long, String)].collect().toMap
+    val waits = byOrder.values.flatMap { ls =>
+      val lateSupps = ls.filter(_._3).map(_._2).distinct
+      val allSupps = ls.map(_._2).distinct
+      if (lateSupps.length == 1 && allSupps.length > 1) Some(supplierName(lateSupps.head))
+      else None
+    }.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val expected = waits.toSeq.sortBy { case (n, c) => (-c, n) }.take(100).toMap
+    assert(numwait === expected)
+  }
+
+  test("q20: qualifying suppliers exceed the 12% single-year concentration cut") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q20ExcessSuppliers(spark, sf)
+      .select($"s_name").as[String].collect().toSet
+    val small = Tables.load(spark, sf, "part")
+      .where($"p_name".startsWith("small")).select($"p_partkey").as[Long].collect().toSet
+    val perSupp = Tables.load(spark, sf, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_shipdate", $"l_quantity")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+      .filter(r => small(r._1))
+      .groupBy(_._2).map { case (sk, rs) =>
+        val q97 = rs.filter(r => r._3.toString >= "1997-01-01" && r._3.toString < "1998-01-01")
+          .map(_._4).sum
+        sk -> (BigDecimal(q97).setScale(2, BigDecimal.RoundingMode.HALF_UP) >
+          BigDecimal(rs.map(_._4).sum * 0.12).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }
+    val euroName = Tables.load(spark, sf, "supplier")
+      .join(broadcast(Tables.load(spark, sf, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.load(spark, sf, "region").where($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name").as[(Long, String)].collect()
+    val expected = euroName.filter(s => perSupp.getOrElse(s._1, false)).map(_._2).toSet
+    assert(got === expected)
+  }
+
+  test("q8/q11/q16/q17: range and containment invariants") {
+    import org.apache.spark.sql.functions._
+    val shares = Relational.q8MarketShare(spark, sf).as[(Int, Double)].collect()
+    assert(shares.nonEmpty)
+    shares.foreach { case (_, sh) => assert(sh >= 0.0 && sh <= 1.0) }
+    val q11 = Relational.q11ImportantParts(spark, sf).cache()
+    val cutoff = q11.agg(min($"stock_value")).first().getDouble(0)
+    assert(q11.count() > 0 && cutoff > 0.0)
+    val q16 = Relational.q16SupplierPartCounts(spark, sf)
+      .as[(String, String, Int, Long)].collect()
+    assert(q16.nonEmpty)
+    val nSupp = Tables.load(spark, sf, "supplier").count()
+    q16.foreach { case (b, _, _, c) =>
+      assert(b != "Brand#13"); assert(c >= 1 && c <= nSupp)
+    }
+    val q17 = Relational.q17SmallQtyRevenue(spark, sf).as[Double].collect()
+    assert(q17.length == 1 && q17.head >= 0.0)
+  }
 }
