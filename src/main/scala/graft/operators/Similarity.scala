@@ -580,7 +580,104 @@ object Similarity {
       .where(col("cos") >= 0.45)
   }
 
+  // ---- distributed PCA (one-pass Gramian + bounded driver eigensolve) ----
+
+  /** Upper-triangle Gramian XᵀX of the embedding matrix as (i, j, v)
+    * rows, i ≤ j — the ONE distributed pass of distributed PCA. The
+    * outer products materialize through two codegen'd generators and
+    * collapse in a partial-aggregating hash aggregate: every partition
+    * reduces its slice to ≤ d(d+1)/2 = 2,080 rows before the single
+    * shuffle, so the exchanged volume is O(partitions · d²) no matter
+    * the corpus size — the pattern that makes PCA feasible at 100 TB
+    * (the d×d result is bounded; only IT ever crosses the wire).
+    * Products are float→double exact on both engines; the per-cell sum
+    * is rounded to the 6-dp grid (q1 convention). */
+  def embeddingGram(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+      .where(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("xi").cast("double") * col("xj").cast("double")), 6).as("v"))
+
+  val embeddingGramSql: String =
+    """SELECT CAST(t1.i AS INT) AS i, CAST(t2.i AS INT) AS j,
+      |       round(sum(CAST(embedding[t1.i + 1] AS DOUBLE)
+      |                 * CAST(embedding[t2.i + 1] AS DOUBLE)), 6) AS v
+      |FROM embeddings, range(0, 64) t1(i), range(0, 64) t2(i)
+      |WHERE t1.i <= t2.i
+      |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
+  /** PCA model fit: mean vector + top-k principal components, from ONE
+    * corpus pass. The classic augmentation trick folds the mean and the
+    * count into the same Gramian — append a constant 1.0 dimension, and
+    * G[i,d] = Σxᵢ (the unnormalized mean) while G[d,d] = n — so the fit
+    * never scans twice. Driver state is O(d²) = 65×65 doubles BY
+    * CONSTRUCTION (never O(n)); the eigensolve (Breeze eigSym — LAPACK
+    * dsyevd, deterministic for a fixed matrix) runs on the covariance
+    * assembled from that bounded frame. Eigenvector sign is canonicalized
+    * (largest-|component| positive) so the model is reproducible. */
+  private[graft] def pcaFit(s: SparkSession, d: String, k: Int)
+      : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
+    val dim = 64
+    val aug = emb(s, d)
+      .select(concat(col("embedding"), array(lit(1.0f))).as("e"))
+      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+      .where(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi").cast("double") * col("xj").cast("double")).as("v"))
+      .collect()
+    val g = Array.ofDim[Double](dim + 1, dim + 1)
+    aug.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val n = math.round(g(dim)(dim))
+    val mean = Array.tabulate(dim)(i => g(i)(dim) / n)
+    val cov = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
+      (g(i)(j) - n * mean(i) * mean(j)) / (n - 1).toDouble
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns ascending eigenvalues; take the top k, descending
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i)).take(k)
+    val eigvals = order.map(es.eigenvalues(_)).toArray
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(i => es.eigenvectors(i, c))
+      val pivot = v.maxBy(math.abs)
+      if (pivot < 0) v.map(-_) else v
+    }.toArray
+    (n, mean, eigvals, comps)
+  }
+
+  /** Project every embedding onto the top-4 principal components. The
+    * fitted model folds into the plan as LITERAL weight arrays (the
+    * driver-bounded model IS the broadcast — no join, no extra exchange;
+    * the projection is a pure per-row map, zero shuffles). Scores are
+    * mean-centered (the mean's dot-product folds into a literal offset)
+    * and rounded to the 6-dp grid. Approximate operators' convention:
+    * rows-only in the driver gate; the numeric contract (orthonormal
+    * components, descending eigenvalues, per-component variance =
+    * eigenvalue, EVR bounds) lives in SimilaritySpec. */
+  def embeddingPcaProject(s: SparkSession, d: String): DataFrame = {
+    val (_, mean, _, comps) = pcaFit(s, d, k = 4)
+    val pcs = comps.zipWithIndex.map { case (w, c) =>
+      // java.lang.Double.toString round-trips exactly, and Spark's SQL
+      // parser reads the scientific-notation form as a DOUBLE literal
+      val wLits = w.map(_.toString).mkString("array(", "D, ", "D)")
+      val offset = w.zip(mean).map { case (wi, mi) => wi * mi }.sum
+      round(expr(
+        s"""aggregate(zip_with(embedding, $wLits,
+           |          (x, y) -> CAST(x AS DOUBLE) * y),
+           |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        - lit(offset), 6).as(s"pc${c + 1}")
+    }
+    emb(s, d).select(col("vec_id") +: col("label") +: pcs: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_gram" -> (embeddingGram _),
+    "embedding_pca_project" -> (embeddingPcaProject _),
     "ann_topk" -> (annTopk _),
     "ann_topk_fused" -> (annTopkFused _),
     "ann_ivf" -> (annIvf _),
@@ -596,10 +693,13 @@ object Similarity {
     * asserted in SimilaritySpec). */
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
-    "ann_topk_fused" -> annTopkSql
+    "ann_topk_fused" -> annTopkSql,
+    "embedding_gram" -> embeddingGramSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "embedding_gram" -> Seq(col("i"), col("j")),
+    "embedding_pca_project" -> Seq(col("vec_id")),
     "ann_topk" -> Seq(col("probe_id"), col("rank")),
     "ann_topk_fused" -> Seq(col("probe_id"), col("rank")),
     "ann_ivf" -> Seq(col("probe_id"), col("rank")),

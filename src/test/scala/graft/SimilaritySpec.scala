@@ -146,4 +146,46 @@ class SimilaritySpec extends AnyFunSuite {
     val pairJoinCartesian = p.contains("CartesianProduct")
     assert(!pairJoinCartesian, s"pair join is a cartesian:\n$p")
   }
+
+  test("pca: orthonormal components, descending eigenvalues, variance = eigenvalue") {
+    val k = 4
+    val (n, mean, eigvals, comps) = Similarity.pcaFit(spark, sf, k)
+    assert(n === 500)
+    assert(mean.length === 64 && comps.length === k)
+    // eigenvalues descending and non-negative (covariance is PSD)
+    eigvals.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    assert(eigvals.last >= -1e-9)
+    // components orthonormal within LAPACK tolerance
+    for (a <- 0 until k; b <- a until k) {
+      val dot = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      val expected = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expected) < 1e-9, s"<c$a,c$b> = $dot")
+    }
+    // sign canon: the largest-|component| entry is positive
+    comps.foreach { w => assert(w.maxBy(math.abs) > 0) }
+    // the projection realizes the model: per-component sample mean ~ 0 and
+    // sample variance ~ eigenvalue (projection rounds to 6dp, so compare
+    // at 1e-4 — rounding noise is 1e-6-scale, eigenvalues are O(1e-2))
+    val proj = Similarity.embeddingPcaProject(spark, sf)
+      .as[(Long, Int, Double, Double, Double, Double)].collect()
+    assert(proj.length === n)
+    val cols = Array(proj.map(_._3), proj.map(_._4), proj.map(_._5), proj.map(_._6))
+    cols.zipWithIndex.foreach { case (xs, c) =>
+      val m = xs.sum / xs.length
+      assert(math.abs(m) < 1e-4, s"pc${c + 1} mean $m")
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(v - eigvals(c)) < 1e-4 * math.max(1.0, eigvals(c)),
+        s"pc${c + 1} variance $v vs eigenvalue ${eigvals(c)}")
+    }
+    // explained-variance ratio of the top-4 against the total (trace of
+    // the covariance): a meaningful share, and never above 1
+    val fullEig = Similarity.pcaFit(spark, sf, 64)._3
+    val evr = eigvals.sum / fullEig.sum
+    info(f"top-$k EVR = $evr%.4f over ${fullEig.length} dims")
+    assert(evr > 0.0 && evr <= 1.0 + 1e-12)
+    // the projection plan is a pure per-row map: ZERO exchanges
+    val plan = Similarity.embeddingPcaProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffles:\n$plan")
+  }
 }
