@@ -112,21 +112,72 @@ object Profiling {
          |FROM n ORDER BY o_orderkey""".stripMargin
   }
 
+  /** Pearson correlation matrix over lineitem's numeric columns, from
+    * EXACT ingredient sums in ONE scan-aggregate pass. Neither engine's
+    * built-in corr() is used: their streaming update formulas differ in
+    * accumulation order, which drifts hashes — instead both sides compute
+    * the same closed form (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² −
+    * (Σy)²)) from the same raw sums, rounded once at 6 dp. The 1-row sums
+    * frame is a whitelisted global scalar aggregate; `stack` unpivots it
+    * to one row per column pair — output is pairs², bounded by the SCHEMA,
+    * never the data. */
+  def profileCorr(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sums =
+      cols.map(c => sum(col(c)).as(s"s_$c")) ++
+      cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(col(a) * col(b)).as(s"sp_${a}_$b")
+      }.toSeq :+ count(lit(1)).cast("double").as("n")
+    val agg = Tables.load(s, d, "lineitem").agg(sums.head, sums.tail: _*)
+    val pairs = cols.combinations(2).toSeq
+    def corrExpr(a: String, b: String): String =
+      s"""round((n * sp_${a}_$b - s_$a * s_$b)
+         |      / sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)), 6)""".stripMargin
+    val stackArgs = pairs.map { case Seq(a, b) =>
+      s"'$a', '$b', ${corrExpr(a, b)}"
+    }.mkString(", ")
+    agg.select(expr(
+      s"stack(${pairs.length}, $stackArgs) as (col_a, col_b, corr)"))
+  }
+
+  val profileCorrSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = cols.combinations(2).toSeq
+    val rows = pairs.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round((n * sp_${a}_$b - s_$a * s_$b)
+         |        / sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)), 6) AS corr
+         |FROM sums""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sums AS (
+       |  SELECT ${cols.map(c => s"sum($c) AS s_$c").mkString(", ")},
+       |         ${cols.map(c => s"sum($c * $c) AS ss_$c").mkString(", ")},
+       |         ${pairs.map { case Seq(a, b) => s"sum($a * $b) AS sp_${a}_$b" }.mkString(", ")},
+       |         CAST(count(*) AS DOUBLE) AS n
+       |  FROM lineitem)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
     "profile_documents" -> (profileDocuments _),
+    "profile_corr" -> (profileCorr _),
     "layout_zorder" -> (layoutZorder _)
   )
 
   val oracles: Map[String, String] = Map(
     "profile_orders" -> profileOrdersSql,
     "profile_documents" -> profileDocumentsSql,
+    "profile_corr" -> profileCorrSql,
     "layout_zorder" -> layoutZorderSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "profile_orders" -> Seq(col("col_name")),
     "profile_documents" -> Seq(col("col_name")),
+    "profile_corr" -> Seq(col("col_a"), col("col_b")),
     "layout_zorder" -> Seq(col("o_orderkey"))
   )
 }

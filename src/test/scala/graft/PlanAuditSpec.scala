@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** Queries whose plan funnels a (bounded, documented) frame through a
     * SinglePartition exchange — measured, not guessed: these entries are
-    * the ONLY members of the 131-query surface that plan one at all (top-k
+    * the ONLY members of the 132-query surface that plan one at all (top-k
     * merges plan as TakeOrderedAndProject, not exchanges; grids and
     * model fits stay partitioned or broadcast). Every entry is one of:
     *  - a global scalar aggregate (1-row frame): sample_stratified's
@@ -66,8 +66,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_session_stats",
     // ≤256-row bucket-offset tables
     "corpus_shuffle", "pretrain_manifest",
-    // schema-bounded profiles (rows = #columns)
-    "profile_documents", "profile_orders",
+    // schema-bounded profiles (rows = #columns, or #column-pairs for the
+    // exact-ingredient correlation matrix)
+    "profile_documents", "profile_orders", "profile_corr",
     // ≤64-row bit-length-domain aggregate
     "doc_length_histogram"
   )

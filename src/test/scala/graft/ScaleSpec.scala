@@ -15,7 +15,7 @@ import graft.operators.{Pipeline, Similarity}
   *
   * The DuckDB oracle's sf0.1 twin lives outside ScalaTest (the driver
   * gate + scripts/oracle_check.py run against any sfDir; the round-8
-  * artifact CORRECTNESS_SF01_r08.json records the 119-oracle compare at
+  * artifact CORRECTNESS_SF01_r08.json records the 120-oracle compare at
   * sf0.1) — this spec covers what the oracle can't: recall floors and
   * knob engagement. Beyond sf0.1, graft.Soak exercises the
   * scale-adaptive knobs on a 10× fixture (SOAK_r08.json).
