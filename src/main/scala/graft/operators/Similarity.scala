@@ -593,7 +593,15 @@ object Similarity {
     * Products are float→double exact on both engines; the per-cell sum
     * is rounded to the 6-dp grid (q1 convention). */
   def embeddingGram(s: SparkSession, d: String): DataFrame =
-    emb(s, d)
+    gramOf(emb(s, d))
+
+  /** The Gramian transform itself, shared verbatim by the batch query and
+    * the streaming twin ([[graft.streaming.EmbeddingStreams.gramStream]])
+    * — a running sum per (i, j) cell is exactly the aggregate Structured
+    * Streaming maintains incrementally, with state bounded at d(d+1)/2
+    * cells BY SCHEMA. */
+  private[graft] def gramOf(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
       .where(col("i") <= col("j"))

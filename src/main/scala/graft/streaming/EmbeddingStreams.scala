@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.operators.Similarity
+
+/** Streaming ingest of the embeddings corpus — the incremental half of
+  * the model-fit family: the PCA Gramian maintained AT INGEST, so the
+  * covariance model is always current instead of being refit from
+  * scratch per batch.
+  *
+  * This is the streaming shape a 100-TB embedding store wants: the
+  * running XᵀX is a streaming AGGREGATE whose state is d(d+1)/2 cells
+  * BY SCHEMA (2,080 rows at d=64 — independent of how many vectors ever
+  * arrive), each micro-batch folds its partial outer-product sums into
+  * that state through the normal partial-aggregation path, and the
+  * driver can assemble covariance + eigenvectors from the emitted frame
+  * at any time ([[Similarity.pcaFit]] math). No watermark is needed:
+  * the state never grows with the stream, only with the schema.
+  */
+object EmbeddingStreams {
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def readEmbeddings(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(embSchema)
+    maxFilesPerTrigger.map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader).parquet(dir)
+  }
+
+  /** Incremental Gramian: the IDENTICAL transform as the batch
+    * `embedding_gram` query ([[Similarity.gramOf]] — shared code, so
+    * grouping and rounding agree by construction). Run with Complete
+    * output mode: the emitted table IS the running model. Parity with
+    * the batch Gramian over the same rows — including shuffled,
+    * multi-batch arrival — is asserted in EmbeddingStreamsSpec. */
+  def gramStream(vecs: DataFrame): DataFrame = Similarity.gramOf(vecs)
+}
