@@ -47,6 +47,11 @@ object SparkEntry {
       Citations.citationTriangles(Citations.edges(s, d))),
     "citation_local_clustering" -> ((s, d) =>
       Citations.citationLocalClustering(Citations.edges(s, d))),
+    "citation_link_predict" -> ((s, d) =>
+      Citations.linkPredictRa(Citations.edges(s, d))),
+    // 8 peel rounds: convergence inside the cap asserted in
+    // AnalyticsExtraSpec by running one extra round
+    "citation_kcore" -> ((s, d) => Citations.kCore(Citations.edges(s, d))),
     // 6 rounds: the ranking ordering stabilizes well before the values
     // fully converge; invariants spec-tested in AnalyticsExtraSpec
     "citation_pagerank" -> ((s, d) =>
@@ -57,6 +62,8 @@ object SparkEntry {
     "citation_reach" -> Citations.citationReachSql,
     "citation_triangles" -> Citations.citationTrianglesSql,
     "citation_local_clustering" -> Citations.citationLocalClusteringSql,
+    "citation_link_predict" -> Citations.linkPredictRaSql,
+    "citation_kcore" -> Citations.kCoreSql(),
     // a float fixpoint CAN be oracled when the iteration count is fixed
     // and both engines run operation-identical double arithmetic: the
     // unrolled CTE's only divergence is summation order (~1e-15 relative),
@@ -120,6 +127,7 @@ object SparkEntry {
     "citation_degree_dist" -> Seq(col("citations")),
     "citation_reach" -> Seq(col("paper_id")),
     "citation_pagerank" -> Seq(col("paper_id")),
+    "citation_kcore" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

@@ -249,6 +249,88 @@ object Citations {
       |FROM pn JOIN deg USING (n)
       |ORDER BY triangles DESC, paper_id ASC LIMIT 30""".stripMargin
 
+  /** Link prediction by the Resource-Allocation index (Zhou, Lü & Zhang,
+    * Eur. Phys. J. B 71, 2009): a candidate pair (a, b) is two papers
+    * cited by a common source z, scored Σ_z 1/deg(z) — low-fan-out
+    * citers are stronger evidence than hubs. RA is Adamic–Adar with the
+    * 1/ln d weight swapped for the reciprocal, chosen deliberately:
+    * 1/d is ONE correctly-rounded IEEE division (no libm transcendental
+    * whose last ulp can differ across engines), so the per-term value is
+    * bit-identical in Spark and DuckDB, and the 9-dp DECIMAL
+    * accumulation is order-free (the q1 float discipline). Pairs already
+    * linked by an edge in either direction are anti-joined away — that
+    * is the "prediction" half of link prediction.
+    *
+    * Scale shape: the same capped pair expansion as [[coCitationTopk]]
+    * (sources above `maxOutDegree` are dropped FIRST, so the per-citer
+    * fan-out is bounded by construction and the cap is part of the
+    * operator contract, mirrored in the oracle); the capped+weighted
+    * edge frame is computed ONCE and pinned (the [[triangleRows]]
+    * pattern — the cocitation pinned-exchange trick can't apply here
+    * because only the a-side keeps `term`, so the two sides prune to
+    * DIFFERENT subtrees and ReuseExchange never fires; measured: the
+    * un-pinned plan scans the edge source twice). The self-join then
+    * exchanges both sides of the pinned frame (the re-aliased side's
+    * attribute ids hide the preserved partitioning, so pre-partitioning
+    * before the pin would NOT be reused — measured, hence no
+    * repartition here); those are linear-size shuffles, noise next to
+    * the quadratic pair aggregate that dominates at any scale. The
+    * anti-join and group keys are the canonical pair — never anything
+    * quadratic in a node's raw degree. Top-30 plans as
+    * TakeOrderedAndProject. */
+  def linkPredictRa(edges: DataFrame, maxOutDegree: Int = 100): DataFrame = {
+    // the RA term rides ON the capped edge frame, so the pair join needs
+    // no third join against the degree table afterwards; the harness
+    // sweeps the pinned blocks between queries (graft.Blocks)
+    val f = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") <= maxOutDegree), Seq("src"))
+      .select(col("src"), col("dst"),
+        round(lit(1.0) / col("deg").cast("double"), 9)
+          .cast("decimal(18,9)").as("term"))
+      .localCheckpoint()
+    val a = f.select(col("src"), col("dst").as("paper_a"), col("term"))
+    val b = f.select(col("src"), col("dst").as("paper_b"))
+    val linked = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("paper_a"),
+        greatest(col("src"), col("dst")).as("paper_b"))
+      .distinct()
+    a.hint("shuffle_hash").join(b, Seq("src"))
+      .where(col("paper_a") < col("paper_b"))
+      .groupBy(col("paper_a"), col("paper_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term")).as("s"))
+      .join(linked, Seq("paper_a", "paper_b"), "left_anti")
+      .select(col("paper_a"), col("paper_b"), col("n_common"),
+        round(col("s").cast("double"), 9).as("ra_score"))
+      .orderBy(col("ra_score").desc, col("paper_a"), col("paper_b"))
+      .limit(30)
+  }
+
+  val linkPredictRaSql: String =
+    """WITH e AS (SELECT CAST(l_orderkey AS VARCHAR) AS src,
+      |                  CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+      |deg AS (SELECT src, count(*) AS deg FROM e
+      |        GROUP BY 1 HAVING count(*) <= 100),
+      |f AS (SELECT e.src, e.dst,
+      |             CAST(round(CAST(1.0 AS DOUBLE) / CAST(deg AS DOUBLE), 9)
+      |                  AS DECIMAL(18,9)) AS term
+      |      FROM e JOIN deg USING (src)),
+      |scored AS (
+      |  SELECT a.dst AS paper_a, b.dst AS paper_b,
+      |         count(*) AS n_common, sum(a.term) AS s
+      |  FROM f a JOIN f b ON a.src = b.src AND a.dst < b.dst
+      |  GROUP BY 1, 2),
+      |linked AS (SELECT DISTINCT least(src, dst) AS paper_a,
+      |                  greatest(src, dst) AS paper_b
+      |           FROM e WHERE src <> dst)
+      |SELECT paper_a, paper_b, n_common,
+      |       round(CAST(s AS DOUBLE), 9) AS ra_score
+      |FROM scored
+      |WHERE NOT EXISTS (SELECT 1 FROM linked l
+      |                  WHERE l.paper_a = scored.paper_a
+      |                    AND l.paper_b = scored.paper_b)
+      |ORDER BY ra_score DESC, paper_a, paper_b LIMIT 30""".stripMargin
+
   val citationTrianglesSql: String =
     """WITH e AS (SELECT CAST(l_orderkey AS VARCHAR) AS src,
       |                  CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
@@ -441,6 +523,90 @@ object Citations {
        |$rounds
        |SELECT id AS paper_id, round(rank, 8) AS rank
        |FROM r$iterations ORDER BY paper_id""".stripMargin
+  }
+
+  /** k-core of the undirected citation graph by fixed-round peeling
+    * (Seidman, Social Networks 5, 1983): repeatedly drop every node whose
+    * degree in the SURVIVING subgraph is below k; what remains after
+    * convergence is the k-core, the standard "dense backbone" extraction.
+    * The query semantic is "`rounds` peel iterations", mirrored exactly in
+    * the oracle; at test scales the peel converges well inside the cap
+    * (fixpoint asserted in AnalyticsExtraSpec by running one extra round),
+    * so the capped query IS the k-core there. Everything is integer
+    * arithmetic on exact degree counts — no float discipline needed, the
+    * hash oracle is exact by construction.
+    *
+    * Scale shape: each round is ONE degree aggregate (both endpoints
+    * unioned, map-side combine collapses to distinct nodes per partition
+    * before the exchange) plus two semi-joins of the edge frame against
+    * the qualifying-node frame — every frame linear in surviving edges,
+    * nothing quadratic, no driver loop over data. The iterative lineage
+    * is cut on the pagerank cadence ([[pageRank]] has the measured
+    * tradeoff) and each superseded cut is released immediately
+    * (graft.Blocks — the round-7 lesson). Cadence 2 here, not 3: a round
+    * references its predecessor THREE times (degree scan + two semi-join
+    * probes), so un-cut chains re-execute the oldest round ~3^(c-1) times
+    * inside one job, a steeper curve than pagerank's 2^(c-1). */
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
+            checkpointEvery: Int = 2): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var e = und.localCheckpoint()
+    var lastCut = e
+    for (i <- 1 to rounds) {
+      val ok = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("node"))
+      val next = e
+        .join(ok.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(ok.select(col("node").as("b")), Seq("b"), "left_semi")
+      e = if (i % checkpointEvery == 0 || i == rounds) {
+        val cut = next.localCheckpoint() // eager — materialized before release
+        graft.Blocks.release(lastCut)
+        lastCut = cut
+        cut
+      } else next
+    }
+    e.select(col("a").as("paper_id")).unionAll(e.select(col("b").as("paper_id")))
+      .groupBy(col("paper_id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** DuckDB twin of [[kCore]]: the bounded peel UNROLLED one CTE per round
+    * (same portable spelling as [[pageRankSql]] — standard SQL forbids
+    * aggregation inside a recursive term). Inner joins against the
+    * qualifying-node set are the semi-joins; all arithmetic is exact
+    * integer counting. Each round's CTEs are MATERIALIZED: DuckDB inlines
+    * plain CTEs at every reference, and a peel round references its
+    * predecessor three times (degree scan + both join probes), so the
+    * inlined plan fans out 3^rounds parquet scans — 6,561 at 8 rounds,
+    * which exceeds the process fd limit before it exceeds anyone's
+    * patience. Materialization makes the oracle linear in rounds, exactly
+    * like the Spark side's checkpoint cuts. */
+  def kCoreSql(k: Int = 2, rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |        SELECT node FROM (SELECT a AS node FROM e${i - 1}
+         |                          UNION ALL SELECT b FROM e${i - 1})
+         |        GROUP BY 1 HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |        SELECT p.a, p.b FROM e${i - 1} p
+         |        JOIN d$i da ON p.a = da.node
+         |        JOIN d$i db ON p.b = db.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM e WHERE src <> dst),
+       |$steps
+       |SELECT paper_id, count(*) AS core_deg
+       |FROM (SELECT a AS paper_id FROM e$rounds
+       |      UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY 1 ORDER BY paper_id""".stripMargin
   }
 
   /** O16 (reference check.py:31-33): console top-k print. The reference's

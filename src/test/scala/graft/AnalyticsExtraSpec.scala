@@ -123,6 +123,44 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(capped === Seq(("a", "b", 1L))) // only s2 survives
   }
 
+  test("link prediction (RA): hand oracle — weights, anti-join of linked pairs, cap") {
+    // citers: s1 -> {a,b} (term 1/2), s2 -> {a,b,c} (term 1/3 -> 0.333333333),
+    // s3 -> {b,c} (term 1/2); plus a DIRECT edge a -> b, which makes the
+    // highest-scoring pair (a,b) "already linked" and anti-joined away
+    val edges = Seq(
+      ("s1", "a"), ("s1", "b"),
+      ("s2", "a"), ("s2", "b"), ("s2", "c"),
+      ("s3", "b"), ("s3", "c"),
+      ("a", "b")
+    ).toDF("src", "dst")
+    val got = Citations.linkPredictRa(edges)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // (b,c): 1/3 + 1/2 = 0.833333333; (a,c): 1/3; (a,b) excluded as linked
+    assert(got === Seq(("b", "c", 2L, 0.833333333), ("a", "c", 1L, 0.333333333)))
+    // the cap drops hub citers from pair generation entirely
+    val capped = Citations.linkPredictRa(edges, maxOutDegree = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(capped === Seq(("b", "c", 1L, 0.5)))
+  }
+
+  test("kCore: hand fixture — triangle survives, pendant chain peels off; fixpoint inside cap") {
+    // triangle {a,b,c} + chain c-d-e: e (deg 1) peels in round 1, which
+    // drops d to deg 1 so it peels in round 2; the triangle is the 2-core.
+    // Direction/duplicate robustness: one edge reversed, one duplicated.
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), ("c", "a"), // dup
+      ("c", "d"), ("e", "d") // chain, one edge "reversed"
+    ).toDF("src", "dst")
+    val got = Citations.kCore(edges).as[(String, Long)].collect().sorted.toSeq
+    assert(got === Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+    // convergence inside the 8-round cap: one extra round changes nothing
+    val more = Citations.kCore(edges, rounds = 9)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(more === got)
+    // k=3 on this graph is empty (triangle nodes have core degree 2)
+    assert(Citations.kCore(edges, k = 3).count() === 0L)
+  }
+
   test("citation_triangles: hand fixture — K4 + pendant edge, direction/dup/self-loop robust") {
     // K4 on {a,b,c,d} = 4 triangles; d-e adds a wedge but no triangle.
     // Degrees: a,b,c = 3; d = 4; e = 1 → wedges = 3*3 + 6 + 0 = 15;
