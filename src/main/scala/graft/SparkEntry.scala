@@ -52,6 +52,9 @@ object SparkEntry {
     // 8 peel rounds: convergence inside the cap asserted in
     // AnalyticsExtraSpec by running one extra round
     "citation_kcore" -> ((s, d) => Citations.kCore(Citations.edges(s, d))),
+    // 6 rounds, the pagerank convention; L2 norms asserted =1 in
+    // AnalyticsExtraSpec
+    "citation_hits" -> ((s, d) => Citations.hits(Citations.edges(s, d))),
     // 6 rounds: the ranking ordering stabilizes well before the values
     // fully converge; invariants spec-tested in AnalyticsExtraSpec
     "citation_pagerank" -> ((s, d) =>
@@ -64,6 +67,7 @@ object SparkEntry {
     "citation_local_clustering" -> Citations.citationLocalClusteringSql,
     "citation_link_predict" -> Citations.linkPredictRaSql,
     "citation_kcore" -> Citations.kCoreSql(),
+    "citation_hits" -> Citations.hitsSql(iterations = 6),
     // a float fixpoint CAN be oracled when the iteration count is fixed
     // and both engines run operation-identical double arithmetic: the
     // unrolled CTE's only divergence is summation order (~1e-15 relative),
@@ -128,6 +132,7 @@ object SparkEntry {
     "citation_reach" -> Seq(col("paper_id")),
     "citation_pagerank" -> Seq(col("paper_id")),
     "citation_kcore" -> Seq(col("paper_id")),
+    "citation_hits" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

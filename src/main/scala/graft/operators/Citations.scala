@@ -609,6 +609,108 @@ object Citations {
        |GROUP BY 1 ORDER BY paper_id""".stripMargin
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 46(5), 1999) on the
+    * directed citation graph, fixed iteration count, L2-normalized each
+    * half-step exactly as Kleinberg specifies. On this bipartite
+    * order-cites-part graph authorities are the heavily-cited papers
+    * weighted by how concentrated their citers are, hubs the citers whose
+    * reference lists point at strong authorities — the classic
+    * "survey paper" detector. Edge multiplicity is kept (same convention
+    * as [[pageRank]]): citing twice counts twice, mirrored in the oracle.
+    *
+    * Float discipline (the [[pageRankSql]] precedent): both engines run
+    * operation-identical IEEE doubles — one multiply+sum aggregate, one
+    * `sqrt` (correctly rounded by IEEE-754, unlike libm transcendentals),
+    * one division per half-step — so cross-engine divergence is summation
+    * ORDER only, ~1e-15 relative, seven orders below the final
+    * `round(x, 8)` grid at the ~1/√n score scale.
+    *
+    * Scale shape: per half-step ONE edge⋈scores shuffle join + one
+    * map-side-combined aggregate, the L2 norm folded in as a broadcast
+    * 1-row frame (never a driver collect). All frames are node- or
+    * edge-linear. Lineage is cut on cadence 2 with immediate release of
+    * superseded cuts (a round's result is referenced ~3× by the next, so
+    * un-cut chains recompute ~3^(c-1) — the [[kCore]] curve). */
+  def hits(edges: DataFrame, iterations: Int = 6,
+           checkpointEvery: Int = 2): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var scores = nodes
+      .select(col("id"), lit(1.0).as("auth"), lit(1.0).as("hub"))
+      .localCheckpoint()
+    var lastCut = scores
+    for (i <- 1 to iterations) {
+      val araw = nodes.join(
+        e.join(scores.select(col("id"), col("hub")), e("src") === col("id"))
+          .groupBy(e("dst").as("id")).agg(sum(col("hub")).as("s")),
+        Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("araw"))
+      val anorm = broadcast(
+        araw.agg(sqrt(sum(col("araw") * col("araw"))).as("anorm")))
+      val auth = araw.crossJoin(anorm)
+        .select(col("id"), (col("araw") / col("anorm")).as("auth"))
+      val hraw = nodes.join(
+        e.join(auth.select(col("id"), col("auth")), e("dst") === col("id"))
+          .groupBy(e("src").as("id")).agg(sum(col("auth")).as("s")),
+        Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("hraw"))
+      val hnorm = broadcast(
+        hraw.agg(sqrt(sum(col("hraw") * col("hraw"))).as("hnorm")))
+      val next = auth.join(
+        hraw.crossJoin(hnorm)
+          .select(col("id"), (col("hraw") / col("hnorm")).as("hub")),
+        Seq("id"))
+      scores = if (i % checkpointEvery == 0 || i == iterations) {
+        val cut = next.localCheckpoint() // eager — materialized before release
+        graft.Blocks.release(lastCut)
+        lastCut = cut
+        cut
+      } else next
+    }
+    graft.Blocks.release(e)
+    graft.Blocks.release(nodes)
+    scores.select(col("id").as("paper_id"),
+      round(col("auth"), 8).as("auth"), round(col("hub"), 8).as("hub"))
+  }
+
+  /** DuckDB twin of [[hits]], unrolled one CTE pair per round with the
+    * same operation-for-operation arithmetic ([[pageRankSql]] discipline)
+    * and MATERIALIZED cuts (the [[kCoreSql]] lesson — inlined, each round
+    * multiplies scan fan-out ~3×). */
+  def hitsSql(iterations: Int = 6): String = {
+    val rounds = (1 to iterations).map { k =>
+      s"""a${k}raw AS MATERIALIZED (
+         |  SELECT n.id, coalesce(x.s, 0.0) AS araw FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS id, sum(p.hub) AS s
+         |             FROM e JOIN s${k - 1} p ON p.id = e.src
+         |             GROUP BY 1) x USING (id)),
+         |a$k AS MATERIALIZED (
+         |  SELECT id, araw / (SELECT sqrt(sum(araw * araw)) FROM a${k}raw)
+         |           AS auth FROM a${k}raw),
+         |h${k}raw AS MATERIALIZED (
+         |  SELECT n.id, coalesce(x.s, 0.0) AS hraw FROM nodes n
+         |  LEFT JOIN (SELECT e.src AS id, sum(p.auth) AS s
+         |             FROM e JOIN a$k p ON p.id = e.dst
+         |             GROUP BY 1) x USING (id)),
+         |s$k AS MATERIALIZED (
+         |  SELECT a.id, a.auth,
+         |         h.hraw / (SELECT sqrt(sum(hraw * hraw)) FROM h${k}raw)
+         |           AS hub
+         |  FROM a$k a JOIN h${k}raw h USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |s0 AS MATERIALIZED (
+       |  SELECT id, CAST(1.0 AS DOUBLE) AS auth,
+       |         CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |$rounds
+       |SELECT id AS paper_id, round(auth, 8) AS auth, round(hub, 8) AS hub
+       |FROM s$iterations ORDER BY paper_id""".stripMargin
+  }
+
   /** O16 (reference check.py:31-33): console top-k print. The reference's
     * label says "Top 10" but prints 30 (SURVEY.md §2.3.7 — a cosmetic bug);
     * the spec is 30 rows, so that is what we label and print. */

@@ -161,6 +161,23 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(Citations.kCore(edges, k = 3).count() === 0L)
   }
 
+  test("hits: closed-form fixture — authority concentration, multiplicity counts, L2 norms = 1") {
+    // a cites c TWICE, b cites c once: c is the sole authority (auth 1),
+    // and the duplicate edge makes a the stronger hub — fixpoint from
+    // round 2 on: hub(a) = 2/sqrt(5), hub(b) = 1/sqrt(5).
+    val edges = Seq(("a", "c"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val got = Citations.hits(edges).as[(String, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("a", 0.0, 0.89442719), ("b", 0.0, 0.44721360), ("c", 1.0, 0.0)))
+    // L2 invariant on real (sf0.001) edges: both score vectors unit-norm
+    val s = Citations.hits(
+      Citations.edges(spark, "/root/testdata/sf0.001"), iterations = 3)
+    val r = s.agg(fsum(col("auth") * col("auth")), fsum(col("hub") * col("hub")))
+      .as[(Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-6 && math.abs(r._2 - 1.0) < 1e-6)
+  }
+
   test("citation_triangles: hand fixture — K4 + pendant edge, direction/dup/self-loop robust") {
     // K4 on {a,b,c,d} = 4 triangles; d-e adds a wedge but no triangle.
     // Degrees: a,b,c = 3; d = 4; e = 1 → wedges = 3*3 + 6 + 0 = 15;
