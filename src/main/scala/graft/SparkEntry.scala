@@ -189,7 +189,8 @@ object SparkEntry {
     "events_attribution" -> Seq(col("event_id")),
     "events_retention" -> Seq(col("cohort_day"), col("day_offset")),
     "events_daily_share" -> Seq(col("day"), col("event_type")),
-    "events_anomaly" -> Seq(col("day"), col("event_type"))
+    "events_anomaly" -> Seq(col("day"), col("event_type")),
+    "events_transitions" -> Seq(col("from_type"), col("to_type"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
     Similarity.verifyOrder ++ Multimodal.verifyOrder ++
     Profiling.verifyOrder ++ Pipeline.verifyOrder ++ Sketches.verifyOrder

@@ -493,7 +493,57 @@ object EventAnalytics {
       |GROUP BY p.event_id, p.user_id, p.p_ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Within-session behavior transition matrix — the first-order Markov
+    * view of user paths (what follows what): for every pair of
+    * CONSECUTIVE events of a user closer than the 30-min session gap
+    * (the [[sessionize]] break rule, spelled with the same lag window as
+    * its SQL twin), count (from_type → to_type) and give each row its
+    * share among transitions leaving from_type. Counts are exact
+    * integers; the share is one division of two BIGINTs + round(6) —
+    * engine-deterministic, so the whole matrix hash-oracles.
+    *
+    * Scale shape: ONE corpus-sized exchange (the per-user window — hash
+    * partitioned on user_id, same as every sessionization here), then a
+    * map-side-combined aggregate onto ≤ |event_types|² rows; the share
+    * window runs on that bounded frame, partitioned by from_type (never
+    * a single global partition). */
+  def eventsTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.load(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("from_type").isNotNull &&
+        col("ts") < col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    pairs.withColumn("share",
+      round(col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))),
+        6))
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER w AS from_type,
+      |         event_type AS to_type,
+      |         lag(ts) OVER w AS prev_ts, ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT from_type, to_type, count(*) AS n_transitions
+      |  FROM pairs
+      |  WHERE from_type IS NOT NULL
+      |    AND ts < prev_ts + INTERVAL 30 MINUTE
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |       round(CAST(n_transitions AS DOUBLE) /
+      |             sum(n_transitions) OVER (PARTITION BY from_type), 6) AS share
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions" -> (eventsTransitions _),
     "events_attribution" -> (eventsAttribution _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -511,6 +561,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_transitions" -> eventsTransitionsSql,
     "events_attribution" -> eventsAttributionSql,
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,

@@ -161,6 +161,23 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(Citations.kCore(edges, k = 3).count() === 0L)
   }
 
+  test("events_transitions: transition total equals sessionize's sum(n_events - 1)") {
+    // every transition is one consecutive-within-session pair, so the
+    // matrix total must equal Σ_sessions (n_events - 1) — a differential
+    // assertion against the independently-oracled sessionize frame
+    val d = "/root/testdata/sf0.001"
+    val total = SparkEntry.queries("events_transitions")(spark, d)
+      .agg(fsum(col("n_transitions"))).as[Long].head()
+    val expected = EventAnalytics.sessionize(spark, d)
+      .agg(fsum(col("n_events") - 1)).as[Long].head()
+    assert(total === expected && total > 0)
+    // shares leaving each from_type sum to ~1
+    val shares = SparkEntry.queries("events_transitions")(spark, d)
+      .groupBy(col("from_type")).agg(fsum(col("share")).as("s"))
+      .as[(String, Double)].collect()
+    assert(shares.nonEmpty && shares.forall(x => math.abs(x._2 - 1.0) < 1e-4))
+  }
+
   test("hits: closed-form fixture — authority concentration, multiplicity counts, L2 norms = 1") {
     // a cites c TWICE, b cites c once: c is the sole authority (auth 1),
     // and the duplicate edge makes a the stronger hub — fixpoint from
