@@ -809,7 +809,57 @@ object TextAnalysis {
       |FROM tf JOIN df USING (token), stats
       |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Per-document novelty: the fraction of a doc's DISTINCT word-3-gram
+    * shingles that appear in no other document (corpus df = 1) — high
+    * novelty marks original text, low novelty marks boilerplate or
+    * near-copies; the standard cheap memorization-risk signal next to
+    * [[Dedup]]'s pairwise machinery, but linear, not pairwise: nothing
+    * here ever compares two documents.
+    *
+    * Scale shape: the shingle explosion collapses per partition
+    * (distinct doc×shingle), then 8-byte xxhash64 fingerprints flow
+    * through the two aggregation exchanges — shingle STRINGS never
+    * shuffle (the dedup_near discipline; the DuckDB twin keeps strings,
+    * the ~1e-12 collision odds are the family's documented accepted
+    * risk). df is corpus-wide; the join back to per-doc rows is
+    * hash-partitioned on the fingerprint, and the final per-doc
+    * aggregate is map-side combined. Exact integers + one
+    * integer-ratio round(6) — hash-oracles. */
+  def docNovelty(s: SparkSession, d: String): DataFrame =
+    docNoveltyFrom(Tables.load(s, d, "documents"))
+
+  def docNoveltyFrom(docs: DataFrame): DataFrame = {
+    val sh = Dedup.wordShingleRowsFrom(docs, 3)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h")).distinct()
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
+  val docNoveltySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+      |        FROM t)),
+      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+      |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_unique,
+      |       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 6) AS novelty
+      |FROM sh JOIN df USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_novelty" -> (docNovelty _),
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "search_bm25" -> ((s, d) => searchBm25(s, d)),
     "quality_threshold_filter" -> (qualityThresholdFilter _),
@@ -832,6 +882,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_novelty" -> docNoveltySql,
     "inverted_index" -> invertedIndexSql,
     "search_bm25" -> searchBm25Sql,
     "quality_threshold_filter" -> qualityThresholdFilterSql,
@@ -854,6 +905,7 @@ object TextAnalysis {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "doc_novelty" -> Seq(col("doc_id")),
     "inverted_index" -> Seq(col("token")),
     "quality_threshold_filter" -> Seq(col("doc_id")),
     "doc_chunks" -> Seq(col("doc_id"), col("chunk_idx")),

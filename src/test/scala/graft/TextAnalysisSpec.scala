@@ -20,6 +20,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       col("avg_chars") > col("max_chars")).count() === 0)
   }
 
+  test("doc_novelty: duplicated docs score 0, unique docs 1, overlap counts distinct shingles") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "alpha beta gamma" with doc 3
+      (2L, "one two three four five"),  // fully unique -> novelty 1
+      (3L, "alpha beta gamma delta"),   // exact dup of 1 -> both novelty 0
+      (4L, "six seven")                 // short doc: one whole-text shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docNoveltyFrom(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // docs 1,3: 2 distinct shingles each, df=2 for both -> novelty 0
+    // doc 2: 3 shingles, all unique; doc 4: 1 shingle, unique
+    assert(got === Seq(
+      (1L, 2L, 0L, 0.0), (2L, 3L, 3L, 1.0),
+      (3L, 2L, 0L, 0.0), (4L, 1L, 1L, 1.0)))
+  }
+
   test("inverted_index: exact df, postings = ascending prefix of min(df, cap) doc_ids") {
     val idx = TextAnalysis.invertedIndex(spark, sf, cap = 20)
       .as[(String, Long, String)].collect()
