@@ -14,6 +14,16 @@ case class FunnelProgress(vTs: Option[Long], cTs: Option[Long], pTs: Option[Long
 /** Emitted when a user first reaches a funnel stage. */
 case class StageReached(user_id: Long, stage: String, ts: java.sql.Timestamp)
 
+/** A user's most recent event carried across micro-batches: event-time
+  * micros + event_id — exactly the batch lag window's (ts, event_id)
+  * sort key, so the streamed pair sequence reproduces batch order. */
+case class LastEvent(ts: Long, eventId: Long, tpe: String)
+
+/** One consecutive-within-session pair ([[graft.operators.EventAnalytics
+  * .eventsTransitions]] semantics), emitted at the later event's time. */
+case class TransitionRow(user_id: Long, from_type: String, to_type: String,
+                         ts: java.sql.Timestamp)
+
 /** Incremental (Structured Streaming) execution of the event-time
   * analytics: the SAME window transforms as batch
   * ([[graft.operators.EventAnalytics]] `*From` functions), fed by a
@@ -134,6 +144,56 @@ object EventStreams {
             }
           }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Incremental within-session transitions: the streaming twin of
+    * [[graft.operators.EventAnalytics.eventsTransitions]] as per-user
+    * flatMapGroupsWithState — state is ONE [[LastEvent]] per user (a
+    * dozen bytes, bounded by the user universe, not stream length), and
+    * each arriving event emits a (from_type → to_type) pair iff it
+    * follows the carried last event by less than the 30-minute session
+    * gap. Within a batch the handler sorts by the batch operator's
+    * (ts, event_id) key; the carried state makes pairs SPAN micro-batch
+    * boundaries, which a per-batch lag window could never do.
+    *
+    * Exactness contract (the [[funnelStream]] convention): identical
+    * pair multiset to batch when events arrive in event-time order
+    * ACROSS micro-batches — an event older than the carried state
+    * cannot splice itself between two already-paired events, so
+    * transitions are order-sensitive by nature. Parity on a time-split
+    * stream is asserted in StreamingSpec. */
+  def transitionStream(events: DataFrame): Dataset[TransitionRow] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, TransitionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[LastEvent]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          var last = state.getOption
+          val out = List.newBuilder[TransitionRow]
+          def notAfter(le: LastEvent, t: Long, eid: Long): Boolean =
+            le.ts < t || (le.ts == t && le.eventId <= eid)
+          rows.toSeq.sortBy(r => (micros(r._4), r._2))
+            .foreach { case (_, eid, tpe, ts) =>
+              val t = micros(ts)
+              last match {
+                case Some(le) if notAfter(le, t, eid) &&
+                    t - le.ts < 30L * 60 * 1000000L =>
+                  out += TransitionRow(user, le.tpe, tpe, ts)
+                case _ => ()
+              }
+              // advance only forward in (ts, event_id) order — a
+              // stale-arriving event never rewinds the chain
+              if (last.forall(le => notAfter(le, t, eid)))
+                last = Some(LastEvent(t, eid, tpe))
+            }
+          last.foreach(state.update)
           out.result().iterator
       }
   }

@@ -242,6 +242,44 @@ class StreamingSpec extends AnyFunSuite {
       "no user advanced past the split - the split did not test state carry")
   }
 
+  test("streaming transitions: pair matrix == batch lag window across a time split") {
+    // same early-split harness as the funnel test: nearly every user's
+    // event chain spans the split, so pairs must bridge carried state
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: raw int64 nanos
+    val med = raw.selectExpr("CAST(percentile(ts, 0.02) AS LONG)")
+      .first().getLong(0)
+    val dir = Files.createTempDirectory("graft-trans").toFile.getAbsolutePath
+    def writePart(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-trans-tmp").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"))
+      new File(s"$dir/$name").setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writePart(raw.where(col("ts") < med), "000.parquet", now - 60000)
+    writePart(raw.where(col("ts") >= med), "001.parquet", now)
+
+    val emitted = runStream(
+      EventStreams.transitionStream(
+        EventStreams.readEvents(spark, dir, maxFilesPerTrigger = Some(1))).toDF(),
+      "s_transitions")
+    val streamMatrix = emitted.groupBy("from_type", "to_type").count()
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    val batchMatrix = SparkEntry.queries("events_transitions")(spark, sf)
+      .select(col("from_type"), col("to_type"), col("n_transitions"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(streamMatrix === batchMatrix)
+    // the split actually exercised state carry: some pair's later event
+    // lands at-or-after the split while its earlier one landed before
+    val crossPairs = emitted
+      .where(col("ts") >= timestamp_micros(lit(med / 1000))).count()
+    assert(crossPairs > 0 && emitted.count() > crossPairs)
+  }
+
   test("stream-stream attribution join: pair set == batch interval join") {
     val stream = runStream(
       EventStreams.attributionStream(events()), "s_attrib")
