@@ -39,11 +39,22 @@ object Bench {
     Blocks.sweepAll(spark)
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // dev-loop subset (comma-separated names) and order reversal (the
+    // bench-order independence check); the driver sets neither, so the
+    // shipped methodology — full suite, alphabetical — is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reverse = sys.env.get("SPARK_GRAFT_BENCH_REVERSE").contains("1")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def median(xs: Seq[Double]): Double = BenchKit.median(xs)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val ordered = {
+      val base = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_(n)) }
+      if (reverse) base.reverse else base
+    }
+    ordered.foreach { case (name, fn) =>
       val rs = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       // per-query untimed warm-up: the first execution of a query pays

@@ -13,7 +13,9 @@ private[graft] object BenchKit {
 
   /** The bench session: one executor thread per core (overridable via
     * SPARK_GRAFT_CPUS), shuffle partitions matched to it, UTC, the
-    * graft extensions, raw-int64 nanos timestamps, no UI. */
+    * graft extensions, legacy nanos-as-long kept for older testdata
+    * encodings (harmless when the files are TIMESTAMP_NTZ micros —
+    * graft.Tables canonicalizes either), no UI. */
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -23,6 +25,14 @@ private[graft] object BenchKit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner reclaims broadcasts and finished-job shuffle files
+      // only after the driver GCs (weak-reference queue); the default
+      // periodic-GC interval is 30 min — longer than an entire bench run —
+      // so on a mostly-idle 4 GB heap the debris of ~137 queries × 4
+      // executions just accumulates (round-8: citation_hits runs grew
+      // 19→28→42 s between swept runs; its alphabetical successors
+      // inherited the pressure). 60 s keeps reclamation inside the run.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -62,5 +62,14 @@ private[graft] object Blocks {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
+    // Unpersist reaches only RDD blocks. Broadcast frames (pageRank's
+    // dangling mass, hits' norms) and finished-job shuffle files are
+    // reclaimed by ContextCleaner, which acts on a weak-reference queue
+    // drained by DRIVER GC — and a mostly-idle heap may not GC for the
+    // whole session (round-8 bench: monotonically growing runs on
+    // unchanged plans). One explicit GC here makes the sweep actually
+    // mean "clean slate": the dead broadcasts/shuffles get enqueued now
+    // and the (async) cleaner frees them before the next timed run.
+    System.gc()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Citations, Dedup, Pipeline, Similarity}
 
 /** 10× scale soak for the SCALE-ADAPTIVE knobs — the regime the sf0.01 /
   * sf0.1 oracle gates never reach (round-7 verdict: "the knobs have never
@@ -188,6 +188,65 @@ object Soak {
       f"recall@10 $rPq%.3f at M=8 K=16 (${tPq}%.1f s)")
     check("ann_ivf_pq_recall_20k", rIvfPq >= 0.40,
       f"recall@10 $rIvfPq%.3f composed (${tIvfPq}%.1f s)")
+
+    // ---- round-8 additions at 10× (round-9 soak extension) ---------------
+    // PCA: the full 64-eigenvalue spectrum at 20k vectors. The fixture's
+    // ±0.05/dim variant noise perturbs the covariance slightly, so the
+    // checks are structural (descending, non-negative, EVR in (0,1]) plus
+    // a bounded drift of the top eigenvalue against the 2k-vector base.
+    val (_, _, evB, _) = Similarity.pcaFit(spark, base, 64)
+    val ((_, _, evS, _), tPca) = timed(Similarity.pcaFit(spark, out, 64))
+    val descOk = evS.zip(evS.tail).forall { case (a, b) => a >= b - 1e-12 }
+    val nonneg = evS.forall(_ >= -1e-9)
+    val evr4S = evS.take(4).sum / evS.sum
+    val evr4B = evB.take(4).sum / evB.sum
+    check("pca_spectrum_10x", descOk && nonneg && evr4S > 0 && evr4S <= 1.0,
+      f"64 eigenvalues descending/non-negative at 20k vectors; EVR(top4) " +
+        f"$evr4S%.4f (base $evr4B%.4f; fit ${tPca}%.1f s — driver state O(d²))")
+    val topRatio = evS(0) / evB(0)
+    check("pca_top1_stability_10x", topRatio > 0.5 && topRatio < 2.0,
+      f"top eigenvalue ratio 10x/base $topRatio%.3f under the fixture's " +
+        "±0.05/dim noise (an unstable eigensolve would swing orders)")
+
+    // Token-budget sampling at 50k docs: the per-lang floor contract —
+    // every language either kept ALL its docs (ran out under budget) or
+    // its kept set reaches the budget floor AND is minimal (dropping the
+    // last doc goes under). The offsets table is ≤ langs×256 rows BY
+    // CONSTRUCTION (bucket = one md5 byte); what 10× exercises is the
+    // within-bucket window staying on the high-cardinality key.
+    val budget = 2000L
+    val (tbRows, tTb) = timed(Pipeline.sampleTokenBudget(spark, out)
+      .select(col("lang"), col("n_tokens"), col("cum"))
+      .as[(String, Long, Long)].collect())
+    val langDocs = Tables.load(spark, out, "documents")
+      .groupBy(col("lang")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val floorOk = tbRows.groupBy(_._1).forall { case (lang, rows) =>
+      val kept = rows.length.toLong
+      val maxCum = rows.map(_._3).max
+      kept == langDocs(lang) || (maxCum >= budget &&
+        rows.forall(r => r._3 - r._2 < budget))
+    }
+    check("token_budget_floor_10x", floorOk && tbRows.nonEmpty,
+      f"${tbRows.length} docs kept across ${tbRows.map(_._1).distinct.length} " +
+        f"langs at 50k docs; every language at its floor or exhausted (${tTb}%.1f s)")
+
+    // Graph fixpoints at 10× edges (~6M): ten disjoint suffix-tagged
+    // copies of the sf0.1 citation graph — each copy peels/converges
+    // identically, so row counts must scale by exactly 10; wall time is
+    // the soak's scaling record for the per-round join+aggregate shapes.
+    val edges10 = Citations.edges(spark, base)
+      .select(explode(expr("sequence(0, 9)")).as("v"), col("src"), col("dst"))
+      .select(concat(col("src"), lit("~"), col("v")).as("src"),
+        concat(col("dst"), lit("~"), col("v")).as("dst"))
+    val kcBase = Citations.kCore(Citations.edges(spark, base)).count()
+    val (kc10, tKc) = timed(Citations.kCore(edges10).count())
+    check("kcore_10x", kc10 == 10 * kcBase,
+      f"$kc10 core members == 10 × $kcBase (8 peel rounds at ~6M edges, ${tKc}%.1f s)")
+    val hitsBase = Citations.hits(Citations.edges(spark, base)).count()
+    val (hits10, tHits) = timed(Citations.hits(edges10).count())
+    check("hits_10x", hits10 == 10 * hitsBase,
+      f"$hits10 scored nodes == 10 × $hitsBase (6 iterations at ~6M edges, ${tHits}%.1f s)")
 
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -23,6 +23,16 @@ import graft.Tables
   */
 object Citations {
 
+  /** Default per-round probe for the iterative operators: do nothing.
+    * IterativePlanSpec injects a real probe to audit each round's UN-CUT
+    * plan — the cadence checkpoints replace lineage with a `LogicalRDD`,
+    * so the per-round join/aggregate shapes (exactly the plans that
+    * matter at 100×) are otherwise invisible to any post-hoc audit. The
+    * probe fires on the round's `next` frame BEFORE the checkpoint cut;
+    * planning a DataFrame is side-effect-free, so production pays one
+    * no-op call per round. */
+  val noProbe: (Int, DataFrame) => Unit = (_, _) => ()
+
   /** Edge projection of the driver testdata: "order cites part" — one edge
     * per lineitem. Ids cast to string to preserve the reference's
     * lexicographic key semantics (SURVEY.md §2.3.3). */
@@ -278,17 +288,19 @@ object Citations {
     * anti-join and group keys are the canonical pair — never anything
     * quadratic in a node's raw degree. Top-30 plans as
     * TakeOrderedAndProject. */
-  def linkPredictRa(edges: DataFrame, maxOutDegree: Int = 100): DataFrame = {
+  def linkPredictRa(edges: DataFrame, maxOutDegree: Int = 100,
+                    preCutProbe: DataFrame => Unit = _ => ()): DataFrame = {
     // the RA term rides ON the capped edge frame, so the pair join needs
     // no third join against the degree table afterwards; the harness
     // sweeps the pinned blocks between queries (graft.Blocks)
-    val f = edges
+    val fRaw = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") <= maxOutDegree), Seq("src"))
       .select(col("src"), col("dst"),
         round(lit(1.0) / col("deg").cast("double"), 9)
           .cast("decimal(18,9)").as("term"))
-      .localCheckpoint()
+    preCutProbe(fRaw)
+    val f = fRaw.localCheckpoint()
     val a = f.select(col("src"), col("dst").as("paper_a"), col("term"))
     val b = f.select(col("src"), col("dst").as("paper_b"))
     val linked = edges.where(col("src") =!= col("dst"))
@@ -415,7 +427,8 @@ object Citations {
     * engines); invariants are spec-tested in AnalyticsExtraSpec, values
     * pinned by a closed-form fixture. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
-               damping: Double = 0.85, checkpointEvery: Int = 3): DataFrame = {
+               damping: Double = 0.85, checkpointEvery: Int = 3,
+               roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
     // Static sides pinned once: without the eager checkpoints every
     // round's materialization would re-run the ENTIRE lineage back to the
     // scan, turning O(iters) work into O(iters²).
@@ -459,9 +472,13 @@ object Citations {
       // folding it into the round's plan keeps each round a single job
       val dangling = broadcast(ranks.where(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
+      // shuffle_hash on the rank side: hash-building the node-scale rank
+      // frame beats re-sorting the edge-scale side every round (SMJ would
+      // sort the full edge list per iteration; the hash build is O(nodes))
       val contribs = e
         .join(ranks.where(col("deg").isNotNull)
-          .select(col("id"), (col("rank") / col("deg")).as("share")),
+          .select(col("id"), (col("rank") / col("deg")).as("share"))
+          .hint("shuffle_hash"),
           e("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inbox"))
       val next = nodesWithDeg
@@ -471,6 +488,7 @@ object Citations {
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("inbox"), lit(0.0)) +
               col("dm") / lit(n))).as("rank"))
+      roundProbe(i, next)
       ranks = if (i % checkpointEvery == 0 || i == iterations) {
         val cut = next.localCheckpoint() // eager: materialized before the release below
         graft.Blocks.release(lastCut)
@@ -548,7 +566,8 @@ object Citations {
     * probes), so un-cut chains re-execute the oldest round ~3^(c-1) times
     * inside one job, a steeper curve than pagerank's 2^(c-1). */
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
-            checkpointEvery: Int = 2): DataFrame = {
+            checkpointEvery: Int = 2,
+            roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
     val und = edges.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -561,9 +580,16 @@ object Citations {
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select(col("node"))
+      // NO shuffle_hash hint here, unlike pageRank/hits — measured: the
+      // hinted semi-joins ran 14.9 s vs 8.0 s for sort-merge at sf0.1.
+      // The asymmetry is real: this e SHRINKS every round and both joins
+      // key on it, so the sort-merge path amortizes one sort of the
+      // surviving frame across the peel, while SHJ re-hashes both sides
+      // every round.
       val next = e
         .join(ok.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(ok.select(col("node").as("b")), Seq("b"), "left_semi")
+      roundProbe(i, next)
       e = if (i % checkpointEvery == 0 || i == rounds) {
         val cut = next.localCheckpoint() // eager — materialized before release
         graft.Blocks.release(lastCut)
@@ -625,53 +651,85 @@ object Citations {
     * ORDER only, ~1e-15 relative, seven orders below the final
     * `round(x, 8)` grid at the ~1/√n score scale.
     *
-    * Scale shape: per half-step ONE edge⋈scores shuffle join + one
-    * map-side-combined aggregate, the L2 norm folded in as a broadcast
-    * 1-row frame (never a driver collect). All frames are node- or
-    * edge-linear. Lineage is cut on cadence 2 with immediate release of
-    * superseded cuts (a round's result is referenced ~3× by the next, so
-    * un-cut chains recompute ~3^(c-1) — the [[kCore]] curve). */
+    * Scale shape (round-9 restructure): SPARSE score frames + per-half-
+    * step lineage cuts + both edge orientations pinned once.
+    *
+    *  - Sparse, not carried: a node with no in-edges has authority 0,
+    *    and a zero score contributes nothing to any message sum or L2
+    *    norm — so the per-round "re-instate missing nodes" left-outer
+    *    join (round 8 paid it twice per round, plus a final zip join)
+    *    is mathematically dead weight inside the loop. Score frames
+    *    only hold nodes with inbound mass; re-instatement at 0 happens
+    *    in ONE final left-outer zip against the node frame, giving
+    *    value-identical results to the dense [[hitsSql]] unrolling.
+    *  - A half-step is therefore ONE message join + ONE map-side-
+    *    combined aggregate; the L2 norm is a 1-row broadcast frame
+    *    folded into the next projection (never a driver collect).
+    *  - Cut after EVERY half-step: a half-step's frame is referenced
+    *    twice downstream (norm aggregate + next message join), and
+    *    Spark inlines each reference as an independent subtree with NO
+    *    exchange reuse across them (measured: zero ReusedExchange) — a
+    *    round-cadence cut re-EXECUTES un-cut half-steps ~2× per
+    *    reference (round 8's cadence-2 shape: 27.9 s; the carried-
+    *    column rework of it: 36.2 s; this shape: single-digit).
+    *    Superseded cuts release immediately (graft.Blocks), so the
+    *    block-manager footprint stays O(one score frame) + the two
+    *    edge pins.
+    *  - Edges pinned in BOTH orientations (src-hash for the authority
+    *    message join, dst-hash for the hub one): 2× edge memory, zero
+    *    per-round edge re-exchanges — and the aggregate's output hash
+    *    (on dst, aliased id) matches the NEXT half-step's join key, so
+    *    steady-state each half-step shuffles exactly once (the message
+    *    aggregate no HITS formulation avoids). */
   def hits(edges: DataFrame, iterations: Int = 6,
-           checkpointEvery: Int = 2): DataFrame = {
-    val e = edges.repartition(col("src")).localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    var scores = nodes
-      .select(col("id"), lit(1.0).as("auth"), lit(1.0).as("hub"))
-      .localCheckpoint()
-    var lastCut = scores
+           roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val eSrc = edges.repartition(col("src")).localCheckpoint()
+    val eDst = eSrc.repartition(col("dst")).localCheckpoint()
+    val nodes = eSrc.select(col("src").as("id"))
+      .union(eSrc.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // round 0: hub = 1.0 on every node (dense by definition)
+    var hub = nodes.select(col("id"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    var lastACut: DataFrame = null
+    var lastHCut: DataFrame = null
     for (i <- 1 to iterations) {
-      val araw = nodes.join(
-        e.join(scores.select(col("id"), col("hub")), e("src") === col("id"))
-          .groupBy(e("dst").as("id")).agg(sum(col("hub")).as("s")),
-        Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("s"), lit(0.0)).as("araw"))
+      // authority half-step: araw = Σ hub over in-edges (sparse: nodes
+      // without in-edges are simply absent — they are exact zeros)
+      // shuffle_hash on the score side: hash-building the node-scale
+      // score frame beats re-sorting the edge-scale side every half-step
+      // (SMJ would sort 600k+ edges 2×/round; the hash build is O(nodes))
+      val araw = eSrc.join(hub.hint("shuffle_hash"), eSrc("src") === hub("id"))
+        .groupBy(eSrc("dst").as("id")).agg(sum(col("hub")).as("araw"))
+      roundProbe(i, araw)
+      val aCut = araw.localCheckpoint() // eager — materialized before release
+      if (lastACut != null) graft.Blocks.release(lastACut)
+      lastACut = aCut
       val anorm = broadcast(
-        araw.agg(sqrt(sum(col("araw") * col("araw"))).as("anorm")))
-      val auth = araw.crossJoin(anorm)
+        aCut.agg(sqrt(sum(col("araw") * col("araw"))).as("anorm")))
+      auth = aCut.crossJoin(anorm)
         .select(col("id"), (col("araw") / col("anorm")).as("auth"))
-      val hraw = nodes.join(
-        e.join(auth.select(col("id"), col("auth")), e("dst") === col("id"))
-          .groupBy(e("src").as("id")).agg(sum(col("auth")).as("s")),
-        Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("s"), lit(0.0)).as("hraw"))
+      // hub half-step: hraw = Σ auth over out-edges, same shape transposed
+      val hraw = eDst.join(auth.hint("shuffle_hash"), eDst("dst") === auth("id"))
+        .groupBy(eDst("src").as("id")).agg(sum(col("auth")).as("hraw"))
+      val hCut = hraw.localCheckpoint()
+      if (lastHCut != null) graft.Blocks.release(lastHCut)
+      lastHCut = hCut
       val hnorm = broadcast(
-        hraw.agg(sqrt(sum(col("hraw") * col("hraw"))).as("hnorm")))
-      val next = auth.join(
-        hraw.crossJoin(hnorm)
-          .select(col("id"), (col("hraw") / col("hnorm")).as("hub")),
-        Seq("id"))
-      scores = if (i % checkpointEvery == 0 || i == iterations) {
-        val cut = next.localCheckpoint() // eager — materialized before release
-        graft.Blocks.release(lastCut)
-        lastCut = cut
-        cut
-      } else next
+        hCut.agg(sqrt(sum(col("hraw") * col("hraw"))).as("hnorm")))
+      hub = hCut.crossJoin(hnorm)
+        .select(col("id"), (col("hraw") / col("hnorm")).as("hub"))
     }
-    graft.Blocks.release(e)
-    graft.Blocks.release(nodes)
-    scores.select(col("id").as("paper_id"),
-      round(col("auth"), 8).as("auth"), round(col("hub"), 8).as("hub"))
+    graft.Blocks.release(eSrc)
+    graft.Blocks.release(eDst)
+    // ONE re-instatement zip at the end: absent sparse entries are the
+    // exact zeros the dense unrolling carries through every round
+    nodes
+      .join(auth, Seq("id"), "left_outer")
+      .join(hub, Seq("id"), "left_outer")
+      .select(col("id").as("paper_id"),
+        round(coalesce(col("auth"), lit(0.0)), 8).as("auth"),
+        round(coalesce(col("hub"), lit(0.0)), 8).as("hub"))
   }
 
   /** DuckDB twin of [[hits]], unrolled one CTE pair per round with the

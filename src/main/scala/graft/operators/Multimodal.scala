@@ -27,13 +27,15 @@ case class MediaFeatures(media_id: Long, kind: String, width: Int,
   * codec would be invoked per batch), binary slicing, array-of-binary
   * frame columns, and partition preservation (no shuffle through decode).
   *
-  * DECODE IS A STUB for compressed formats: this container has no
-  * image/video codecs, so [[Multimodal.decodeFeatures]] defaults to a
-  * documented deterministic fake (byte-sum-derived dimensions) in place
-  * of a `libjpeg`/`ffmpeg` call. One REAL codec exists behind the same
-  * seam — [[Multimodal.wavDecoder]], a dependency-free RIFF/WAVE PCM
-  * header parser — proving that swapping in a real decoder changes only
-  * the `decode` argument, nothing about the distributed shape.
+  * Decode runs behind one injectable [[Multimodal.Decoder]] seam. REAL
+  * codecs behind it: [[Multimodal.wavDecoder]] (dependency-free RIFF/WAVE
+  * PCM header parser), [[Multimodal.bmpDecoder]] (uncompressed BMP), and
+  * [[Multimodal.imageIoDecoder]] (PNG/JPEG/GIF via the JDK-built-in
+  * `javax.imageio` — no new dependency). VIDEO remains a documented stub
+  * ([[Multimodal.stubDecoder]]'s deterministic fake): this container
+  * ships no `ffmpeg`, and the seam is exactly where such a codec would
+  * plug in — swapping a decoder changes only the `decode` argument,
+  * nothing about the distributed shape.
   */
 object Multimodal {
 
@@ -145,6 +147,60 @@ object Multimodal {
       }
     }
 
+  /** Compressed-image codec via `javax.imageio` — JDK-built-in (PNG,
+    * JPEG, GIF, BMP, WBMP readers ship with the JRE; no dependency, so
+    * the build constraint holds) and the first REAL decoder here that
+    * handles a compressed format rather than a fixed-layout header walk.
+    * Features mapped onto the shared schema: width/height in pixels,
+    * n_frames from the reader (animated GIFs report their frame count;
+    * single-image formats report 1), byte_sum = sum of all decoded
+    * channel samples of frame 0 (raster samples, not file bytes — a
+    * DETERMINISTIC pixel statistic: PNG/BMP/GIF decode losslessly to the
+    * same samples everywhere, and JPEG decode is deterministic for a
+    * given JRE). Same PERMISSIVE contract: `ImageIO` returning no reader
+    * (payload is not an image this JRE decodes) falls back to the stub
+    * row — a decoder never throws on bad media. */
+  val imageIoDecoder: Decoder = batch =>
+    batch.iterator.map { m =>
+      decodeImage(m.payload) match {
+        case Some((w, h, frames, sampleSum)) =>
+          MediaFeatures(m.media_id, m.kind, w, h, frames, sampleSum)
+        case None => stubDecoder(Seq(m)).next()
+      }
+    }
+
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    import javax.imageio.ImageIO
+    import javax.imageio.stream.MemoryCacheImageInputStream
+    import java.io.ByteArrayInputStream
+    try {
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true) // seekForwardOnly=false: frame count needs a full scan
+          val frames = try math.max(reader.getNumImages(true), 1)
+          catch { case _: Exception => 1 }
+          val img = reader.read(0)
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          var sum = 0L
+          val row = new Array[Int](w * bands)
+          var y = 0
+          while (y < h) {
+            raster.getPixels(0, y, w, 1, row)
+            var i = 0
+            while (i < row.length) { sum += row(i); i += 1 }
+            y += 1
+          }
+          Some((w, h, frames, sum))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Codec registry: route each row to its format's decoder, stub for
     * formats without one — the dispatch shape a production media pipeline
     * uses, still behind the single [[Decoder]] seam. */
@@ -152,8 +208,12 @@ object Multimodal {
     batch.iterator.flatMap(m =>
       codecs.getOrElse(m.format, stubDecoder)(Seq(m)))
 
+  /** WAV and BMP through the hand parsers (dependency-free, exact layout
+    * control); the compressed image formats through `javax.imageio`. */
   val defaultRegistry: Map[String, Decoder] =
-    Map("wav" -> wavDecoder, "bmp" -> bmpDecoder)
+    Map("wav" -> wavDecoder, "bmp" -> bmpDecoder,
+      "png" -> imageIoDecoder, "jpg" -> imageIoDecoder,
+      "jpeg" -> imageIoDecoder, "gif" -> imageIoDecoder)
 
   private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None

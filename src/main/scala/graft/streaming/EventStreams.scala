@@ -44,13 +44,14 @@ case class TransitionRow(user_id: Long, from_type: String, to_type: String,
   */
 object EventStreams {
 
-  /** Parquet file-stream schema for the events table. `ts` arrives as raw
-    * int64 nanoseconds (the session sets
-    * spark.sql.legacy.parquet.nanosAsLong; see graft.Tables) and gets the
-    * identical floor-to-micros cast the batch loader applies. */
+  /** Parquet file-stream schema for the events table. `ts` is on-disk
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — TIMESTAMP_NTZ to Spark —
+    * and gets the identical cast-to-session-zone canonicalization the
+    * batch loader applies (graft.Tables.canonTimestamps; session zone is
+    * pinned UTC, so the cast is value-identical). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -63,7 +64,7 @@ object EventStreams {
     val withOpt = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
     withOpt.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Default lateness tolerance: events more than this far behind the

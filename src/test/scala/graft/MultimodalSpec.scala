@@ -168,6 +168,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) === Multimodal.stubDecoder(Seq(rows(2))).next())
   }
 
+  test("imageIoDecoder: real PNG/JPEG decode via the JDK reader, pinned pixel stats") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 3x2 RGB image with known channel values; PNG is lossless, so the
+    // decoded raster samples are exactly what we wrote
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_3BYTE_BGR)
+    val px = Seq( // (x, y, r, g, b)
+      (0, 0, 10, 20, 30), (1, 0, 0, 0, 0), (2, 0, 255, 255, 255),
+      (0, 1, 1, 2, 3), (1, 1, 100, 0, 50), (2, 1, 7, 7, 7))
+    px.foreach { case (x, y, r, g, b) =>
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    def bytes(fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    val png = bytes("png")
+    val expectSum = px.map { case (_, _, r, g, b) => r + g + b }.sum.toLong
+    val rows = Seq(
+      MediaRow(1L, "image", "png", png),
+      MediaRow(2L, "image", "jpg", bytes("jpg")),
+      MediaRow(3L, "image", "png", "not an image".getBytes("UTF-8")))
+    val got = Multimodal.decodeFeatures(rows.toDS(),
+        Multimodal.registryDecoder(Multimodal.defaultRegistry))
+      .collect().map(f => f.media_id -> f).toMap
+    // PNG: lossless — dims AND the channel-sample sum pinned exactly
+    assert(got(1L) === MediaFeatures(1L, "image", 3, 2, 1, expectSum))
+    // JPEG: lossy — dims and single frame are contract; samples are
+    // codec-version-dependent, only bounded (6 px × 3 bands × 255 max)
+    assert(got(2L).width === 3 && got(2L).height === 2 && got(2L).n_frames === 1)
+    assert(got(2L).byte_sum >= 0L && got(2L).byte_sum <= 6L * 3 * 255)
+    // non-image bytes under a png route: PERMISSIVE fallback to the stub
+    assert(got(3L) === Multimodal.stubDecoder(Seq(rows(2))).next())
+  }
+
   test("sampleFrames: k frames of <=16 bytes per video row") {
     val frames = Multimodal.sampleFrames(Multimodal.media(spark, sf), 4)
     val vids = Multimodal.media(spark, sf).where($"kind" === "video").count()

@@ -70,7 +70,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // exact-ingredient correlation matrix)
     "profile_documents", "profile_orders", "profile_corr",
     // ≤64-row bit-length-domain aggregate
-    "doc_length_histogram"
+    "doc_length_histogram",
+    // citation_hits: the LAST half-step's 1-row L2-norm aggregates stay
+    // in the returned frame's lineage (the sparse restructure defers the
+    // final division to the output zip; earlier rounds' norms are behind
+    // checkpoint cuts) — global scalar aggregates, the q6 shape
+    "citation_hits"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -142,6 +147,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_lost_customers",
     // q11: the 1-row global value-cutoff frame folded onto every
     // per-part value row (inequality predicate, so no hash join exists)
-    "q11_important_parts"
+    "q11_important_parts",
+    // citation_hits: the final half-step's two 1-row L2-norm frames
+    // folded into the output divisions (earlier rounds' folds are behind
+    // checkpoint cuts and never reach this plan)
+    "citation_hits"
   )
 }

@@ -33,9 +33,12 @@ class StreamingSpec extends AnyFunSuite {
       Paths.get(s"$dir/000_events.parquet"))
     val mx = Tables.load(spark, sf, "events")
       .agg(expr("max(unix_micros(ts))")).first().getLong(0)
-    val sentinelNanos = (mx + 30L * 24 * 3600 * 1000000L) * 1000L
-    val sentinel = Seq((-1L, sentinelNanos, -1L, "__sentinel", 0.0, "{}"))
+    val sentinelMicros = mx + 30L * 24 * 3600 * 1000000L
+    // ts must be written TIMESTAMP_NTZ to match the on-disk encoding of
+    // the copied events file (one stream schema across the directory)
+    val sentinel = Seq((-1L, sentinelMicros, -1L, "__sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
     val tmp2 = Files.createTempDirectory("graft-sentinel").toFile.getAbsolutePath
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmp2)
     val part = new File(tmp2).listFiles()
@@ -129,6 +132,7 @@ class StreamingSpec extends AnyFunSuite {
       Paths.get(s"$dir/001_sentinel.parquet"))
     val stale = Seq((-2L, 1000L * 1000L, -2L, "stale", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
     val tmp2 = Files.createTempDirectory("graft-stale").toFile.getAbsolutePath
     stale.coalesce(1).write.mode("overwrite").parquet(tmp2)
     val part = new File(tmp2).listFiles()
@@ -152,12 +156,13 @@ class StreamingSpec extends AnyFunSuite {
     // ~(previous day end - 15 min), i.e. they are always late-but-within
     // the 10-minute delay, so the contract says they must merge into
     // their (still open) windows and sessions exactly as in batch.
-    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: raw int64 nanos
-    val dayN = 24L * 3600 * 1000000000L
-    val holdN = 5L * 60 * 1000000000L
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: TIMESTAMP_NTZ micros
+    val dayU = 24L * 3600 * 1000000L
+    val holdU = 5L * 60 * 1000000L
     val tagged = raw
-      .withColumn("day", expr(s"ts div $dayN"))
-      .withColumn("late", expr(s"ts % $dayN >= ${dayN - holdN}"))
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("day", expr(s"us div $dayU"))
+      .withColumn("late", expr(s"us % $dayU >= ${dayU - holdU}"))
     val nLate = tagged.where(col("late")).count()
     assert(nLate > 0, "no events in any day's final 5 minutes - nothing shuffled")
     val days = tagged.select("day").distinct().as[Long].collect().sorted.toSeq
@@ -201,8 +206,9 @@ class StreamingSpec extends AnyFunSuite {
     // two micro-batches split very early (2nd percentile of event time),
     // so nearly every user's funnel spans the split and exercises
     // cross-batch state carry
-    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: raw int64 nanos
-    val med = raw.selectExpr("CAST(percentile(ts, 0.02) AS LONG)")
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: TIMESTAMP_NTZ micros
+    val med = raw.selectExpr(
+      "CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.02) AS LONG)")
       .first().getLong(0)
     val dir = Files.createTempDirectory("graft-funnel").toFile.getAbsolutePath
     def writePart(df: DataFrame, name: String, mtime: Long): Unit = {
@@ -214,8 +220,9 @@ class StreamingSpec extends AnyFunSuite {
       new File(s"$dir/$name").setLastModified(mtime)
     }
     val now = System.currentTimeMillis()
-    writePart(raw.where(col("ts") < med), "000.parquet", now - 60000)
-    writePart(raw.where(col("ts") >= med), "001.parquet", now)
+    val usCol = unix_micros(col("ts").cast("timestamp"))
+    writePart(raw.where(usCol < med), "000.parquet", now - 60000)
+    writePart(raw.where(usCol >= med), "001.parquet", now)
 
     val emitted = runStream(
       EventStreams.funnelStream(
@@ -231,12 +238,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCounts === batchCounts.filter(_._2 > 0))
     // cross-batch progress actually exercised: someone reaches a later
     // stage after the split while their view landed before it
-    val firstBatchViewers = raw.where(col("ts") < med)
+    val firstBatchViewers = raw.where(usCol < med)
       .where(col("event_type") === "view")
       .select("user_id").distinct().as[Long].collect().toSet
     val lateAdvancers = emitted
       .where(col("stage") =!= "1_view" &&
-        col("ts") >= timestamp_micros(lit(med / 1000)))
+        col("ts") >= timestamp_micros(lit(med)))
       .select("user_id").as[Long].collect().toSet
     assert(lateAdvancers.exists(firstBatchViewers.contains),
       "no user advanced past the split - the split did not test state carry")
@@ -245,8 +252,9 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming transitions: pair matrix == batch lag window across a time split") {
     // same early-split harness as the funnel test: nearly every user's
     // event chain spans the split, so pairs must bridge carried state
-    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: raw int64 nanos
-    val med = raw.selectExpr("CAST(percentile(ts, 0.02) AS LONG)")
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: TIMESTAMP_NTZ micros
+    val med = raw.selectExpr(
+      "CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.02) AS LONG)")
       .first().getLong(0)
     val dir = Files.createTempDirectory("graft-trans").toFile.getAbsolutePath
     def writePart(df: DataFrame, name: String, mtime: Long): Unit = {
@@ -258,8 +266,9 @@ class StreamingSpec extends AnyFunSuite {
       new File(s"$dir/$name").setLastModified(mtime)
     }
     val now = System.currentTimeMillis()
-    writePart(raw.where(col("ts") < med), "000.parquet", now - 60000)
-    writePart(raw.where(col("ts") >= med), "001.parquet", now)
+    val usCol = unix_micros(col("ts").cast("timestamp"))
+    writePart(raw.where(usCol < med), "000.parquet", now - 60000)
+    writePart(raw.where(usCol >= med), "001.parquet", now)
 
     val emitted = runStream(
       EventStreams.transitionStream(
@@ -276,7 +285,7 @@ class StreamingSpec extends AnyFunSuite {
     // the split actually exercised state carry: some pair's later event
     // lands at-or-after the split while its earlier one landed before
     val crossPairs = emitted
-      .where(col("ts") >= timestamp_micros(lit(med / 1000))).count()
+      .where(col("ts") >= timestamp_micros(lit(med))).count()
     assert(crossPairs > 0 && emitted.count() > crossPairs)
   }
 
