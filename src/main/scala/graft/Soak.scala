@@ -248,6 +248,37 @@ object Soak {
     check("hits_10x", hits10 == 10 * hitsBase,
       f"$hits10 scored nodes == 10 × $hitsBase (6 iterations at ~6M edges, ${tHits}%.1f s)")
 
+    // Broadcast/shuffle lifecycle under iteration pressure: 20 back-to-
+    // back executions of the two broadcast-heaviest operators (hits: 12
+    // one-row norm broadcasts per run; pageRank: 6 dangling-mass ones)
+    // with the harness sweep between runs — the round-8 failure signature
+    // was run times growing MONOTONICALLY between swept runs because
+    // ContextCleaner only reclaims broadcasts/shuffle files after a
+    // driver GC that a mostly-idle heap never performed. With the fix
+    // (periodicGC 60s + System.gc() in sweepAll) the sequence must be
+    // flat: the last-5 median within 1.5× of the first-5 median.
+    val sfSmall = base.replace("sf0.1", "sf0.01")
+    def flatSeq(runs: Seq[Double]): (Double, Double, Double) = {
+      val first = runs.take(5).sorted.apply(2)
+      val last = runs.takeRight(5).sorted.apply(2)
+      (first, last, last / first)
+    }
+    val hitsTimes = (1 to 20).map { _ =>
+      val (_, t) = timed(Citations.hits(Citations.edges(spark, sfSmall)).count())
+      Blocks.sweepAll(spark); t
+    }
+    val (hF, hL, hRatio) = flatSeq(hitsTimes)
+    check("lifecycle_flat_hits_20x", hRatio <= 1.5,
+      f"20 swept hits runs flat: first-5 median $hF%.2f s, last-5 $hL%.2f s " +
+        f"(ratio $hRatio%.2f; r8 signature was monotonic 19->28->42s growth)")
+    val prTimes = (1 to 20).map { _ =>
+      val (_, t) = timed(Citations.pageRank(Citations.edges(spark, sfSmall)).count())
+      Blocks.sweepAll(spark); t
+    }
+    val (pF, pL, pRatio) = flatSeq(prTimes)
+    check("lifecycle_flat_pagerank_20x", pRatio <= 1.5,
+      f"20 swept pageRank runs flat: first-5 median $pF%.2f s, last-5 $pL%.2f s (ratio $pRatio%.2f)")
+
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "08")

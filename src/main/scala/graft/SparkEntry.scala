@@ -58,7 +58,11 @@ object SparkEntry {
     // 6 rounds: the ranking ordering stabilizes well before the values
     // fully converge; invariants spec-tested in AnalyticsExtraSpec
     "citation_pagerank" -> ((s, d) =>
-      Citations.pageRank(Citations.edges(s, d), iterations = 6))
+      Citations.pageRank(Citations.edges(s, d), iterations = 6)),
+    // 10 propagation rounds: fixpoint inside the cap asserted in
+    // AnalyticsExtraSpec by running one extra round
+    "citation_components" -> ((s, d) =>
+      Citations.components(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -73,6 +77,7 @@ object SparkEntry {
     // unrolled CTE's only divergence is summation order (~1e-15 relative),
     // eight orders below the final round(rank, 8) grid
     "citation_pagerank" -> Citations.pageRankSql(iterations = 6),
+    "citation_components" -> Citations.componentsSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -133,6 +138,7 @@ object SparkEntry {
     "citation_pagerank" -> Seq(col("paper_id")),
     "citation_kcore" -> Seq(col("paper_id")),
     "citation_hits" -> Seq(col("paper_id")),
+    "citation_components" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

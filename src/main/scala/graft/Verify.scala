@@ -23,8 +23,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // events.ts is parquet TIMESTAMP(NANOS); read raw int64 (Tables
-      // truncates to micros). Session-level so every reader sees it.
+      // kept for older testdata encodings (TIMESTAMP(NANOS) read as raw
+      // int64); harmless for the current TIMESTAMP_NTZ micros files —
+      // graft.Tables canonicalizes either to session-zone timestamps
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

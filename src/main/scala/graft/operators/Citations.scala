@@ -769,6 +769,91 @@ object Citations {
        |FROM s$iterations ORDER BY paper_id""".stripMargin
   }
 
+  /** Weakly-connected components of the citation graph by bounded
+    * min-label propagation: every node starts labeled with its own id;
+    * each round a node's label becomes the minimum of its own and its
+    * neighbors' (both directions), so labels flood each component toward
+    * its lexicographically-smallest member. Like [[kCore]], the query
+    * SEMANTIC is "`rounds` propagation rounds" — mirrored exactly in the
+    * oracle — and everything is exact string comparison, so the hash
+    * oracle is exact by construction; at test scales the propagation
+    * reaches its fixpoint well inside the cap (asserted in
+    * AnalyticsExtraSpec by running one extra round). Contrast
+    * `dedup_clusters`' pointer-doubling CC: that converges in O(log n)
+    * rounds but needs a mutable parent table; this is the pure
+    * message-passing formulation a SQL engine can mirror row-for-row.
+    *
+    * Scale shape (the [[hits]] lessons applied from the start): each
+    * round is ONE edge-scale message join + ONE min aggregate + one
+    * node-scale zip; labels are cut EVERY round (a round references its
+    * predecessor twice — message input + zip — and exchange reuse does
+    * not fire across the references), superseded cuts released
+    * immediately; the undirected edge frame is pinned once, partitioned
+    * on the message key; the message join hash-builds the node-scale
+    * label side (shuffle_hash) instead of re-sorting edges per round.
+    * The LAST round is left un-cut so the returned plan exposes the
+    * per-round shape to PlanAuditSpec (its two references both read the
+    * previous round's checkpoint — no re-execution). */
+  def components(edges: DataFrame, rounds: Int = 10,
+                 roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+    // both directions: a node hears the labels of every neighbor
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.where(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .repartition(col("u")).localCheckpoint()
+    var labels = und.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var lastCut = labels
+    for (i <- 1 to rounds) {
+      val msg = und.join(labels.hint("shuffle_hash"), und("u") === labels("id"))
+        .groupBy(und("v").as("id")).agg(min(col("label")).as("ml"))
+      val next = labels.join(msg, Seq("id"))
+        .select(col("id"), least(col("label"), col("ml")).as("label"))
+      roundProbe(i, next)
+      if (i < rounds) {
+        val cut = next.localCheckpoint() // eager — materialized before release
+        graft.Blocks.release(lastCut)
+        lastCut = cut
+        labels = cut
+      } else {
+        labels = next // un-cut: the returned plan shows the round shape
+      }
+    }
+    // und is NOT released here: the un-cut final round still reads it (a
+    // released local checkpoint is dead, not cold). The harness sweep —
+    // or the caller's own Blocks discipline — reclaims it after execution.
+    labels.select(col("id").as("paper_id"), col("label").as("component"))
+  }
+
+  /** DuckDB twin of [[components]]: the bounded propagation UNROLLED one
+    * MATERIALIZED CTE per round ([[kCoreSql]] discipline — a round
+    * references its predecessor twice, so inlined CTEs would fan the
+    * scan out 2^rounds). Exact string min/least on both engines. */
+  def componentsSql(rounds: Int = 10): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.id, least(p.label, m.ml) AS label
+         |  FROM l${i - 1} p
+         |  JOIN (SELECT und.v AS id, min(q.label) AS ml
+         |        FROM und JOIN l${i - 1} q ON q.id = und.u
+         |        GROUP BY 1) m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+       |  UNION
+       |  SELECT dst, src FROM e WHERE src <> dst),
+       |l0 AS MATERIALIZED (
+       |  SELECT id, id AS label FROM (SELECT DISTINCT u AS id FROM und)),
+       |$steps
+       |SELECT id AS paper_id, label AS component
+       |FROM l$rounds ORDER BY paper_id""".stripMargin
+  }
+
   /** O16 (reference check.py:31-33): console top-k print. The reference's
     * label says "Top 10" but prints 30 (SURVEY.md §2.3.7 — a cosmetic bug);
     * the spec is 30 rows, so that is what we label and print. */

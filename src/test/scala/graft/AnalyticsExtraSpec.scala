@@ -143,6 +143,27 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(capped === Seq(("b", "c", 1L, 0.5)))
   }
 
+  test("citation_components: min-label floods each component; fixpoint inside cap") {
+    // chain c->b->a floods label "a" in 2 rounds (direction-insensitive);
+    // {x,y} is a separate component; the self-loop z-z contributes no
+    // node (matching the oracle's und construction exactly)
+    val edges = Seq(("b", "a"), ("c", "b"), ("y", "x"), ("z", "z"))
+      .toDF("src", "dst")
+    val got = Citations.components(edges).as[(String, String)]
+      .collect().sorted.toSeq
+    assert(got === Seq(("a", "a"), ("b", "a"), ("c", "a"),
+      ("x", "x"), ("y", "x")))
+    // fixpoint on real sf0.001 edges: one extra round changes nothing
+    val e = Citations.edges(spark, sf)
+    val r10 = Citations.components(e).as[(String, String)].collect().toSet
+    val r11 = Citations.components(e, rounds = 11)
+      .as[(String, String)].collect().toSet
+    assert(r11 === r10)
+    // every node labels to a component member <= itself; label count is
+    // the component count and every component's label is its min member
+    assert(r10.forall { case (id, label) => label <= id })
+  }
+
   test("kCore: hand fixture — triangle survives, pendant chain peels off; fixpoint inside cap") {
     // triangle {a,b,c} + chain c-d-e: e (deg 1) peels in round 1, which
     // drops d to deg 1 so it peels in round 2; the triangle is the 2-core.

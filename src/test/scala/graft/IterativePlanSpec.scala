@@ -94,6 +94,19 @@ class IterativePlanSpec extends AnyFunSuite {
     assert(bnlj(plans(2)) === 1, s"hits norm folds changed:\n${plans(2)}")
   }
 
+  test("components round: message join + zip join, nothing else") {
+    val e = Citations.edges(spark, sf)
+    val plans = capture(p => Citations.components(e, rounds = 2, roundProbe = p))
+    for (r <- Seq(1, 2)) {
+      auditCommon("components", plans(r))
+      // min-message join (und ⋈ labels, hash-building the node-scale
+      // label side) + the node-scale zip — labels are cut every round,
+      // so neither reference re-executes a join subtree
+      assert(equiJoins(plans(r)) === 2, s"components round joins changed:\n${plans(r)}")
+      assert(bnlj(plans(r)) === 0, s"components grew a nested-loop join:\n${plans(r)}")
+    }
+  }
+
   test("linkPredictRa pre-cut frame: 1 cap join, no cartesian/UDF; single edge scan") {
     val e = Citations.edges(spark, sf)
     var preCut: String = null
