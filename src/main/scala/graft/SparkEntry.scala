@@ -62,7 +62,11 @@ object SparkEntry {
     // 10 propagation rounds: fixpoint inside the cap asserted in
     // AnalyticsExtraSpec by running one extra round
     "citation_components" -> ((s, d) =>
-      Citations.components(Citations.edges(s, d)))
+      Citations.components(Citations.edges(s, d))),
+    // teleport concentrated on the 5 most-cited papers ("related papers"
+    // proximity); seed-mass conservation spec-asserted
+    "citation_ppr" -> ((s, d) =>
+      Citations.personalizedPageRank(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -78,6 +82,7 @@ object SparkEntry {
     // eight orders below the final round(rank, 8) grid
     "citation_pagerank" -> Citations.pageRankSql(iterations = 6),
     "citation_components" -> Citations.componentsSql(),
+    "citation_ppr" -> Citations.personalizedPageRankSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -139,6 +144,7 @@ object SparkEntry {
     "citation_kcore" -> Seq(col("paper_id")),
     "citation_hits" -> Seq(col("paper_id")),
     "citation_components" -> Seq(col("paper_id")),
+    "citation_ppr" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

@@ -503,6 +503,107 @@ object Citations {
     ranks.select(col("id").as("paper_id"), round(col("rank"), 8).as("rank"))
   }
 
+  /** Personalized PageRank (topic-sensitive PageRank — Haveliwala, WWW
+    * 2002): the teleport vector concentrates on a SEED set instead of
+    * spreading uniformly, so rank measures proximity to the seeds — the
+    * "related papers" primitive. Seeds here are the k most-cited papers
+    * (count desc, id asc — the [[top30]] tie-break), computed inside the
+    * query so both engines derive the identical set. Per round:
+    * rank' = (1-d)·s + d·(inbox + dm·s), where s = 1/k on seeds and 0
+    * elsewhere and the dangling mass dm redistributes over the SEED
+    * distribution (the personalized convention — mass returns to the
+    * topic, not the whole graph). Same float discipline as [[pageRank]]
+    * ([[pageRankSql]] has the argument); same per-round scale shape: ONE
+    * shuffle join + ONE aggregate, dangling mass as a broadcast 1-row
+    * frame, shuffle_hash on the node-scale rank side, cadence-3 cuts
+    * with immediate release. */
+  def personalizedPageRank(edges: DataFrame, seedK: Int = 5,
+                           iterations: Int = 6, damping: Double = 0.85,
+                           checkpointEvery: Int = 3,
+                           roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seeds = counts(e)
+      .orderBy(col("citations").desc, col("paper_id").asc).limit(seedK)
+      .select(col("paper_id").as("id"), (lit(1.0) / seedK).as("s"))
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // the rank frame carries deg AND the teleport weight s, so each round
+    // stays one join + one aggregate (the pageRank carrier trick)
+    val base = nodes.join(outDeg, Seq("id"), "left_outer")
+      .join(broadcast(seeds), Seq("id"), "left_outer")
+      .select(col("id"), col("deg"), coalesce(col("s"), lit(0.0)).as("s"))
+      .localCheckpoint()
+    var ranks = base.select(col("id"), col("deg"), col("s"),
+      col("s").as("rank")).localCheckpoint()
+    var lastCut = ranks
+    for (i <- 1 to iterations) {
+      val dangling = broadcast(ranks.where(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
+      val contribs = e
+        .join(ranks.where(col("deg").isNotNull)
+          .select(col("id"), (col("rank") / col("deg")).as("share"))
+          .hint("shuffle_hash"),
+          e("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("inbox"))
+      val next = base
+        .join(contribs, base("id") === contribs("dst"), "left_outer")
+        .crossJoin(dangling)
+        .select(base("id"), base("deg"), base("s"),
+          (lit(1 - damping) * col("s") +
+            lit(damping) * (coalesce(col("inbox"), lit(0.0)) +
+              col("dm") * col("s"))).as("rank"))
+      roundProbe(i, next)
+      ranks = if (i % checkpointEvery == 0 || i == iterations) {
+        val cut = next.localCheckpoint() // eager — materialized before release
+        graft.Blocks.release(lastCut)
+        lastCut = cut
+        cut
+      } else next
+    }
+    graft.Blocks.release(e)
+    graft.Blocks.release(base)
+    ranks.select(col("id").as("paper_id"), round(col("rank"), 8).as("ppr"))
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]], unrolled per round with
+    * operation-identical arithmetic and MATERIALIZED cuts (the
+    * [[pageRankSql]] / [[kCoreSql]] discipline). */
+  def personalizedPageRankSql(seedK: Int = 5, iterations: Int = 6,
+                              damping: Double = 0.85): String = {
+    val d = s"CAST($damping AS DOUBLE)"
+    val rounds = (1 to iterations).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT nd.id, nd.deg, nd.s,
+         |    (1 - $d) * nd.s
+         |    + $d * (coalesce(inbox.x, 0.0)
+         |        + (SELECT coalesce(sum(rank), 0.0) FROM r${k - 1} WHERE deg IS NULL)
+         |          * nd.s) AS rank
+         |  FROM nd
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(p.rank / p.deg) AS x
+         |    FROM e JOIN r${k - 1} p ON p.id = e.src
+         |    WHERE p.deg IS NOT NULL
+         |    GROUP BY e.dst) inbox ON inbox.dst = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+       |seeds AS MATERIALIZED (
+       |  SELECT dst AS id, CAST(1.0 AS DOUBLE) / $seedK AS s
+       |  FROM (SELECT dst, count(*) AS citations FROM e GROUP BY 1
+       |        ORDER BY citations DESC, dst ASC LIMIT $seedK)),
+       |nd AS MATERIALIZED (
+       |  SELECT n.id, d.deg, coalesce(se.s, 0.0) AS s
+       |  FROM nodes n LEFT JOIN deg d USING (id) LEFT JOIN seeds se USING (id)),
+       |r0 AS MATERIALIZED (SELECT id, deg, s, s AS rank FROM nd),
+       |$rounds
+       |SELECT id AS paper_id, round(rank, 8) AS ppr
+       |FROM r$iterations ORDER BY paper_id""".stripMargin
+  }
+
   /** DuckDB twin of [[pageRank]]: the fixed-iteration fixpoint UNROLLED as
     * one chained CTE per round (standard SQL forbids aggregation inside a
     * recursive term, so unrolling is the portable spelling of a bounded

@@ -339,6 +339,47 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(again.toSeq === pr.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("personalized pagerank: driver replica pins values; mass concentrates at seeds") {
+    // a->b->c->a cycle + a->d dangler, seedK=2: in-degrees all tie at 1,
+    // so the (citations desc, id asc) tie-break picks seeds {a, b}.
+    // Every inbox has one contributor, so the driver replica below
+    // reproduces the float arithmetic exactly.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+      .toDF("src", "dst")
+    val got = Citations.personalizedPageRank(edges, seedK = 2, iterations = 6)
+      .as[(String, Double)].collect().toMap
+    val d = 0.85
+    val s = Map("a" -> 0.5, "b" -> 0.5, "c" -> 0.0, "d" -> 0.0)
+    var rank = s
+    for (_ <- 1 to 6) {
+      val dm = rank("d")
+      val inbox = Map("b" -> rank("a") / 2, "d" -> rank("a") / 2,
+        "c" -> rank("b"), "a" -> rank("c"))
+      rank = rank.keys.map(k =>
+        k -> ((1 - d) * s(k) + d * (inbox.getOrElse(k, 0.0) + dm * s(k)))).toMap
+    }
+    assert(got.keySet === rank.keySet)
+    rank.foreach { case (k, v) =>
+      val expected = BigDecimal(v)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(k) === expected, s"node $k: got ${got(k)}, want $expected")
+    }
+    // real edges: mass stays 1 (teleport + dangling both return to seeds)
+    // and the seed papers hold more rank than the median paper
+    val e = Citations.edges(spark, sf)
+    val ppr = Citations.personalizedPageRank(e).cache()
+    val total = ppr.select(fsum(col("ppr"))).first().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-4, s"ppr mass $total")
+    val seedIds = Citations.counts(e)
+      .orderBy(col("citations").desc, col("paper_id").asc).limit(5)
+      .select("paper_id").as[String].collect().toSet
+    val median = ppr.select(org.apache.spark.sql.functions
+      .expr("percentile(ppr, 0.5)")).first().getDouble(0)
+    val seedRanks = ppr.where(col("paper_id").isin(seedIds.toSeq: _*))
+      .select("ppr").as[Double].collect()
+    assert(seedRanks.length === 5 && seedRanks.forall(_ > median))
+  }
+
   test("profile: schema-driven, exact stats on a table with known shape") {
     val p = Profiling.profile(
       Seq((1, Some("x")), (2, None), (3, Some("x"))).toDF("id", "v"))

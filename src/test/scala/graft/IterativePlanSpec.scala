@@ -94,6 +94,16 @@ class IterativePlanSpec extends AnyFunSuite {
     assert(bnlj(plans(2)) === 1, s"hits norm folds changed:\n${plans(2)}")
   }
 
+  test("personalized pagerank round: the pageRank shape — 2 equi-joins + 1 dangling fold") {
+    val e = Citations.edges(spark, sf)
+    val plans = capture(p =>
+      Citations.personalizedPageRank(e, iterations = 2, roundProbe = p))
+    val plan = plans(1)
+    auditCommon("personalizedPageRank", plan)
+    assert(equiJoins(plan) === 2, s"ppr round joins changed:\n$plan")
+    assert(bnlj(plan) === 1, s"ppr dangling fold changed:\n$plan")
+  }
+
   test("components round: message join + zip join, nothing else") {
     val e = Citations.edges(spark, sf)
     val plans = capture(p => Citations.components(e, rounds = 2, roundProbe = p))
