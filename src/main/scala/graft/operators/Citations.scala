@@ -660,14 +660,17 @@ object Citations {
     * before the exchange) plus two semi-joins of the edge frame against
     * the qualifying-node frame — every frame linear in surviving edges,
     * nothing quadratic, no driver loop over data. The iterative lineage
-    * is cut on the pagerank cadence ([[pageRank]] has the measured
-    * tradeoff) and each superseded cut is released immediately
-    * (graft.Blocks — the round-7 lesson). Cadence 2 here, not 3: a round
-    * references its predecessor THREE times (degree scan + two semi-join
-    * probes), so un-cut chains re-execute the oldest round ~3^(c-1) times
-    * inside one job, a steeper curve than pagerank's 2^(c-1). */
+    * is cut EVERY round with each superseded cut released immediately
+    * (graft.Blocks): a round references its predecessor THREE times
+    * (degree scan + two semi-join probes) and exchange reuse does not
+    * fire across the references (the [[hits]] measurement), so any
+    * cadence ≥ 2 re-executes the un-cut round's joins up to 3× inside
+    * one job — round 9 measured cadence 1 at 6.5 s vs cadence 2 at
+    * 7.9 s at sf0.1, the same direction as the hits restructure. The
+    * earlier comparison against cadence 3 conflated this with job-launch
+    * overhead; per-round cuts of an edge-linear frame win both. */
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
-            checkpointEvery: Int = 2,
+            checkpointEvery: Int = 1,
             roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
     val und = edges.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
