@@ -683,9 +683,245 @@ object Similarity {
     emb(s, d).select(col("vec_id") +: col("label") +: pcs: _*)
   }
 
+  // ---- clustering & outlier analytics -----------------------------------
+
+  private val KmK = 8
+  private val KmIters = 3
+  private val KnnStride = 25
+  private val KnnK = 5
+
+  /** A trained centroid as a float-array SQL literal. `Float.toString`
+    * emits the shortest decimal that uniquely identifies the float, so
+    * parse-as-double → cast-to-float round-trips to the identical bits —
+    * the same literal-fold discipline as [[embeddingPcaProject]]'s weight
+    * arrays. */
+  private def floatArrayLit(v: Array[Float]): String =
+    v.map(x => s"CAST(${x.toString} AS FLOAT)").mkString("array(", ", ", ")")
+
+  /** Nearest-centroid assignment with the k-centroid model folded as
+    * LITERAL arrays: a pure per-row projection — no join, no broadcast,
+    * zero shuffles, one corpus scan (the [[embeddingPcaProject]]
+    * model-as-literals pattern; contrast [[assignClusters]], which
+    * broadcasts a C-row frame because IVF's C grows with √n while k here
+    * is a user constant). Argmin via `array_min` over (dist, cluster)
+    * structs = (dist asc, cluster asc) — the tie-break is deterministic
+    * on the 6-dp-rounded distance, so both engines pick the same cluster
+    * even when two centroids tie at the grid. */
+  private[graft] def assignKmLit(e: DataFrame, cs: Array[Array[Float]]): DataFrame = {
+    val cands = cs.zipWithIndex.map { case (c, j) =>
+      struct(expr(s"round(l2_sq(${floatArrayLit(c)}, embedding), 6)").as("dist"),
+        lit(j).as("cluster"))
+    }
+    e.withColumn("m", array_min(array(cands: _*)))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+  }
+
+  /** Euclidean Lloyd k-means fit: `iters` rounds seeded from the first k
+    * corpus vectors. Per round: ONE corpus scan (literal-fold assignment,
+    * see [[assignKmLit]]) feeding a (cluster, dim) partial aggregate that
+    * collapses to ≤ k×d rows before the exchange — driver model state is
+    * k×d floats BY CONSTRUCTION, never O(n). Means are rounded to the
+    * 6-dp grid each round (the [[trainCentroids]] cross-engine float
+    * discipline: summation-order noise ~1e-15 cannot survive the grid, so
+    * the DuckDB twin's unrolled CTEs reproduce the exact same centroids).
+    * Clusters that lose all members keep their previous centroid. */
+  private[graft] def kmeansFit(s: SparkSession, d: String,
+                               k: Int = KmK, iters: Int = KmIters): Array[Array[Float]] = {
+    val e = emb(s, d)
+    var cs: Array[Array[Float]] = e.where(col("vec_id") < k).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to iters) {
+      val means = assignKmLit(e, cs)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .collect() // ≤ k×64 rows — the model, driver-bounded by schema
+      val byCluster = means.groupBy(_.getInt(0))
+      cs = Array.tabulate(k) { j =>
+        byCluster.get(j).map { rows =>
+          val m = new Array[Float](cs(j).length)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+          m
+        }.getOrElse(cs(j))
+      }
+    }
+    cs
+  }
+
+  /** `embedding_kmeans` (oracled): cluster assignment + distance under
+    * the Lloyd-trained model — k=8, 3 rounds, seeds = first 8 vectors.
+    * The output query is a single projection over one corpus scan; the
+    * DuckDB twin unrolls the identical fit as CTEs (the pageRankSql
+    * convention for oracled fixpoints). */
+  def embeddingKmeans(s: SparkSession, d: String): DataFrame =
+    assignKmLit(emb(s, d), kmeansFit(s, d))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+
+  /** The DuckDB twin of [[embeddingKmeans]]: seeds → (assign, update) ×
+    * iters → final assignment, operation-identical per round — squared-L2
+    * folded sequentially in index order (`list_reduce` with the implicit
+    * first-element init is bit-equal to the kernel's acc=0 fold), means
+    * `round(avg, 6)` cast to REAL exactly like the Scala fit's
+    * `.toFloat`, empty clusters kept via the same LEFT JOIN + COALESCE. */
+  private[graft] def embeddingKmeansSql(k: Int = KmK, iters: Int = KmIters): String = {
+    def assignCte(a: String, c: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, embedding, cid, dist FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      round(list_reduce(list_transform(range(1, len(embedding) + 1),
+         |              i -> (ce[i]::DOUBLE - embedding[i]::DOUBLE)
+         |                 * (ce[i]::DOUBLE - embedding[i]::DOUBLE)), (x, y) -> x + y), 6) AS dist,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY round(list_reduce(list_transform(range(1, len(embedding) + 1),
+         |              i -> (ce[i]::DOUBLE - embedding[i]::DOUBLE)
+         |                 * (ce[i]::DOUBLE - embedding[i]::DOUBLE)), (x, y) -> x + y), 6), c.cid) AS rn
+         |    FROM e, $c c) WHERE rn = 1)""".stripMargin
+    def updateCte(m: String, cNew: String, a: String, cPrev: String): String =
+      s"""$m AS (
+         |  SELECT cid, u.dim, round(avg(u.v), 6) AS m
+         |  FROM (SELECT cid, unnest(embedding)::DOUBLE AS v,
+         |               generate_subscripts(embedding, 1) AS dim FROM $a) u
+         |  GROUP BY cid, u.dim),
+         |$cNew AS (
+         |  SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+         |  FROM $cPrev p LEFT JOIN (
+         |    SELECT cid, list_transform(list(m ORDER BY dim), x -> x::REAL) AS ce
+         |    FROM $m GROUP BY cid) n USING (cid))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      assignCte(s"a$t", s"c${t - 1}") + ",\n" +
+        updateCte(s"m$t", s"c$t", s"a$t", s"c${t - 1}")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id::INT AS cid, embedding AS ce FROM e WHERE vec_id < $k),
+       |$rounds,
+       |${assignCte("afinal", s"c$iters")}
+       |SELECT vec_id, CAST(cid AS INT) AS cluster, dist
+       |FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
+  /** `ann_knn_graph` (oracled): the k-NN graph construction primitive —
+    * top-5 cosine neighbors for every stride-25 probe node, plus a
+    * mutual-kNN flag (both endpoints in each other's top-5), the edge set
+    * graph-clustering and near-dup pipelines consume. Probes broadcast
+    * against ONE corpus scan; the per-probe top-k runs as
+    * WindowGroupLimit (each partition keeps its local top-5 before the
+    * exchange). The mutuality self-join runs on the RANKED frame —
+    * probes×5 rows, never corpus-sized — cut once (`localCheckpoint`) so
+    * the scored subtree isn't re-executed for the reverse side. At 100 TB
+    * the probe set is a partition-sized batch: the same plan, batched. */
+  /** The ranked (pre-cut) kNN frame — exposed so the plan spec can assert
+    * the WindowGroupLimit shape that [[annKnnGraph]]'s lineage cut hides
+    * (the IterativePlanSpec convention for checkpointed operators). */
+  private[graft] def knnRanked(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val probes = e.where(col("vec_id") % KnnStride === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("pe"))
+    val scored = e.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("src_id"))
+      .select(col("src_id"), col("vec_id").as("nbr_id"),
+        expr(cosFused("pe", "embedding")).as("cos"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= KnnK)
+      .select(col("src_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  def annKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val g = knnRanked(s, d)
+      .localCheckpoint() // probes×5 rows — bounded; reused for both sides
+    val rev = g.select(col("src_id").as("r_src"), col("nbr_id").as("r_nbr"))
+    g.join(broadcast(rev),
+        col("nbr_id") === col("r_src") && col("src_id") === col("r_nbr"),
+        "left_outer")
+      .select(col("src_id"), col("rank"), col("nbr_id"), col("cos"),
+        col("r_src").isNotNull.cast("int").as("mutual"))
+  }
+
+  val annKnnGraphSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |probes AS (SELECT vec_id AS src_id, embedding AS pe FROM e
+       |           WHERE vec_id % $KnnStride = 0),
+       |scored AS (
+       |  SELECT src_id, e.vec_id AS nbr_id,
+       |    round(
+       |      list_reduce(list_transform(range(1, len(embedding) + 1),
+       |                  i -> pe[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(range(1, len(pe) + 1),
+       |                  i -> pe[i]::DOUBLE * pe[i]::DOUBLE), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y))),
+       |      6) AS cos
+       |  FROM probes, e WHERE e.vec_id <> src_id),
+       |g AS (
+       |  SELECT src_id, nbr_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY src_id
+       |                                 ORDER BY cos DESC, nbr_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT g.src_id, g.rank, g.nbr_id, g.cos,
+       |       CASE WHEN r.src_id IS NOT NULL THEN 1 ELSE 0 END AS mutual
+       |FROM g LEFT JOIN g r
+       |  ON r.src_id = g.nbr_id AND r.nbr_id = g.src_id AND r.rank <= $KnnK
+       |WHERE g.rank <= $KnnK
+       |ORDER BY g.src_id, g.rank""".stripMargin
+
+  /** `embedding_outliers` (oracled): distance-to-centroid outlier flags —
+    * the embedding-space data-quality filter (mislabeled/corrupt vectors
+    * sit far from the corpus mean). Three bounded passes: (1) the per-dim
+    * mean, a 64-row aggregate collected and folded back as DOUBLE
+    * literals (model-as-literals again — no join); (2) a 1-row
+    * (avg, stddev) aggregate over the distances; (3) the flagging
+    * projection. Every pass is a full scan + schema-bounded aggregate —
+    * nothing corpus-sized ever reaches the driver, and the final pass is
+    * Scan → Project, zero exchanges. Distances fold sequentially in index
+    * order and land on the 6-dp grid, as does the μ+2σ threshold, so the
+    * integer flag is cross-engine stable. */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val mean = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val meanLits = mean.map(_.toString).mkString("array(", "D, ", "D)")
+    val distExpr = expr(
+      s"""round(sqrt(aggregate(zip_with(embedding, $meanLits,
+         |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)), 6)""".stripMargin)
+    val dists = e.select(col("vec_id"), col("label"), distExpr.as("dist"))
+    val Array(thrRow) = dists
+      .agg(round(avg(col("dist")) + lit(2) * stddev_samp(col("dist")), 6).as("thr"))
+      .collect()
+    val thr = thrRow.getDouble(0)
+    dists.withColumn("is_outlier", (col("dist") > lit(thr)).cast("int"))
+  }
+
+  val embeddingOutliersSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |m AS (
+      |  SELECT u.dim, round(avg(u.v), 6) AS m
+      |  FROM (SELECT unnest(embedding)::DOUBLE AS v,
+      |               generate_subscripts(embedding, 1) AS dim FROM e) u
+      |  GROUP BY u.dim),
+      |mv AS (SELECT list(m ORDER BY dim) AS mean FROM m),
+      |dists AS (
+      |  SELECT vec_id, label,
+      |    round(sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      |            i -> (embedding[i]::DOUBLE - mean[i])
+      |               * (embedding[i]::DOUBLE - mean[i])), (x, y) -> x + y)), 6) AS dist
+      |  FROM e, mv),
+      |st AS (SELECT round(avg(dist) + 2 * stddev_samp(dist), 6) AS thr FROM dists)
+      |SELECT vec_id, label, dist,
+      |       CASE WHEN dist > thr THEN 1 ELSE 0 END AS is_outlier
+      |FROM dists, st ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_gram" -> (embeddingGram _),
     "embedding_pca_project" -> (embeddingPcaProject _),
+    "embedding_kmeans" -> (embeddingKmeans _),
+    "embedding_outliers" -> (embeddingOutliers _),
+    "ann_knn_graph" -> (annKnnGraph _),
     "ann_topk" -> (annTopk _),
     "ann_topk_fused" -> (annTopkFused _),
     "ann_ivf" -> (annIvf _),
@@ -702,12 +938,18 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
     "ann_topk_fused" -> annTopkSql,
-    "embedding_gram" -> embeddingGramSql
+    "embedding_gram" -> embeddingGramSql,
+    "embedding_kmeans" -> embeddingKmeansSql(),
+    "embedding_outliers" -> embeddingOutliersSql,
+    "ann_knn_graph" -> annKnnGraphSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "embedding_gram" -> Seq(col("i"), col("j")),
     "embedding_pca_project" -> Seq(col("vec_id")),
+    "embedding_kmeans" -> Seq(col("vec_id")),
+    "embedding_outliers" -> Seq(col("vec_id")),
+    "ann_knn_graph" -> Seq(col("src_id"), col("rank")),
     "ann_topk" -> Seq(col("probe_id"), col("rank")),
     "ann_topk_fused" -> Seq(col("probe_id"), col("rank")),
     "ann_ivf" -> Seq(col("probe_id"), col("rank")),

@@ -40,4 +40,17 @@ object EmbeddingStreams {
     * the batch Gramian over the same rows — including shuffled,
     * multi-batch arrival — is asserted in EmbeddingStreamsSpec. */
   def gramStream(vecs: DataFrame): DataFrame = Similarity.gramOf(vecs)
+
+  /** Nearest-centroid assignment at ingest: every arriving vector is
+    * labeled with its cluster under a FIXED trained k-means model (the
+    * serve-path half of `embedding_kmeans` — train batch, assign
+    * streaming). The model folds into the plan as literal arrays exactly
+    * like the batch assignment ([[Similarity.assignKmLit]] — shared code,
+    * so batch/stream parity holds by construction), which makes this a
+    * pure per-row projection: NO state, no watermark, Append mode, and
+    * at 100 TB/day ingest the operator is embarrassingly parallel — each
+    * micro-batch partition scans once and writes once. */
+  def assignStream(vecs: DataFrame, model: Array[Array[Float]]): DataFrame =
+    Similarity.assignKmLit(vecs, model)
+      .select("vec_id", "label", "cluster", "dist")
 }

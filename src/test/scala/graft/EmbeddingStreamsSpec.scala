@@ -61,4 +61,34 @@ class EmbeddingStreamsSpec extends AnyFunSuite {
     assert(stateRows === 64L * 65 / 2,
       s"gram state should be d(d+1)/2 cells, got $stateRows")
   }
+
+  test("streaming assign: per-vector cluster labels equal the batch assignment, zero state") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+    val model = Similarity.kmeansFit(spark, sf)
+
+    val streamDir = Files.createTempDirectory("graft-assignstream").toString
+    vecs.where($"vec_id" % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    vecs.where($"vec_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val q = EmbeddingStreams.assignStream(
+        EmbeddingStreams.readEmbeddings(spark, streamDir, maxFilesPerTrigger = Some(1)),
+        model)
+      .writeStream.format("memory").queryName("emb_assign")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("emb_assign")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    val batch = Similarity.embeddingKmeans(spark, sf)
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // shared literal-fold projection => parity is EXACT, per vector
+    assert(streamed === batch)
+
+    // stateless by construction: the assignment keeps no streaming state
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows === 0L, s"assignment should keep zero state, got $stateRows")
+  }
 }

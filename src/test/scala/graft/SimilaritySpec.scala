@@ -147,6 +147,104 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairJoinCartesian, s"pair join is a cartesian:\n$p")
   }
 
+  test("embedding_kmeans: assignment is the rounded-grid argmin, Lloyd improves on the seeds") {
+    val model = Similarity.kmeansFit(spark, sf)
+    assert(model.length === 8)
+    model.foreach(c => assert(c.length === 64))
+    val got = Similarity.embeddingKmeans(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    assert(got.length === 500)
+    assert(got.forall(r => r._2 >= 0 && r._2 < 8))
+    // recompute every row's argmin from the collected model with the
+    // operator's exact arithmetic (index-order fold, 6-dp HALF_UP round):
+    // the literal-fold assignment must agree EXACTLY, ties to lowest cid
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def dists(v: Array[Float], cs: Array[Array[Float]]): Array[Double] =
+      cs.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < 64) { val d = c(i).toDouble - v(i).toDouble; acc += d * d; i += 1 }
+        r6(acc)
+      }
+    got.foreach { case (id, cl, dist) =>
+      val ds = dists(vecs(id), model)
+      val best = ds.zipWithIndex.minBy { case (dd, j) => (dd, j) }
+      assert(cl === best._2 && dist === best._1, s"vec $id")
+    }
+    // Lloyd guarantee: total within-cluster SSE under the trained model
+    // is no worse than under the raw seed centroids
+    val seeds = (0L until 8L).map(vecs).toArray
+    val seedInertia = vecs.values.map(v => dists(v, seeds).min).sum
+    val fitInertia = got.map(_._3).sum
+    assert(fitInertia <= seedInertia + 1e-6,
+      s"fit inertia $fitInertia vs seed inertia $seedInertia")
+    info(f"inertia: seeds $seedInertia%.2f -> fit $fitInertia%.2f over 3 rounds")
+    // the output query folds the model as literals: Scan -> Project,
+    // ZERO exchanges (the model collect happens during FIT, not here)
+    val plan = Similarity.embeddingKmeans(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+  }
+
+  test("ann_knn_graph: 5 ranked neighbors per stride probe, no self, mutual flag symmetric") {
+    val got = Similarity.annKnnGraph(spark, sf)
+      .as[(Long, Int, Long, Double, Int)].collect()
+    val probes = got.map(_._1).distinct
+    assert(probes.length === 20) // 500 vectors / stride 25
+    probes.foreach(p => assert(p % 25 === 0))
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to 5))
+      assert(!rows.exists(_._3 === src), s"probe $src returned itself")
+      rows.foreach(r => assert(r._4 >= -1.0 - 1e-9 && r._4 <= 1.0 + 1e-9))
+    }
+    // mutual flag = the reverse edge exists in the SAME ranked graph
+    val edges = got.map(r => (r._1, r._3)).toSet
+    got.foreach { case (s0, _, n0, _, m) =>
+      val expected = if (edges.contains((n0, s0))) 1 else 0
+      assert(m === expected, s"mutual flag on ($s0, $n0)")
+    }
+    // and mutuality is symmetric where both directions are present
+    val mutualPairs = got.filter(_._5 == 1).map(r => (r._1, r._3))
+    mutualPairs.foreach { case (a, b) =>
+      assert(got.exists(r => r._1 == b && r._3 == a && r._5 == 1))
+    }
+    // the lineage cut hides the ranked subplan from the output frame, so
+    // assert the top-k shape on the PRE-cut frame (IterativePlanSpec
+    // convention): per-probe top-5 as WindowGroupLimit, no cartesian
+    val p = Similarity.knnRanked(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embedding_outliers: flags realize the mu+2sigma contract, bounded fraction") {
+    val got = Similarity.embeddingOutliers(spark, sf)
+      .as[(Long, Int, Double, Int)].collect()
+    assert(got.length === 500)
+    got.foreach(r => assert(r._3 >= 0.0))
+    // recompute the threshold from the emitted distances: flags must
+    // realize dist > round(mu + 2*sigma, 6) exactly
+    val dists = got.map(_._3)
+    val mu = dists.sum / dists.length
+    val sd = math.sqrt(dists.map(x => (x - mu) * (x - mu)).sum / (dists.length - 1))
+    val thr = BigDecimal(mu + 2 * sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (id, _, d0, f) =>
+      assert(f === (if (d0 > thr) 1 else 0), s"vec $id: dist $d0 thr $thr")
+    }
+    // mu+2sigma flags a small tail (Chebyshev bounds it at 25%;
+    // empirically a few percent on this corpus)
+    val frac = got.count(_._4 == 1).toDouble / got.length
+    assert(frac < 0.10, s"outlier fraction $frac")
+    info(f"outliers: ${got.count(_._4 == 1)} of ${got.length} ($frac%.3f)")
+    // the flagging pass is Scan -> Project: zero exchanges (mean and
+    // threshold are driver-bounded literals by construction)
+    val plan = Similarity.embeddingOutliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"flagging pass shuffles:\n$plan")
+  }
+
   test("pca: orthonormal components, descending eigenvalues, variance = eigenvalue") {
     val k = 4
     val (n, mean, eigvals, comps) = Similarity.pcaFit(spark, sf, k)
