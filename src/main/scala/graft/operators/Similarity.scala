@@ -765,6 +765,28 @@ object Similarity {
     * first-element init is bit-equal to the kernel's acc=0 fold), means
     * `round(avg, 6)` cast to REAL exactly like the Scala fit's
     * `.toFloat`, empty clusters kept via the same LEFT JOIN + COALESCE. */
+  /** `embedding_cluster_profile` (oracled): per-cluster evaluation of the
+    * Lloyd model — size, majority ground-truth label + purity, mean
+    * assignment distance. ONE assignment scan: the (cluster, label)
+    * partial aggregate carries the label histogram AND the distance sums,
+    * then reduces to ≤ k rows; the majority label is a struct-max
+    * ((n desc, label asc) — deterministic on ties), never a sort. The
+    * whole result is k rows — the cluster-quality dashboard a training
+    * pipeline watches to decide whether its data mix drifted. */
+  def embeddingClusterProfile(s: SparkSession, d: String): DataFrame = {
+    val a = assignKmLit(emb(s, d), kmeansFit(s, d))
+    a.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n_vecs"),
+        max(struct(col("n").as("n"), (-col("label")).as("nl"))).as("m"),
+        round(sum(col("sd")) / sum(col("n")), 6).as("avg_dist"))
+      .select(col("cluster"), col("n_vecs"),
+        (-col("m.nl")).cast("int").as("top_label"),
+        round(col("m.n").cast("double") / col("n_vecs"), 6).as("purity"),
+        col("avg_dist"))
+  }
+
   private[graft] def embeddingKmeansSql(k: Int = KmK, iters: Int = KmIters): String = {
     def assignCte(a: String, c: String): String =
       s"""$a AS (
@@ -796,10 +818,34 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id::INT AS cid, embedding AS ce FROM e WHERE vec_id < $k),
        |$rounds,
-       |${assignCte("afinal", s"c$iters")}
+       |${assignCte("afinal", s"c$iters")}""".stripMargin
+  }
+
+  private[graft] def embeddingKmeansSqlFull(k: Int = KmK, iters: Int = KmIters): String =
+    s"""${embeddingKmeansSql(k, iters)}
        |SELECT vec_id, CAST(cid AS INT) AS cluster, dist
        |FROM afinal ORDER BY vec_id""".stripMargin
-  }
+
+  /** The DuckDB twin of [[embeddingClusterProfile]]: the same unrolled
+    * fit, then the (cluster, label) histogram + distance sums reduced per
+    * cluster; the majority pick is `row_number` over (n desc, label asc)
+    * — the same ordering as the Scala struct-max. */
+  private[graft] def embeddingClusterProfileSql(k: Int = KmK, iters: Int = KmIters): String =
+    s"""${embeddingKmeansSql(k, iters)},
+       |g1 AS (
+       |  SELECT cid, label, count(*) AS n, sum(dist) AS sd
+       |  FROM afinal a JOIN (SELECT vec_id, label FROM embeddings) l USING (vec_id)
+       |  GROUP BY cid, label),
+       |g2 AS (
+       |  SELECT cid, n, label, sd,
+       |         row_number() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn,
+       |         CAST(sum(n) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs,
+       |         sum(sd) OVER (PARTITION BY cid) AS sds
+       |  FROM g1)
+       |SELECT CAST(cid AS INT) AS cluster, n_vecs, CAST(label AS INT) AS top_label,
+       |       round(n::DOUBLE / n_vecs, 6) AS purity,
+       |       round(sds / n_vecs, 6) AS avg_dist
+       |FROM g2 WHERE rn = 1 ORDER BY cluster""".stripMargin
 
   /** `ann_knn_graph` (oracled): the k-NN graph construction primitive —
     * top-5 cosine neighbors for every stride-25 probe node, plus a
@@ -920,6 +966,7 @@ object Similarity {
     "embedding_gram" -> (embeddingGram _),
     "embedding_pca_project" -> (embeddingPcaProject _),
     "embedding_kmeans" -> (embeddingKmeans _),
+    "embedding_cluster_profile" -> (embeddingClusterProfile _),
     "embedding_outliers" -> (embeddingOutliers _),
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_topk" -> (annTopk _),
@@ -939,7 +986,8 @@ object Similarity {
     "ann_topk" -> annTopkSql,
     "ann_topk_fused" -> annTopkSql,
     "embedding_gram" -> embeddingGramSql,
-    "embedding_kmeans" -> embeddingKmeansSql(),
+    "embedding_kmeans" -> embeddingKmeansSqlFull(),
+    "embedding_cluster_profile" -> embeddingClusterProfileSql(),
     "embedding_outliers" -> embeddingOutliersSql,
     "ann_knn_graph" -> annKnnGraphSql
   )
@@ -948,6 +996,7 @@ object Similarity {
     "embedding_gram" -> Seq(col("i"), col("j")),
     "embedding_pca_project" -> Seq(col("vec_id")),
     "embedding_kmeans" -> Seq(col("vec_id")),
+    "embedding_cluster_profile" -> Seq(col("cluster")),
     "embedding_outliers" -> Seq(col("vec_id")),
     "ann_knn_graph" -> Seq(col("src_id"), col("rank")),
     "ann_topk" -> Seq(col("probe_id"), col("rank")),

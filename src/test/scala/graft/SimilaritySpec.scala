@@ -188,6 +188,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
   }
 
+  test("embedding_cluster_profile: sizes sum to n, purity realized from the assignment") {
+    val prof = Similarity.embeddingClusterProfile(spark, sf)
+      .as[(Int, Long, Int, Double, Double)].collect()
+    assert(prof.map(_._2).sum === 500L)
+    assert(prof.forall(p => p._4 > 0.0 && p._4 <= 1.0))
+    assert(prof.forall(p => p._5 >= 0.0))
+    // cross-check against the assignment query joined with labels: the
+    // profile must be exactly the (cluster, label) histogram's reduction
+    val assigned = Similarity.embeddingKmeans(spark, sf)
+      .join(Tables.load(spark, sf, "embeddings").select("vec_id", "label"), "vec_id")
+      .as[(Long, Int, Double, Int)].collect()
+    val byCluster = assigned.groupBy(_._2)
+    assert(prof.map(_._1).sorted.toSeq === byCluster.keys.toSeq.sorted)
+    prof.foreach { case (cl, nVecs, topLabel, purity, _) =>
+      val rows = byCluster(cl)
+      assert(nVecs === rows.length.toLong)
+      val hist = rows.groupBy(_._4).view.mapValues(_.length)
+      val (lbl, n) = hist.toSeq.maxBy { case (l, c) => (c, -l) }
+      assert(topLabel === lbl, s"cluster $cl majority label")
+      val expected = BigDecimal(n.toDouble / rows.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(purity === expected, s"cluster $cl purity")
+    }
+    info(prof.sortBy(_._1).map(p =>
+      f"c${p._1}: n=${p._2} top=${p._3} purity=${p._4}%.3f").mkString("  "))
+  }
+
   test("ann_knn_graph: 5 ranked neighbors per stride probe, no self, mutual flag symmetric") {
     val got = Similarity.annKnnGraph(spark, sf)
       .as[(Long, Int, Long, Double, Int)].collect()
