@@ -52,7 +52,16 @@ object Soak {
     import spark.implicits._
 
     // ---- fixture ---------------------------------------------------------
-    if (!new java.io.File(s"$out/_OK").exists()) {
+    // Fixture files are REPARTITIONED to one per core before writing:
+    // a single ~20 MB parquet file is one row group = ONE scan task, so
+    // every CPU-bound scoring pass would serialize onto one core and the
+    // soak would measure the layout, not the operator (first observed on
+    // ann_knn_graph: 44 s single-task vs ~3 s parallel for 16M cosines).
+    // At 100 TB the scan has thousands of row groups and this is free —
+    // locally it is exactly the file-sizing discipline sources/Compactor
+    // exists to enforce. (_OK2: layout-versioned marker — a pre-existing
+    // single-file fixture from an older soak must be rebuilt.)
+    if (!new java.io.File(s"$out/_OK2").exists()) {
       Tables.load(spark, base, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           explode(expr("sequence(0, 9)")).as("v"))
@@ -62,6 +71,7 @@ object Soak {
             .as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       Tables.load(spark, base, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"),
@@ -73,8 +83,9 @@ object Soak {
             |  ELSE (CAST(pmod(xxhash64(vec_id, v, j), 10000L) AS DOUBLE) / 100000.0 - 0.05)
             |  END AS FLOAT))""".stripMargin).as("embedding"))
         .select(col("vec_id_new").as("vec_id"), col("embedding"), col("label"))
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      new java.io.File(s"$out/_OK").createNewFile()
+      new java.io.File(s"$out/_OK2").createNewFile()
     }
     val nDocs = Tables.load(spark, out, "documents").count()
     val nVecs = Tables.load(spark, out, "embeddings").count()
@@ -278,6 +289,38 @@ object Soak {
     val (pF, pL, pRatio) = flatSeq(prTimes)
     check("lifecycle_flat_pagerank_20x", pRatio <= 1.5,
       f"20 swept pageRank runs flat: first-5 median $pF%.2f s, last-5 $pL%.2f s (ratio $pRatio%.2f)")
+
+    // ---- round-10 additions at 10×: clustering & outlier family ----------
+    // k-means at 20k vectors: the per-round cost is one scan + a ≤ k×d-row
+    // aggregate, so the fit must stay in seconds; the fixture's 10 noisy
+    // variants of each base vector land in ONE euclidean neighborhood, so
+    // cluster structure (sizes, inertia improvement) must persist at 10×.
+    val (km10, tKm) = timed {
+      val a = Similarity.embeddingKmeans(spark, out)
+        .select(col("cluster"), col("dist")).as[(Int, Double)].collect()
+      (a.length, a.map(_._1).distinct.length, a.map(_._2).sum)
+    }
+    val (n10, k10, inertia10) = km10
+    check("kmeans_fit_20k", n10 == nVecs && k10 >= 2 && tKm < 60,
+      f"$n10 vectors assigned to $k10 clusters in ${tKm}%.1f s " +
+        f"(inertia ${inertia10}%.1f; 3 Lloyd rounds, model k×64 floats)")
+    // outliers: the μ+2σ tail stays a TAIL at 20k (Chebyshev caps it at
+    // 25%; a blown threshold or degenerate mean would flag half the corpus)
+    val (outFrac, tOut) = timed {
+      val f = Similarity.embeddingOutliers(spark, out)
+        .agg(avg(col("is_outlier").cast("double"))).as[Double].collect()(0)
+      f
+    }
+    check("outliers_tail_20k", outFrac < 0.25 && tOut < 30,
+      f"outlier fraction $outFrac%.4f at ${nVecs} vectors (${tOut}%.1f s; " +
+        "3 schema-bounded passes)")
+    // kNN graph: probes scale with the corpus (stride 25 -> ~800 probes at
+    // 20k), 5 edges each; the batched-retrieval pass must stay linear —
+    // one corpus scan against a broadcast probe block.
+    val (knnRows, tKnn) = timed(Similarity.annKnnGraph(spark, out).count())
+    check("knn_graph_20k", knnRows == (nVecs / 25) * 5 && tKnn < 60,
+      f"$knnRows edges = ${nVecs / 25} probes × 5 in ${tKnn}%.1f s " +
+        "(one scan per probe block)")
 
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

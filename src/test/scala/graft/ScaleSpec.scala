@@ -164,6 +164,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.60, f"PQ recall collapsed at sf0.1: $recall%.3f (measured 0.625)")
   }
 
+  test("clustering family at sf0.1: kmeans covers, knn probes scale, outlier tail bounded") {
+    // embedding_kmeans: all 2000 vectors assigned, clusters nonempty at
+    // scale (the driver's sf0.1 hash gate pins exact values; this pins
+    // the structural contract where the gate is rerun less often)
+    val km = Similarity.embeddingKmeans(spark, sf01)
+      .as[(Long, Int, Double)].collect()
+    assert(km.length === 2000)
+    val sizes = km.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.keys.forall(c => c >= 0 && c < 8))
+    info(s"kmeans cluster sizes at sf0.1: ${sizes.toSeq.sortBy(_._1).mkString(", ")}")
+    // profile rows agree with the assignment's cluster set
+    val prof = Similarity.embeddingClusterProfile(spark, sf01)
+      .as[(Int, Long, Int, Double, Double)].collect()
+    assert(prof.map(_._1).sorted.toSeq === sizes.keys.toSeq.sorted)
+    assert(prof.map(_._2).sum === 2000L)
+    // ann_knn_graph: probe set scales with the corpus (stride 25 -> 80)
+    val knn = Similarity.annKnnGraph(spark, sf01)
+      .select("src_id").as[Long].collect()
+    assert(knn.length === 80 * 5)
+    // embedding_outliers: the mu+2sigma tail stays a tail
+    val frac = Similarity.embeddingOutliers(spark, sf01)
+      .agg(org.apache.spark.sql.functions.avg($"is_outlier".cast("double")))
+      .as[Double].collect()(0)
+    info(f"outlier fraction at sf0.1 = $frac%.4f")
+    assert(frac < 0.25, f"outlier tail blown at sf0.1: $frac%.3f")
+  }
+
   test("ann_ivf_pq recall@10 at sf0.1: composed misses stay near the PQ floor") {
     // the composed index misses when EITHER stage misses; since IVF
     // recall is ~0.93 here, the compose should track PQ's ~0.63 closely
