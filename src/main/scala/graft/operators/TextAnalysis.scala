@@ -809,6 +809,115 @@ object TextAnalysis {
       |FROM tf JOIN df USING (token), stats
       |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** `search_hybrid_rrf` (oracled): hybrid retrieval — reciprocal-rank
+    * fusion (Cormack et al.'s RRF, the standard production fusion rule) of
+    * the BM25 sparse ranking and a dense cosine ranking for one query
+    * (terms "vector stream filter"; dense query = vec 0's embedding, the
+    * ann-probe convention). RRF(d) = Σ_lists 1/(60 + rank_d), summed over
+    * the lists that retrieved d — rank-based, so the two lists'
+    * incomparable score scales never need calibration.
+    *
+    * Scale shape: each leg is its own already-scale-shaped operator
+    * ([[searchBm25]]: filtered-before-aggregate scan + broadcast stats;
+    * dense: broadcast 1-probe scan through the fused kernel with top-20 as
+    * TakeOrderedAndProject — never a corpus-wide window). The fusion then
+    * touches two ≤20-row frames: ranks assigned post-limit (the
+    * citation_top30 row_number-after-TakeOrdered shape), a full-outer join
+    * of 20×20 ids, one final top-10. Cross-engine: ranks are integers on
+    * rounded scores with id tie-breaks; 1/(60+rank) terms are added in
+    * written order on both engines; the fused score rounds to the grid. */
+  def searchHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val wS = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val sparse = searchBm25(s, d) // top-20 (doc_id, score), ordered
+      .withColumn("rank_sparse", row_number().over(wS).cast("int"))
+      .select(col("doc_id"), col("rank_sparse"))
+    val e = Tables.load(s, d, "embeddings")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val wD = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    val dense = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        expr("round(cosine_sim(pe, embedding), 6)").as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      .withColumn("rank_dense", row_number().over(wD).cast("int"))
+      .select(col("doc_id"), col("rank_dense"))
+    val wR = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0)).as("rs"),
+        coalesce(col("rank_dense"), lit(0)).as("rd"),
+        round(
+          when(col("rank_sparse").isNotNull,
+            lit(1.0) / (lit(60) + col("rank_sparse"))).otherwise(lit(0.0)) +
+          when(col("rank_dense").isNotNull,
+            lit(1.0) / (lit(60) + col("rank_dense"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(wR).cast("int"))
+      .select(col("rank"), col("doc_id"),
+        col("rs").as("rank_sparse"), col("rd").as("rank_dense"), col("rrf"))
+  }
+
+  val searchHybridRrfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS k, max(dl) AS dl
+      |  FROM toks WHERE token IN ('vector', 'stream', 'filter')
+      |  GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |           AS sum_dl
+      |  FROM documents),
+      |bm25 AS (
+      |  SELECT doc_id,
+      |         round(sum(
+      |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |           * (k * 2.2) / (k + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))
+      |         ), 6) AS score
+      |  FROM tf JOIN df USING (token), stats
+      |  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20),
+      |sparse AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+      |           AS rank_sparse
+      |  FROM bm25),
+      |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+      |densetop AS (
+      |  SELECT vec_id AS doc_id,
+      |    round(
+      |      list_reduce(list_transform(range(1, len(embedding) + 1),
+      |                  i -> pe[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_transform(range(1, len(pe) + 1),
+      |                  i -> pe[i]::DOUBLE * pe[i]::DOUBLE), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      |                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y))),
+      |      6) AS cos
+      |  FROM embeddings, probe
+      |  ORDER BY cos DESC, doc_id ASC LIMIT 20),
+      |dense AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+      |           AS rank_dense
+      |  FROM densetop),
+      |fused AS (
+      |  SELECT doc_id,
+      |         COALESCE(rank_sparse, 0) AS rank_sparse,
+      |         COALESCE(rank_dense, 0) AS rank_dense,
+      |         round(
+      |           CASE WHEN rank_sparse IS NOT NULL
+      |                THEN CAST(1.0 AS DOUBLE) / (60 + rank_sparse)
+      |                ELSE CAST(0.0 AS DOUBLE) END +
+      |           CASE WHEN rank_dense IS NOT NULL
+      |                THEN CAST(1.0 AS DOUBLE) / (60 + rank_dense)
+      |                ELSE CAST(0.0 AS DOUBLE) END, 6) AS rrf
+      |  FROM sparse FULL OUTER JOIN dense USING (doc_id)
+      |  ORDER BY rrf DESC, doc_id ASC LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+      |       doc_id, rank_sparse, rank_dense, rrf
+      |FROM fused ORDER BY rank""".stripMargin
+
   /** Per-document novelty: the fraction of a doc's DISTINCT word-3-gram
     * shingles that appear in no other document (corpus df = 1) — high
     * novelty marks original text, low novelty marks boilerplate or
@@ -862,6 +971,7 @@ object TextAnalysis {
     "doc_novelty" -> (docNovelty _),
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "search_bm25" -> ((s, d) => searchBm25(s, d)),
+    "search_hybrid_rrf" -> (searchHybridRrf _),
     "quality_threshold_filter" -> (qualityThresholdFilter _),
     "doc_chunks" -> ((s, d) => docChunks(s, d)),
     "quality_deciles" -> (qualityDeciles _),
@@ -885,6 +995,7 @@ object TextAnalysis {
     "doc_novelty" -> docNoveltySql,
     "inverted_index" -> invertedIndexSql,
     "search_bm25" -> searchBm25Sql,
+    "search_hybrid_rrf" -> searchHybridRrfSql,
     "quality_threshold_filter" -> qualityThresholdFilterSql,
     "doc_chunks" -> docChunksSql,
     "quality_deciles" -> qualityDecilesSql,
@@ -905,6 +1016,7 @@ object TextAnalysis {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "search_hybrid_rrf" -> Seq(col("rank")),
     "doc_novelty" -> Seq(col("doc_id")),
     "inverted_index" -> Seq(col("token")),
     "quality_threshold_filter" -> Seq(col("doc_id")),

@@ -71,6 +71,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "profile_documents", "profile_orders", "profile_corr",
     // ≤64-row bit-length-domain aggregate
     "doc_length_histogram",
+    // search_hybrid_rrf: the bm25 leg's 1-row corpus-stats aggregate
+    // (the q6 shape) plus the post-limit rank windows — global
+    // row_number over frames ALREADY capped at <= 20 rows by
+    // TakeOrderedAndProject (the citation_top30 shape)
+    "search_hybrid_rrf",
     // citation_hits: the LAST half-step's 1-row L2-norm aggregates stay
     // in the returned frame's lineage (the sparse restructure defers the
     // final division to the output zip; earlier rounds' norms are behind
@@ -148,6 +153,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q11: the 1-row global value-cutoff frame folded onto every
     // per-part value row (inequality predicate, so no hash join exists)
     "q11_important_parts",
+    // search_hybrid_rrf: inherits bm25's 1-row corpus-stats fold and
+    // adds the dense leg's 1-row probe-vector frame (the ann_topk shape)
+    "search_hybrid_rrf",
     // citation_hits: the final half-step's two 1-row L2-norm frames
     // folded into the output divisions (earlier rounds' folds are behind
     // checkpoint cuts and never reach this plan)

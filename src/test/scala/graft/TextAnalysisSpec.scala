@@ -56,6 +56,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(idx.exists(r => r._2 > 20 && r._3.split(",").length == 20))
   }
 
+  test("search_hybrid_rrf: fusion realized from the two legs' ranks, top-10 coherent") {
+    val got = TextAnalysis.searchHybridRrf(spark, sf)
+      .as[(Int, Long, Int, Int, Double)].collect()
+    assert(got.length === 10)
+    assert(got.map(_._1).toSeq === (1 to 10))
+    // every fused row cites at least one leg, and the RRF value is
+    // EXACTLY 1/(60+rs) + 1/(60+rd) over the cited legs (0-rank = absent)
+    got.foreach { case (_, id, rs, rd, rrf) =>
+      assert(rs > 0 || rd > 0, s"doc $id in neither leg")
+      assert(rs >= 0 && rs <= 20 && rd >= 0 && rd <= 20)
+      val expect = BigDecimal(
+        (if (rs > 0) 1.0 / (60 + rs) else 0.0) +
+        (if (rd > 0) 1.0 / (60 + rd) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf === expect, s"doc $id rrf")
+    }
+    // rrf non-increasing down the ranking, ties broken by doc_id
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 > b._5 || (a._5 === b._5 && a._2 < b._2))
+    }
+    // a doc ranked #1 by BOTH legs would dominate: verify the top fused
+    // doc is at least as good as any single-leg #1 could combine to
+    // (compare on the 6-dp grid the operator emits)
+    assert(got.head._5 >= 0.016393 - 1e-9)
+    // leg ranks are consistent with the standalone bm25 top-20
+    val bm25 = TextAnalysis.searchBm25(spark, sf).as[(Long, Double)].collect()
+    val bmRank = bm25.sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    got.foreach { case (_, id, rs, _, _) =>
+      assert(rs === bmRank.getOrElse(id, 0), s"doc $id sparse rank")
+    }
+  }
+
   test("search_bm25: driver-side recompute matches; k=20 rows, descending scores") {
     val got = TextAnalysis.searchBm25(spark, sf).as[(Long, Double)].collect()
     assert(got.length === 20)
