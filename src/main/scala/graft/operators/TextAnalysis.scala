@@ -646,6 +646,81 @@ object TextAnalysis {
           .as("lp_per_tok"))
   }
 
+  /** `quality_bigram_logprob` (oracled): per-doc mean log-probability
+    * under a Laplace-smoothed CONDITIONAL bigram LM fit on the corpus
+    * itself — P(w|v) = (c(v,w) + 1) / (c(v·) + V), the one-step-up
+    * perplexity-style quality filter next to [[qualityUnigramLogprob]]
+    * (a doc of common words in UNCOMMON order scores well there but
+    * poorly here — word-salad detection, the Gopher/C4-family signal).
+    * c(v·) is the bigram-prefix total (Σ_w c(v,w)), so P(·|v) sums to
+    * (c(v·) + observed types)/(c(v·) + V) ≤ 1 — a proper smoothed model.
+    *
+    * Float discipline: per-bigram logp rounds to 9 dp and is summed per
+    * doc in DECIMAL(18,9) — EXACT arithmetic, so the per-doc sum has no
+    * summation-order exposure at all (the unigram's house trick); the
+    * only float ops are the ln of exact-integer ratios (identical
+    * operation order both engines) and the final /n + round(6).
+    *
+    * Scale shape: ONE corpus scan feeds the (doc, bigram) counts; the
+    * corpus bigram table re-aggregates from those rows (ReuseExchange),
+    * the prefix totals re-aggregate from the bigram table, and V is a
+    * 1-row broadcast. Everything joins hash-partitioned on the bigram /
+    * prefix keys; nothing corpus-sized funnels to one partition. */
+  def qualityBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val db = Tables.load(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |                 i -> concat_ws(' ', slice(ws, i, 2)))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin)).as("bg"))
+    val dbk = db.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    val big = dbk.groupBy(col("bg")).agg(sum(col("k")).as("cvw"))
+    val pre = big
+      .groupBy(expr("split(bg, ' ')[0]").as("v")).agg(sum(col("cvw")).as("cv"))
+    val vocab = Tables.load(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("vsz"))
+    val logp = big.withColumn("v", expr("split(bg, ' ')[0]"))
+      .join(pre, Seq("v"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        round(log((col("cvw") + lit(1)).cast("double")
+          / (col("cv") + col("vsz")).cast("double")), 9)
+          .cast("decimal(18,9)").as("logp"))
+    dbk.join(logp, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k").cast("decimal(18,0)") * col("logp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("lp2_per_bigram"))
+  }
+
+  val qualityBigramLogprobSql: String =
+    """WITH db AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |dbk AS (SELECT doc_id, bg, count(*) AS k FROM db GROUP BY 1, 2),
+      |big AS (SELECT bg, CAST(sum(k) AS BIGINT) AS cvw FROM dbk GROUP BY 1),
+      |pre AS (SELECT string_split(bg, ' ')[1] AS v, CAST(sum(cvw) AS BIGINT) AS cv
+      |        FROM big GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT tok) AS vsz
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |logp AS (
+      |  SELECT bg,
+      |    CAST(round(ln(CAST(cvw + 1 AS DOUBLE) / CAST(cv + vsz AS DOUBLE)), 9)
+      |         AS DECIMAL(18,9)) AS logp
+      |  FROM big JOIN pre ON string_split(big.bg, ' ')[1] = pre.v, vocab)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |       round(CAST(sum(CAST(k AS DECIMAL(18,0)) * logp) AS DOUBLE)
+      |             / CAST(sum(k) AS DOUBLE), 6) AS lp2_per_bigram
+      |FROM dbk JOIN logp USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qualityUnigramLogprobSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -988,7 +1063,8 @@ object TextAnalysis {
     "lang_id_eval" -> (langIdEval _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_length_histogram" -> (docLengthHistogram _),
-    "quality_unigram_logprob" -> (qualityUnigramLogprob _)
+    "quality_unigram_logprob" -> (qualityUnigramLogprob _),
+    "quality_bigram_logprob" -> (qualityBigramLogprob _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1012,7 +1088,8 @@ object TextAnalysis {
     "lang_id_eval" -> langIdEvalSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_length_histogram" -> docLengthHistogramSql,
-    "quality_unigram_logprob" -> qualityUnigramLogprobSql
+    "quality_unigram_logprob" -> qualityUnigramLogprobSql,
+    "quality_bigram_logprob" -> qualityBigramLogprobSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -1032,6 +1109,7 @@ object TextAnalysis {
     "lang_id_eval" -> Seq(col("lang"), col("pred_lang")),
     "doc_fingerprint" -> Seq(col("doc_id")),
     "doc_length_histogram" -> Seq(col("bucket")),
-    "quality_unigram_logprob" -> Seq(col("doc_id"))
+    "quality_unigram_logprob" -> Seq(col("doc_id")),
+    "quality_bigram_logprob" -> Seq(col("doc_id"))
   )
 }

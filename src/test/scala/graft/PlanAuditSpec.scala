@@ -54,6 +54,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "mix_temperature", "quality_unigram_logprob", "q6_forecast_revenue",
     "layout_zorder", "citation_triangles", "search_bm25",
     "quality_threshold_filter", "quality_deciles",
+    // quality_bigram_logprob: the 1-row vocabulary-size aggregate (the
+    // quality_unigram_logprob corpus-total shape)
+    "quality_bigram_logprob",
     // q19's 1-row global revenue aggregate; q22's 1-row exact-ingredient
     // average (both the q6 scalar-aggregate shape)
     "q19_discounted_revenue", "q22_lost_customers",
@@ -153,6 +156,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q11: the 1-row global value-cutoff frame folded onto every
     // per-part value row (inequality predicate, so no hash join exists)
     "q11_important_parts",
+    // quality_bigram_logprob: the 1-row vocabulary-size frame folded
+    // onto every corpus bigram (the unigram corpus-total shape)
+    "quality_bigram_logprob",
     // search_hybrid_rrf: inherits bm25's 1-row corpus-stats fold and
     // adds the dense leg's 1-row probe-vector frame (the ann_topk shape)
     "search_hybrid_rrf",

@@ -56,6 +56,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(idx.exists(r => r._2 > 20 && r._3.split(",").length == 20))
   }
 
+  test("quality_bigram_logprob: conditional-LM recompute matches to the decimal grid") {
+    val got = TextAnalysis.qualityBigramLogprob(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .as[(Long, Seq[String])].collect()
+    assert(got.length === docs.count(_._2.length >= 2))
+    // corpus model recomputed driver-side with the operator's exact
+    // arithmetic: Laplace P(w|v) = (c(v,w)+1)/(c(v·)+V), logp rounded to
+    // the 9-dp DECIMAL grid, per-doc sum exact, final /n + round(6)
+    val bigs = docs.flatMap(_._2.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val cvw = bigs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cv = bigs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val vsz = docs.flatMap(_._2).distinct.length.toLong
+    val gotMap = got.map(r => r._1 -> (r._2, r._3)).toMap
+    docs.filter(_._2.length >= 2).foreach { case (id, ws) =>
+      val bl = ws.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq
+      val sum = bl.map { b =>
+        BigDecimal(math.log((cvw(b) + 1.0) / (cv(b._1) + vsz)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expect = BigDecimal(sum.toDouble / bl.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gotMap(id)._1 === bl.length.toLong, s"doc $id n_bigrams")
+      assert(gotMap(id)._2 === expect, s"doc $id lp2")
+    }
+    // all log-probs strictly negative: smoothing keeps P(w|v) < 1
+    assert(got.forall(_._3 < 0.0))
+  }
+
   test("search_hybrid_rrf: fusion realized from the two legs' ranks, top-10 coherent") {
     val got = TextAnalysis.searchHybridRrf(spark, sf)
       .as[(Int, Long, Int, Int, Double)].collect()
