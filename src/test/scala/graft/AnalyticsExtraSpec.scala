@@ -153,15 +153,22 @@ class AnalyticsExtraSpec extends AnyFunSuite {
       .collect().sorted.toSeq
     assert(got === Seq(("a", "a"), ("b", "a"), ("c", "a"),
       ("x", "x"), ("y", "x")))
-    // fixpoint on real sf0.001 edges: one extra round changes nothing
+    // the semantic FIXPOINT property on real sf0.001 edges (the
+    // convergence loop already exited on a no-change round; this asserts
+    // the object it converged TO is the true component labeling — the
+    // condition under which the shortcut-hop loop and the oracle's plain
+    // 10-round propagation provably coincide): endpoints agree across
+    // every edge, labels are component minima, labels are idempotent
     val e = Citations.edges(spark, sf)
-    val r10 = Citations.components(e).as[(String, String)].collect().toSet
-    val r11 = Citations.components(e, rounds = 11)
-      .as[(String, String)].collect().toSet
-    assert(r11 === r10)
-    // every node labels to a component member <= itself; label count is
-    // the component count and every component's label is its min member
-    assert(r10.forall { case (id, label) => label <= id })
+    val r = Citations.components(e).as[(String, String)].collect()
+    val lab = r.toMap
+    assert(r.forall { case (id, label) => label <= id })
+    assert(r.forall { case (_, label) => lab(label) === label })
+    Citations.edges(spark, sf).as[(String, String)].collect()
+      .filter(p => p._1 != p._2)
+      .foreach { case (a, b) =>
+        assert(lab(a) === lab(b), s"edge ($a, $b) spans two labels")
+      }
   }
 
   test("kCore: hand fixture — triangle survives, pendant chain peels off; fixpoint inside cap") {

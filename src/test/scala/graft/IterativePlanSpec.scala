@@ -104,16 +104,19 @@ class IterativePlanSpec extends AnyFunSuite {
     assert(bnlj(plan) === 1, s"ppr dangling fold changed:\n$plan")
   }
 
-  test("components round: message join + zip join, nothing else") {
+  test("components round: message join + zip join carrying the chg flag, nothing else") {
     val e = Citations.edges(spark, sf)
-    val plans = capture(p => Citations.components(e, rounds = 2, roundProbe = p))
+    val plans = capture(p => Citations.components(e, roundProbe = p))
     for (r <- Seq(1, 2)) {
       auditCommon("components", plans(r))
       // min-message join (und ⋈ labels, hash-building the node-scale
-      // label side) + the node-scale zip — labels are cut every round,
-      // so neither reference re-executes a join subtree
+      // label side) + the node-scale zip — the convergence flag rides
+      // the zip's projection (no third frame, no extra join), and the
+      // edge-scale message aggregate appears exactly once
       assert(equiJoins(plans(r)) === 2, s"components round joins changed:\n${plans(r)}")
       assert(bnlj(plans(r)) === 0, s"components grew a nested-loop join:\n${plans(r)}")
+      assert("partial_min".r.findAllIn(plans(r)).size === 1,
+        s"components round duplicated the message subtree:\n${plans(r)}")
     }
   }
 
