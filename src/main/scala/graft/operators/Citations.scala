@@ -644,16 +644,28 @@ object Citations {
        |FROM r$iterations ORDER BY paper_id""".stripMargin
   }
 
-  /** k-core of the undirected citation graph by fixed-round peeling
-    * (Seidman, Social Networks 5, 1983): repeatedly drop every node whose
-    * degree in the SURVIVING subgraph is below k; what remains after
-    * convergence is the k-core, the standard "dense backbone" extraction.
-    * The query semantic is "`rounds` peel iterations", mirrored exactly in
-    * the oracle; at test scales the peel converges well inside the cap
-    * (fixpoint asserted in AnalyticsExtraSpec by running one extra round),
-    * so the capped query IS the k-core there. Everything is integer
-    * arithmetic on exact degree counts — no float discipline needed, the
-    * hash oracle is exact by construction.
+  /** k-core of the undirected citation graph by peeling (Seidman, Social
+    * Networks 5, 1983): repeatedly drop every node whose degree in the
+    * SURVIVING subgraph is below k; what remains at convergence is the
+    * k-core, the standard "dense backbone" extraction. The loop runs to
+    * DETECTED convergence (≤ `rounds`, throws beyond — the components
+    * discipline): semi-joins only ever REMOVE edges, so an unchanged
+    * edge COUNT on the round's checkpoint proves an unchanged edge SET —
+    * convergence detection is one count on a frame the loop
+    * materializes anyway, no extra join, no flag column. Measured: the
+    * sf0.1 peel converges after ONE round (degree-1 fringe only, no
+    * cascade), so the previous fixed-8 loop spent 7 rounds on no-ops —
+    * 6.4 s of which the detection loop keeps ~2 (the hand fixture in
+    * AnalyticsExtraSpec still exercises a 2-cascade peel). Everything is
+    * integer arithmetic on exact degree counts — no float discipline
+    * needed, the hash oracle exact by construction.
+    *
+    * ORACLE VALIDITY: the DuckDB twin stays the peel unrolled to 8
+    * MATERIALIZED rounds ([[kCoreSql]]); extra oracle rounds on a
+    * converged frame are no-ops by the same only-removes argument, so
+    * both engines emit the unique k-core whenever Spark's loop converges
+    * inside the cap (it throws otherwise) and the cap covers the
+    * oracle's 8 (verified: round-1 convergence at sf0.01 AND sf0.1).
     *
     * Scale shape: each round is ONE degree aggregate (both endpoints
     * unioned, map-side combine collapses to distinct nodes per partition
@@ -663,14 +675,13 @@ object Citations {
     * is cut EVERY round with each superseded cut released immediately
     * (graft.Blocks): a round references its predecessor THREE times
     * (degree scan + two semi-join probes) and exchange reuse does not
-    * fire across the references (the [[hits]] measurement), so any
-    * cadence ≥ 2 re-executes the un-cut round's joins up to 3× inside
-    * one job — round 9 measured cadence 1 at 6.5 s vs cadence 2 at
-    * 7.9 s at sf0.1, the same direction as the hits restructure. The
-    * earlier comparison against cadence 3 conflated this with job-launch
-    * overhead; per-round cuts of an edge-linear frame win both. */
+    * fire across the references (the [[hits]] measurement). NO
+    * shuffle_hash hint on the semi-joins, unlike pageRank/hits —
+    * measured: hinted ran 14.9 s vs 8.0 s sort-merge at sf0.1; this e
+    * SHRINKS every round and both joins key on it, so sort-merge
+    * amortizes one sort of the surviving frame while SHJ re-hashes both
+    * sides every round. */
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
-            checkpointEvery: Int = 1,
             roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
     val und = edges.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
@@ -678,29 +689,30 @@ object Citations {
       .distinct()
     var e = und.localCheckpoint()
     var lastCut = e
-    for (i <- 1 to rounds) {
+    var prevEdges = e.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < rounds) {
+      i += 1
       val ok = e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select(col("node"))
-      // NO shuffle_hash hint here, unlike pageRank/hits — measured: the
-      // hinted semi-joins ran 14.9 s vs 8.0 s for sort-merge at sf0.1.
-      // The asymmetry is real: this e SHRINKS every round and both joins
-      // key on it, so the sort-merge path amortizes one sort of the
-      // surviving frame across the peel, while SHJ re-hashes both sides
-      // every round.
       val next = e
         .join(ok.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(ok.select(col("node").as("b")), Seq("b"), "left_semi")
       roundProbe(i, next)
-      e = if (i % checkpointEvery == 0 || i == rounds) {
-        val cut = next.localCheckpoint() // eager — materialized before release
-        graft.Blocks.release(lastCut)
-        lastCut = cut
-        cut
-      } else next
+      val cut = next.localCheckpoint() // eager — materialized before release
+      val n = cut.count() // checkpoint scan; = edge set equality (see doc)
+      graft.Blocks.release(lastCut)
+      lastCut = cut
+      e = cut
+      converged = n == prevEdges
+      prevEdges = n
     }
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not converge in $rounds peel rounds; raise the cap")
     e.select(col("a").as("paper_id")).unionAll(e.select(col("b").as("paper_id")))
       .groupBy(col("paper_id")).agg(count(lit(1)).as("core_deg"))
   }

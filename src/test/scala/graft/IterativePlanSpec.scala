@@ -65,7 +65,7 @@ class IterativePlanSpec extends AnyFunSuite {
 
   test("kCore round: 1 degree aggregate + 2 semi-joins, no scalar folds") {
     val e = Citations.edges(spark, sf)
-    val plans = capture(p => Citations.kCore(e, rounds = 2, roundProbe = p))
+    val plans = capture(p => Citations.kCore(e, roundProbe = p))
     val plan = plans(1)
     auditCommon("kCore", plan)
     assert(equiJoins(plan) === 2, s"kCore round joins changed:\n$plan")
