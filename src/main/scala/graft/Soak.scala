@@ -322,6 +322,55 @@ object Soak {
       f"$knnRows edges = ${nVecs / 25} probes × 5 in ${tKnn}%.1f s " +
         "(one scan per probe block)")
 
+    // ---- round-9 closing additions at 10×: graph stats & quantizer -------
+    // components: ten disjoint suffix-tagged copies → node rows AND
+    // distinct component labels must both scale by exactly 10.
+    val ccBaseRows = Citations.components(Citations.edges(spark, base)).count()
+    val ccBaseComps = Citations.components(Citations.edges(spark, base))
+      .select(col("component")).distinct().count()
+    val ((cc10Rows, cc10Comps), tCc10) = timed {
+      val c = Citations.components(edges10).localCheckpoint()
+      val r = (c.count(), c.select(col("component")).distinct().count())
+      Blocks.release(c); r
+    }
+    check("components_10x", cc10Rows == 10 * ccBaseRows && cc10Comps == 10 * ccBaseComps,
+      f"$cc10Rows labeled nodes == 10 × $ccBaseRows, $cc10Comps components " +
+        f"== 10 × $ccBaseComps (~6M edges, ${tCc10}%.1f s)")
+
+    // assortativity: copying the graph 10× scales every moment by 10, so
+    // the correlation coefficient is INVARIANT (and m scales exactly).
+    val (mB, rB) = Citations.citationAssortativity(Citations.edges(spark, base))
+      .as[(Long, Double)].collect().head
+    val ((m10, r10), tAs) = timed(
+      Citations.citationAssortativity(edges10).as[(Long, Double)].collect().head)
+    check("assortativity_10x", m10 == 10 * mB && math.abs(r10 - rB) <= 1e-6,
+      f"r $r10%.6f == base $rB%.6f under 10× copying; m $m10 == 10 × $mB (${tAs}%.1f s)")
+
+    // jaccard link prediction: per-copy scores are preserved, so the 10×
+    // top-30's scores must all exist in the base score set, led by the
+    // same maximum.
+    val jacBase = Citations.linkPredictJaccard(Citations.edges(spark, base))
+      .select(col("jaccard")).as[Double].collect()
+    val (jac10, tJac) = timed(Citations.linkPredictJaccard(edges10)
+      .select(col("jaccard")).as[Double].collect())
+    check("jaccard_10x", jac10.length == 30 && jac10.head == jacBase.head &&
+        jac10.forall(jacBase.toSet),
+      f"top-30 at ~6M edges led by base max ${jacBase.head}%.6f, every score " +
+        f"from the base score set (${tJac}%.1f s)")
+
+    // int8 quantizer at 20k vectors: one summary row per vector, the
+    // per-dim corpus max saturating somewhere, and the serve-path model
+    // still 64 scales of driver state.
+    val (qz, tQz) = timed {
+      val rows = Similarity.embeddingQuantize(spark, out)
+        .select(col("n_sat")).as[Long].collect()
+      (rows.length.toLong, rows.sum)
+    }
+    check("quantize_20k", qz._1 == nVecs && qz._2 >= 1L &&
+        Similarity.quantizeScales(spark, out).length == 64,
+      f"${qz._1} vectors quantized, ${qz._2} saturated dims total, " +
+        f"64-scale model (${tQz}%.1f s)")
+
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "08")

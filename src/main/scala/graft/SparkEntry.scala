@@ -49,6 +49,10 @@ object SparkEntry {
       Citations.citationLocalClustering(Citations.edges(s, d))),
     "citation_link_predict" -> ((s, d) =>
       Citations.linkPredictRa(Citations.edges(s, d))),
+    "citation_jaccard" -> ((s, d) =>
+      Citations.linkPredictJaccard(Citations.edges(s, d))),
+    "citation_assortativity" -> ((s, d) =>
+      Citations.citationAssortativity(Citations.edges(s, d))),
     // 8 peel rounds: convergence inside the cap asserted in
     // AnalyticsExtraSpec by running one extra round
     "citation_kcore" -> ((s, d) => Citations.kCore(Citations.edges(s, d))),
@@ -74,6 +78,8 @@ object SparkEntry {
     "citation_triangles" -> Citations.citationTrianglesSql,
     "citation_local_clustering" -> Citations.citationLocalClusteringSql,
     "citation_link_predict" -> Citations.linkPredictRaSql,
+    "citation_jaccard" -> Citations.linkPredictJaccardSql,
+    "citation_assortativity" -> Citations.citationAssortativitySql,
     "citation_kcore" -> Citations.kCoreSql(),
     "citation_hits" -> Citations.hitsSql(iterations = 6),
     // a float fixpoint CAN be oracled when the iteration count is fixed

@@ -343,6 +343,132 @@ object Citations {
       |                    AND l.paper_b = scored.paper_b)
       |ORDER BY ra_score DESC, paper_a, paper_b LIMIT 30""".stripMargin
 
+  /** Degree assortativity of the citation graph — the Pearson correlation
+    * between a citing paper's out-degree and the cited paper's in-degree,
+    * taken over every edge (Newman, Phys. Rev. Lett. 89, 2002). Negative
+    * r means hubs cite niche papers (disassortative, the common shape of
+    * citation networks); a single scalar that profiles the whole graph.
+    *
+    * Float discipline: every moment (Σx, Σy, Σx², Σy², Σxy and the edge
+    * count) accumulates EXACTLY — Spark in DECIMAL(38,0), DuckDB in its
+    * native 128-bit HUGEINT (the [[graft.operators.EventAnalytics
+    * .eventsAnomaly]] convention) — so the only float ops are the final
+    * fixed-order covariance/variance ratio, identical in both engines.
+    *
+    * Scale shape: two degree aggregates (map-side combined), two
+    * hash-joins keyed on the edge endpoints (high-cardinality, evenly
+    * spread), then ONE global moment aggregate whose partial rows are a
+    * single 6-number tuple per partition — the driver sees O(partitions),
+    * never O(edges). Nothing quadratic, nothing funnelled. */
+  def citationAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("x"))
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val s = e.join(outDeg, Seq("src")).join(inDeg, Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    s.select(col("m").as("n_edges"),
+      round((dec(col("m")) * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt((dec(col("m")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((dec(col("m")) * col("syy") - col("sy") * col("sy")).cast("double"))),
+        6).as("assortativity"))
+  }
+
+  val citationAssortativitySql: String =
+    """WITH e AS (SELECT CAST(l_orderkey AS VARCHAR) AS src,
+      |                  CAST(l_partkey AS VARCHAR) AS dst
+      |           FROM lineitem WHERE l_orderkey <> l_partkey),
+      |od AS (SELECT src, count(*) AS x FROM e GROUP BY 1),
+      |id AS (SELECT dst, count(*) AS y FROM e GROUP BY 1),
+      |s AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      |      FROM e JOIN od USING (src) JOIN id USING (dst))
+      |SELECT CAST(m AS BIGINT) AS n_edges,
+      |       round(CAST(m*sxy - sx*sy AS DOUBLE)
+      |             / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+      |                * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6)
+      |         AS assortativity
+      |FROM s""".stripMargin
+
+  /** Link prediction by the Jaccard coefficient — |N(a)∩N(b)| /
+    * |N(a)∪N(b)| over in-neighbor (citer) SETS, the classic
+    * neighborhood-overlap score next to [[linkPredictRa]]'s
+    * degree-weighted one (Liben-Nowell & Kleinberg, CIKM 2003). Set
+    * semantics, so the edge list dedupes FIRST (an order citing the same
+    * paper on two lines is one neighbor relation), unlike RA/co-citation
+    * which deliberately count multiplicity.
+    *
+    * Determinism: the score is ONE correctly-rounded IEEE division of two
+    * exact integers (the union size computed in integer arithmetic) —
+    * bit-identical across engines, no transcendentals, no float sums.
+    *
+    * Scale shape: same capped pair expansion as [[coCitationTopk]]
+    * (sources above `maxOutDegree` dropped first — the cap is the
+    * operator contract, mirrored in the oracle); neighbor-set sizes are
+    * measured WITHIN the capped frame so the intersection and the sizes
+    * count the same universe. The capped frame pins once; pairs group on
+    * the canonical (a, b) key; top-30 plans as TakeOrderedAndProject. */
+  def linkPredictJaccard(edges: DataFrame, maxOutDegree: Int = 100): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val f = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") <= maxOutDegree), Seq("src"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val nb = f.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    val a = f.select(col("src"), col("dst").as("paper_a"))
+    val b = f.select(col("src"), col("dst").as("paper_b"))
+    val linked = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("paper_a"),
+        greatest(col("src"), col("dst")).as("paper_b"))
+      .distinct()
+    a.hint("shuffle_hash").join(b, Seq("src"))
+      .where(col("paper_a") < col("paper_b"))
+      .groupBy(col("paper_a"), col("paper_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(linked, Seq("paper_a", "paper_b"), "left_anti")
+      .join(nb.select(col("dst").as("paper_a"), col("d").as("da")), Seq("paper_a"))
+      .join(nb.select(col("dst").as("paper_b"), col("d").as("db")), Seq("paper_b"))
+      .select(col("paper_a"), col("paper_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("da") + col("db") - col("n_common")).cast("double"), 9)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("paper_a"), col("paper_b"))
+      .limit(30)
+  }
+
+  val linkPredictJaccardSql: String =
+    """WITH e AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,
+      |                  CAST(l_partkey AS VARCHAR) AS dst
+      |           FROM lineitem WHERE l_orderkey <> l_partkey),
+      |deg AS (SELECT src FROM e GROUP BY 1 HAVING count(*) <= 100),
+      |f AS (SELECT e.src, e.dst FROM e JOIN deg USING (src)),
+      |nb AS (SELECT dst, count(*) AS d FROM f GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.dst AS paper_a, b.dst AS paper_b, count(*) AS n_common
+      |  FROM f a JOIN f b ON a.src = b.src AND a.dst < b.dst
+      |  GROUP BY 1, 2),
+      |linked AS (SELECT DISTINCT least(src, dst) AS paper_a,
+      |                  greatest(src, dst) AS paper_b
+      |           FROM (SELECT CAST(l_orderkey AS VARCHAR) AS src,
+      |                        CAST(l_partkey AS VARCHAR) AS dst
+      |                 FROM lineitem WHERE l_orderkey <> l_partkey))
+      |SELECT paper_a, paper_b, n_common,
+      |       round(CAST(n_common AS DOUBLE)
+      |             / CAST(na.d + nbd.d - n_common AS DOUBLE), 9) AS jaccard
+      |FROM pairs
+      |JOIN nb na ON na.dst = pairs.paper_a
+      |JOIN nb nbd ON nbd.dst = pairs.paper_b
+      |WHERE NOT EXISTS (SELECT 1 FROM linked l
+      |                  WHERE l.paper_a = pairs.paper_a
+      |                    AND l.paper_b = pairs.paper_b)
+      |ORDER BY jaccard DESC, paper_a, paper_b LIMIT 30""".stripMargin
+
   val citationTrianglesSql: String =
     """WITH e AS (SELECT CAST(l_orderkey AS VARCHAR) AS src,
       |                  CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),

@@ -160,10 +160,67 @@ object Profiling {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** Shannon entropy (nats) of one categorical column: counts → p = n/N →
+    * −Σ p·ln p. The float discipline is the logprob convention
+    * ([[TextAnalysis.qualityUnigramLogprob]]): each p·ln p term is rounded
+    * once at 9 dp and fixed as DECIMAL(18,9), the per-column sum runs in
+    * exact decimal arithmetic (order-free), and only the final negated
+    * total returns to double (round 6). Scale shape: the value counts are
+    * the only corpus-sized aggregate (map-side combined on a
+    * low-cardinality categorical key); the total re-aggregates from the
+    * counts and rides a broadcast 1-row frame; the final global aggregate
+    * sees one row per DISTINCT VALUE — bounded by the column's
+    * cardinality, not the data. */
+  private def entropyOf(df: DataFrame, name: String, c: String): DataFrame = {
+    val counts = df.groupBy(col(c).cast("string").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("n_total"))
+    val p = col("n").cast("double") / col("n_total")
+    counts.crossJoin(broadcast(total))
+      .select(col("n"), col("n_total"),
+        round(p * log(p), 9).cast("decimal(18,9)").as("term"))
+      .agg(max(col("n_total")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum(col("term")).cast("double"), 6).as("entropy"))
+      .select(lit(name).as("col_name"), col("n_rows"),
+        col("n_distinct"), col("entropy"))
+  }
+
+  /** Entropy profile of every low-cardinality categorical column in the
+    * testdata — the selection-signal screen a pipeline runs before
+    * stratifying or rebalancing on a column (entropy ≈ 0 means the column
+    * can't stratify anything; entropy near ln(k) means uniform). One
+    * branch per (table, column); each branch's scan prunes to its single
+    * column. */
+  def profileEntropy(s: SparkSession, d: String): DataFrame =
+    EntropyCols.map { case (t, c) =>
+      entropyOf(Tables.load(s, d, t), s"$t.$c", c)
+    }.reduce(_ union _)
+
+  private val EntropyCols = Seq(
+    "events" -> "event_type", "documents" -> "lang",
+    "documents" -> "source", "orders" -> "o_orderpriority",
+    "orders" -> "o_orderstatus", "customer" -> "c_mktsegment",
+    "lineitem" -> "l_returnflag", "lineitem" -> "l_linestatus")
+
+  val profileEntropySql: String =
+    EntropyCols.map { case (t, c) =>
+      s"""SELECT '$t.$c' AS col_name,
+         |  CAST(max(n_total) AS BIGINT) AS n_rows,
+         |  count(*) AS n_distinct,
+         |  round(-(CAST(sum(CAST(round((CAST(n AS DOUBLE) / n_total)
+         |                * ln(CAST(n AS DOUBLE) / n_total), 9)
+         |          AS DECIMAL(18,9))) AS DOUBLE)), 6) AS entropy
+         |FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS n
+         |      FROM $t GROUP BY 1) cc,
+         |     (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM $t) tt""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
     "profile_documents" -> (profileDocuments _),
     "profile_corr" -> (profileCorr _),
+    "profile_entropy" -> (profileEntropy _),
     "layout_zorder" -> (layoutZorder _)
   )
 
@@ -171,6 +228,7 @@ object Profiling {
     "profile_orders" -> profileOrdersSql,
     "profile_documents" -> profileDocumentsSql,
     "profile_corr" -> profileCorrSql,
+    "profile_entropy" -> profileEntropySql,
     "layout_zorder" -> layoutZorderSql
   )
 
@@ -178,6 +236,7 @@ object Profiling {
     "profile_orders" -> Seq(col("col_name")),
     "profile_documents" -> Seq(col("col_name")),
     "profile_corr" -> Seq(col("col_a"), col("col_b")),
+    "profile_entropy" -> Seq(col("col_name")),
     "layout_zorder" -> Seq(col("o_orderkey"))
   )
 }

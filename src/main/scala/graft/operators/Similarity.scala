@@ -616,6 +616,112 @@ object Similarity {
       |WHERE t1.i <= t2.i
       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
 
+  /** Per-dimension symmetric int8 quantization of the embedding corpus —
+    * the compression step a 100-TB ANN index runs before anything else
+    * (4× smaller vectors, SIMD-friendly integer dot products downstream).
+    * scale_i = max|x_i|/127 per dimension; q = round-half-up(x/scale),
+    * which lands in [−127, 127] by construction (no clamp branch to
+    * diverge on). Emitted per VECTOR as exact summaries — Σq and the
+    * saturation count in integer arithmetic, the reconstruction error
+    * Σ(x−q·scale)² through the house decimal discipline (each squared
+    * term rounded once at 12 dp, summed exactly, one final double) — so
+    * the whole quantizer is hash-oracled, not rows-only.
+    *
+    * Determinism: round-half-up is floor(v + 0.5) in BOTH engines (never
+    * the engines' own round(), whose half-even vs half-away semantics
+    * differ on exact halves); x/scale and q·scale are single IEEE ops on
+    * identical inputs. All-zero dimensions quantize to 0 via the same
+    * CASE in both engines (never a 0/0 NaN whose sign could differ).
+    *
+    * Scale shape: the 64-row scale frame re-aggregates from the exploded
+    * corpus (map-side combined) and BROADCASTS back; the per-vector
+    * aggregate partial-aggregates the 64 terms before its one shuffle on
+    * vec_id. Nothing quadratic, no driver state beyond the 64 scales. */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame = {
+    val x = emb(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+    val scales = x.groupBy(col("i"))
+      .agg((max(abs(col("x"))) / lit(127.0)).as("scale"))
+    val err = col("x") - col("q").cast("double") * col("scale")
+    x.join(broadcast(scales), Seq("i"))
+      .select(col("vec_id"), col("x"), col("scale"),
+        when(col("scale") === 0, lit(0))
+          .otherwise(floor(col("x") / col("scale") + lit(0.5)).cast("int"))
+          .as("q"))
+      .select(col("vec_id"), col("q"),
+        round(err * err, 12).cast("decimal(18,12)").as("t"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q")).as("sum_q"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        round(sum(col("t")).cast("double"), 9).as("err2"))
+  }
+
+  val embeddingQuantizeSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+      |  FROM embeddings, range(0, 64) t(i)),
+      |sc AS (SELECT i, max(abs(x)) / 127.0 AS scale FROM x GROUP BY 1),
+      |q AS (SELECT vec_id, x, scale,
+      |             CASE WHEN scale = 0 THEN 0
+      |                  ELSE CAST(floor(x / scale + 0.5) AS INT) END AS q
+      |      FROM x JOIN sc USING (i))
+      |SELECT vec_id, CAST(sum(q) AS BIGINT) AS sum_q,
+      |       CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_sat,
+      |       round(CAST(sum(CAST(round((x - CAST(q AS DOUBLE) * scale)
+      |                     * (x - CAST(q AS DOUBLE) * scale), 12)
+      |             AS DECIMAL(18,12))) AS DOUBLE), 9) AS err2
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** The 64 per-dimension quantizer scales as a driver-side model
+    * (max|x_i|/127 — O(d) state by construction, the kmeansFit
+    * convention): train once over the corpus, then fold into
+    * [[quantizeLit]] for the shuffle-free serve path. */
+  private[graft] def quantizeScales(s: SparkSession, d: String): Array[Double] = {
+    val x = emb(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "xf")))
+      .groupBy(col("i"))
+      .agg((max(abs(col("xf").cast("double"))) / lit(127.0)).as("scale"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Array.tabulate(x.size)(x)
+  }
+
+  /** Serve-path quantization under a FIXED scale model: the scales fold
+    * into the plan as literals, making this a pure per-row projection —
+    * ZERO shuffles, no state, and therefore directly usable as the
+    * streaming twin ([[graft.streaming.EmbeddingStreams.quantizeStream]]).
+    * Emits the same per-vector summaries as the oracled corpus query
+    * [[embeddingQuantize]], with EXACT-arithmetic parity: q is the same
+    * floor(x/s + 0.5), Σq and the saturation count are integer folds, and
+    * the error sum accumulates the same 12-dp DECIMAL terms — decimal
+    * addition is associative, so the higher-order fold's sequential order
+    * and the aggregate's shuffle order cannot diverge (asserted
+    * term-for-term in GraphStatsSpec / EmbeddingStreamsSpec). */
+  private[graft] def quantizeLit(vecs: DataFrame, scales: Array[Double]): DataFrame =
+    vecs
+      .select(col("vec_id"), col("embedding"),
+        array(scales.map(lit(_)): _*).as("sc"))
+      .withColumn("qs", expr(
+        """zip_with(embedding, sc, (x, s) ->
+          |  CASE WHEN s = 0 THEN 0
+          |       ELSE CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INT) END)"""
+          .stripMargin))
+      .select(col("vec_id"),
+        expr("aggregate(qs, CAST(0 AS BIGINT), (a, q) -> a + q)").as("sum_q"),
+        expr("CAST(size(filter(qs, q -> abs(q) = 127)) AS BIGINT)").as("n_sat"),
+        expr(
+          """round(CAST(aggregate(
+            |  transform(sequence(0, size(qs) - 1), i ->
+            |    CAST(round((CAST(embedding[i] AS DOUBLE)
+            |                - CAST(qs[i] AS DOUBLE) * sc[i])
+            |               * (CAST(embedding[i] AS DOUBLE)
+            |                  - CAST(qs[i] AS DOUBLE) * sc[i]), 12)
+            |         AS DECIMAL(18,12))),
+            |  CAST(0 AS DECIMAL(28,12)),
+            |  (a, t) -> CAST(a + t AS DECIMAL(28,12))) AS DOUBLE), 9)"""
+            .stripMargin).as("err2"))
+
   /** PCA model fit: mean vector + top-k principal components, from ONE
     * corpus pass. The classic augmentation trick folds the mean and the
     * count into the same Gramian — append a constant 1.0 dimension, and
@@ -964,6 +1070,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_gram" -> (embeddingGram _),
+    "embedding_quantize" -> (embeddingQuantize _),
     "embedding_pca_project" -> (embeddingPcaProject _),
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_cluster_profile" -> (embeddingClusterProfile _),
@@ -986,6 +1093,7 @@ object Similarity {
     "ann_topk" -> annTopkSql,
     "ann_topk_fused" -> annTopkSql,
     "embedding_gram" -> embeddingGramSql,
+    "embedding_quantize" -> embeddingQuantizeSql,
     "embedding_kmeans" -> embeddingKmeansSqlFull(),
     "embedding_cluster_profile" -> embeddingClusterProfileSql(),
     "embedding_outliers" -> embeddingOutliersSql,
@@ -994,6 +1102,7 @@ object Similarity {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "embedding_gram" -> Seq(col("i"), col("j")),
+    "embedding_quantize" -> Seq(col("vec_id")),
     "embedding_pca_project" -> Seq(col("vec_id")),
     "embedding_kmeans" -> Seq(col("vec_id")),
     "embedding_cluster_profile" -> Seq(col("cluster")),

@@ -53,4 +53,14 @@ object EmbeddingStreams {
   def assignStream(vecs: DataFrame, model: Array[Array[Float]]): DataFrame =
     Similarity.assignKmLit(vecs, model)
       .select("vec_id", "label", "cluster", "dist")
+
+  /** Int8 quantization at ingest under a FIXED per-dimension scale model
+    * (train batch via [[Similarity.quantizeScales]], quantize streaming —
+    * the `embedding_quantize` serve path). The scales fold into the plan
+    * as 64 literals ([[Similarity.quantizeLit]] — shared code, so
+    * batch/stream parity holds by construction): a pure per-row
+    * projection, NO state, no watermark, Append mode — at 100-TB/day
+    * ingest each micro-batch partition scans once and writes once. */
+  def quantizeStream(vecs: DataFrame, scales: Array[Double]): DataFrame =
+    Similarity.quantizeLit(vecs, scales)
 }

@@ -91,4 +91,34 @@ class EmbeddingStreamsSpec extends AnyFunSuite {
       .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
     assert(stateRows === 0L, s"assignment should keep zero state, got $stateRows")
   }
+
+  test("streaming quantize: per-vector summaries equal the batch query, zero state") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+    val scales = Similarity.quantizeScales(spark, sf)
+
+    val streamDir = Files.createTempDirectory("graft-quantstream").toString
+    vecs.where($"vec_id" % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    vecs.where($"vec_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val q = EmbeddingStreams.quantizeStream(
+        EmbeddingStreams.readEmbeddings(spark, streamDir, maxFilesPerTrigger = Some(1)),
+        scales)
+      .writeStream.format("memory").queryName("emb_quant")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("emb_quant")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val batch = Similarity.embeddingQuantize(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // shared literal-fold projection + exact decimal error sums => the
+    // streamed summaries equal the oracled corpus query's, per vector
+    assert(streamed === batch)
+
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows === 0L, s"quantization should keep zero state, got $stateRows")
+  }
 }

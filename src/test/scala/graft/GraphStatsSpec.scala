@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Citations, Profiling, Similarity}
+
+/** Round-9 additions: degree assortativity, Jaccard link prediction,
+  * entropy profiling, int8 embedding quantization — hand fixtures where
+  * the closed form is checkable by hand, differential twins where it
+  * isn't. */
+class GraphStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("citation_assortativity: hand fixture matches the closed form") {
+    // out-deg: a=2, b=1; in-deg: x=2, y=1 → edge moments m=3, Σx=5, Σy=5,
+    // Σx²=9, Σy²=9, Σxy=8 → r = (3·8−25)/(√2·√2) = −0.5
+    val e = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("src", "dst")
+    val got = Citations.citationAssortativity(e)
+      .as[(Long, Double)].collect().head
+    assert(got._1 === 3L)
+    assert(got._2 === -0.5)
+  }
+
+  test("citation_assortativity: self-loops dropped; r stays in [-1, 1] on sf0.001") {
+    val loop = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("z", "z"))
+      .toDF("src", "dst")
+    val withLoop = Citations.citationAssortativity(loop)
+      .as[(Long, Double)].collect().head
+    assert(withLoop === ((3L, -0.5)), "self-loop leaked into the moments")
+    val real = Citations.citationAssortativity(Citations.edges(spark, sf))
+      .as[(Long, Double)].collect().head
+    assert(real._1 > 0)
+    assert(real._2 >= -1.0 && real._2 <= 1.0, s"r out of range: $real")
+  }
+
+  test("citation_jaccard: hand fixture — set semantics, linked pairs excluded") {
+    // N(a)={s1,s2}, N(b)={s1,s2,s3,a}, N(c)={s3}; the a→b edge links
+    // (a,b) so the anti-join drops it despite inter=2; the duplicated
+    // s3→c line must NOT inflate c's neighbor-set size (set semantics)
+    val e = Seq(("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"),
+      ("s3", "b"), ("s3", "c"), ("s3", "c"), ("a", "b")).toDF("src", "dst")
+    val got = Citations.linkPredictJaccard(e)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("b", "c", 1L, 0.25)))
+  }
+
+  test("citation_jaccard: score within (0, 1]; pairs unlinked; cap honored on sf0.001") {
+    val edges = Citations.edges(spark, sf)
+    val got = Citations.linkPredictJaccard(edges)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty && got.length <= 30)
+    assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    // descending by score, tie-broken by the pair
+    assert(got.sliding(2).forall { case Array(p, q) =>
+      p._4 > q._4 || (p._4 == q._4 &&
+        (p._1 < q._1 || (p._1 == q._1 && p._2 < q._2)))
+    })
+    // none of the predicted pairs is an existing edge in either direction
+    val linked = edges.as[(String, String)].collect()
+      .map { case (s, d) => if (s < d) (s, d) else (d, s) }.toSet
+    assert(got.forall(r => !linked((r._1, r._2))))
+  }
+
+  test("profile_entropy: bounds hold; uniform-limit and a recomputed column agree") {
+    val rows = Profiling.profileEntropy(spark, sf)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length === 8)
+    rows.foreach { case (name, n, k, h) =>
+      assert(n > 0 && k > 0, name)
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-9,
+        s"$name entropy $h outside [0, ln($k)]")
+    }
+    // differential twin for one column, same rounding discipline
+    val counts = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag")).count()
+      .as[(String, Long)].collect().map(_._2)
+    val total = counts.sum.toDouble
+    val expect = BigDecimal(-counts.map { n =>
+      val p = n / total
+      BigDecimal(p * math.log(p))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_._1 == "lineitem.l_returnflag").get
+    assert(got._4 === expect)
+  }
+
+  test("embedding_quantize: exact per-vector twin recomputed from raw floats") {
+    val got = Similarity.embeddingQuantize(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    assert(got.size === vecs.length)
+    val dim = vecs.head._2.length
+    val scales = Array.tabulate(dim) { i =>
+      vecs.map(v => math.abs(v._2(i).toDouble)).max / 127.0
+    }
+    // the corpus max of each dim saturates at ±127 somewhere, so the
+    // suite-wide saturation count is at least 1
+    assert(got.values.map(_._2).sum >= 1L)
+    vecs.take(50).foreach { case (id, e) =>
+      var sq = 0L; var sat = 0L; var err2 = BigDecimal(0)
+      (0 until dim).foreach { i =>
+        val x = e(i).toDouble
+        val q = if (scales(i) == 0) 0
+                else math.floor(x / scales(i) + 0.5).toInt
+        assert(q >= -127 && q <= 127, s"vec $id dim $i q=$q")
+        sq += q; if (math.abs(q) == 127) sat += 1
+        val d0 = x - q * scales(i)
+        err2 += BigDecimal(d0 * d0).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      // mimic the operator's decimal→double hop BEFORE the 9-dp round
+      val expectErr = BigDecimal(err2.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) === ((sq, sat, expectErr)), s"vec $id")
+    }
+  }
+
+  test("quantizeLit serve path: exact parity with the oracled corpus query") {
+    // the literal-folded per-row projection must equal the exploded
+    // groupBy query value-for-value — decimal accumulation is
+    // associative, so fold order vs shuffle order cannot diverge
+    val corpus = Similarity.embeddingQuantize(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val scales = Similarity.quantizeScales(spark, sf)
+    assert(scales.length === 64)
+    val served = Similarity.quantizeLit(
+        Tables.load(spark, sf, "embeddings"), scales)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(served.toSeq === corpus.toSeq)
+    // and the serve-path plan is shuffle-free: scan → project only
+    val plan = Similarity.quantizeLit(
+        Tables.load(spark, sf, "embeddings"), scales)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serve path shuffled:\n$plan")
+  }
+}

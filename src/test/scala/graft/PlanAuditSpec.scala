@@ -72,6 +72,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // schema-bounded profiles (rows = #columns, or #column-pairs for the
     // exact-ingredient correlation matrix)
     "profile_documents", "profile_orders", "profile_corr",
+    // profile_entropy: per-branch global aggregates over VALUE-COUNT
+    // frames (one row per distinct categorical value, partial-aggregated
+    // before the funnel) — cardinality-bounded, the profile shape
+    "profile_entropy",
+    // citation_assortativity: the final 6-number moment aggregate — one
+    // partial tuple per partition reaches the single partition (q6 shape)
+    "citation_assortativity",
     // ≤64-row bit-length-domain aggregate
     "doc_length_histogram",
     // search_hybrid_rrf: the bm25 leg's 1-row corpus-stats aggregate
@@ -141,6 +148,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sample_stratified", "pack_batches", "tfidf_topk", "dedup_embedding",
     "mix_temperature", "quality_unigram_logprob",
     "contamination_bloom", "layout_zorder",
+    // profile_entropy: each branch folds its 1-row total-count aggregate
+    // onto the value-count frame (the quality_unigram_logprob shape)
+    "profile_entropy",
     "ann_topk", "ann_topk_fused", "ann_ivf", "ann_ivf_pq",
     // citation_triangles: triangle count × wedge total — two 1-row
     // scalar aggregates folded together for the clustering coefficient
