@@ -56,6 +56,65 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Fuzzy vocabulary pairs at edit distance EXACTLY 1, by SymSpell-style
+    * deletion-neighborhood blocking (Garbe's symmetric-delete scheme):
+    * every token emits itself plus its single-character deletions as
+    * block keys, candidates are pairs sharing a key, and an exact
+    * `levenshtein` check keeps the true matches. The blocking is COMPLETE
+    * for ED ≤ 1 — a substitution at position i makes del(a,i) = del(b,i),
+    * an insertion makes the shorter token equal one deletion of the
+    * longer — which is not taken on faith: the DuckDB oracle is the
+    * QUADRATIC brute force (all vocab pairs through levenshtein), so a
+    * blocking scheme that dropped a pair would hash-mismatch, not just
+    * lose recall silently. Vocabulary = document text + part-name words
+    * (the entity-resolution use: spell variants across a corpus and a
+    * catalog).
+    *
+    * Scale shape: everything downstream of the two scans is
+    * VOCABULARY-sized, not corpus-sized. The blocking fan-out is
+    * len+1 keys per token (tokens capped at 32 chars — the documented
+    * contract, mirrored in the oracle), the candidate join is equi on the
+    * block key, and the verify is a per-pair codegen'd levenshtein —
+    * never all-pairs. At 100 TB the vocab is millions of rows where the
+    * brute force is 10¹² pairs; this is the only shape that survives. */
+  def tokenFuzzyPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .union(Tables.load(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("tok")))
+      .where(length(col("tok")).between(1, 32))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val variants = toks.select(col("tok"), explode(expr(
+      """concat(array(tok),
+        |  transform(sequence(1, length(tok)), i ->
+        |    concat(substring(tok, 1, i - 1),
+        |           substring(tok, i + 1, length(tok)))))""".stripMargin))
+      .as("key"))
+    val cand = variants.select(col("tok").as("tok_a"), col("key"))
+      .join(variants.select(col("tok").as("tok_b"), col("key")), Seq("key"))
+      .where(col("tok_a") < col("tok_b"))
+      .select(col("tok_a"), col("tok_b")).distinct()
+      .where(levenshtein(col("tok_a"), col("tok_b")) === 1)
+    cand
+      .join(toks.select(col("tok").as("tok_a"), col("n").as("n_a")), Seq("tok_a"))
+      .join(toks.select(col("tok").as("tok_b"), col("n").as("n_b")), Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"))
+  }
+
+  val tokenFuzzyPairsSql: String =
+    """WITH toks AS (
+      |  SELECT tok, count(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |    UNION ALL
+      |    SELECT unnest(string_split(p_name, ' ')) FROM part)
+      |  WHERE len(tok) BETWEEN 1 AND 32
+      |  GROUP BY 1)
+      |SELECT a.tok AS tok_a, b.tok AS tok_b,
+      |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+      |FROM toks a JOIN toks b ON a.tok < b.tok
+      |WHERE levenshtein(a.tok, b.tok) = 1
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   /** Top-50 corpus word bigrams — the collocation count feeding phrase
     * vocabularies and tokenizer merge decisions. Same shape as
     * [[tokenTopk]] one order up: explode bigrams (the CASE guard matters
@@ -1053,6 +1112,7 @@ object TextAnalysis {
     "tfidf_topk" -> (tfidfTopk _),
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
+    "token_fuzzy_pairs" -> (tokenFuzzyPairs _),
     "token_bigrams" -> (tokenBigrams _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "token_bpe" -> (tokenBpe _),
@@ -1078,6 +1138,7 @@ object TextAnalysis {
     "tfidf_topk" -> tfidfTopkSql,
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
+    "token_fuzzy_pairs" -> tokenFuzzyPairsSql,
     "token_bigrams" -> tokenBigramsSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_bpe" -> tokenBpeSql,
@@ -1093,6 +1154,7 @@ object TextAnalysis {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "token_fuzzy_pairs" -> Seq(col("tok_a"), col("tok_b")),
     "search_hybrid_rrf" -> Seq(col("rank")),
     "doc_novelty" -> Seq(col("doc_id")),
     "inverted_index" -> Seq(col("token")),

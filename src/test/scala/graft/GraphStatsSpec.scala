@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Citations, Profiling, Similarity}
+import graft.operators.{Citations, Profiling, Similarity, TextAnalysis}
 
 /** Round-9 additions: degree assortativity, Jaccard link prediction,
   * entropy profiling, int8 embedding quantization — hand fixtures where
@@ -119,6 +119,37 @@ class GraphStatsSpec extends AnyFunSuite {
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got(id) === ((sq, sat, expectErr)), s"vec $id")
     }
+  }
+
+  test("token_fuzzy_pairs: blocking+verify equals the quadratic brute force") {
+    import org.apache.spark.sql.functions.{explode, split, length}
+    val got = TextAnalysis.tokenFuzzyPairs(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .union(Tables.load(spark, sf, "part")
+        .select(explode(split(col("p_name"), " ")).as("tok")))
+      .where(length(col("tok")).between(1, 32))
+      .groupBy(col("tok")).count().as[(String, Long)].collect()
+    def ed(a: String, b: String): Int = {
+      var prev = (0 to b.length).toArray
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1); cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val expect = (for {
+      (a, na) <- toks; (b, nb) <- toks
+      if a < b && ed(a, b) == 1
+    } yield (a, b, na, nb)).toSet
+    assert(got === expect)
+    // the fixture vocabulary has real pairs (part-name words: cold/old,
+    // red/rod) — the assertion above is not vacuously empty-vs-empty
+    assert(got.nonEmpty)
   }
 
   test("quantizeLit serve path: exact parity with the oracled corpus query") {
