@@ -84,6 +84,11 @@ object TextAnalysis {
         .select(explode(split(col("p_name"), " ")).as("tok")))
       .where(length(col("tok")).between(1, 32))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      // pin the vocab once: it feeds the variant expansion AND both
+      // frequency joins — un-pinned, each use re-scans the two corpora
+      // (measured: FileScans=4 vs 2; the harness sweeps pinned blocks
+      // between queries via graft.Blocks)
+      .localCheckpoint()
     val variants = toks.select(col("tok"), explode(expr(
       """concat(array(tok),
         |  transform(sequence(1, length(tok)), i ->
@@ -114,6 +119,130 @@ object TextAnalysis {
       |FROM toks a JOIN toks b ON a.tok < b.tok
       |WHERE levenshtein(a.tok, b.tok) = 1
       |ORDER BY tok_a, tok_b""".stripMargin
+
+  /** BPE merge learning — the first `rounds` byte-pair-encoding merges
+    * trained on the corpus word-frequency table (Sennrich, Haddow & Birch,
+    * ACL 2016): per round, count adjacent symbol pairs weighted by word
+    * frequency, take the argmax (ties broken lexicographically — the
+    * determinism contract), and merge every leftmost non-overlapping
+    * occurrence. This is TOKENIZER TRAINING as a first-class distributed
+    * operator — the step every LLM data pipeline runs before token
+    * counting means anything.
+    *
+    * The merge step is exact in BOTH engines through a delimiter trick:
+    * each symbol is carried as `{sym}` inside one string, so
+    * `replace(rep, '{a}{b}', '{ab}')` is fully anchored on whole symbols
+    * (no prefix/suffix false matches) with NO shared boundary between
+    * adjacent occurrences — plain SQL `replace` (leftmost,
+    * non-overlapping, resume-after-match) IS the greedy BPE merge, with
+    * identical semantics in Spark and DuckDB. The oracle unrolls the
+    * rounds as MATERIALIZED CTEs (the kCore discipline), so the learned
+    * merge TABLE hash-oracles — pair stats, argmax tie-breaks and merge
+    * rewrites all agree or the hash catches it.
+    *
+    * Scale shape: everything is VOCABULARY-sized after the one corpus
+    * aggregate. Per round: symbol-pair explode (≤ len terms per word,
+    * words capped at 32 chars) → map-side-combined pair count → a 1-ROW
+    * argmax collected to the driver (the kmeansFit bounded-model
+    * convention — the merge literal must fold into the next round's
+    * projection) → a pure per-row replace. Checkpoint-per-round with
+    * immediate release, the iterative-operator lifecycle. */
+  private[graft] def bpeMergesFrom(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var vocab = words
+      .select(expr(
+        """array_join(transform(sequence(1, length(w)), i ->
+          |  concat('{', substring(w, i, 1), '}')), '')""".stripMargin).as("rep"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val best = vocab
+        .select(col("freq"), expr(
+          """transform(filter(split(rep, '\\}'), x -> x != ''),
+            |          x -> substring(x, 2, length(x)))""".stripMargin).as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), i ->
+            |  struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("wt"))
+        .orderBy(col("wt").desc, col("a"), col("b"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, wt) = best.head
+        // the {sym} anchoring (and the embedded replace literal) requires
+        // delimiter-free, quote-free symbols; corpus tokens are plain words
+        require(!(a + b).exists(c => c == '{' || c == '}' || c == '\''),
+          s"corpus token contains a delimiter/quote: '$a' '$b'")
+        merges += ((r, a, b, wt))
+        val next = vocab
+          .select(expr(s"replace(rep, '{$a}{$b}', '{$a$b}')").as("rep"),
+            col("freq"))
+          .localCheckpoint()
+        graft.Blocks.release(vocab)
+        vocab = next
+      }
+    }
+    graft.Blocks.release(vocab)
+    merges.toSeq.toDF("rank", "tok_left", "tok_right", "weight")
+      .select(col("rank").cast("int").as("rank"), col("tok_left"),
+        col("tok_right"), col("weight"))
+  }
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesFrom(
+      docs(s, d).select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")).between(1, 32))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")),
+      rounds = 10)
+
+  /** DuckDB twin of [[bpeMerges]], unrolled per round with MATERIALIZED
+    * cuts and operation-identical pair counting / argmax / replace. */
+  def bpeMergesSql(rounds: Int = 10): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b,
+         |         CAST(sum(freq) AS BIGINT) AS wt
+         |  FROM (SELECT freq,
+         |          list_transform(list_filter(string_split(rep, '}'),
+         |                                     x -> x <> ''),
+         |                         x -> x[2:]) AS syms
+         |        FROM v${r - 1}),
+         |       UNNEST(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT a, b, wt FROM p$r ORDER BY wt DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(rep, '{' || a || '}{' || b || '}',
+         |                 '{' || a || b || '}') AS rep, freq
+         |  FROM v${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT $r AS rk, a, b, wt FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) BETWEEN 1 AND 32
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT array_to_string(
+       |           list_transform(range(1, len(w) + 1),
+       |                          i -> '{' || w[i] || '}'), '') AS rep,
+       |         freq
+       |  FROM wf),
+       |$roundCtes
+       |SELECT CAST(rk AS INT) AS rank, a AS tok_left, b AS tok_right,
+       |       wt AS weight
+       |FROM ($out)
+       |ORDER BY rank""".stripMargin
+  }
 
   /** Top-50 corpus word bigrams — the collocation count feeding phrase
     * vocabularies and tokenizer merge decisions. Same shape as
@@ -1113,6 +1242,7 @@ object TextAnalysis {
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
     "token_fuzzy_pairs" -> (tokenFuzzyPairs _),
+    "bpe_merges" -> (bpeMerges _),
     "token_bigrams" -> (tokenBigrams _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "token_bpe" -> (tokenBpe _),
@@ -1139,6 +1269,7 @@ object TextAnalysis {
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
     "token_fuzzy_pairs" -> tokenFuzzyPairsSql,
+    "bpe_merges" -> bpeMergesSql(),
     "token_bigrams" -> tokenBigramsSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_bpe" -> tokenBpeSql,
@@ -1155,6 +1286,7 @@ object TextAnalysis {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "token_fuzzy_pairs" -> Seq(col("tok_a"), col("tok_b")),
+    "bpe_merges" -> Seq(col("rank")),
     "search_hybrid_rrf" -> Seq(col("rank")),
     "doc_novelty" -> Seq(col("doc_id")),
     "inverted_index" -> Seq(col("token")),

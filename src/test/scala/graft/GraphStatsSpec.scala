@@ -152,6 +152,58 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("bpe_merges: hand fixture — argmax tie-break and greedy merge semantics") {
+    // vocab {aaab×2, ab×3}: round 1 pair weights (a,a)=4, (a,b)=5 →
+    // merge (a,b,5); aaab → [a,a,ab]. Round 2: (a,a)=2 ties (a,ab)=2 →
+    // lexicographic tie-break picks (a,a); aaab → [aa,ab]. Round 3:
+    // (aa,ab)=2. Round 4: no pairs left → stops early at 3 merges.
+    val words = Seq(("aaab", 2L), ("ab", 3L)).toDF("w", "freq")
+    val got = TextAnalysis.bpeMergesFrom(words, rounds = 10)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1, "a", "b", 5L), (2, "a", "a", 2L),
+      (3, "aa", "ab", 2L)))
+  }
+
+  test("bpe_merges: equals a reference Sennrich implementation on sf0.001") {
+    import org.apache.spark.sql.functions.{explode, split, length}
+    val got = TextAnalysis.bpeMerges(spark, sf)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    var vocab = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, 32))
+      .groupBy(col("w")).count().as[(String, Long)].collect()
+      .map { case (w, f) => (w.toSeq.map(_.toString): Seq[String]) -> f }.toMap
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 0
+    var go = true
+    while (go && r < 10) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (pairs.isEmpty) go = false
+      else {
+        val wt = pairs.values.max
+        val (a, b) = pairs.collect { case (k, v) if v == wt => k }.toSeq.min
+        r += 1; expect += ((r, a, b, wt))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }(_._2)(_ + _)
+      }
+    }
+    assert(got.toSeq === expect.toSeq)
+    assert(got.length === 10, "sf0.001 corpus should sustain 10 merges")
+  }
+
   test("quantizeLit serve path: exact parity with the oracled corpus query") {
     // the literal-folded per-row projection must equal the exploded
     // groupBy query value-for-value — decimal accumulation is
