@@ -147,7 +147,8 @@ object TextAnalysis {
     * convention — the merge literal must fold into the next round's
     * projection) → a pure per-row replace. Checkpoint-per-round with
     * immediate release, the iterative-operator lifecycle. */
-  private[graft] def bpeMergesFrom(words: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeMergeList(words: DataFrame,
+                                  rounds: Int): Seq[(Int, String, String, Long)] = {
     val spark = words.sparkSession
     import spark.implicits._
     var vocab = words
@@ -190,21 +191,103 @@ object TextAnalysis {
       }
     }
     graft.Blocks.release(vocab)
-    merges.toSeq.toDF("rank", "tok_left", "tok_right", "weight")
+    merges.toSeq
+  }
+
+  private[graft] def bpeMergesFrom(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    bpeMergeList(words, rounds).toDF("rank", "tok_left", "tok_right", "weight")
       .select(col("rank").cast("int").as("rank"), col("tok_left"),
         col("tok_right"), col("weight"))
   }
 
-  def bpeMerges(s: SparkSession, d: String): DataFrame =
-    bpeMergesFrom(
-      docs(s, d).select(explode(split(col("text"), " ")).as("w"))
-        .where(length(col("w")).between(1, 32))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq")),
-      rounds = 10)
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, 32))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
-  /** DuckDB twin of [[bpeMerges]], unrolled per round with MATERIALIZED
-    * cuts and operation-identical pair counting / argmax / replace. */
-  def bpeMergesSql(rounds: Int = 10): String = {
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesFrom(bpeWords(s, d), rounds = 10)
+
+  /** The learned merges applied back to a word, as one nested-replace SQL
+    * expression over the `{sym}` representation — the serve-path encode
+    * under a FIXED merge model (the quantizeLit convention: model folds
+    * in as literals, the projection is pure per-row work). `w` is the
+    * word column or lambda variable in scope. */
+  private[graft] def bpeRepExpr(merges: Seq[(Int, String, String, Long)],
+                                w: String = "w"): String = {
+    val base = s"array_join(transform(sequence(1, length($w)), i -> " +
+      s"concat('{', substring($w, i, 1), '}')), '')"
+    merges.foldLeft(base) { case (e, (_, a, b, _)) =>
+      s"replace($e, '{$a}{$b}', '{$a$b}')"
+    }
+  }
+
+  /** Corpus tokenization under the learned BPE merges — the APPLY half of
+    * [[bpeMerges]] (train/serve, the kmeans fit/assign and quantize
+    * scales/lit pattern): per document, the word count and the total BPE
+    * token count after the 10 trained merges. Token count per word is
+    * delimiter arithmetic — `length(rep) − length(replace(rep,'{',''))`
+    * counts symbols exactly, no parsing. The encode itself is a pure
+    * per-occurrence projection (the merge literals fold into ONE nested
+    * replace expression), so the plan is scan → project → one doc_id
+    * aggregate — no vocabulary join, nothing beyond the corpus scan.
+    * Oracled: the DuckDB twin RE-LEARNS the merges through the same
+    * unrolled CTEs and encodes by joining v10's final representations —
+    * a different (join-based) encode path that must agree token-for-token
+    * with the folded-literal path, or the hash catches it. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergeList(bpeWords(s, d), rounds = 10)
+    docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, 32))
+      .withColumn("rep", expr(bpeRepExpr(merges)))
+      .select(col("doc_id"),
+        (length(col("rep")) - length(expr("replace(rep, '{', '')"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_bpe_tokens"))
+  }
+
+  /** Per-ROW encode under a fixed merge model — zero shuffles, zero
+    * state: the word list never explodes, the token count folds per
+    * document through higher-order functions with the merge literals
+    * baked into the expression. This is the streaming serve path
+    * ([[graft.streaming.DocStreams.bpeEncodeStream]]) and an exact twin
+    * of the oracled aggregate query (integer arithmetic only — no
+    * rounding to diverge on; parity spec-asserted). */
+  private[graft] def bpeEncodeLit(docs: DataFrame,
+                                  merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val rep = bpeRepExpr(merges, "w")
+    docs
+      .select(col("doc_id"), expr(
+        "filter(split(text, ' '), x -> length(x) >= 1 AND length(x) <= 32)")
+        .as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr(
+          s"""aggregate(ws, CAST(0 AS BIGINT), (acc, w) ->
+             |  acc + CAST(length($rep) - length(replace($rep, '{', ''))
+             |             AS BIGINT))""".stripMargin).as("n_bpe_tokens"))
+  }
+
+  def bpeEncodeSql(rounds: Int = 10): String =
+    s"""${bpeCtes(rounds)}
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(t) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) dw
+       |JOIN (SELECT w, len(rep) - len(replace(rep, '{', '')) AS t
+       |      FROM v$rounds) wt USING (w)
+       |WHERE len(w) BETWEEN 1 AND 32
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The shared unrolled training CTEs (wf → v0 → p/b/v per round),
+    * carrying the raw word alongside its evolving representation so the
+    * encode twin can join back. MATERIALIZED cuts per round — the kCore
+    * discipline. */
+  private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT syms[i] AS a, syms[i + 1] AS b,
@@ -219,25 +302,31 @@ object TextAnalysis {
          |b$r AS MATERIALIZED (
          |  SELECT a, b, wt FROM p$r ORDER BY wt DESC, a, b LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT replace(rep, '{' || a || '}{' || b || '}',
+         |  SELECT w, replace(rep, '{' || a || '}{' || b || '}',
          |                 '{' || a || b || '}') AS rep, freq
          |  FROM v${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map { r =>
-      s"SELECT $r AS rk, a, b, wt FROM b$r"
-    }.mkString("\nUNION ALL\n")
     s"""WITH wf AS (
        |  SELECT w, count(*) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) BETWEEN 1 AND 32
        |  GROUP BY 1),
        |v0 AS MATERIALIZED (
-       |  SELECT array_to_string(
+       |  SELECT w, array_to_string(
        |           list_transform(range(1, len(w) + 1),
        |                          i -> '{' || w[i] || '}'), '') AS rep,
        |         freq
        |  FROM wf),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeMerges]], unrolled per round with MATERIALIZED
+    * cuts and operation-identical pair counting / argmax / replace. */
+  def bpeMergesSql(rounds: Int = 10): String = {
+    val out = (1 to rounds).map { r =>
+      s"SELECT $r AS rk, a, b, wt FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeCtes(rounds)}
        |SELECT CAST(rk AS INT) AS rank, a AS tok_left, b AS tok_right,
        |       wt AS weight
        |FROM ($out)
@@ -1243,6 +1332,7 @@ object TextAnalysis {
     "token_topk" -> (tokenTopk _),
     "token_fuzzy_pairs" -> (tokenFuzzyPairs _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_encode" -> (bpeEncode _),
     "token_bigrams" -> (tokenBigrams _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "token_bpe" -> (tokenBpe _),
@@ -1270,6 +1360,7 @@ object TextAnalysis {
     "token_topk" -> tokenTopkSql,
     "token_fuzzy_pairs" -> tokenFuzzyPairsSql,
     "bpe_merges" -> bpeMergesSql(),
+    "bpe_encode" -> bpeEncodeSql(),
     "token_bigrams" -> tokenBigramsSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_bpe" -> tokenBpeSql,
@@ -1287,6 +1378,7 @@ object TextAnalysis {
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "token_fuzzy_pairs" -> Seq(col("tok_a"), col("tok_b")),
     "bpe_merges" -> Seq(col("rank")),
+    "bpe_encode" -> Seq(col("doc_id")),
     "search_hybrid_rrf" -> Seq(col("rank")),
     "doc_novelty" -> Seq(col("doc_id")),
     "inverted_index" -> Seq(col("token")),

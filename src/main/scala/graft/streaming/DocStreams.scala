@@ -36,6 +36,17 @@ object DocStreams {
       .getOrElse(reader).parquet(dir)
   }
 
+  /** BPE tokenization at ingest under a FIXED trained merge list (train
+    * batch via [[graft.operators.TextAnalysis.bpeMergeList]], encode
+    * streaming — the `bpe_encode` serve path). The merges fold into the
+    * plan as literals inside one nested-replace expression
+    * ([[graft.operators.TextAnalysis.bpeEncodeLit]] — shared code, so
+    * batch/stream parity holds by construction): a pure per-row
+    * projection, NO state, no watermark, Append mode. */
+  def bpeEncodeStream(docs: DataFrame,
+                      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    graft.operators.TextAnalysis.bpeEncodeLit(docs, merges)
+
   /** Incremental exact dedup on the content hash: only the FIRST arrival
     * of each distinct text is emitted, across micro-batches. State is one
     * 32-byte key per distinct document — unbounded by design, because

@@ -457,4 +457,35 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(stream === batch, "streamed chunk set diverged from batch")
     assert(stream.nonEmpty)
   }
+
+  test("streaming BPE encode: per-doc token counts equal the batch query, zero state") {
+    import org.apache.spark.sql.functions.{col, explode, split, length}
+    val merges = graft.operators.TextAnalysis.bpeMergeList(
+      Tables.load(spark, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")).between(1, 32))
+        .groupBy(col("w")).count().withColumnRenamed("count", "freq"),
+      rounds = 10)
+
+    val docs = Tables.load(spark, sf, "documents")
+    val streamDir = Files.createTempDirectory("graft-bpestream").toString
+    docs.where($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    docs.where($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val q = DocStreams.bpeEncodeStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)),
+        merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.lastProgress.stateOperators.isEmpty
+      || q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+
+    val stream = spark.table("bpe_stream")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.TextAnalysis.bpeEncode(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stream === batch, "streamed BPE token counts diverged from batch")
+    assert(stream.nonEmpty)
+  }
 }

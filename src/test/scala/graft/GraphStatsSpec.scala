@@ -204,6 +204,27 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(got.length === 10, "sf0.001 corpus should sustain 10 merges")
   }
 
+  test("bpe_encode: folded-literal projection equals the oracled aggregate query") {
+    import org.apache.spark.sql.functions.{explode, split, length}
+    val corpus = TextAnalysis.bpeEncode(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(corpus.nonEmpty)
+    // per-doc token counts shrink vs raw chars and exceed word counts
+    corpus.foreach { case (id, nw, nt) =>
+      assert(nt >= nw, s"doc $id: fewer BPE tokens than words")
+    }
+    val merges = TextAnalysis.bpeMergeList(
+      Tables.load(spark, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")).between(1, 32))
+        .groupBy(col("w")).count().withColumnRenamed("count", "freq"),
+      rounds = 10)
+    val served = TextAnalysis.bpeEncodeLit(
+        Tables.load(spark, sf, "documents"), merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(served.toSeq === corpus.toSeq)
+  }
+
   test("quantizeLit serve path: exact parity with the oracled corpus query") {
     // the literal-folded per-row projection must equal the exploded
     // groupBy query value-for-value — decimal accumulation is
