@@ -147,8 +147,9 @@ object TextAnalysis {
     * convention — the merge literal must fold into the next round's
     * projection) → a pure per-row replace. Checkpoint-per-round with
     * immediate release, the iterative-operator lifecycle. */
-  private[graft] def bpeMergeList(words: DataFrame,
-                                  rounds: Int): Seq[(Int, String, String, Long)] = {
+  private[graft] def bpeMergeList(words: DataFrame, rounds: Int,
+                                  roundProbe: (Int, DataFrame) => Unit = (_, _) => ())
+      : Seq[(Int, String, String, Long)] = {
     val spark = words.sparkSession
     import spark.implicits._
     var vocab = words
@@ -160,7 +161,7 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false
     for (r <- 1 to rounds if !done) {
-      val best = vocab
+      val bestFrame = vocab
         .select(col("freq"), expr(
           """transform(filter(split(rep, '\\}'), x -> x != ''),
             |          x -> substring(x, 2, length(x)))""".stripMargin).as("syms"))
@@ -173,7 +174,8 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("wt"))
         .orderBy(col("wt").desc, col("a"), col("b"))
         .limit(1)
-        .as[(String, String, Long)].collect()
+      roundProbe(r, bestFrame)
+      val best = bestFrame.as[(String, String, Long)].collect()
       if (best.isEmpty) done = true
       else {
         val (a, b, wt) = best.head

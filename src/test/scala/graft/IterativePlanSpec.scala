@@ -130,4 +130,28 @@ class IterativePlanSpec extends AnyFunSuite {
     assert(equiJoins(preCut) === 1, s"linkPredictRa cap frame changed:\n$preCut")
     assert(bnlj(preCut) === 0)
   }
+
+  test("bpeMerges round: join-free explode + aggregate + bounded-heap argmax") {
+    import org.apache.spark.sql.functions.{col, count, explode, length, lit, split}
+    val words = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, 32))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val plans = scala.collection.mutable.Map[Int, String]()
+    graft.operators.TextAnalysis.bpeMergeList(words, rounds = 2,
+      roundProbe = (r, df) =>
+        if (r <= 2) plans(r) = df.queryExecution.executedPlan.toString)
+    Seq(1, 2).foreach { r =>
+      val plan = plans(r)
+      auditCommon(s"bpeMerges round $r", plan)
+      // the whole round is vocab-sized dataflow with NO joins at all:
+      // explode pairs → map-side-combined count → top-1 as a bounded heap
+      assert(equiJoins(plan) === 0, s"bpeMerges round $r grew a join:\n$plan")
+      assert(bnlj(plan) === 0)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"bpeMerges argmax should plan as a bounded heap, not a sort:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"bpeMerges pair count lost partial aggregation:\n$plan")
+    }
+  }
 }
