@@ -70,7 +70,10 @@ object SparkEntry {
     // teleport concentrated on the 5 most-cited papers ("related papers"
     // proximity); seed-mass conservation spec-asserted
     "citation_ppr" -> ((s, d) =>
-      Citations.personalizedPageRank(Citations.edges(s, d)))
+      Citations.personalizedPageRank(Citations.edges(s, d))),
+    // synchronous LPA is DEFINED as exactly 4 rounds (no fixpoint claim —
+    // see the Scaladoc); both engines unroll the same count
+    "citation_lpa" -> ((s, d) => Citations.lpa(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -89,6 +92,7 @@ object SparkEntry {
     "citation_pagerank" -> Citations.pageRankSql(iterations = 6),
     "citation_components" -> Citations.componentsSql(),
     "citation_ppr" -> Citations.personalizedPageRankSql(),
+    "citation_lpa" -> Citations.lpaSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -151,6 +155,7 @@ object SparkEntry {
     "citation_hits" -> Seq(col("paper_id")),
     "citation_components" -> Seq(col("paper_id")),
     "citation_ppr" -> Seq(col("paper_id")),
+    "citation_lpa" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
@@ -208,7 +213,10 @@ object SparkEntry {
     "events_retention" -> Seq(col("cohort_day"), col("day_offset")),
     "events_daily_share" -> Seq(col("day"), col("event_type")),
     "events_anomaly" -> Seq(col("day"), col("event_type")),
-    "events_transitions" -> Seq(col("from_type"), col("to_type"))
+    "events_transitions" -> Seq(col("from_type"), col("to_type")),
+    "events_ewma" -> Seq(col("user_id"), col("event_id")),
+    "events_ab_test" -> Seq(col("event_type")),
+    "events_cusum" -> Seq(col("event_type"), col("day"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
     Similarity.verifyOrder ++ Multimodal.verifyOrder ++
     Profiling.verifyOrder ++ Pipeline.verifyOrder ++ Sketches.verifyOrder

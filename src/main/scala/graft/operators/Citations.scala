@@ -1114,6 +1114,92 @@ object Citations {
        |FROM l$rounds ORDER BY paper_id""".stripMargin
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007),
+    * synchronous flavor: every round each node adopts the label held by
+    * the PLURALITY of its neighbors. Where [[components]] converges to a
+    * connectivity fixpoint, LPA's plurality rule finds denser-than-
+    * neighborhood groupings — and synchronous LPA famously need not
+    * converge (bipartite structures oscillate), so the operator is
+    * DEFINED as exactly `rounds` rounds and the DuckDB twin unrolls the
+    * same count: engines agree because the per-round function is
+    * deterministic, not because a fixpoint exists.
+    *
+    * Determinism inside a round: the plurality argmax rides a fixed-width
+    * sort key `lpad(999999999999 − cnt) || label` — the zero-padded
+    * inverted count compares first, the label string breaks ties toward
+    * the lexicographically smallest (the O11 string-tie-break rule) — so
+    * `min(key)` IS "most frequent label, smallest on ties" on both
+    * engines, exact string ops throughout. The undirected frame is
+    * DEDUPLICATED here (unlike [[components]], whose `min` is
+    * duplicate-insensitive): multi-edges would vote multiple times, and
+    * Spark's `union` keeps duplicates while the twin's `UNION` drops
+    * them, so parity requires the explicit `distinct`.
+    *
+    * Scale shape per round: one shuffle_hash join against the pinned
+    * edge partitioning + two partial-aggregable counts ((v,label) then
+    * v) — no windows, no cartesians; labels cut per round with
+    * superseded cuts released ([[components]] lifecycle). */
+  def lpa(edges: DataFrame, rounds: Int = 4,
+          roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.where(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .repartition(col("u")).localCheckpoint()
+    var labels = und.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var lastCut = labels
+    for (i <- 1 to rounds) {
+      val msg = und.join(labels.hint("shuffle_hash"), und("u") === labels("id"))
+        .groupBy(und("v").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("id"))
+        .agg(min(concat(
+          lpad((lit(999999999999L) - col("cnt")).cast("string"), 12, "0"),
+          col("label"))).as("key"))
+      val next = labels.join(msg, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(expr("substring(key, 13)"), col("label")).as("label"))
+      roundProbe(i, next)
+      val cut = next.localCheckpoint()
+      graft.Blocks.release(lastCut)
+      lastCut = cut
+      labels = cut
+    }
+    graft.Blocks.release(und)
+    labels.select(col("id").as("paper_id"), col("label").as("community"))
+  }
+
+  /** DuckDB twin of [[lpa]], unrolled one MATERIALIZED CTE per round
+    * (the [[componentsSql]] discipline). */
+  def lpaSql(rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT id, min(concat(
+         |      lpad(CAST(999999999999 - cnt AS VARCHAR), 12, '0'), label)) AS key
+         |  FROM (SELECT und.v AS id, q.label, count(*) AS cnt
+         |        FROM und JOIN l${i - 1} q ON q.id = und.u
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT p.id, coalesce(substr(m.key, 13), p.label) AS label
+         |  FROM l${i - 1} p LEFT JOIN m$i m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+       |  UNION
+       |  SELECT dst, src FROM e WHERE src <> dst),
+       |l0 AS MATERIALIZED (
+       |  SELECT id, id AS label FROM (SELECT DISTINCT u AS id FROM und)),
+       |$steps
+       |SELECT id AS paper_id, label AS community
+       |FROM l$rounds ORDER BY paper_id""".stripMargin
+  }
+
   /** O16 (reference check.py:31-33): console top-k print. The reference's
     * label says "Top 10" but prints 30 (SURVEY.md §2.3.7 — a cosmetic bug);
     * the spec is 30 rows, so that is what we label and print. */

@@ -230,6 +230,60 @@ object EventAnalytics {
             6)).as("z"))
   }
 
+  /** CUSUM drift detection per event type — the change-point companion of
+    * [[eventsAnomaly]]'s pointwise z-scores: the running sum of
+    * mean-deviations S_i = Σ_{j≤i}(n_j − μ) turns a sustained small shift
+    * (invisible to per-day z) into a growing ramp, and the |S| peak marks
+    * the most likely change point (Page 1954). Exactness: μ = s1/days
+    * never materializes — every deviation is scaled by `days`, making
+    * S'_i = Σ(n_j·days − s1) a pure function of exact integers in
+    * DECIMAL(38,0) (the [[eventsAnomaly]] overflow discipline); the
+    * output divides once by days and rounds(6); the peak flag compares
+    * exact integers, no float epsilon. By construction S'_last = 0 —
+    * the mean-centered ramp always returns to zero.
+    *
+    * Shape: daily aggregate (the one corpus shuffle) → 1-row-per-type
+    * stats broadcast back → two type-partitioned windows over the
+    * CALENDAR-bounded daily frame (rows = days×types, never events). */
+  def eventsCusum(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"), sum(col("n")).as("s1"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dev = dec(col("n")) * dec(col("days")) - dec(col("s1"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("event_type"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("day"), col("event_type"), col("n"), col("days"),
+        sum(dev).over(wc).as("cs"))
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("cs").cast("double") / col("days").cast("double"), 6)
+          .as("cusum"),
+        (abs(col("cs")) === max(abs(col("cs"))).over(wt)).as("is_peak"))
+  }
+
+  val eventsCusumSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS days, sum(n) AS s1
+      |  FROM daily GROUP BY 1),
+      |r AS (
+      |  SELECT day, d.event_type, n, days,
+      |    sum(CAST(n AS DECIMAL(38,0)) * CAST(days AS DECIMAL(38,0))
+      |        - CAST(s1 AS DECIMAL(38,0)))
+      |      OVER (PARTITION BY d.event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      |  FROM daily d JOIN stats USING (event_type))
+      |SELECT day, event_type, CAST(n AS BIGINT) AS n,
+      |  round(CAST(cs AS DOUBLE) / CAST(days AS DOUBLE), 6) AS cusum,
+      |  abs(cs) = max(abs(cs)) OVER (PARTITION BY event_type) AS is_peak
+      |FROM r ORDER BY event_type, day""".stripMargin
+
   val eventsAnomalySql: String =
     """WITH daily AS (
       |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
@@ -283,6 +337,138 @@ object EventAnalytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day""".stripMargin
+
+  /** Exponentially-weighted moving average of `value` per user — the
+    * trend/denoise statistic monitoring pipelines attach to every metric
+    * stream. Truncated at 8 taps with α=1/2: ewma_i = Σ_{k<8} 0.5^k·v_{i−k}
+    * normalized by the weights actually present, which is the exact
+    * windowed form of the recursive EWMA (the ninth tap's weight, 1/256,
+    * is below the round(9) grid the suite emits anyway) — and, unlike the
+    * recursive form, it is expressible as ONE window pass of 8 `lag`s with
+    * NO sequential dependency across rows, so it parallelizes per user
+    * partition instead of demanding an ordered scan of the stream.
+    * [[graft.streaming.EventStreams]] runs the same math incrementally
+    * with a bounded 8-value ring buffer per user.
+    *
+    * Determinism discipline (the [[rolling7d]] fix-once pattern, taken all
+    * the way): values fix to DECIMAL(18,6) once; the tap weights 0.5^k are
+    * EXACT decimal literals (0.5 … 0.0078125, ≤7 dp), so every
+    * term and the 8-term sum are exact decimal arithmetic with no
+    * engine-order effects; the weight sum 2−0.5^(m−1) for the m available
+    * taps is a table of exact binary doubles; one division + round(9) at
+    * the end, the house rule. */
+  def ewmaFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val weights = Seq("1.0", "0.5", "0.25", "0.125", "0.0625",
+      "0.03125", "0.015625", "0.0078125")
+    val num = weights.zipWithIndex.map { case (wk, k) =>
+      val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      coalesce(v.cast("decimal(18,6)") * lit(new java.math.BigDecimal(wk)),
+        lit(new java.math.BigDecimal(0)))
+    }.reduce(_ + _)
+    val m = least(row_number().over(w), lit(8))
+    val denom = (1 to 8).foldLeft(lit(1.0)) { (acc, i) =>
+      when(m === i, lit(2.0 - math.pow(0.5, i - 1))).otherwise(acc)
+    }
+    events.select(col("user_id"), col("event_id"), col("ts"), col("value"),
+      round(num.cast("double") / denom, 9).as("ewma"))
+  }
+
+  def ewma(s: SparkSession, d: String): DataFrame =
+    ewmaFrom(Tables.load(s, d, "events"))
+
+  val ewmaSql: String = {
+    val weights = Seq("1.0", "0.5", "0.25", "0.125", "0.0625",
+      "0.03125", "0.015625", "0.0078125")
+    val terms = weights.zipWithIndex.map { case (wk, k) =>
+      val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+      s"coalesce(CAST($v AS DECIMAL(18,6)) * $wk, 0)"
+    }.mkString(" + ")
+    val denom = (1 to 8).map { i =>
+      s"WHEN least(rn, 8) = $i THEN ${2.0 - math.pow(0.5, i - 1)}"
+    }.mkString(" ")
+    s"""WITH r AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    row_number() OVER w AS rn,
+       |    $terms AS num
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id, ts, value,
+       |  round(CAST(num AS DOUBLE) / (CASE $denom END), 9) AS ewma
+       |FROM r ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** Two-proportion z-test per event type — the experiment-analysis
+    * primitive: variant from the user id's parity (the deterministic
+    * stand-in for an assignment column), a user "converts" on a type iff
+    * any of their events of that type has value > 150 (a TAIL threshold:
+    * an any-of-many conversion at the median converts every user with a
+    * dozen events and degenerates the pooled p̂ to 1 — guarded below
+    * anyway), z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with the pooled
+    * p̂. Two stacked aggregations, both partial-aggregable: per
+    * (type, user) conversion flags collapse map-side before the one
+    * user-keyed exchange, then the per-type A/B counts are a ~10-row
+    * conditional-sum aggregate — the z arithmetic runs on a driver-sized
+    * frame. Determinism: counts are integers; the z chain is explicitly
+    * parenthesized identically in both engines, every step (divide,
+    * multiply, sqrt) a single correctly-rounded IEEE op on identical
+    * inputs, so round(9) hash-matches. */
+  def abTestFrom(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2 === 0).as("is_a"),
+        when(col("value") > 150, 1L).otherwise(0L).as("hit"))
+      .groupBy(col("event_type"), col("is_a"), col("user_id"))
+      .agg(max(col("hit")).as("converted"))
+    val ab = perUser
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), col("converted")).otherwise(0L)).as("c_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("is_a"), col("converted")).otherwise(0L)).as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a")
+    val pb = col("c_b").cast("double") / col("n_b")
+    val pp = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt((pp * (lit(1.0) - pp)) *
+      ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b"))))
+    // a fully-converted (or fully-unconverted) pool has se = 0 and no
+    // defined z; emit NULL rather than divide — mirrored in the twin
+    val degenerate = (col("c_a") + col("c_b") === 0) ||
+      (col("c_a") + col("c_b") === col("n_a") + col("n_b"))
+    ab.select(col("event_type"), col("n_a"), col("c_a"), col("n_b"),
+      col("c_b"), round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round((pa - pb) / se, 9)).as("z_score"))
+  }
+
+  def abTest(s: SparkSession, d: String): DataFrame =
+    abTestFrom(Tables.load(s, d, "events"))
+
+  val abTestSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id % 2 = 0 AS is_a, user_id,
+      |         max(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1, 2, 3),
+      |ab AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+      |    sum(CASE WHEN is_a THEN converted ELSE 0 END) AS c_a,
+      |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
+      |    sum(CASE WHEN NOT is_a THEN converted ELSE 0 END) AS c_b
+      |  FROM pu GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+      |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+      |  ELSE round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+      |    sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) *
+      |          (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))) *
+      |         ((1.0 / n_a) + (1.0 / n_b))), 9) END AS z_score
+      |FROM ab ORDER BY event_type""".stripMargin
 
   /** As-of join: for each click, the most recent at-or-before purchase of
     * the same user. Spark has no native ASOF JOIN, and the naive encoding
@@ -556,7 +742,10 @@ object EventAnalytics {
     "events_distinct_users" -> (distinctUsers _),
     "events_daily_share" -> (dailyShare _),
     "events_anomaly" -> (eventsAnomaly _),
+    "events_cusum" -> (eventsCusum _),
     "events_rolling_7d" -> (rolling7d _),
+    "events_ewma" -> (ewma _),
+    "events_ab_test" -> (abTest _),
     "events_session_stats" -> (sessionStats _)
   )
 
@@ -574,7 +763,10 @@ object EventAnalytics {
     "events_distinct_users" -> distinctUsersSql,
     "events_daily_share" -> dailyShareSql,
     "events_anomaly" -> eventsAnomalySql,
+    "events_cusum" -> eventsCusumSql,
     "events_rolling_7d" -> rolling7dSql,
+    "events_ewma" -> ewmaSql,
+    "events_ab_test" -> abTestSql,
     "events_session_stats" -> sessionStatsSql
   )
 }

@@ -329,8 +329,210 @@ object Multimodal {
              |  f -> substring(payload, 1 + f * greatest(1, CAST(length(payload) div $k AS INT)), 16))"""
             .stripMargin).as("frames"))
 
+  /** 64-bit difference hash (dHash) of an image payload — the perceptual
+    * fingerprint image pipelines dedup on: decode → grayscale → average-
+    * pool to a 9×8 grid → bit (row r, col c) = 1 iff cell(c,r) <
+    * cell(c+1,r). Visually-similar images (recompression, mild noise,
+    * small crops) land within a few bits; unrelated images differ by ~32.
+    *
+    * Decode order: the dependency-free BMP parser (24-bit BI_RGB,
+    * bottom-up or top-down), then `javax.imageio` for the compressed
+    * formats, then the PERMISSIVE fallback — the first 8 bytes of
+    * md5(payload) as the hash. The fallback keeps the operator total (no
+    * decoder ever throws here) and is exactly what makes [[mediaPhash]]
+    * SQL-oracle-able on this corpus: the synthetic payloads are text
+    * bytes, every row takes the md5 path, and DuckDB can compute THAT —
+    * while MultimodalSpec drives real BMP/PNG fixtures through the same
+    * function and pins true pixel dHashes (similar images ⇒ hamming ≤ 6,
+    * inverted image ⇒ hamming ≥ 32). All-JVM double math — bit-identical
+    * on every executor. */
+  def dHash64(payload: Array[Byte]): (Long, Boolean) =
+    grayPixels(payload) match {
+      case Some((w, h, gray)) =>
+        val cells = Array.ofDim[Double](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9; val x1 = math.max((c + 1) * w / 9, x0 + 1)
+            val y0 = r * h / 8; val y1 = math.max((r + 1) * h / 8, y0 + 1)
+            var sum = 0.0; var n = 0
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                sum += gray(math.min(y, h - 1) * w + math.min(x, w - 1))
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            // degenerate pool boxes (w<9 or h<8) fall back to the clamped
+            // corner pixel so every cell is defined
+            cells(r)(c) =
+              if (n > 0) sum / n
+              else gray(math.min(y0, h - 1) * w + math.min(x0, w - 1))
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            bits <<= 1
+            if (cells(r)(c) < cells(r)(c + 1)) bits |= 1L
+            c += 1
+          }
+          r += 1
+        }
+        (bits, true)
+      case None =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload)
+        var bits = 0L
+        var i = 0
+        while (i < 8) { bits = (bits << 8) | (d(i) & 0xffL); i += 1 }
+        (bits, false)
+    }
+
+  /** Grayscale raster (row-major, 0-255 doubles): hand BMP parser first
+    * (24bpp BI_RGB, padded bottom-up rows; negative height = top-down),
+    * then `javax.imageio`, else None. */
+  private def grayPixels(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    parseBmp(b) match {
+      case Some((w, h, pixOff)) if le16(b, 28) == 24 =>
+        val topDown = le32(b, 22) < 0
+        val rowBytes = (w * 3 + 3) & ~3
+        if (pixOff + rowBytes.toLong * h > b.length) return grayViaImageIo(b)
+        val g = new Array[Double](w * h)
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          var x = 0
+          while (x < w) {
+            val o = pixOff + srcRow * rowBytes + x * 3
+            g(y * w + x) = ((b(o) & 0xff) + (b(o + 1) & 0xff) +
+              (b(o + 2) & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, g))
+      case _ => grayViaImageIo(b)
+    }
+  }
+
+  private def grayViaImageIo(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      val g = new Array[Double](w * h)
+      val row = new Array[Int](w * bands)
+      var y = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, row)
+        var x = 0
+        while (x < w) {
+          var sum = 0; var k = 0
+          while (k < bands) { sum += row(x * bands + k); k += 1 }
+          g(y * w + x) = sum.toDouble / bands
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, g))
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-item perceptual hash: (media_id, format, phash_hex, decoded).
+    * Partition-local mapPartitions like [[decodeFeatures]] — no shuffle. */
+  def mediaPhash(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    mediaTyped(s, d).mapPartitions { rows =>
+      rows.map { m =>
+        val (bits, decoded) = dHash64(m.payload)
+        (m.media_id, m.format, f"$bits%016x", decoded)
+      }
+    }.toDF("media_id", "format", "phash_hex", "decoded")
+  }
+
+  // every synthetic payload takes the md5 fallback (text bytes are not a
+  // decodable image), which DuckDB computes exactly
+  val mediaPhashSql: String =
+    """SELECT doc_id AS media_id,
+      |  ['png', 'wav', 'mp4'][CAST(doc_id % 3 AS INT) + 1] AS format,
+      |  substr(md5(text), 1, 16) AS phash_hex, false AS decoded
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Near-duplicate image candidates by pigeonhole banding on the dHash:
+    * split the 64-bit hash into 4 × 16-bit bands — any pair within
+    * hamming ≤ 3 shares at least one EXACT band (4 bands, ≤3 differing
+    * bits), so an equi-join per band finds all close pairs without any
+    * all-pairs comparison, exactly the [[graft.operators.Dedup]] LSH
+    * block-then-verify shape but in pixel space. Each candidate is then
+    * verified with the true hamming distance (4 × 16-bit xor popcounts);
+    * `is_near_dup` applies the ≤ 6 accept threshold (pairs that band-
+    * collide but differ widely stay visible as rejected candidates — the
+    * blocking's false-positive surface, deliberately not hidden). The
+    * hash frame is checkpointed once so the decode pass runs ONCE, not
+    * once per self-join side; at 100 TB the bands exchange carries
+    * 20-byte rows, never payloads. */
+  def mediaPhashPairs(s: SparkSession, d: String): DataFrame = {
+    val ph = mediaPhash(s, d).select(col("media_id"), col("phash_hex"))
+      .localCheckpoint()
+    val bands = ph.select(col("media_id"), col("phash_hex"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> substring(phash_hex, i*4+1, 4))")))
+      .toDF("media_id", "phash_hex", "band_idx", "band")
+    val a = bands.toDF("media_id_a", "pa", "band_idx", "band")
+    val bb = bands.toDF("media_id_b", "pb", "band_idx", "band")
+    val hamming = (0 until 4).map { k =>
+      expr(s"""bit_count(CAST(conv(substring(pa, ${k * 4 + 1}, 4), 16, 10) AS INT)
+              | ^ CAST(conv(substring(pb, ${k * 4 + 1}, 4), 16, 10) AS INT))"""
+        .stripMargin)
+    }.reduce(_ + _)
+    a.join(bb, Seq("band_idx", "band"))
+      .where(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a"), col("media_id_b"), col("pa"), col("pb"))
+      .distinct()
+      .select(col("media_id_a"), col("media_id_b"),
+        hamming.cast("long").as("hamming"))
+      .withColumn("is_near_dup", col("hamming") <= 6)
+  }
+
+  val mediaPhashPairsSql: String = {
+    val hamming = (0 until 4).map { k =>
+      s"""bit_count(xor(CAST('0x' || substr(pa, ${k * 4 + 1}, 4) AS INT),
+         |               CAST('0x' || substr(pb, ${k * 4 + 1}, 4) AS INT)))"""
+        .stripMargin
+    }.mkString(" + ")
+    s"""WITH ph AS (
+       |  SELECT doc_id AS media_id, substr(md5(text), 1, 16) AS ph
+       |  FROM documents),
+       |b AS (
+       |  SELECT media_id, ph, i, substr(ph, i * 4 + 1, 4) AS band
+       |  FROM ph, (SELECT unnest(range(0, 4)) AS i) r),
+       |cand AS (
+       |  SELECT DISTINCT x.media_id AS media_id_a, y.media_id AS media_id_b,
+       |         x.ph AS pa, y.ph AS pb
+       |  FROM b x JOIN b y ON x.i = y.i AND x.band = y.band
+       |                   AND x.media_id < y.media_id)
+       |SELECT media_id_a, media_id_b,
+       |  CAST($hamming AS BIGINT) AS hamming,
+       |  ($hamming) <= 6 AS is_near_dup
+       |FROM cand ORDER BY media_id_a, media_id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
+    "media_phash" -> (mediaPhash _),
+    "media_phash_pairs" -> (mediaPhashPairs _),
     // decode path through the production codec registry (WAV/BMP real,
     // stub for codec-less formats; this corpus's payloads are text bytes,
     // so every row takes the documented stub fallback — values pinned in
@@ -367,12 +569,16 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "media_features" -> mediaFeaturesSql,
+    "media_phash" -> mediaPhashSql,
+    "media_phash_pairs" -> mediaPhashPairsSql,
     "media_resize" -> mediaResizeSql,
     "media_frames" -> mediaFramesSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "media_features" -> Seq(col("media_id")),
+    "media_phash" -> Seq(col("media_id")),
+    "media_phash_pairs" -> Seq(col("media_id_a"), col("media_id_b")),
     "media_decode" -> Seq(col("media_id")),
     "media_resize" -> Seq(col("media_id")),
     "media_frames" -> Seq(col("media_id"))

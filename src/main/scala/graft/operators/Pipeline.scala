@@ -616,6 +616,89 @@ object Pipeline {
       |       max_by(n_chars, version) AS n_chars
       |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Time-travel (AS OF) reads over a versioned change log — the lakehouse
+    * primitive behind "reproduce the corpus exactly as the last training
+    * run saw it". The log extends [[corpusUpsert]]'s to three versions:
+    * v0 full snapshot, v1 updates (~25% of keys, md5 leading hex < '4'),
+    * v2 DELETES (md5 leading hex < '2' or ≥ 'e' — deliberately straddling
+    * the update range, so the log contains BOTH delete-after-update keys,
+    * the no-resurrection case, and delete-of-untouched keys) —
+    * and a snapshot AS OF version V is latest-wins over `version <= V`
+    * with tombstones dropped AFTER the argmax (a key whose latest op ≤ V
+    * is a delete is absent, but its earlier update must not resurrect).
+    * Emitted here as both snapshots tagged by `as_of`, so the result
+    * exhibits the semantics: deleted keys appear under as_of=1 and vanish
+    * under as_of=2, while un-deleted updated keys carry version 1 in both.
+    *
+    * Shape: the same partial-aggregable max/max_by compaction as
+    * [[corpusUpsert]] (one candidate per key per partition crosses each
+    * exchange — never a version-history window), run once per requested
+    * snapshot over the version-pruned log. The synthetic log itself is
+    * built from ONE corpus scan (the three version branches read one
+    * pinned doc_id exchange via ReuseExchange) and MATERIALIZED once —
+    * the moral equivalent of the log being real storage; both snapshot
+    * aggregates then read the materialized log, not the corpus. On a
+    * real table the `version <= V` predicate is additionally a
+    * file-level prune (manifest min/max on the version column — the
+    * [[graft.sources.SkippingIndex]] mechanism), so an AS OF read scans
+    * only the files the snapshot can see; at 100 TB that pruning, not
+    * the aggregate, is what makes time travel cheap. */
+  def corpusAsofRead(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
+      .repartition(col("doc_id"))
+    val log = docs.select(col("doc_id"), lit(0L).as("version"),
+        col("n_chars"), lit("u").as("op"))
+      .unionByName(docs.where(col("h") < "4")
+        .select(col("doc_id"), lit(1L).as("version"),
+          (col("n_chars") + lit(17)).as("n_chars"), lit("u").as("op")))
+      .unionByName(docs.where(col("h") < "2" || col("h") >= "e")
+        .select(col("doc_id"), lit(2L).as("version"),
+          lit(0L).as("n_chars"), lit("d").as("op")))
+      .localCheckpoint()
+    // the tombstone flag rides the argmax as an INT, not the op string:
+    // a string aggregation buffer would demote the whole compaction to
+    // SortAggregate (immutable buffer type); the int keeps it a codegen'd
+    // HashAggregate with map-side partials — measured on the plan dump
+    def asOf(v: Long): DataFrame =
+      log.where(col("version") <= v)
+        .groupBy(col("doc_id"))
+        .agg(max(col("version")).as("version"),
+          max_by(col("n_chars"), col("version")).as("n_chars"),
+          max_by(when(col("op") === "d", 1).otherwise(0), col("version"))
+            .as("deleted"))
+        .where(col("deleted") === 0)
+        .select(lit(v).as("as_of"), col("doc_id"), col("version"),
+          col("n_chars"))
+    asOf(1L).unionByName(asOf(2L))
+  }
+
+  val corpusAsofReadSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      |  FROM documents),
+      |log AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS version, n_chars, 'u' AS op
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS BIGINT), n_chars + 17, 'u'
+      |  FROM d WHERE h < '4'
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'd'
+      |  FROM d WHERE h < '2' OR h >= 'e'),
+      |snap AS (
+      |  SELECT v.as_of, doc_id, max(version) AS version,
+      |         max_by(n_chars, version) AS n_chars,
+      |         max_by(CASE WHEN op = 'd' THEN 1 ELSE 0 END, version)
+      |           AS deleted
+      |  FROM log, (SELECT unnest([1, 2]) AS as_of) v
+      |  WHERE version <= v.as_of
+      |  GROUP BY 1, 2)
+      |SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, version, n_chars
+      |FROM snap WHERE deleted = 0 ORDER BY as_of, doc_id""".stripMargin
+
   /** Token-BUDGET downsampling per language — "give me the first N tokens
     * of each language, in a deterministic shuffled order": the data-budget
     * allocation step a training recipe runs when the unit of account is
@@ -694,6 +777,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_upsert" -> (corpusUpsert _),
+    "corpus_asof_read" -> (corpusAsofRead _),
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
@@ -709,6 +793,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "corpus_upsert" -> corpusUpsertSql,
+    "corpus_asof_read" -> corpusAsofReadSql,
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_weighted" -> sampleWeightedSql,
@@ -724,6 +809,7 @@ object Pipeline {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "corpus_upsert" -> Seq(col("doc_id")),
+    "corpus_asof_read" -> Seq(col("as_of"), col("doc_id")),
     "sample_split" -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "sample_weighted" -> Seq(col("lang"), col("rank")),

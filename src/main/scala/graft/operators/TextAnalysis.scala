@@ -56,6 +56,88 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Zipf's-law fit per language: OLS of ln(freq) on ln(rank) over the
+    * top-200 vocabulary — the corpus-health diagnostic (natural language
+    * sits near slope −1; a flat or cliff-shaped curve flags synthetic or
+    * template text). Rank-limit first: `row_number <= 200` plans with
+    * Spark's WindowGroupLimit pushdown, so every partition pre-prunes to
+    * its own top-200 per language BEFORE the exchange — the per-lang
+    * window (a low-cardinality partition key this suite polices) only
+    * ever sees ≤ partitions×200 rows per language, never the vocabulary.
+    * The OLS sums then aggregate ≤200 rows per language.
+    *
+    * Float discipline: ln() is the one op here that is not IEEE-exactness
+    * -guaranteed cross-engine, so each term fixes to the 12-dp grid
+    * immediately (the [[qualityUnigramLogprob]] precedent), products are
+    * exact DECIMAL(38,24) multiplies, sums are order-free exact decimal
+    * adds, and the closed-form slope/intercept/r² run one identically-
+    * parenthesized IEEE chain on the aggregated sums, round(6). */
+  def tokenZipf(s: SparkSession, d: String): DataFrame = {
+    val freq = docs(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("freq").desc, col("w").asc)))
+      .where(col("rank") <= 200)
+    val terms = ranked.select(col("lang"),
+      round(log(col("rank").cast("double")), 12)
+        .cast("decimal(14,12)").as("x"),
+      round(log(col("freq").cast("double")), 12)
+        .cast("decimal(14,12)").as("y"))
+    val agg = terms.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,24)")).cast("double").as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,24)")).cast("double").as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(38,24)")).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val cov = (n * col("sxy")) - (col("sx") * col("sy"))
+    val varx = (n * col("sxx")) - (col("sx") * col("sx"))
+    val vary = (n * col("syy")) - (col("sy") * col("sy"))
+    agg.select(col("lang"), col("n"),
+      round(cov / varx, 6).as("slope"),
+      round((col("sy") - (cov / varx) * col("sx")) / n, 6).as("intercept"),
+      round((cov * cov) / (varx * vary), 6).as("r2"))
+  }
+
+  val tokenZipfSql: String =
+    """WITH freq AS (
+      |  SELECT lang, w, count(*) AS freq
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lang, freq,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY freq DESC, w ASC) AS rank
+      |  FROM freq QUALIFY rank <= 200),
+      |terms AS (
+      |  SELECT lang,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(14,12)) AS x,
+      |    CAST(round(ln(CAST(freq AS DOUBLE)), 12) AS DECIMAL(14,12)) AS y
+      |  FROM ranked),
+      |agg AS (
+      |  SELECT lang, count(*) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,24))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,24))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,24))) AS DOUBLE) AS syy
+      |  FROM terms GROUP BY 1)
+      |SELECT lang, n,
+      |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+      |  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |               (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
+      |        CAST(n AS DOUBLE), 6) AS intercept,
+      |  round(((CAST(n AS DOUBLE) * sxy - sx * sy) *
+      |         (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+      |        ((CAST(n AS DOUBLE) * sxx - sx * sx) *
+      |         (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+      |FROM agg ORDER BY lang""".stripMargin
+
   /** Fuzzy vocabulary pairs at edit distance EXACTLY 1, by SymSpell-style
     * deletion-neighborhood blocking (Garbe's symmetric-delete scheme):
     * every token emits itself plus its single-character deletions as
@@ -714,6 +796,120 @@ object TextAnalysis {
       |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): hash every word-3-gram shingle, slide a window of
+    * w=4 consecutive hashes, and keep the window minimum — rightmost
+    * occurrence on ties, the paper's rule — then dedupe. Guarantees every
+    * shared run of ≥ w+k-1 tokens between two documents contributes at
+    * least one IDENTICAL fingerprint while storing only ~2/(w+1) of the
+    * shingle hashes, which is why plagiarism/overlap indexes (MOSS) use it
+    * instead of keeping all shingles: at 100 TB the fingerprint index is
+    * a fixed fraction of [[docFingerprint]]'s full shingle set with the
+    * same detection guarantee.
+    *
+    * The rightmost-min-on-tie rule rides inside ONE window pass via a
+    * fixed-width sort key: `md5hex || %05d(99999-pos)` — 32 hex chars
+    * compare the hash, the zero-padded inverted-position suffix breaks
+    * ties toward the LARGER position, and `min` over the lexicographic
+    * key is therefore exactly the paper's selection. Both engines compare
+    * equal-length ASCII strings, so the oracle is hash-exact. Shape: one
+    * explode + one doc_id exchange for the sort-window + a distinct that
+    * collapses map-side; windows are per-document, so partition width is
+    * bounded by document length, never corpus size. */
+  def docWinnowing(s: SparkSession, d: String): DataFrame =
+    docWinnowingFrom(docs(s, d))
+
+  def docWinnowingFrom(input: DataFrame): DataFrame = {
+    val w = 4 // window size in shingles
+    val sh = input
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), greatest(size(col("ws")) - 2, lit(1)).as("n_sh"),
+        explode(expr("sequence(1, greatest(size(ws) - 2, 1))")).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("n_sh"), col("i"),
+        concat(md5(expr("concat_ws(' ', slice(ws, i, 3))")),
+          format_string("%05d", lit(99999) - col("i"))).as("key"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.withColumn("sel", min(col("key")).over(win))
+      .where(col("i") <= greatest(col("n_sh") - (w - 1), lit(1)))
+      .select(col("doc_id"),
+        (lit(99999) - substring(col("sel"), 33, 5).cast("int")).as("pos"),
+        substring(col("sel"), 1, 32).as("fp"))
+      .distinct()
+  }
+
+  /** The winnowing selection as an ORDER-free SQL body, shared by the
+    * standalone query and the pair-detection twin (a parenthesized
+    * subquery may carry its own WITH in DuckDB). */
+  private val docWinnowingCoreSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, greatest(len(ws) - 2, 1) AS n_sh, i,
+      |    concat(md5(array_to_string(ws[i:i+2], ' ')),
+      |           printf('%05d', 99999 - i)) AS key
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents))),
+      |sel AS (
+      |  SELECT doc_id, n_sh, i,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY i
+      |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM sh)
+      |SELECT DISTINCT doc_id,
+      |  99999 - CAST(substr(sel, 33, 5) AS INT) AS pos,
+      |  substr(sel, 1, 32) AS fp
+      |FROM sel WHERE i <= greatest(n_sh - 3, 1)""".stripMargin
+
+  val docWinnowingSql: String =
+    docWinnowingCoreSql + "\nORDER BY doc_id, pos"
+
+  /** Overlap detection OVER the winnowing index — what the index is FOR:
+    * documents sharing ≥ 2 selected fingerprints are candidate
+    * content-overlap (plagiarism/boilerplate) pairs, with the shared
+    * count as evidence. Rare-fingerprint blocking bounds the join: a
+    * fingerprint posting longer than 20 docs is corpus boilerplate with
+    * O(df²) pair fan-out and no discriminative value, so it is dropped
+    * BEFORE pairing (the cocitation out-degree-cap rule) — the self-join
+    * fan-out is ≤ C(20,2) per fingerprint BY CONSTRUCTION. The posting
+    * frame is built once and pinned on the fp key; both join sides read
+    * the one exchange. 16-byte fingerprints cross the wire, never text. */
+  def docWinnowingPairs(s: SparkSession, d: String,
+                        maxDf: Int = 20): DataFrame =
+    docWinnowingPairsFrom(docs(s, d), maxDf)
+
+  def docWinnowingPairsFrom(input: DataFrame, maxDf: Int = 20): DataFrame = {
+    val postings = docWinnowingFrom(input)
+      .select(col("doc_id"), col("fp")).distinct()
+      .repartition(col("fp"))
+    val rare = postings.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf && col("df") >= 2)
+    val keyed = postings.join(rare, Seq("fp"))
+    val a = keyed.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = keyed.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= 2)
+  }
+
+  val docWinnowingPairsSql: String =
+    s"""WITH fps AS (
+       |  SELECT DISTINCT doc_id, fp FROM (
+       |${docWinnowingCoreSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )),
+       |rare AS (
+       |  SELECT fp, count(*) AS df FROM fps
+       |  GROUP BY 1 HAVING count(*) <= 20 AND count(*) >= 2),
+       |keyed AS (SELECT f.fp, f.doc_id FROM fps f JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       count(*) AS shared_fps
+       |FROM keyed a JOIN keyed b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Gopher-style repetition signals per document: the token fraction
     * covered by the most frequent word 2-gram and the duplicate-token
     * fraction (Rae et al. 2021 §A1.1 use character fractions of the top
@@ -1333,6 +1529,7 @@ object TextAnalysis {
     "text_stats" -> (textStats _),
     "token_topk" -> (tokenTopk _),
     "token_fuzzy_pairs" -> (tokenFuzzyPairs _),
+    "token_zipf" -> (tokenZipf _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
     "token_bigrams" -> (tokenBigrams _),
@@ -1344,6 +1541,8 @@ object TextAnalysis {
     "lang_id" -> (langId _),
     "lang_id_eval" -> (langIdEval _),
     "doc_fingerprint" -> (docFingerprint _),
+    "doc_winnowing" -> (docWinnowing _),
+    "doc_winnowing_pairs" -> ((s, d) => docWinnowingPairs(s, d)),
     "doc_length_histogram" -> (docLengthHistogram _),
     "quality_unigram_logprob" -> (qualityUnigramLogprob _),
     "quality_bigram_logprob" -> (qualityBigramLogprob _)
@@ -1361,6 +1560,7 @@ object TextAnalysis {
     "text_stats" -> textStatsSql,
     "token_topk" -> tokenTopkSql,
     "token_fuzzy_pairs" -> tokenFuzzyPairsSql,
+    "token_zipf" -> tokenZipfSql,
     "bpe_merges" -> bpeMergesSql(),
     "bpe_encode" -> bpeEncodeSql(),
     "token_bigrams" -> tokenBigramsSql,
@@ -1372,6 +1572,8 @@ object TextAnalysis {
     "lang_id" -> langIdSql,
     "lang_id_eval" -> langIdEvalSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "doc_winnowing" -> docWinnowingSql,
+    "doc_winnowing_pairs" -> docWinnowingPairsSql,
     "doc_length_histogram" -> docLengthHistogramSql,
     "quality_unigram_logprob" -> qualityUnigramLogprobSql,
     "quality_bigram_logprob" -> qualityBigramLogprobSql
@@ -1379,6 +1581,7 @@ object TextAnalysis {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "token_fuzzy_pairs" -> Seq(col("tok_a"), col("tok_b")),
+    "token_zipf" -> Seq(col("lang")),
     "bpe_merges" -> Seq(col("rank")),
     "bpe_encode" -> Seq(col("doc_id")),
     "search_hybrid_rrf" -> Seq(col("rank")),
@@ -1396,6 +1599,8 @@ object TextAnalysis {
     "lang_id" -> Seq(col("doc_id")),
     "lang_id_eval" -> Seq(col("lang"), col("pred_lang")),
     "doc_fingerprint" -> Seq(col("doc_id")),
+    "doc_winnowing" -> Seq(col("doc_id"), col("pos")),
+    "doc_winnowing_pairs" -> Seq(col("doc_a"), col("doc_b")),
     "doc_length_histogram" -> Seq(col("bucket")),
     "quality_unigram_logprob" -> Seq(col("doc_id")),
     "quality_bigram_logprob" -> Seq(col("doc_id"))

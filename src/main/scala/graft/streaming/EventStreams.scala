@@ -24,6 +24,16 @@ case class LastEvent(ts: Long, eventId: Long, tpe: String)
 case class TransitionRow(user_id: Long, from_type: String, to_type: String,
                          ts: java.sql.Timestamp)
 
+/** Per-user EWMA tap buffer carried across micro-batches: the (ts,
+  * event_id) high-water mark plus the ≤ 8 most recent values,
+  * newest first — state is 8 doubles + 2 longs per user BY SCHEMA. */
+case class EwmaTaps(ts: Long, eventId: Long, values: Array[Double])
+
+/** One smoothed observation ([[graft.operators.EventAnalytics.ewmaFrom]]
+  * row), emitted at its event's time. */
+case class EwmaRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   value: Double, ewma: Double)
+
 /** Incremental (Structured Streaming) execution of the event-time
   * analytics: the SAME window transforms as batch
   * ([[graft.operators.EventAnalytics]] `*From` functions), fed by a
@@ -197,6 +207,70 @@ object EventStreams {
           last.foreach(state.update)
           out.result().iterator
       }
+  }
+
+  /** Incremental twin of [[EventAnalytics.ewmaFrom]]: the 8-tap α=1/2
+    * EWMA maintained per user with a bounded ring buffer — the canonical
+    * "smooth a metric stream online" operator. The batch form is one
+    * window pass of 8 lags; HERE the same 8 taps are the carried state,
+    * so each incoming event costs O(8) with no window and no shuffle
+    * beyond the user_id grouping.
+    *
+    * Exactness contract ([[transitionStream]] convention): the emitted
+    * (event, ewma) set is IDENTICAL to batch when events arrive in
+    * event-time order across micro-batches (in-batch disorder is sorted
+    * away). A stale arrival — older than the carried high-water mark —
+    * is DROPPED, not spliced: its batch ewma depends on taps this state
+    * no longer holds, and emitting a wrong number would poison the
+    * parity contract; StreamingSpec asserts both the parity and the
+    * drop. The per-tap arithmetic replicates the batch decimal
+    * discipline exactly (valueOf-scale-6 fix, exact decimal tap sums,
+    * one double division, round 9). */
+  def ewmaStream(events: DataFrame): Dataset[EwmaRow] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaTaps, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[EwmaTaps]) =>
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          var cur = state.getOption
+          val out = List.newBuilder[EwmaRow]
+          rows.toSeq.sortBy(r => (micros(r._4), r._2))
+            .foreach { case (_, eid, v, ts) =>
+              val t = micros(ts)
+              val fresh = cur.forall(s =>
+                s.ts < t || (s.ts == t && s.eventId <= eid))
+              if (fresh) {
+                val taps = (v +: cur.map(_.values.toSeq).getOrElse(Seq()))
+                  .take(8)
+                out += EwmaRow(user, eid, ts, v, ewmaOf(taps))
+                cur = Some(EwmaTaps(t, eid, taps.toArray))
+              } // stale: drop (see contract above)
+            }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** The batch operator's decimal discipline in JVM form: taps (newest
+    * first) fixed to 6 dp, weighted by exact 2^-k decimals, summed
+    * exactly, one double division by 2−0.5^(m−1), round(9). */
+  private[streaming] def ewmaOf(taps: Seq[Double]): Double = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val weights = Seq("1.0", "0.5", "0.25", "0.125", "0.0625",
+      "0.03125", "0.015625", "0.0078125").map(new JBD(_))
+    var num = JBD.ZERO
+    taps.zip(weights).foreach { case (v, w) =>
+      num = num.add(JBD.valueOf(v).setScale(6, RoundingMode.HALF_UP)
+        .multiply(w))
+    }
+    val denom = 2.0 - math.pow(0.5, taps.length - 1)
+    JBD.valueOf(num.doubleValue / denom)
+      .setScale(9, RoundingMode.HALF_UP).doubleValue
   }
 
   /** Bounded-state variant: `dropDuplicatesWithinWatermark` EVICTS a

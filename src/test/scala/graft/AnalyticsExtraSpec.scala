@@ -427,4 +427,146 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
     assert(daily.nonEmpty)
   }
+
+  test("events_ewma: hand fixture — first row is its value, taps weight 2^-k, 8-tap truncation") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = (0 until 10).map(i => (i.toLong, t(i), 7L, "click", 10.0 * (i + 1)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventAnalytics.ewmaFrom(events)
+      .as[(Long, Long, java.sql.Timestamp, Double, Double)]
+      .collect().sortBy(_._2).map(r => r._2 -> r._5).toMap
+    // row 0: only itself
+    assert(got(0L) === 10.0)
+    // row 1: (20 + 0.5*10) / 1.5
+    assert(math.abs(got(1L) - 25.0 / 1.5) < 1e-9)
+    // row 9: exactly 8 taps (values 100..30 weighted 1..2^-7), row 0 and 1
+    // truncated away — brute-force recompute
+    val vals = (0 until 10).map(i => 10.0 * (i + 1))
+    val taps = (0 until 8).map(k => vals(9 - k) * math.pow(0.5, k))
+    val wsum = (0 until 8).map(k => math.pow(0.5, k)).sum
+    assert(math.abs(got(9L) - taps.sum / wsum) < 1e-8)
+    // smoothing: ewma lags the raw increasing series
+    assert(got(9L) < vals(9) && got(9L) > vals(5))
+  }
+
+  test("events_ab_test: counts partition users exactly; z sign follows the rate gap") {
+    val got = EventAnalytics.abTest(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect()
+    assert(got.nonEmpty)
+    val users = Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "user_id").distinct()
+      .as[(String, Long)].collect().groupBy(_._1)
+    got.foreach { case (t, na, ca, nb, cb, ra, rb, z) =>
+      val (a, b) = users(t).partition(_._2 % 2 == 0)
+      assert(na === a.length && nb === b.length, s"$t variant sizes")
+      assert(ca <= na && cb <= nb)
+      val degenerate = ca + cb == 0 || ca + cb == na + nb
+      assert(z.isDefined !== degenerate, s"$t z defined iff non-degenerate")
+      z.foreach { zv =>
+        assert(math.signum(zv) === math.signum(ra - rb), s"$t z sign")
+        // sf0.001's per-type samples are tiny; just bound the magnitude
+        assert(math.abs(zv) < 10, s"$t |z|")
+      }
+    }
+  }
+
+  test("token_zipf: matches a local OLS recompute; slopes negative, r2 in [0,1]") {
+    val got = TextAnalysis.tokenZipf(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    // brute-force twin from raw tokens, same rank rule + 12-dp term grid
+    val toks = Tables.load(spark, sf, "documents")
+      .selectExpr("lang", "explode(split(text, ' ')) AS w")
+      .as[(String, String)].collect()
+    toks.groupBy(_._1).foreach { case (lang, rows) =>
+      val ranked = rows.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (w, f) => (-f, w) }.take(200).zipWithIndex
+      def fix(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val terms = ranked.map { case ((_, f), i) =>
+        (fix(math.log(i + 1.0)), fix(math.log(f.toDouble))) }
+      val n = terms.length.toDouble
+      val sx = terms.map(_._1).sum.toDouble; val sy = terms.map(_._2).sum.toDouble
+      val sxx = terms.map(t => t._1 * t._1).sum.toDouble
+      val sxy = terms.map(t => t._1 * t._2).sum.toDouble
+      val syy = terms.map(t => t._2 * t._2).sum.toDouble
+      val cov = n * sxy - sx * sy
+      val varx = n * sxx - sx * sx
+      val (_, gn, slope, intercept, r2) = got(lang)
+      assert(gn === terms.length.toLong)
+      assert(math.abs(slope - cov / varx) < 1e-5, s"$lang slope")
+      assert(math.abs(intercept - (sy - (cov / varx) * sx) / n) < 1e-5)
+      assert(math.abs(r2 - (cov * cov) / (varx * (n * syy - sy * sy))) < 1e-5)
+      // a frequency-ranked vocabulary always slopes down, and OLS r2 is
+      // a squared correlation
+      assert(slope < 0, s"$lang slope $slope")
+      assert(r2 >= 0 && r2 <= 1)
+    }
+  }
+
+  test("events_cusum: exact ramp — recompute, returns to zero, peak at max drift") {
+    val got = EventAnalytics.eventsCusum(spark, sf)
+      .as[(java.sql.Timestamp, String, Long, Double, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (t, rows) =>
+      val ordered = rows.sortBy(_._1.getTime)
+      val days = ordered.length.toLong
+      val s1 = ordered.map(_._3).sum
+      // scaled integer ramp: S'_i = sum(n_j * days - s1)
+      var acc = 0L
+      val ramps = ordered.map { r => acc += r._3 * days - s1; acc }
+      ordered.zip(ramps).foreach { case ((_, _, _, cusum, _), sc) =>
+        val expect = BigDecimal(sc.toDouble / days.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(cusum === expect, s"$t cusum")
+      }
+      // mean-centered ramp ends at zero
+      assert(ramps.last === 0L, s"$t final ramp")
+      // the peak flag marks exactly the max-|S| rows
+      val peak = ramps.map(math.abs).max
+      ordered.zip(ramps).foreach { case ((_, _, _, _, isPeak), sc) =>
+        assert(isPeak === (math.abs(sc) === peak), s"$t peak flag")
+      }
+    }
+  }
+
+  test("citation_lpa: plurality fixture with tie-break; deterministic across repartition") {
+    // star around hub H: leaves adopt H's plurality-of-one label... round 1:
+    // every leaf's only neighbor is H (label H), H sees 4 leaf labels all
+    // distinct -> tie broken to min label L1. Hand-checkable in 2 rounds.
+    val edges = Seq(("H", "L1"), ("H", "L2"), ("H", "L3"), ("H", "L4"))
+      .toDF("src", "dst")
+    val got = Citations.lpa(edges, rounds = 2)
+      .as[(String, String)].collect().toMap
+    // round 1: leaves -> H, hub -> L1 (min among {L1..L4}, all count 1)
+    // round 2: leaves' neighbor H now holds L1 -> leaves adopt L1;
+    //          H's neighbors all hold H -> H adopts H... wait, leaves held
+    //          H after round 1, so H sees {H,H,H,H} -> H. Final:
+    //          leaves = L1? no — leaves see H's round-1 label L1 -> L1.
+    assert(got("L1") === "L1" && got("L2") === "L1" &&
+      got("L3") === "L1" && got("L4") === "L1")
+    assert(got("H") === "H")
+    // plurality beats smaller-but-rarer labels: node X with neighbors
+    // {A, A, B} (B < A) must take A (count 2 > 1)
+    val e2 = Seq(("X", "A1"), ("X", "A2"), ("X", "B")).toDF("src", "dst")
+      .union(Seq(("A1", "A0"), ("A2", "A0")).toDF("src", "dst"))
+    // X's neighbors after round 1: A1, A2 hold min(X, A0) = A0; B holds X.
+    // Round 2: X sees {A0: 2, X: 1} -> A0 by plurality (not B, not X).
+    val g2 = Citations.lpa(e2, rounds = 2).as[(String, String)].collect().toMap
+    assert(g2("X") === "A0")
+    // determinism: same labels regardless of input partitioning
+    val sfEdges = Citations.edges(spark, sf)
+    val a = Citations.lpa(sfEdges, rounds = 2).as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    val b = Citations.lpa(sfEdges.repartition(13), rounds = 2)
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    // labels are node ids; more than one community survives
+    val nodes = a.map(_._1).toSet
+    assert(a.forall(r => nodes.contains(r._2)))
+    assert(a.map(_._2).distinct.size > 1)
+  }
 }

@@ -205,6 +205,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) === Multimodal.stubDecoder(Seq(rows(2))).next())
   }
 
+  test("dHash64: real pixel hashes — noise-invariant, inversion-sensitive, md5 fallback") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmpOf(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val dataLen = rowBytes * h
+      val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+        .putShort(0).putShort(0).putInt(54)
+        .putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0)
+        .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      // bottom-up rows, BGR, padded
+      (0 until h).foreach { row =>
+        val y = h - 1 - row
+        (0 until w).foreach { x =>
+          val v = pix(x, y); bb.put(v.toByte).put(v.toByte).put(v.toByte)
+        }
+        (w * 3 until rowBytes).foreach(_ => bb.put(0.toByte))
+      }
+      bb.array()
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // horizontal gradient: every dHash cell increases left-to-right
+    val grad = Multimodal.dHash64(bmpOf(32, 32)((x, _) => x * 8))
+    assert(grad._2, "BMP must take the real decode path")
+    assert(grad._1 === -1L, "monotone gradient sets all 64 bits")
+    // mild deterministic noise: perceptually the same image
+    val noisy = Multimodal.dHash64(
+      bmpOf(32, 32)((x, y) => math.min(255, x * 8 + (x * 31 + y * 17) % 3)))
+    assert(noisy._2 && hamming(grad._1, noisy._1) <= 6,
+      s"noise moved ${hamming(grad._1, noisy._1)} bits")
+    // inverted gradient: every comparison flips
+    val inv = Multimodal.dHash64(bmpOf(32, 32)((x, _) => 255 - x * 8))
+    assert(inv._1 === 0L && hamming(grad._1, inv._1) === 64)
+    // a tiny image exercises the degenerate pool boxes without throwing
+    val tiny = Multimodal.dHash64(bmpOf(4, 3)((x, y) => (x * y * 29) % 256))
+    assert(tiny._2)
+    // non-image payload: md5-prefix fallback, decoded=false
+    val junk = "definitely not pixels".getBytes("UTF-8")
+    val fb = Multimodal.dHash64(junk)
+    val d = java.security.MessageDigest.getInstance("MD5").digest(junk)
+    val expect = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+    assert(fb === (expect, false))
+    // the same hash comes back through the ImageIO path (PNG round-trip
+    // of the identical gray raster) — format-independent fingerprint
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 32).foreach(y => (0 until 32).foreach { x =>
+      val v = x * 8; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = Multimodal.dHash64(bos.toByteArray)
+    assert(png === grad)
+  }
+
+  test("media_phash_pairs: banding is exact blocking — hamming recomputes, candidates band-collide") {
+    val pairs = Multimodal.mediaPhashPairs(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val ph = Multimodal.mediaPhash(spark, sf)
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    def bands(h: String) = (0 until 4).map(i => i -> h.substring(i * 4, i * 4 + 4))
+    def hamming(a: String, b: String) =
+      java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    pairs.foreach { case (a, b, hd, near) =>
+      assert(a < b)
+      assert(hd === hamming(ph(a), ph(b)), s"pair ($a,$b) hamming")
+      assert(near === (hd <= 6))
+      assert(bands(ph(a)).intersect(bands(ph(b))).nonEmpty,
+        s"pair ($a,$b) must share a band")
+    }
+    // completeness on the corpus: every band-sharing pair is reported
+    val byBand = ph.toSeq.flatMap { case (id, h) => bands(h).map(_ -> id) }
+      .groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet === byBand)
+  }
+
   test("sampleFrames: k frames of <=16 bytes per video row") {
     val frames = Multimodal.sampleFrames(Multimodal.media(spark, sf), 4)
     val vids = Multimodal.media(spark, sf).where($"kind" === "video").count()

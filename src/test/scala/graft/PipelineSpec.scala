@@ -36,6 +36,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(nDelta > 0 && nDelta < docs.length) // both paths exercised
   }
 
+  test("corpus_asof_read: snapshot semantics — deletes vanish, updates persist, no resurrection") {
+    val h = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "n_chars",
+        "substr(md5(CAST(doc_id AS STRING)), 1, 1) AS h")
+      .as[(Long, Long, String)].collect()
+    val got = Pipeline.corpusAsofRead(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> (r._3, r._4)).toMap).toMap
+    val asOf1 = got(1L); val asOf2 = got(2L)
+    def isDel(hx: String) = hx < "2" || hx >= "e"
+    h.foreach { case (id, nc, hx) =>
+      val updated = hx < "4"
+      // as-of 1 never sees v2: every key live, updates applied
+      assert(asOf1(id) === (if (updated) (1L, nc + 17) else (0L, nc)))
+      if (isDel(hx)) assert(!asOf2.contains(id), s"doc $id must be gone as of 2")
+      else assert(asOf2(id) === asOf1(id), s"doc $id unchanged by others' deletes")
+    }
+    // the delete range straddles the update range, so all three paths are
+    // exercised: delete-after-update (h < '2' — its v1 row must NOT
+    // resurrect), delete-of-untouched (h >= 'e'), and plain survivors
+    assert(h.count(r => r._3 < "2") > 0, "need delete-after-update keys")
+    assert(h.count(r => r._3 >= "e") > 0, "need delete-of-untouched keys")
+    assert(asOf1.size === h.length)
+    assert(asOf2.size === h.length - h.count(r => isDel(r._3)))
+  }
+
   test("sample_stratified: deterministic, minority lang kept whole, strata balanced") {
     val a = Pipeline.sampleStratified(spark, sf)
       .as[(Long, String, String)].collect()

@@ -289,6 +289,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(crossPairs > 0 && emitted.count() > crossPairs)
   }
 
+  test("streaming ewma: smoothed values == batch 8-lag window across a time split") {
+    // early split: nearly every user's tap buffer spans it, so the ring
+    // buffer must carry across micro-batches for parity to hold
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val med = raw.selectExpr(
+      "CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.02) AS LONG)")
+      .first().getLong(0)
+    val dir = Files.createTempDirectory("graft-ewma").toFile.getAbsolutePath
+    def writePart(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-ewma-tmp").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"))
+      new File(s"$dir/$name").setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    val usCol = unix_micros(col("ts").cast("timestamp"))
+    writePart(raw.where(usCol < med), "000.parquet", now - 60000)
+    writePart(raw.where(usCol >= med), "001.parquet", now)
+
+    val emitted = runStream(
+      EventStreams.ewmaStream(
+        EventStreams.readEvents(spark, dir, maxFilesPerTrigger = Some(1))).toDF(),
+      "s_ewma")
+    val streamed = emitted.select("user_id", "event_id", "ewma")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = SparkEntry.queries("events_ewma")(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ewma"))
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed === batch)
+    // the split exercised tap carry: rows emitted after it whose user
+    // already had taps before it
+    val earlyUsers = raw.where(usCol < med)
+      .select("user_id").distinct().as[Long].collect().toSet
+    val lateRows = emitted.where(col("ts") >= timestamp_micros(lit(med)))
+      .select("user_id").as[Long].collect()
+    assert(lateRows.exists(earlyUsers.contains),
+      "no user's taps spanned the split - state carry untested")
+  }
+
   test("stream-stream attribution join: pair set == batch interval join") {
     val stream = runStream(
       EventStreams.attributionStream(events()), "s_attrib")

@@ -318,6 +318,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(two(1L) === two(2L))
   }
 
+  test("doc_winnowing: detection guarantee, density < full shingle set, rightmost-min ties") {
+    // the winnowing guarantee: two docs sharing a run of >= w+k-1 = 7
+    // tokens share at least one identical fingerprint (Schleimer et al.
+    // 2003, the whole point of the scheme)
+    val shared = "lorem ipsum dolor sit amet consectetur adipiscing"   // 7 tokens
+    val docs = Seq(
+      (1L, s"aa bb cc $shared dd ee"),
+      (2L, s"xx yy $shared zz"),
+      (3L, "unrelated words entirely different content here now")
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.docWinnowingFrom(docs)
+      .as[(Long, Int, String)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared 7-token run must yield a shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // density: winnowing keeps a strict subset of the shingle hashes
+    val nShingles1 = docs.where(col("doc_id") === 1L)
+      .selectExpr("size(split(text, ' ')) - 2").as[Int].first()
+    assert(byDoc(1L).size < nShingles1)
+    // positions are valid shingle indices and fps are 32-hex
+    assert(fps.forall { case (_, pos, fp) => pos >= 1 && fp.length === 32 })
+    // corpus run: every doc contributes >= 1 fingerprint
+    val corpus = graft.operators.TextAnalysis.docWinnowing(spark, sf)
+    assert(corpus.select("doc_id").distinct().count() ===
+      Tables.load(spark, sf, "documents").count())
+  }
+
+  test("doc_winnowing_pairs: equals a local recompute over the index with the df cap") {
+    val index = graft.operators.TextAnalysis.docWinnowing(spark, sf)
+      .select("doc_id", "fp").distinct().as[(Long, String)].collect()
+    val byFp = index.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val expected = byFp.values
+      .filter(ds => ds.length >= 2 && ds.length <= 20)
+      .flatMap(ds => ds.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+    val got = graft.operators.TextAnalysis.docWinnowingPairs(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected)
+    // fixture where the cap BINDS: 25 docs share a boilerplate phrase
+    // (df > 20 -> dropped), 3 of them also share a rare 8-token run
+    // (every fingerprint df = 3 -> kept) — only the rare-run pairs emerge
+    val boiler = "terms of service apply to all content here"
+    val rare = "quick brown fox jumps over the lazy dog"
+    val fixture = (1 to 25).map { i =>
+      val extra = if (i <= 3) s" $rare" else s" filler$i word$i noise$i"
+      (i.toLong, s"$boiler$extra")
+    }.toDF("doc_id", "text")
+    val fpairs = graft.operators.TextAnalysis.docWinnowingPairsFrom(fixture)
+      .as[(Long, Long, Long)].collect()
+    val fgot = fpairs.map(r => (r._1, r._2) -> r._3).toMap
+    // the rare-run trio is found, and (being identical docs) with more
+    // shared evidence than any boilerplate-coincidence pair — a
+    // boilerplate fp can still pair docs when SELECTION (not the
+    // phrase) is rare, which is correct winnowing behavior
+    val trio = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(trio.subsetOf(fgot.keySet), s"rare run lost: ${fgot.keySet}")
+    val trioMin = trio.map(fgot).min
+    fgot.foreach { case (p, n) =>
+      if (!trio(p)) assert(n < trioMin, s"coincidence pair $p outweighs the trio")
+    }
+    // the df cap kept the 25-doc boilerplate from exploding into ~C(25,2)
+    assert(fgot.size < 20, s"cap failed to block boilerplate: ${fgot.size} pairs")
+  }
+
   test("doc_length_histogram: integer bit-length buckets, exact partition of the corpus") {
     val hist = TextAnalysis.docLengthHistogram(spark, sf)
       .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
