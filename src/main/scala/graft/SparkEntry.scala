@@ -73,7 +73,11 @@ object SparkEntry {
       Citations.personalizedPageRank(Citations.edges(s, d))),
     // synchronous LPA is DEFINED as exactly 4 rounds (no fixpoint claim —
     // see the Scaladoc); both engines unroll the same count
-    "citation_lpa" -> ((s, d) => Citations.lpa(Citations.edges(s, d)))
+    "citation_lpa" -> ((s, d) => Citations.lpa(Citations.edges(s, d))),
+    // the oracle is the FULL recompute: the gate proves the IVM identity
+    "citation_counts_ivm" -> ((s, d) =>
+      Citations.countsIvm(Citations.edges(s, d))),
+    "citation_bfs_paths" -> ((s, d) => Citations.bfsPaths(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -93,6 +97,8 @@ object SparkEntry {
     "citation_components" -> Citations.componentsSql(),
     "citation_ppr" -> Citations.personalizedPageRankSql(),
     "citation_lpa" -> Citations.lpaSql(),
+    "citation_counts_ivm" -> Citations.countsIvmSql,
+    "citation_bfs_paths" -> Citations.bfsPathsSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -156,6 +162,8 @@ object SparkEntry {
     "citation_components" -> Seq(col("paper_id")),
     "citation_ppr" -> Seq(col("paper_id")),
     "citation_lpa" -> Seq(col("paper_id")),
+    "citation_counts_ivm" -> Seq(col("paper_id")),
+    "citation_bfs_paths" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
@@ -216,7 +224,8 @@ object SparkEntry {
     "events_transitions" -> Seq(col("from_type"), col("to_type")),
     "events_ewma" -> Seq(col("user_id"), col("event_id")),
     "events_ab_test" -> Seq(col("event_type")),
-    "events_cusum" -> Seq(col("event_type"), col("day"))
+    "events_cusum" -> Seq(col("event_type"), col("day")),
+    "events_stickiness" -> Seq(col("day"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
     Similarity.verifyOrder ++ Multimodal.verifyOrder ++
     Profiling.verifyOrder ++ Pipeline.verifyOrder ++ Sketches.verifyOrder

@@ -284,6 +284,51 @@ object EventAnalytics {
       |  abs(cs) = max(abs(cs)) OVER (PARTITION BY event_type) AS is_peak
       |FROM r ORDER BY event_type, day""".stripMargin
 
+  /** Engagement stickiness: DAU, trailing-7-day WAU, and the DAU/WAU
+    * ratio per day — the product-health metric. WAU is a windowed
+    * DISTINCT, which no rolling-sum window can express (users active on
+    * several days must count once); the scalable form is the CALENDAR
+    * FAN-OUT: each distinct (day, user) activity row announces itself to
+    * the ≤7 future days whose trailing window contains it, and each
+    * target day counts distinct users — a bounded ×7 row expansion and
+    * two partial-aggregable distinct-counts, never a per-day scan of
+    * history. Days with activity only in their trailing tail (no DAU)
+    * still appear, DAU 0 — the days the metric exists FOR. Ratio is one
+    * integer division + round(6). */
+  def eventsStickiness(s: SparkSession, d: String): DataFrame = {
+    val activity = Tables.load(s, d, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = activity.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = activity
+      .select(explode(expr(
+        "sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")).as("day"),
+        col("user_id"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    wau.join(dau, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        round(coalesce(col("dau"), lit(0L)) * lit(1.0) / col("wau"), 6)
+          .as("stickiness"))
+  }
+
+  val eventsStickinessSql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM activity GROUP BY 1),
+      |wau AS (
+      |  SELECT t.day, count(DISTINCT user_id) AS wau
+      |  FROM (SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+      |                                      INTERVAL 1 DAY)) AS day,
+      |               user_id
+      |        FROM activity) t
+      |  GROUP BY 1)
+      |SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+      |       round(coalesce(d.dau, 0) * 1.0 / w.wau, 6) AS stickiness
+      |FROM wau w LEFT JOIN dau d USING (day)
+      |ORDER BY day""".stripMargin
+
   val eventsAnomalySql: String =
     """WITH daily AS (
       |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
@@ -743,6 +788,7 @@ object EventAnalytics {
     "events_daily_share" -> (dailyShare _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_cusum" -> (eventsCusum _),
+    "events_stickiness" -> (eventsStickiness _),
     "events_rolling_7d" -> (rolling7d _),
     "events_ewma" -> (ewma _),
     "events_ab_test" -> (abTest _),
@@ -764,6 +810,7 @@ object EventAnalytics {
     "events_daily_share" -> dailyShareSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_cusum" -> eventsCusumSql,
+    "events_stickiness" -> eventsStickinessSql,
     "events_rolling_7d" -> rolling7dSql,
     "events_ewma" -> ewmaSql,
     "events_ab_test" -> abTestSql,

@@ -533,6 +533,60 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("citation_counts_ivm: base-delta merge reproduces the full aggregate exactly") {
+    val edges = Citations.edges(spark, sf)
+    val full = Citations.counts(edges).as[(String, Long)].collect().toMap
+    val ivm = Citations.countsIvm(edges).as[(String, Long)].collect().toMap
+    assert(ivm === full)
+    // both sides of the split are non-trivial, or the merge proved nothing
+    val split = edges.selectExpr(
+      "substr(md5(concat(src, '#', dst)), 1, 1) < 'e' AS base")
+      .groupBy("base").count().as[(Boolean, Long)].collect().toMap
+    assert(split.getOrElse(true, 0L) > 0 && split.getOrElse(false, 0L) > 0)
+  }
+
+  test("citation_bfs_paths: hand fixture — layered distances, multiplicative path counts") {
+    // S is most-cited (3 feeders) so the operator seeds there; the
+    // diamond S->A/B->C doubles sigma at C, carried to D
+    val edges = Seq(
+      ("x1", "S"), ("x2", "S"), ("x3", "S"),
+      ("S", "A"), ("S", "B"), ("A", "C"), ("B", "C"), ("C", "D"),
+      ("A", "C") // duplicate edge: must NOT double sigma (dedup)
+    ).toDF("src", "dst")
+    val got = Citations.bfsPaths(edges, hops = 4)
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(
+      "S" -> (0, 1L), "A" -> (1, 1L), "B" -> (1, 1L),
+      "C" -> (2, 2L), "D" -> (3, 2L)))
+  }
+
+  test("events_stickiness: trailing-7-day distinct recompute; DAU <= WAU") {
+    val activity = Tables.load(spark, sf, "events")
+      .selectExpr("date_trunc('day', ts) AS day", "user_id")
+      .distinct().as[(java.sql.Timestamp, Long)].collect()
+    val byDay = activity.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dayMs = 86400000L
+    val got = EventAnalytics.eventsStickiness(spark, sf)
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // the wau domain includes every day reachable from activity (+6)
+    assert(got.length >= byDay.size)
+    got.foreach { case (day, dau, wau, stick) =>
+      val expectedDau = byDay.get(day).map(_.size.toLong).getOrElse(0L)
+      val expectedWau = (0 to 6).flatMap { k =>
+        byDay.getOrElse(new java.sql.Timestamp(day.getTime - k * dayMs),
+          Set.empty[Long])
+      }.toSet.size.toLong
+      assert(dau === expectedDau, s"$day dau")
+      assert(wau === expectedWau, s"$day wau")
+      assert(dau <= wau && wau > 0)
+      val expStick = BigDecimal(dau * 1.0 / wau)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(stick === expStick, s"$day stickiness")
+    }
+  }
+
   test("citation_lpa: plurality fixture with tie-break; deterministic across repartition") {
     // star around hub H: leaves adopt H's plurality-of-one label... round 1:
     // every leaf's only neighbor is H (label H), H sees 4 leaf labels all
