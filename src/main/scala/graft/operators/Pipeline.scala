@@ -775,10 +775,79 @@ object Pipeline {
       |FROM c WHERE cum - n_tokens < 2000
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** Split-balance drift screen: does the hash split leave train and
+    * holdout distributionally equal on every categorical dimension? For
+    * each (dim, value) cell: the observed train/holdout counts, their
+    * within-split shares, and the cell's chi-square contribution against
+    * the independence expectation e = n_cell · split_total / N — the
+    * standard 2×k contingency screen an ML-ops pipeline runs before
+    * trusting a split (a sharded-by-source split fails it loudly).
+    * Everything derives from exact integer counts; the χ² chain is
+    * explicitly parenthesized identically in both engines (the
+    * [[graft.operators.EventAnalytics.abTestFrom]] discipline), round(6).
+    * Shape: one corpus scan → a (dim, value)-keyed partial-aggregable
+    * count (cardinality-bounded: values of lang ∪ source) → the 1-row
+    * (T, H) totals frame folded onto every cell (the q6 scalar shape). */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("lang"), col("source"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", 1L)
+          .otherwise(0L).as("in_train"))
+    val dims = docs.select(lit("lang").as("dim"), col("lang").as("value"),
+        col("in_train"))
+      .unionByName(docs.select(lit("source").as("dim"),
+        col("source").as("value"), col("in_train")))
+    val cells = dims.groupBy(col("dim"), col("value"))
+      .agg(sum(col("in_train")).as("t"),
+        sum(lit(1L) - col("in_train")).as("h"))
+    val totals = docs.agg(sum(col("in_train")).as("tt"),
+      sum(lit(1L) - col("in_train")).as("hh"))
+    val n = (col("t") + col("h")).cast("double")
+    val bigN = (col("tt") + col("hh")).cast("double")
+    val et = (n * col("tt").cast("double")) / bigN
+    val eh = (n * col("hh").cast("double")) / bigN
+    val chi = (((col("t").cast("double") - et) * (col("t").cast("double") - et)) / et) +
+      (((col("h").cast("double") - eh) * (col("h").cast("double") - eh)) / eh)
+    cells.crossJoin(broadcast(totals))
+      .select(col("dim"), col("value"), col("t"), col("h"),
+        round(col("t").cast("double") / col("tt").cast("double"), 6)
+          .as("share_train"),
+        round(col("h").cast("double") / col("hh").cast("double"), 6)
+          .as("share_holdout"),
+        round(chi, 6).as("chi2_contrib"))
+  }
+
+  val profileDriftSql: String =
+    """WITH d AS (
+      |  SELECT lang, source,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+      |         THEN 1 ELSE 0 END AS in_train
+      |  FROM documents),
+      |dims AS (
+      |  SELECT 'lang' AS dim, lang AS value, in_train FROM d
+      |  UNION ALL
+      |  SELECT 'source', source, in_train FROM d),
+      |cells AS (
+      |  SELECT dim, value, sum(in_train) AS t, sum(1 - in_train) AS h
+      |  FROM dims GROUP BY 1, 2),
+      |totals AS (SELECT sum(in_train) AS tt, sum(1 - in_train) AS hh FROM d)
+      |SELECT dim, value, CAST(t AS BIGINT) AS t, CAST(h AS BIGINT) AS h,
+      |  round(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share_train,
+      |  round(CAST(h AS DOUBLE) / CAST(hh AS DOUBLE), 6) AS share_holdout,
+      |  round((((CAST(t AS DOUBLE) - (CAST(t + h AS DOUBLE) * CAST(tt AS DOUBLE)) / CAST(tt + hh AS DOUBLE))
+      |          * (CAST(t AS DOUBLE) - (CAST(t + h AS DOUBLE) * CAST(tt AS DOUBLE)) / CAST(tt + hh AS DOUBLE)))
+      |         / ((CAST(t + h AS DOUBLE) * CAST(tt AS DOUBLE)) / CAST(tt + hh AS DOUBLE)))
+      |        + (((CAST(h AS DOUBLE) - (CAST(t + h AS DOUBLE) * CAST(hh AS DOUBLE)) / CAST(tt + hh AS DOUBLE))
+      |            * (CAST(h AS DOUBLE) - (CAST(t + h AS DOUBLE) * CAST(hh AS DOUBLE)) / CAST(tt + hh AS DOUBLE)))
+      |           / ((CAST(t + h AS DOUBLE) * CAST(hh AS DOUBLE)) / CAST(tt + hh AS DOUBLE))), 6)
+      |    AS chi2_contrib
+      |FROM cells, totals ORDER BY dim, value""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_upsert" -> (corpusUpsert _),
     "corpus_asof_read" -> (corpusAsofRead _),
     "sample_split" -> (sampleSplit _),
+    "profile_drift" -> (profileDrift _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "sample_token_budget" -> ((s, d) => sampleTokenBudget(s, d)),
@@ -795,6 +864,7 @@ object Pipeline {
     "corpus_upsert" -> corpusUpsertSql,
     "corpus_asof_read" -> corpusAsofReadSql,
     "sample_split" -> sampleSplitSql,
+    "profile_drift" -> profileDriftSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_weighted" -> sampleWeightedSql,
     "sample_token_budget" -> sampleTokenBudgetSql,
@@ -811,6 +881,7 @@ object Pipeline {
     "corpus_upsert" -> Seq(col("doc_id")),
     "corpus_asof_read" -> Seq(col("as_of"), col("doc_id")),
     "sample_split" -> Seq(col("doc_id")),
+    "profile_drift" -> Seq(col("dim"), col("value")),
     "sample_stratified" -> Seq(col("doc_id")),
     "sample_weighted" -> Seq(col("lang"), col("rank")),
     "sample_token_budget" -> Seq(col("lang"), col("doc_id")),

@@ -231,6 +231,68 @@ object Relational {
       |       count(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** Market-basket association mining over orders: part pairs that
+    * co-occur in ≥ 3 baskets, with exact support / confidence / lift —
+    * the recommendation-adjacent analytics family (Agrawal's association
+    * rules, minus the multi-item closure, which at 100 TB nobody runs
+    * un-pruned anyway). Shape: the (order, part) frame deduped and
+    * pinned on the basket key — ONE exchange feeds both self-join sides
+    * via ReuseExchange (the cocitation pattern) — with pair fan-out
+    * NATURALLY capped by basket width (C(parts-per-order, 2), single
+    * digits on this schema; a long-tail basket would need the cocitation
+    * out-degree cap). The ≥ 3 support floor prunes the pair mass BEFORE
+    * the dimension joins; per-part totals broadcast back; lift =
+    * (n_ab·N)/(n_a·n_b) is exact-integer products with one division +
+    * round(6) (products bounded: counts ≤ N ≤ 2^31 ⇒ products < 2^62).
+    * The 1-row basket-count frame folds on via broadcast (the q6 shape,
+    * PlanAuditSpec-whitelisted). */
+  def basketLift(s: SparkSession, d: String): DataFrame = {
+    val op = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .repartition(col("o"))
+    val partN = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val nOrders = op.agg(countDistinct(col("o")).as("n_orders"))
+    val a = op.select(col("o"), col("p").as("part_a"))
+    val b = op.select(col("o"), col("p").as("part_b"))
+    val pairs = a.join(b, Seq("o")).where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+    pairs
+      .join(broadcast(partN.select(col("p").as("part_a"), col("n_p").as("n_a"))),
+        Seq("part_a"))
+      .join(broadcast(partN.select(col("p").as("part_b"), col("n_p").as("n_b"))),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence_ab"))
+  }
+
+  val basketLiftSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |part_n AS (SELECT p, count(*) AS n_p FROM op GROUP BY 1),
+      |n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+      |pairs AS (
+      |  SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(pa.n_p AS BIGINT) AS n_a, CAST(pb.n_p AS BIGINT) AS n_b,
+      |  round(CAST(n_ab * n_orders AS DOUBLE) /
+      |        CAST(pa.n_p * pb.n_p AS DOUBLE), 6) AS lift,
+      |  round(CAST(n_ab AS DOUBLE) / CAST(pa.n_p AS DOUBLE), 6)
+      |    AS confidence_ab
+      |FROM pairs
+      |JOIN part_n pa ON pa.p = part_a
+      |JOIN part_n pb ON pb.p = part_b
+      |CROSS JOIN n
+      |ORDER BY part_a, part_b""".stripMargin
+
   /** Running (cumulative) revenue per customer — frame-spec window. */
   def windowRunningRevenue(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -1210,6 +1272,7 @@ object Relational {
     "agg_cube" -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "distinct_parts_per_order" -> (distinctPartsPerOrder _),
+    "basket_lift" -> (basketLift _),
     "window_running_revenue" -> (windowRunningRevenue _),
     "window_top2_per_segment" -> (windowTop2PerSegment _),
     "window_lag_delta" -> (windowLagDelta _),
@@ -1258,6 +1321,7 @@ object Relational {
     "agg_cube" -> aggCubeSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "distinct_parts_per_order" -> distinctPartsPerOrderSql,
+    "basket_lift" -> basketLiftSql,
     "window_running_revenue" -> windowRunningRevenueSql,
     "window_top2_per_segment" -> windowTop2PerSegmentSql,
     "window_lag_delta" -> windowLagDeltaSql,

@@ -1407,6 +1407,111 @@ object TextAnalysis {
         col("rs").as("rank_sparse"), col("rd").as("rank_dense"), col("rrf"))
   }
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998): greedy
+    * re-ranking of the dense top-20 so the emitted 5 are relevant AND
+    * mutually dissimilar — the step a RAG pipeline runs so its context
+    * window isn't five near-copies of one passage. Round k picks
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s), ties to the smaller
+    * id; λ = 0.7 and the penalty weight is the LITERAL 0.3 on both
+    * engines (1.0−0.7 is 0.30000000000000004 in IEEE — computing it
+    * would still match, but the literal removes the trap).
+    *
+    * Shape: candidate scoring and the 20×20 pair matrix are distributed
+    * (broadcast probe scan → TakeOrdered 20, then a 20-row broadcast
+    * self-product through the fused cosine kernel — both frames bounded
+    * BY the candidate cap, the ann_topk whitelist shape); the greedy
+    * 5-round argmax runs on the driver over that collected 400-entry
+    * matrix (the kmeansFit bounded-model convention — the loop touches
+    * ≤ 20 scores per round, and its decisions must fold back as rows).
+    * ORACLE: the DuckDB twin unrolls the same 5 rounds as correlated-
+    * subquery CTEs over the same round-6 grid — relevance, pair cosines,
+    * and every λ-chain op are operation-identical, so the greedy
+    * DECISIONS (not just scores) must agree for the hash to pass. */
+  def searchMmr(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = Tables.load(s, d, "embeddings")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val cands = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        expr("round(cosine_sim(pe, embedding), 6)").as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("doc_id").asc).limit(20)
+      .localCheckpoint() // score once; both pair-matrix sides read the cut
+    val a = cands.select(col("doc_id").as("da"), col("embedding").as("ea"))
+    val b = cands.select(col("doc_id").as("db"), col("embedding").as("eb"))
+    val cos = a.crossJoin(broadcast(b))
+      .selectExpr("da", "db", "round(cosine_sim(ea, eb), 6) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rel = cands.select(col("doc_id"), col("rel"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var selected = Vector.empty[(Long, Double, Double)] // (id, rel, mmr)
+    var remaining = rel.keySet
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { c =>
+        val score =
+          if (selected.isEmpty) rel(c)
+          else 0.7 * rel(c) - 0.3 * selected.map(s => cos((c, s._1))).max
+        (c, score)
+      }
+      val (pick, score) = scored.reduce { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+      }
+      selected :+= ((pick, rel(pick), score))
+      remaining -= pick
+    }
+    val sp = s
+    import sp.implicits._
+    selected.zipWithIndex
+      .map { case ((id, r, m), i) => (i + 1, id, r, m) }
+      .toDF("rank", "doc_id", "rel", "mmr")
+  }
+
+  val searchMmrSql: String = {
+    val cosSql = (x: String, y: String) =>
+      s"""round(
+         |  list_reduce(list_transform(range(1, len($x) + 1),
+         |              i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (p, q) -> p + q)
+         |  / (sqrt(list_reduce(list_transform(range(1, len($x) + 1),
+         |              i -> $x[i]::DOUBLE * $x[i]::DOUBLE), (p, q) -> p + q))
+         |   * sqrt(list_reduce(list_transform(range(1, len($y) + 1),
+         |              i -> $y[i]::DOUBLE * $y[i]::DOUBLE), (p, q) -> p + q))),
+         |  6)""".stripMargin
+    val rounds = (2 to 5).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT doc_id, rel,
+         |    0.7 * rel - 0.3 * (SELECT max(p.c) FROM pair p
+         |                       WHERE p.da = c.doc_id
+         |                         AND p.db IN (SELECT doc_id FROM s${i - 1}))
+         |      AS mmr, $i AS rank
+         |  FROM candv c WHERE doc_id NOT IN (SELECT doc_id FROM s${i - 1})
+         |  ORDER BY mmr DESC, doc_id ASC LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT doc_id FROM s${i - 1} UNION ALL SELECT doc_id FROM r$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH probe AS (
+       |  SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |candv AS MATERIALIZED (
+       |  SELECT vec_id AS doc_id,
+       |    ${cosSql("pe", "embedding").linesIterator.mkString("\n    ")} AS rel,
+       |    embedding
+       |  FROM embeddings, probe
+       |  ORDER BY rel DESC, doc_id ASC LIMIT 20),
+       |pair AS MATERIALIZED (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    ${cosSql("a.embedding", "b.embedding").linesIterator.mkString("\n    ")} AS c
+       |  FROM candv a, candv b),
+       |r1 AS MATERIALIZED (
+       |  SELECT doc_id, rel, rel AS mmr, 1 AS rank FROM candv
+       |  ORDER BY rel DESC, doc_id ASC LIMIT 1),
+       |s1 AS MATERIALIZED (SELECT doc_id FROM r1),
+       |$rounds
+       |SELECT rank, doc_id, rel, mmr FROM (
+       |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+       |  UNION ALL SELECT * FROM r5)
+       |ORDER BY rank""".stripMargin
+  }
+
   val searchHybridRrfSql: String =
     """WITH toks AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
@@ -1522,6 +1627,7 @@ object TextAnalysis {
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "search_bm25" -> ((s, d) => searchBm25(s, d)),
     "search_hybrid_rrf" -> (searchHybridRrf _),
+    "search_mmr" -> ((s, d) => searchMmr(s, d)),
     "quality_threshold_filter" -> (qualityThresholdFilter _),
     "doc_chunks" -> ((s, d) => docChunks(s, d)),
     "quality_deciles" -> (qualityDeciles _),
@@ -1553,6 +1659,7 @@ object TextAnalysis {
     "inverted_index" -> invertedIndexSql,
     "search_bm25" -> searchBm25Sql,
     "search_hybrid_rrf" -> searchHybridRrfSql,
+    "search_mmr" -> searchMmrSql,
     "quality_threshold_filter" -> qualityThresholdFilterSql,
     "doc_chunks" -> docChunksSql,
     "quality_deciles" -> qualityDecilesSql,
@@ -1585,6 +1692,7 @@ object TextAnalysis {
     "bpe_merges" -> Seq(col("rank")),
     "bpe_encode" -> Seq(col("doc_id")),
     "search_hybrid_rrf" -> Seq(col("rank")),
+    "search_mmr" -> Seq(col("rank")),
     "doc_novelty" -> Seq(col("doc_id")),
     "inverted_index" -> Seq(col("token")),
     "quality_threshold_filter" -> Seq(col("doc_id")),

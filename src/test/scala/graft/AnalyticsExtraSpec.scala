@@ -473,6 +473,13 @@ class AnalyticsExtraSpec extends AnyFunSuite {
   }
 
   test("token_zipf: matches a local OLS recompute; slopes negative, r2 in [0,1]") {
+    // the rank cap must plan as WindowGroupLimit: each partition pre-prunes
+    // to its own per-lang top-200 BEFORE the exchange — without it the
+    // low-cardinality lang window would drag the whole vocabulary through
+    // a handful of partitions
+    val plan = TextAnalysis.tokenZipf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank-limit pushdown lost:\n$plan")
     val got = TextAnalysis.tokenZipf(spark, sf)
       .as[(String, Long, Double, Double, Double)].collect()
       .map(r => r._1 -> r).toMap

@@ -268,4 +268,25 @@ class DedupSpec extends AnyFunSuite {
     val round2Cross = round2.filter { case ((a, b), _) => (a % 2 == 0) != (b % 2 == 0) }
     assert(round2Cross === full, "post-append cross pairs drifted")
   }
+
+  test("dedup_canonical: longest-doc-wins recompute; members partition the corpus") {
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    val chars = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val expected = clusters.groupBy(_._2).map { case (cid, members) =>
+      val ids = members.map(_._1)
+      val best = ids.map(id => (chars(id), id))
+        .reduce((x, y) => if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x)
+      cid -> ((best._2, best._1, ids.length.toLong))
+    }
+    val got = Dedup.dedupCanonical(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+    // members partition the corpus; at least one real (multi-member)
+    // cluster exists or longest-wins was never exercised
+    assert(got.values.map(_._3).sum === chars.size.toLong)
+    assert(got.values.exists(_._3 > 1), "no multi-member cluster at sf0.001")
+  }
 }

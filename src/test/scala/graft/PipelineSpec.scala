@@ -63,6 +63,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(asOf2.size === h.length - h.count(r => isDel(r._3)))
   }
 
+  test("profile_drift: exact contingency recompute; cells partition each dimension") {
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("lang", "source",
+        "substr(md5(CAST(doc_id AS STRING)), 1, 1) < 'e' AS tr")
+      .as[(String, String, Boolean)].collect()
+    val tt = docs.count(_._3).toLong; val hh = docs.size - tt
+    val got = Pipeline.profileDrift(spark, sf)
+      .as[(String, String, Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    Seq("lang" -> docs.map(d => (d._1, d._3)),
+        "source" -> docs.map(d => (d._2, d._3))).foreach { case (dim, rows) =>
+      val cells = got.filter(_._1 == dim)
+      // cells partition the corpus on this dimension
+      assert(cells.map(_._3).sum === tt && cells.map(_._4).sum === hh)
+      val byValue = rows.groupBy(_._1)
+      assert(cells.length === byValue.size)
+      cells.foreach { case (_, v, t, h, st, sh, chi) =>
+        val expT = byValue(v).count(_._2).toLong
+        assert(t === expT && h === byValue(v).size - expT, s"$dim=$v counts")
+        // exact-arithmetic recompute of the chi2 contribution
+        val n = (t + h).toDouble; val bigN = (tt + hh).toDouble
+        val et = (n * tt.toDouble) / bigN; val eh = (n * hh.toDouble) / bigN
+        val expChi = BigDecimal(
+          (((t.toDouble - et) * (t.toDouble - et)) / et) +
+            (((h.toDouble - eh) * (h.toDouble - eh)) / eh))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(chi === expChi, s"$dim=$v chi2")
+        assert(chi >= 0 && st >= 0 && sh >= 0)
+      }
+      // shares sum to ~1 within each split (rounding only)
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-4)
+      assert(math.abs(cells.map(_._6).sum - 1.0) < 1e-4)
+    }
+  }
+
   test("sample_stratified: deterministic, minority lang kept whole, strata balanced") {
     val a = Pipeline.sampleStratified(spark, sf)
       .as[(Long, String, String)].collect()

@@ -90,7 +90,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // in the returned frame's lineage (the sparse restructure defers the
     // final division to the output zip; earlier rounds' norms are behind
     // checkpoint cuts) — global scalar aggregates, the q6 shape
-    "citation_hits"
+    "citation_hits",
+    // profile_drift: the 1-row (T, H) split-totals aggregate folded onto
+    // the cardinality-bounded (dim, value) cells — the q6 scalar shape
+    "profile_drift",
+    // basket_lift: the 1-row basket-count (N) aggregate folded onto the
+    // support-pruned pair frame — the q6 scalar shape
+    "basket_lift"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -175,6 +181,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // citation_hits: the final half-step's two 1-row L2-norm frames
     // folded into the output divisions (earlier rounds' folds are behind
     // checkpoint cuts and never reach this plan)
-    "citation_hits"
+    "citation_hits",
+    // profile_drift: the same 1-row totals frame nested-loop-folded onto
+    // every cell (the q6/sample_stratified scalar shape)
+    "profile_drift",
+    // basket_lift: the 1-row N frame nested-loop-folded onto every
+    // surviving pair (the q6 scalar shape)
+    "basket_lift"
   )
 }

@@ -13,6 +13,39 @@ class RelationalSpec extends AnyFunSuite {
 
   def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  test("basket_lift: brute-force association recompute; one reused basket exchange") {
+    val op = Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey AS o", "l_partkey AS p").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val partN = op.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nOrders = byOrder.size.toLong
+    val pairCounts = byOrder.values
+      .flatMap(ps => ps.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 3)
+    val got = Relational.basketLift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet === pairCounts.keySet)
+    got.foreach { case ((a, b), (_, _, nab, na, nb, lift, conf)) =>
+      assert(nab === pairCounts((a, b)))
+      assert(na === partN(a) && nb === partN(b))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lift === r6((nab * nOrders).toDouble / (na * nb).toDouble))
+      assert(conf === r6(nab.toDouble / na.toDouble))
+    }
+    assert(got.nonEmpty, "no pair reached the support floor at sf0.001")
+    // the self-join's two sides read ONE pinned basket exchange — reuse
+    // only shows in the FINAL adaptive plan, so execute this frame first
+    val df = Relational.basketLift(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"basket exchange not reused:\n$p")
+  }
+
   test("q1: one group per (returnflag, linestatus); counts sum to filtered rows") {
     val df = Relational.q1PricingSummary(spark, sf).cache()
     assert(df.count() === 6)

@@ -385,6 +385,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fgot.size < 20, s"cap failed to block boilerplate: ${fgot.size} pairs")
   }
 
+  test("search_mmr: first pick is the relevance argmax; diversity never worse than plain top-k") {
+    val got = graft.operators.TextAnalysis.searchMmr(spark, sf)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length === 5 && got.map(_._2).distinct.length === 5)
+    // round 1 is pure relevance; later mmr scores carry the penalty
+    assert(got.head._4 === got.head._3)
+    assert(got.tail.forall(r => r._4 <= r._3))
+    // deterministic across runs (driver greedy over collected matrix)
+    val again = graft.operators.TextAnalysis.searchMmr(spark, sf)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === again.toSeq)
+    // diversity: average pairwise cosine of the MMR set is <= that of the
+    // plain dense top-5 (the set MMR exists to improve on)
+    val e = Tables.load(spark, sf, "embeddings")
+    def avgPairCos(ids: Seq[Long]): Double = {
+      val vecs = e.where(col("vec_id").isin(ids: _*))
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .as[(Long, Seq[Double])].collect().toMap
+      val ps = for {
+        i <- ids.indices; j <- ids.indices if i < j
+        a = vecs(ids(i)); b = vecs(ids(j))
+      } yield {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      ps.sum / ps.size
+    }
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val top5 = e.crossJoin(org.apache.spark.sql.functions.broadcast(probe))
+      .selectExpr("vec_id", "round(cosine_sim(pe, embedding), 6) AS rel")
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(avgPairCos(got.map(_._2).toSeq) <= avgPairCos(top5) + 1e-9,
+      "MMR set must not be more self-similar than plain top-5")
+  }
+
   test("doc_length_histogram: integer bit-length buckets, exact partition of the corpus") {
     val hist = TextAnalysis.docLengthHistogram(spark, sf)
       .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
