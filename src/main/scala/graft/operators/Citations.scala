@@ -1252,7 +1252,8 @@ object Citations {
     * the same multiplicity. Depth capped at 4 (the reach convention);
     * everything is exact integer arithmetic, so the query hash-oracles
     * with the identically-unrolled twin. */
-  def bfsPaths(edges: DataFrame, hops: Int = 4): DataFrame = {
+  def bfsPaths(edges: DataFrame, hops: Int = 4,
+               roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).localCheckpoint()
     val seed = counts(e).orderBy(col("citations").desc, col("paper_id").asc)
@@ -1267,6 +1268,7 @@ object Citations {
         .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
         .join(reached.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(i).as("dist"), col("sigma"))
+      roundProbe(i, next)
       val cut = next.localCheckpoint()
       val newReached = reached.unionByName(cut).localCheckpoint()
       graft.Blocks.release(reached)

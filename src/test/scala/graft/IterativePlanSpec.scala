@@ -154,4 +154,46 @@ class IterativePlanSpec extends AnyFunSuite {
         s"bpeMerges pair count lost partial aggregation:\n$plan")
     }
   }
+
+  test("lpa round: message join + label zip, ONE repartition feeding both plurality aggregates") {
+    val e = Citations.edges(spark, sf)
+    val plans = capture(p => Citations.lpa(e, rounds = 2, roundProbe = p))
+    for (r <- Seq(1, 2)) {
+      val plan = plans(r)
+      auditCommon("lpa", plan)
+      // message join (und ⋈ labels) + the left-outer label zip — and the
+      // two stacked plurality aggregates run PARTITION-LOCAL off the one
+      // pinned repartition (the 7.4 → 5.0 s fix). Both aggregates sit in
+      // ONE exchange-free span: the plan shows the (id,label) count and
+      // the min-key argmax back-to-back with no exchange between them —
+      // the regression this test exists to catch is that exchange
+      // reappearing (two corpus-scale shuffles per round instead of one).
+      assert(equiJoins(plan) === 2, s"lpa round joins changed:\n$plan")
+      assert(bnlj(plan) === 0, s"lpa grew a nested-loop join:\n$plan")
+      val aggBlock = plan.split("Exchange hashpartitioning")
+        .find(b => b.contains("partial_count") || b.contains("count(1)"))
+      assert(aggBlock.exists(b =>
+          "Aggregate".r.findAllIn(b).size >= 2 || b.contains("min(concat")),
+        s"lpa plurality aggregates split across exchanges again:\n$plan")
+      // total exchanges per round: the message repartition, the zip's
+      // labels side (checkpoint scans report unknown partitioning), and
+      // the join inputs — pinned at the measured 4 so growth fails loudly
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 4, s"lpa round exchange count grew:\n$plan")
+    }
+  }
+
+  test("bfs hop: frontier join + sigma aggregate + reached anti-join, nothing else") {
+    val e = Citations.edges(spark, sf)
+    val plans = capture(p => Citations.bfsPaths(e, roundProbe = p))
+    for (r <- plans.keys.toSeq.sorted.take(2)) {
+      val plan = plans(r)
+      auditCommon("bfsPaths", plan)
+      // e ⋈ frontier (shuffle_hash on the pinned edge partitioning) + the
+      // reached anti-join; the σ sum collapses map-side
+      assert(equiJoins(plan) === 2, s"bfs hop joins changed:\n$plan")
+      assert(plan.contains("LeftAnti"), s"bfs reached-set check must anti-join:\n$plan")
+      assert(bnlj(plan) === 0, s"bfs grew a nested-loop join:\n$plan")
+    }
+  }
 }
