@@ -99,6 +99,40 @@ object TextProps extends Properties("TextAnalysis") {
         (t.replaceAll(pat, tag), ns :+ c)
     }
 
+  // the winnowing paper's selection rule, re-implemented value-level in
+  // plain Scala: window of 4 shingle hashes, keep (rightmost-argmin pos,
+  // min hash), dedupe — the in-memory twin of the fixed-width key trick
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def winnowOracle(text: String): Set[(Int, String)] = {
+    val ws = text.split(" ", -1)
+    val nsh = math.max(ws.length - 2, 1)
+    val hashes = (1 to nsh).map { i =>
+      md5hex(ws.slice(i - 1, math.min(i + 2, ws.length)).mkString(" "))
+    }
+    (1 to math.max(nsh - 3, 1)).map { j =>
+      val win = j to math.min(j + 3, nsh)
+      val minH = win.map(p => hashes(p - 1)).min
+      (win.filter(p => hashes(p - 1) == minH).max, minH)
+    }.toSet
+  }
+
+  property("doc_winnowing == per-doc selection oracle; repartition-invariant") =
+    forAll(corpusGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+        TextAnalysis.docWinnowingFrom(d)
+          .as[(Long, Int, String)].collect().toSet
+      val got = run(df)
+      val expected = docs.flatMap { case (id, text) =>
+        winnowOracle(text).map { case (p, h) => (id, p, h) }
+      }.toSet
+      got == expected && run(df.repartition(7)) == got
+    }
+
   property("pii_redact == java-regex stage oracle") =
     forAll(piiCorpusGen) { docs =>
       import spark.implicits._
