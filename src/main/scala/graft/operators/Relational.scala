@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -292,6 +292,90 @@ object Relational {
       |JOIN part_n pb ON pb.p = part_b
       |CROSS JOIN n
       |ORDER BY part_a, part_b""".stripMargin
+
+  /** RFM customer segmentation — the classic marketing-analytics
+    * workload: per customer, days since last order (recency, against the
+    * corpus's max order date as the anchor), order count (frequency),
+    * and exact-decimal total spend (monetary), each scored 1–4 against
+    * the population quartiles. Quartile thresholds come from ONE
+    * bounded-state scalar aggregate over the per-customer frame and fold
+    * back as a 1-row broadcast; each customer's scores are codegen'd
+    * threshold-comparison sums (the [[graft.operators.TextAnalysis
+    * .qualityDeciles]] pattern — never an ntile over a global sort, whose
+    * single-partition window is the scale bomb AND whose tie-splitting
+    * is engine-arbitrary). Recency scores INVERT (fresher = higher).
+    * Monetary fixes to DECIMAL(18,2) before summation (order-free exact,
+    * the rolling7d rule); thresholds ride the same round(6) grid the
+    * deciles oracle proved cross-engine. */
+  def ordersRfm(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("m_dec"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_order")).as("recency_days"),
+        col("frequency"),
+        col("m_dec").cast("double").as("monetary"))
+    val ths = Seq("25" -> "0.25", "50" -> "0.5", "75" -> "0.75").flatMap {
+      case (n, q) => Seq(
+        round(expr(s"percentile(CAST(recency_days AS DOUBLE), $q)"), 6).as(s"r$n"),
+        round(expr(s"percentile(CAST(frequency AS DOUBLE), $q)"), 6).as(s"f$n"),
+        round(expr(s"percentile(monetary, $q)"), 6).as(s"m$n"))
+    }
+    val th = cust.agg(ths.head, ths.tail: _*)
+    def scoreUp(c: Column, p: String) = (lit(1) +
+      Seq("25", "50", "75").map(n => (c >= col(s"$p$n")).cast("int"))
+        .reduce(_ + _)).cast("int")
+    def scoreDown(c: Column, p: String) = (lit(4) -
+      Seq("25", "50", "75").map(n => (c >= col(s"$p$n")).cast("int"))
+        .reduce(_ + _)).cast("int")
+    cust.crossJoin(broadcast(th))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        scoreDown(col("recency_days").cast("double"), "r").as("r_score"),
+        scoreUp(col("frequency").cast("double"), "f").as("f_score"),
+        scoreUp(col("monetary"), "m").as("m_score"))
+      .withColumn("rfm",
+        (col("r_score") * lit(100) + col("f_score") * lit(10) +
+          col("m_score")).cast("int"))
+  }
+
+  val ordersRfmSql: String = {
+    val ts = Seq("25" -> "0.25", "50" -> "0.5", "75" -> "0.75").flatMap {
+      case (n, q) => Seq(
+        s"round(quantile_cont(CAST(recency_days AS DOUBLE), $q), 6) AS r$n",
+        s"round(quantile_cont(CAST(frequency AS DOUBLE), $q), 6) AS f$n",
+        s"round(quantile_cont(monetary, $q), 6) AS m$n")
+    }.mkString(", ")
+    def up(c: String, p: String) = "1 + " +
+      Seq("25", "50", "75").map(n => s"CAST($c >= $p$n AS INT)").mkString(" + ")
+    def down(c: String, p: String) = "4 - (" +
+      Seq("25", "50", "75").map(n => s"CAST($c >= $p$n AS INT)").mkString(" + ") + ")"
+    s"""WITH anchor AS (
+       |  SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+       |cust AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', max(CAST(o_orderdate AS DATE)), anchor)
+       |      AS recency_days,
+       |    count(*) AS frequency,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS monetary
+       |  FROM orders, anchor GROUP BY 1, anchor),
+       |t AS (SELECT $ts FROM cust)
+       |SELECT o_custkey, CAST(recency_days AS INT) AS recency_days,
+       |  CAST(frequency AS BIGINT) AS frequency, monetary,
+       |  CAST(${down("CAST(recency_days AS DOUBLE)", "r")} AS INT) AS r_score,
+       |  CAST(${up("CAST(frequency AS DOUBLE)", "f")} AS INT) AS f_score,
+       |  CAST(${up("monetary", "m")} AS INT) AS m_score,
+       |  CAST((${down("CAST(recency_days AS DOUBLE)", "r")}) * 100 +
+       |       (${up("CAST(frequency AS DOUBLE)", "f")}) * 10 +
+       |       (${up("monetary", "m")}) AS INT) AS rfm
+       |FROM cust, t ORDER BY o_custkey""".stripMargin
+  }
 
   /** Running (cumulative) revenue per customer — frame-spec window. */
   def windowRunningRevenue(s: SparkSession, d: String): DataFrame = {
@@ -1273,6 +1357,7 @@ object Relational {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "distinct_parts_per_order" -> (distinctPartsPerOrder _),
     "basket_lift" -> (basketLift _),
+    "orders_rfm" -> (ordersRfm _),
     "window_running_revenue" -> (windowRunningRevenue _),
     "window_top2_per_segment" -> (windowTop2PerSegment _),
     "window_lag_delta" -> (windowLagDelta _),
@@ -1322,6 +1407,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "distinct_parts_per_order" -> distinctPartsPerOrderSql,
     "basket_lift" -> basketLiftSql,
+    "orders_rfm" -> ordersRfmSql,
     "window_running_revenue" -> windowRunningRevenueSql,
     "window_top2_per_segment" -> windowTop2PerSegmentSql,
     "window_lag_delta" -> windowLagDeltaSql,

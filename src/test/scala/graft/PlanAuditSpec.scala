@@ -96,7 +96,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "profile_drift",
     // basket_lift: the 1-row basket-count (N) aggregate folded onto the
     // support-pruned pair frame — the q6 scalar shape
-    "basket_lift"
+    "basket_lift",
+    // orders_rfm: the 1-row anchor-date and 9-threshold quartile
+    // aggregates (percentile state bounded by the metric value grids)
+    // folded onto the per-customer frame — the quality_deciles shape
+    "orders_rfm"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -187,6 +191,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "profile_drift",
     // basket_lift: the 1-row N frame nested-loop-folded onto every
     // surviving pair (the q6 scalar shape)
-    "basket_lift"
+    "basket_lift",
+    // orders_rfm: the anchor and threshold 1-row frames nested-loop-
+    // folded onto every customer (the quality_deciles shape)
+    "orders_rfm"
   )
 }

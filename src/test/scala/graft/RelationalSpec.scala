@@ -46,6 +46,28 @@ class RelationalSpec extends AnyFunSuite {
       s"basket exchange not reused:\n$p")
   }
 
+  test("orders_rfm: scores monotone in their metrics, composite digits consistent") {
+    val got = Relational.ordersRfm(spark, sf)
+      .as[(Long, Int, Long, Double, Int, Int, Int, Int)].collect()
+    assert(got.length === Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count())
+    got.foreach { case (_, rec, freq, mon, r, f, m, rfm) =>
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4)
+      assert(rfm === r * 100 + f * 10 + m)
+      assert(rec >= 0 && freq >= 1 && mon > 0)
+    }
+    // monotone: a better metric can never yield a worse score
+    def monotone(pairs: Seq[(Double, Int)]): Boolean =
+      pairs.sortBy(_._1).sliding(2).forall {
+        case Seq(a, b) => a._2 <= b._2; case _ => true }
+    assert(monotone(got.map(g => (g._3.toDouble, g._6)).toSeq), "f_score")
+    assert(monotone(got.map(g => (g._4, g._7)).toSeq), "m_score")
+    assert(monotone(got.map(g => (-g._2.toDouble, g._5)).toSeq), "r_score inverse")
+    // the quartiling actually separates the population
+    assert(got.map(_._6).distinct.length >= 2)
+    assert(got.map(_._7).distinct.length >= 2)
+  }
+
   test("q1: one group per (returnflag, linestatus); counts sum to filtered rows") {
     val df = Relational.q1PricingSummary(spark, sf).cache()
     assert(df.count() === 6)
