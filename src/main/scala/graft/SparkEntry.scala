@@ -77,7 +77,11 @@ object SparkEntry {
     // the oracle is the FULL recompute: the gate proves the IVM identity
     "citation_counts_ivm" -> ((s, d) =>
       Citations.countsIvm(Citations.edges(s, d))),
-    "citation_bfs_paths" -> ((s, d) => Citations.bfsPaths(Citations.edges(s, d)))
+    "citation_bfs_paths" -> ((s, d) => Citations.bfsPaths(Citations.edges(s, d))),
+    // the Brandes backward pass over the same DAG — single-source
+    // dependency profile; sampled betweenness = S of these summed
+    "citation_betweenness" -> ((s, d) =>
+      Citations.betweenness(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -99,6 +103,7 @@ object SparkEntry {
     "citation_lpa" -> Citations.lpaSql(),
     "citation_counts_ivm" -> Citations.countsIvmSql,
     "citation_bfs_paths" -> Citations.bfsPathsSql(),
+    "citation_betweenness" -> Citations.betweennessSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -164,6 +169,7 @@ object SparkEntry {
     "citation_lpa" -> Seq(col("paper_id")),
     "citation_counts_ivm" -> Seq(col("paper_id")),
     "citation_bfs_paths" -> Seq(col("paper_id")),
+    "citation_betweenness" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

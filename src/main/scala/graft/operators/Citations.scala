@@ -1256,6 +1256,97 @@ object Citations {
                roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).localCheckpoint()
+    val out = bfsPathsFrom(e, hops, roundProbe)
+    graft.Blocks.release(e)
+    out
+  }
+
+  /** The forward (σ-counting) CTE chain, shared by [[bfsPathsSql]] and
+    * [[betweennessSql]]. */
+  private def bfsForwardCtes(hops: Int): String = {
+    val steps = (1 to hops).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT id, $i AS dist, sigma FROM (
+         |    SELECT e.dst AS id,
+         |           CAST(sum(f.sigma) AS DECIMAL(38,0)) AS sigma
+         |    FROM f${i - 1} f JOIN e ON e.src = f.id
+         |    GROUP BY 1) n
+         |  WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} r WHERE r.id = n.id)),
+         |r$i AS MATERIALIZED (
+         |  SELECT * FROM r${i - 1} UNION ALL SELECT * FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem WHERE l_orderkey <> l_partkey),
+       |f0 AS MATERIALIZED (
+       |  SELECT dst AS id, 0 AS dist, CAST(1 AS DECIMAL(38,0)) AS sigma
+       |  FROM e GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 1),
+       |r0 AS MATERIALIZED (SELECT * FROM f0),
+       |$steps""".stripMargin
+  }
+
+  /** DuckDB twin of [[bfsPaths]], hops unrolled as MATERIALIZED CTEs. */
+  def bfsPathsSql(hops: Int = 4): String =
+    s"""${bfsForwardCtes(hops)}
+       |SELECT id AS paper_id, dist, CAST(sigma AS BIGINT) AS sigma
+       |FROM r$hops ORDER BY paper_id""".stripMargin
+
+  /** Brandes dependency accumulation — the BACKWARD half completing
+    * [[bfsPaths]]: walking the shortest-path DAG from the deepest level
+    * up, δ(v) = Σ_{w ∈ succ(v)} (σ(v)/σ(w)) · (1 + δ(w)). Summed over
+    * all sources this is exactly betweenness centrality; this operator
+    * computes the single-source dependency profile from the same
+    * most-cited seed (a sampled-sources betweenness runs S of these and
+    * adds — Brandes 2001 §4, Bader's sampling — so the per-source
+    * operator IS the building block at scale).
+    *
+    * A DAG edge needs no marking: dist(w) = dist(v)+1 identifies the
+    * successors, so each backward round is one three-way equi-join
+    * (edges ⋈ level-k ⋈ level-k+1-with-δ) + one partial-aggregable sum.
+    * Float discipline: σ ratios are single IEEE divisions of exact
+    * integers; each term fixes to the 12-dp grid and sums as exact
+    * DECIMAL(28,12) (order-free); δ publishes per round on the 9-dp
+    * grid, and the next round consumes the PUBLISHED value — both
+    * engines therefore run the identical rounded recurrence and the
+    * hash verifies every δ exactly. */
+  def betweenness(edges: DataFrame, hops: Int = 4): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
+    val fwd = bfsPathsFrom(e, hops).localCheckpoint()
+    var delta = fwd.where(col("dist") === hops)
+      .select(col("paper_id").as("id"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    var acc = delta
+    for (k <- hops - 1 to 0 by -1) {
+      val lvlK = fwd.where(col("dist") === k)
+        .select(col("paper_id").as("id"), col("sigma").as("sv"))
+      val lvlK1 = fwd.where(col("dist") === k + 1)
+        .select(col("paper_id").as("wid"), col("sigma").as("sw"))
+        .join(delta.withColumnRenamed("id", "wid"), Seq("wid"))
+      val terms = e.join(lvlK1, e("dst") === lvlK1("wid"))
+        .join(lvlK.hint("shuffle_hash"), e("src") === lvlK("id"))
+        .select(col("id"),
+          round((col("sv").cast("double") / col("sw").cast("double")) *
+            (lit(1.0) + col("delta")), 12).cast("decimal(28,12)").as("t"))
+        .groupBy(col("id")).agg(sum(col("t")).as("s"))
+      val dk = lvlK.select(col("id"), col("sv"))
+        .join(terms, Seq("id"), "left_outer")
+        .select(col("id"),
+          round(coalesce(col("s").cast("double"), lit(0.0)), 9).as("delta"))
+        .localCheckpoint()
+      delta = dk
+      acc = acc.unionByName(dk)
+    }
+    fwd.join(acc.withColumnRenamed("id", "paper_id"), Seq("paper_id"))
+      .select(col("paper_id"), col("dist"), col("sigma"), col("delta"))
+  }
+
+  /** [[bfsPaths]] over an ALREADY-prepared (deduped, pinned) edge frame —
+    * lets [[betweenness]] share one edge checkpoint with its backward
+    * pass instead of preparing it twice. */
+  private def bfsPathsFrom(e: DataFrame, hops: Int,
+                           roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
     val seed = counts(e).orderBy(col("citations").desc, col("paper_id").asc)
       .limit(1).select(col("paper_id").as("id"),
         lit(0).as("dist"), lit(new java.math.BigDecimal(1))
@@ -1276,38 +1367,37 @@ object Citations {
       reached = newReached
       frontier = cut
     }
-    graft.Blocks.release(e)
-    // σ accumulates in DECIMAL(38,0); the OUTPUT narrows to BIGINT so the
-    // cross-engine hash sees one canonical integer form — under ANSI the
-    // cast THROWS on overflow rather than wrapping (the guard, not a wish)
     reached.select(col("id").as("paper_id"), col("dist"),
       col("sigma").cast("long").as("sigma"))
   }
 
-  /** DuckDB twin of [[bfsPaths]], hops unrolled as MATERIALIZED CTEs. */
-  def bfsPathsSql(hops: Int = 4): String = {
-    val steps = (1 to hops).map { i =>
-      s"""f$i AS MATERIALIZED (
-         |  SELECT id, $i AS dist, sigma FROM (
-         |    SELECT e.dst AS id,
-         |           CAST(sum(f.sigma) AS DECIMAL(38,0)) AS sigma
-         |    FROM f${i - 1} f JOIN e ON e.src = f.id
-         |    GROUP BY 1) n
-         |  WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} r WHERE r.id = n.id)),
-         |r$i AS MATERIALIZED (
-         |  SELECT * FROM r${i - 1} UNION ALL SELECT * FROM f$i)""".stripMargin
+  /** DuckDB twin of [[betweenness]]: the forward chain + hops backward
+    * rounds, each a correlated per-node sum over the DAG successors on
+    * the identical 12-dp/9-dp grids. */
+  def betweennessSql(hops: Int = 4): String = {
+    val back = (hops - 1 to 0 by -1).map { k =>
+      s"""del$k AS MATERIALIZED (
+         |  SELECT f.id, round(CAST(coalesce(
+         |    (SELECT sum(CAST(round(
+         |         (CAST(f.sigma AS DOUBLE) / CAST(g.sigma AS DOUBLE))
+         |         * (1 + dl.delta), 12) AS DECIMAL(28,12)))
+         |     FROM e JOIN f${k + 1} g ON g.id = e.dst
+         |            JOIN del${k + 1} dl ON dl.id = g.id
+         |     WHERE e.src = f.id), 0) AS DOUBLE), 9) AS delta
+         |  FROM f$k f)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,
-       |         CAST(l_partkey AS VARCHAR) AS dst
-       |  FROM lineitem WHERE l_orderkey <> l_partkey),
-       |f0 AS MATERIALIZED (
-       |  SELECT dst AS id, 0 AS dist, CAST(1 AS DECIMAL(38,0)) AS sigma
-       |  FROM e GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 1),
-       |r0 AS MATERIALIZED (SELECT * FROM f0),
-       |$steps
-       |SELECT id AS paper_id, dist, CAST(sigma AS BIGINT) AS sigma
-       |FROM r$hops ORDER BY paper_id""".stripMargin
+    val union = (0 to hops).map(k => s"SELECT id, delta FROM del$k")
+      .mkString("\n  UNION ALL ")
+    s"""${bfsForwardCtes(hops)},
+       |del$hops AS MATERIALIZED (
+       |  SELECT id, CAST(0 AS DOUBLE) AS delta FROM f$hops),
+       |$back,
+       |alldel AS (
+       |  $union)
+       |SELECT r.id AS paper_id, r.dist, CAST(r.sigma AS BIGINT) AS sigma,
+       |       d.delta
+       |FROM r$hops r JOIN alldel d ON d.id = r.id
+       |ORDER BY paper_id""".stripMargin
   }
 
   /** O16 (reference check.py:31-33): console top-k print. The reference's

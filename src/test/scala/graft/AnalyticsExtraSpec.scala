@@ -568,6 +568,30 @@ class AnalyticsExtraSpec extends AnyFunSuite {
       "C" -> (2, 2L), "D" -> (3, 2L)))
   }
 
+  test("citation_betweenness: Brandes hand fixture — diamond dependencies, leaves at zero") {
+    // seed S (3 feeders make it most-cited); diamond S->A/B->C->D.
+    // Brandes from S: δ(D)=0; δ(C)=σC/σC·(1+0)=1; δ(A)=δ(B)=
+    // (σA/σC)(1+δC)=(1/2)(2)=1; δ(S)=(1/1)(1+1)+(1/1)(1+1)=4.
+    val edges = Seq(
+      ("x1", "S"), ("x2", "S"), ("x3", "S"),
+      ("S", "A"), ("S", "B"), ("A", "C"), ("B", "C"), ("C", "D"),
+      ("A", "C") // duplicate: dedup keeps sigma AND delta exact
+    ).toDF("src", "dst")
+    val got = Citations.betweenness(edges)
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "S" -> ((0, 1L, 4.0)), "A" -> ((1, 1L, 1.0)), "B" -> ((1, 1L, 1.0)),
+      "C" -> ((2, 2L, 1.0)), "D" -> ((3, 2L, 0.0))))
+    // on the corpus: deepest level all-zero, every δ non-negative, and
+    // the seed's δ equals the dependency mass it routes
+    val corpus = Citations.betweenness(Citations.edges(spark, sf))
+      .as[(String, Int, Long, Double)].collect()
+    assert(corpus.filter(_._2 == 4).forall(_._4 === 0.0))
+    assert(corpus.forall(_._4 >= 0.0))
+    assert(corpus.count(_._2 == 0) === 1)
+  }
+
   test("events_stickiness: trailing-7-day distinct recompute; DAU <= WAU") {
     val activity = Tables.load(spark, sf, "events")
       .selectExpr("date_trunc('day', ts) AS day", "user_id")
