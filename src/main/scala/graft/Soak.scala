@@ -454,6 +454,26 @@ object Soak {
       f"$ph0 hamming-0 pairs == 10 × $phBase at $nDocs media rows " +
         f"($phAll band candidates total, ${tPh}%.1f s)")
 
+    // Brandes dependency pass at ~6M edges: the backward recurrence over
+    // the forward DAG — structural invariants (the tagged-copy seed
+    // flip means values can't map to base): deepest level all-zero,
+    // δ ≥ 0 everywhere, exactly one σ=1 seed, copy confinement.
+    val (btwStats, tBtw) = timed {
+      val b = Citations.betweenness(edges10).localCheckpoint()
+      val seeds = b.where(col("dist") === 0)
+        .as[(String, Int, Long, Double)].collect()
+      val tag = seeds.head._1.split('~')(1)
+      val bad = b.where(col("delta") < 0 ||
+        (col("dist") === 4 && col("delta") =!= 0) ||
+        !col("paper_id").endsWith(s"~$tag")).count()
+      val r = (b.count(), seeds.length, seeds.head._3, bad)
+      Blocks.release(b); r
+    }
+    check("betweenness_6m",
+      btwStats._2 == 1 && btwStats._3 == 1L && btwStats._4 == 0,
+      f"${btwStats._1} scored nodes from one σ=1 seed, 0 invalid " +
+        f"(δ<0 / nonzero-leaf / off-copy) rows (4+4 rounds at ~6M edges, ${tBtw}%.1f s)")
+
     // IVM identity at ~6M edges: merge(agg(base), agg(delta)) must equal
     // the full aggregate EXACTLY — the same gate the oracle runs at
     // sf0.01, re-proven at soak scale where a wrong partial-agg shape
