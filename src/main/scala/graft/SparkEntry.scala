@@ -233,7 +233,8 @@ object SparkEntry {
     "events_ewma" -> Seq(col("user_id"), col("event_id")),
     "events_ab_test" -> Seq(col("event_type")),
     "events_cusum" -> Seq(col("event_type"), col("day")),
-    "events_stickiness" -> Seq(col("day"))
+    "events_stickiness" -> Seq(col("day")),
+    "events_heatmap" -> Seq(col("dow"), col("hour"), col("event_type"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
     Similarity.verifyOrder ++ Multimodal.verifyOrder ++
     Profiling.verifyOrder ++ Pipeline.verifyOrder ++ Sketches.verifyOrder

@@ -313,6 +313,36 @@ object EventAnalytics {
           .as("stickiness"))
   }
 
+  /** Hour-of-week activity heatmap per event type — the load-profile /
+    * seasonality view every ops dashboard carries. Cells are a single
+    * partial-aggregable count on a (dow, hour, type) key; the within-type
+    * share window runs over the CALENDAR-bounded cell frame (≤ 7·24·types
+    * rows — the dailyShare precedent), never the event stream. Engine
+    * alignment: Spark's `dayofweek` is 1-based Sunday=1, DuckDB's is
+    * 0-based Sunday=0 — the Spark side emits `dayofweek − 1` so both
+    * speak the 0=Sunday convention. */
+  def eventsHeatmap(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.load(s, d, "events")
+      .groupBy((dayofweek(col("ts")) - lit(1)).as("dow"),
+        hour(col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    cells.select(col("dow"), col("hour"), col("event_type"), col("n"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("event_type"))), 6)
+        .as("share"))
+  }
+
+  val eventsHeatmapSql: String =
+    """WITH cells AS (
+      |  SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INT) AS hour,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT CAST(dow AS INT) AS dow, hour, event_type,
+      |  CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) /
+      |        sum(n) OVER (PARTITION BY event_type), 6) AS share
+      |FROM cells ORDER BY dow, hour, event_type""".stripMargin
+
   val eventsStickinessSql: String =
     """WITH activity AS (
       |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
@@ -789,6 +819,7 @@ object EventAnalytics {
     "events_anomaly" -> (eventsAnomaly _),
     "events_cusum" -> (eventsCusum _),
     "events_stickiness" -> (eventsStickiness _),
+    "events_heatmap" -> (eventsHeatmap _),
     "events_rolling_7d" -> (rolling7d _),
     "events_ewma" -> (ewma _),
     "events_ab_test" -> (abTest _),
@@ -811,6 +842,7 @@ object EventAnalytics {
     "events_anomaly" -> eventsAnomalySql,
     "events_cusum" -> eventsCusumSql,
     "events_stickiness" -> eventsStickinessSql,
+    "events_heatmap" -> eventsHeatmapSql,
     "events_rolling_7d" -> rolling7dSql,
     "events_ewma" -> ewmaSql,
     "events_ab_test" -> abTestSql,

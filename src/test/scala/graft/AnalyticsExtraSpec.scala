@@ -592,6 +592,26 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(corpus.count(_._2 == 0) === 1)
   }
 
+  test("events_heatmap: cells partition the stream; shares sum to 1 per type; 0=Sunday") {
+    val got = EventAnalytics.eventsHeatmap(spark, sf)
+      .as[(Int, Int, String, Long, Double)].collect()
+    assert(got.map(_._4).sum === Tables.load(spark, sf, "events").count())
+    got.foreach { case (dow, hour, _, n, share) =>
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23 && n > 0)
+      assert(share > 0 && share <= 1)
+    }
+    got.groupBy(_._3).foreach { case (t, cells) =>
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-3, s"$t shares")
+    }
+    // the 0=Sunday convention: a known date pins the mapping
+    // (2024-01-01 was a Monday -> dow 1)
+    val probe = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dow = probe.selectExpr("dayofweek(ts) - 1").as[Int].first()
+    assert(dow === 1)
+  }
+
   test("events_stickiness: trailing-7-day distinct recompute; DAU <= WAU") {
     val activity = Tables.load(spark, sf, "events")
       .selectExpr("date_trunc('day', ts) AS day", "user_id")
