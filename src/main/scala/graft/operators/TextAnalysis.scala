@@ -617,6 +617,67 @@ object TextAnalysis {
        |FROM scored, t ORDER BY doc_id""".stripMargin
   }
 
+  /** The ten highest-frequency English function words — the fixed
+    * stopword list behind [[qualityGopher]]'s has-stopwords rule. */
+  private val gopherStops: Seq[String] =
+    Seq("the", "of", "and", "to", "in", "a", "is", "that", "for", "it")
+
+  /** Gopher-style ABSOLUTE quality gate (the rule family of Rae et al.
+    * 2021 §A1.1, restricted to what raw text alone supports): word count
+    * in [50, 100000], mean word length in [3, 10], ≥2 hits from a fixed
+    * 10-stopword list, and ≥80% of words containing a lowercase letter.
+    * Emits every document with its rule inputs plus the 0/1 verdict, so a
+    * downstream sampler can re-weight borderline docs instead of
+    * re-scoring. Unlike [[qualityThresholdFilter]]/[[qualityDeciles]]
+    * there is NO corpus percentile here, hence no scalar-fold crossJoin:
+    * the whole operator is one scan + one codegen'd projection — ZERO
+    * exchanges at any corpus size, the cheapest possible 100-TB shape.
+    * Determinism: n_words/stop_cnt are exact integers; mean_wl and
+    * alpha_frac are one integer-sum division + round(6) with identical
+    * operation order in the DuckDB twin; the verdict compares only those
+    * shared-grid values, so keep is bit-stable cross-engine. */
+  def qualityGopher(s: SparkSession, d: String): DataFrame = {
+    val stops = gopherStops.map(w => s"'$w'").mkString(", ")
+    docs(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("CAST(size(ws) AS BIGINT)").as("n_words"),
+        expr("round(CAST(aggregate(ws, 0L, (a, w) -> a + length(w))" +
+          " AS DOUBLE) / size(ws), 6)").as("mean_wl"),
+        expr(s"CAST(size(filter(ws, w -> w IN ($stops))) AS BIGINT)")
+          .as("stop_cnt"),
+        expr("round(CAST(size(filter(ws, w -> w rlike '[a-z]'))" +
+          " AS DOUBLE) / size(ws), 6)").as("alpha_frac"))
+      .withColumn("keep",
+        (col("n_words").between(50, 100000) &&
+          col("mean_wl").between(3.0, 10.0) &&
+          col("stop_cnt") >= 2 &&
+          col("alpha_frac") >= 0.8).cast("int"))
+  }
+
+  val qualityGopherSql: String = {
+    val stops = gopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(ws) AS n_words,
+       |         round(list_sum(list_transform(ws, w -> len(w))) * 1.0
+       |               / len(ws), 6) AS mean_wl,
+       |         len(list_filter(ws, w -> w IN ($stops))) AS stop_cnt,
+       |         round(len(list_filter(ws,
+       |                 w -> regexp_matches(w, '[a-z]'))) * 1.0
+       |               / len(ws), 6) AS alpha_frac
+       |  FROM w)
+       |SELECT doc_id, n_words, mean_wl, stop_cnt, alpha_frac,
+       |       CAST(n_words BETWEEN 50 AND 100000
+       |            AND mean_wl BETWEEN 3 AND 10
+       |            AND stop_cnt >= 2
+       |            AND alpha_frac >= 0.8 AS INT) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Sliding-window document chunking — the pre-tokenization step every
     * context-bounded consumer (embedding model, retrieval index, training
     * sequence builder) applies: width-32 word windows at stride 24 (8-word
@@ -1629,6 +1690,7 @@ object TextAnalysis {
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_mmr" -> ((s, d) => searchMmr(s, d)),
     "quality_threshold_filter" -> (qualityThresholdFilter _),
+    "quality_gopher" -> (qualityGopher _),
     "doc_chunks" -> ((s, d) => docChunks(s, d)),
     "quality_deciles" -> (qualityDeciles _),
     "tfidf_topk" -> (tfidfTopk _),
@@ -1661,6 +1723,7 @@ object TextAnalysis {
     "search_hybrid_rrf" -> searchHybridRrfSql,
     "search_mmr" -> searchMmrSql,
     "quality_threshold_filter" -> qualityThresholdFilterSql,
+    "quality_gopher" -> qualityGopherSql,
     "doc_chunks" -> docChunksSql,
     "quality_deciles" -> qualityDecilesSql,
     "tfidf_topk" -> tfidfTopkSql,
@@ -1696,6 +1759,7 @@ object TextAnalysis {
     "doc_novelty" -> Seq(col("doc_id")),
     "inverted_index" -> Seq(col("token")),
     "quality_threshold_filter" -> Seq(col("doc_id")),
+    "quality_gopher" -> Seq(col("doc_id")),
     "doc_chunks" -> Seq(col("doc_id"), col("chunk_idx")),
     "quality_deciles" -> Seq(col("doc_id")),
     "tokenizer_fertility" -> Seq(col("lang")),

@@ -597,4 +597,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     // somewhere the window actually slides (multi-chunk docs exist)
     assert(got.values.exists(_.length > 1))
   }
+
+  test("quality_gopher: every row equals a value-level local twin") {
+    val got = TextAnalysis.qualityGopher(spark, sf)
+      .as[(Long, Long, Double, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    val stops = Set("the", "of", "and", "to", "in", "a", "is", "that",
+      "for", "it")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(got.size === docs.length) // verdict for EVERY doc, kept or not
+    docs.foreach { case (id, t) =>
+      val ws = t.toLowerCase.split(" ", -1)
+      val n = ws.length.toLong
+      val meanWl = r6(ws.map(_.length.toLong).sum * 1.0 / n)
+      val stopCnt = ws.count(stops).toLong
+      val alpha = r6(ws.count(_.exists(c => c >= 'a' && c <= 'z')) * 1.0 / n)
+      val keep = if (n >= 50 && n <= 100000 && meanWl >= 3.0 &&
+        meanWl <= 10.0 && stopCnt >= 2 && alpha >= 0.8) 1 else 0
+      assert(got(id) === ((id, n, meanWl, stopCnt, alpha, keep)), s"doc $id")
+    }
+  }
 }
