@@ -1666,6 +1666,69 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Cross-language corpus overlap: Jaccard similarity between the
+    * per-language word-trigram SETS — the corpus-level leakage/dedup
+    * diagnostic (how much shared boilerplate two slices carry) next to
+    * [[docNovelty]]'s per-doc view. One row per unordered language pair
+    * with the exact set sizes, intersection, and Jaccard.
+    *
+    * Scale shape: the shingle explosion collapses to distinct
+    * (lang, fingerprint) in the first aggregate — 8-byte xxhash64 longs
+    * shuffle, shingle strings never do (the dedup_near discipline; same
+    * documented ~1e-12 collision risk) — then ONE pinned repartition on
+    * the fingerprint feeds all three consumers (both self-join sides and
+    * the per-lang size aggregate) via ReusedExchange: the corpus is
+    * scanned ONCE (the doc_winnowing_pairs discipline; un-pinned this
+    * plans as four scans). The self-equi-join is co-partitioned with
+    * per-key fan-out bounded by #langs (a small constant), then a
+    * partial-aggregable count to ≤ langs² rows; the ≤ langs-row size
+    * frame is broadcast into the final join. Exact integers + one
+    * integer-ratio round(6) — hash-oracles. */
+  def corpusLangOverlap(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.load(s, d, "documents")
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("lang"), col("ws"),
+        explode(expr("sequence(1, greatest(size(ws) - 2, 1))")).as("i"))
+      .select(col("lang"), expr("concat_ws(' ', slice(ws, i, 3))").as("sh"))
+      .select(col("lang"), xxhash64(col("sh")).as("h")).distinct()
+      .repartition(col("h"))
+    val n = ls.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val inter = ls.select(col("lang").as("lang_a"), col("h"))
+      .join(ls.select(col("lang").as("lang_b"), col("h")), Seq("h"))
+      .where(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(n.select(col("lang").as("lang_a"), col("n").as("n_a"))),
+        Seq("lang_a"))
+      .join(broadcast(n.select(col("lang").as("lang_b"), col("n").as("n_b"))),
+        Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("inter"),
+        col("n_a"), col("n_b"),
+        round(col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+  }
+
+  val corpusLangOverlapSql: String =
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT lang, array_to_string(ws[i:i+2], ' ') AS sh
+      |  FROM (SELECT lang, ws,
+      |          unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+      |        FROM t)),
+      |n AS (SELECT lang, count(*) AS n FROM sh GROUP BY 1),
+      |i AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |             count(*)::BIGINT AS inter
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang < b.lang
+      |      GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, inter,
+      |       na.n::BIGINT AS n_a, nb.n::BIGINT AS n_b,
+      |       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+      |FROM i JOIN n na ON na.lang = i.lang_a
+      |       JOIN n nb ON nb.lang = i.lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin
+
   val docNoveltySql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
       |           FROM documents),
@@ -1685,6 +1748,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_novelty" -> (docNovelty _),
+    "corpus_lang_overlap" -> (corpusLangOverlap _),
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "search_bm25" -> ((s, d) => searchBm25(s, d)),
     "search_hybrid_rrf" -> (searchHybridRrf _),
@@ -1718,6 +1782,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "doc_novelty" -> docNoveltySql,
+    "corpus_lang_overlap" -> corpusLangOverlapSql,
     "inverted_index" -> invertedIndexSql,
     "search_bm25" -> searchBm25Sql,
     "search_hybrid_rrf" -> searchHybridRrfSql,
@@ -1757,6 +1822,7 @@ object TextAnalysis {
     "search_hybrid_rrf" -> Seq(col("rank")),
     "search_mmr" -> Seq(col("rank")),
     "doc_novelty" -> Seq(col("doc_id")),
+    "corpus_lang_overlap" -> Seq(col("lang_a"), col("lang_b")),
     "inverted_index" -> Seq(col("token")),
     "quality_threshold_filter" -> Seq(col("doc_id")),
     "quality_gopher" -> Seq(col("doc_id")),

@@ -598,6 +598,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.values.exists(_.length > 1))
   }
 
+  test("corpus_lang_overlap: every pair equals a set-level local twin") {
+    val got = TextAnalysis.corpusLangOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // local twin over REAL trigram string sets (no fingerprints): a
+    // fingerprint collision would show up here as a count mismatch
+    val sets = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+      .groupBy(_._1)
+      .map { case (lang, docs) =>
+        lang -> docs.flatMap { case (_, t) =>
+          val ws = t.split(" ", -1)
+          if (ws.length <= 3) Seq(ws.mkString(" "))
+          else ws.sliding(3).map(_.mkString(" ")).toSeq
+        }.toSet
+      }
+    val langs = sets.keys.toSeq.sorted
+    val pairs = for {
+      a <- langs; b <- langs if a < b
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield (a, b) -> ((a, b, inter.toLong, sets(a).size.toLong,
+      sets(b).size.toLong,
+      BigDecimal(inter.toDouble / (sets(a).size + sets(b).size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got === pairs.toMap)
+    assert(got.nonEmpty) // the corpus genuinely shares trigrams cross-lang
+  }
+
   test("quality_gopher: every row equals a value-level local twin") {
     val got = TextAnalysis.qualityGopher(spark, sf)
       .as[(Long, Long, Double, Long, Double, Int)].collect()
