@@ -803,7 +803,63 @@ object EventAnalytics {
       |             sum(n_transitions) OVER (PARTITION BY from_type), 6) AS share
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
+  /** Second-order path mining — the natural next step after
+    * [[eventsTransitions]]'s first-order matrix: counts of event-type
+    * TRIGRAMS along each user's timeline where BOTH hops fall inside the
+    * family's 30-minute session gap, plus each trigram's share among its
+    * (t1, t2) prefix — i.e. the second-order Markov answer to "given the
+    * last two actions, what comes next". One row per observed trigram.
+    *
+    * Scale shape: the two lags ride ONE user-partitioned sort window (the
+    * eventsTransitions shape — user timelines are the natural partition
+    * and no user's history is unbounded within a day-scale corpus), the
+    * trigram count is a partial-aggregable groupBy collapsing to
+    * ≤ |types|³ rows, and the prefix-share window runs on that bounded
+    * frame, not the corpus. Counts are exact integers; share is one
+    * integer-ratio round(6) — hash-oracles. */
+  def eventsPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tris = Tables.load(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .withColumn("ts2", lag(col("ts"), 1).over(w))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("ts1", lag(col("ts"), 2).over(w))
+      .where(col("t1").isNotNull &&
+        col("ts2") < col("ts1") + expr("INTERVAL 30 MINUTES") &&
+        col("ts") < col("ts2") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+    tris.withColumn("share",
+      round(col("n_paths").cast("double") /
+        sum(col("n_paths")).over(
+          Window.partitionBy(col("t1"), col("t2"))), 6))
+  }
+
+  val eventsPathsSql: String =
+    """WITH tris AS (
+      |  SELECT lag(event_type, 2) OVER w AS t1,
+      |         lag(ts, 2) OVER w AS ts1,
+      |         lag(event_type) OVER w AS t2,
+      |         lag(ts) OVER w AS ts2,
+      |         event_type AS t3, ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT t1, t2, t3, count(*) AS n_paths
+      |  FROM tris
+      |  WHERE t1 IS NOT NULL
+      |    AND ts2 < ts1 + INTERVAL 30 MINUTE
+      |    AND ts < ts2 + INTERVAL 30 MINUTE
+      |  GROUP BY 1, 2, 3)
+      |SELECT t1, t2, t3, n_paths,
+      |       round(CAST(n_paths AS DOUBLE) /
+      |             sum(n_paths) OVER (PARTITION BY t1, t2), 6) AS share
+      |FROM t ORDER BY t1, t2, t3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_paths" -> (eventsPaths _),
     "events_transitions" -> (eventsTransitions _),
     "events_attribution" -> (eventsAttribution _),
     "events_funnel" -> (eventsFunnel _),
@@ -827,6 +883,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_paths" -> eventsPathsSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_attribution" -> eventsAttributionSql,
     "events_funnel" -> eventsFunnelSql,

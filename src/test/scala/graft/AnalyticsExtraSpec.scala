@@ -206,6 +206,25 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(shares.nonEmpty && shares.forall(x => math.abs(x._2 - 1.0) < 1e-4))
   }
 
+  test("events_paths: trigram total equals sessionize's sum(max(n_events - 2, 0))") {
+    // every counted trigram is one consecutive-within-session triple, so
+    // the path total must equal Σ_sessions max(n_events - 2, 0) — the
+    // same differential discipline as the transitions check one order up
+    val d = "/root/testdata/sf0.001"
+    val total = SparkEntry.queries("events_paths")(spark, d)
+      .agg(fsum(col("n_paths"))).as[Long].head()
+    val expected = EventAnalytics.sessionize(spark, d)
+      .agg(fsum(org.apache.spark.sql.functions.greatest(
+        col("n_events") - 2, org.apache.spark.sql.functions.lit(0L))))
+      .as[Long].head()
+    assert(total === expected && total > 0)
+    // shares following each (t1, t2) prefix sum to ~1
+    val shares = SparkEntry.queries("events_paths")(spark, d)
+      .groupBy(col("t1"), col("t2")).agg(fsum(col("share")).as("s"))
+      .as[(String, String, Double)].collect()
+    assert(shares.nonEmpty && shares.forall(x => math.abs(x._3 - 1.0) < 1e-4))
+  }
+
   test("hits: closed-form fixture — authority concentration, multiplicity counts, L2 norms = 1") {
     // a cites c TWICE, b cites c once: c is the sole authority (auth 1),
     // and the duplicate edge makes a the stronger hub — fixpoint from
