@@ -953,6 +953,92 @@ object Similarity {
        |       round(sds / n_vecs, 6) AS avg_dist
        |FROM g2 WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  private val KcK = 8
+
+  /** `sample_kcenter` (oracled): greedy k-center (farthest-point-first)
+    * coreset selection over the embeddings — the diversity sampler a
+    * training pipeline uses to pick a small set that COVERS the
+    * embedding space (2-approximation of the optimal k-center cover),
+    * where uniform/stratified sampling would oversample dense regions.
+    * Seeded at the min vec_id; each of the k−1 greedy rounds picks the
+    * point FARTHEST from the chosen set (max of min-distance, vec_id
+    * tie-break). Output: k rows (rank, vec_id, dmin) where dmin is the
+    * selection distance — the classic non-increasing coverage-radius
+    * sequence (spec-asserted).
+    *
+    * Scale shape: the chosen set folds into the scan as LITERAL float
+    * arrays (the [[assignKmLit]] model-as-literals pattern — no join, no
+    * broadcast exchange), so each round is ONE corpus scan into a
+    * TakeOrdered(1) reduce; driver state is ≤ k×d floats BY
+    * CONSTRUCTION. k scans total — at 100 TB you'd cache the corpus once
+    * and the per-round cost is the reduce, exactly how distributed
+    * farthest-point traversal is built. Determinism: every per-center
+    * distance lands on the 6-dp grid BEFORE the min/argmax (the
+    * [[kmeansFit]] cross-engine float discipline), so the DuckDB twin's
+    * unrolled rounds pick identical centers. */
+  def sampleKcenter(s: SparkSession, d: String, k: Int = KcK): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
+    var picked = Vector(
+      (seed.getLong(0), seed.getSeq[Float](1).toArray, 0.0))
+    for (_ <- 2 to k) {
+      val ds = picked.map { case (_, c, _) =>
+        s"round(l2_sq(${floatArrayLit(c)}, embedding), 6)"
+      }
+      val dexpr = if (ds.length == 1) ds.head
+                  else ds.mkString("least(", ", ", ")")
+      val next = e
+        .select(col("vec_id"), col("embedding"), expr(dexpr).as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id").asc).limit(1).collect()(0)
+      picked = picked :+
+        ((next.getLong(0), next.getSeq[Float](1).toArray, next.getDouble(2)))
+    }
+    import s.implicits._
+    picked.zipWithIndex
+      .map { case ((id, _, dm), i) => (i + 1, id, dm) }
+      .toDF("rank", "vec_id", "dmin")
+  }
+
+  /** The DuckDB twin of [[sampleKcenter]]: the same greedy rounds
+    * unrolled as CTEs (the [[embeddingKmeansSql]] convention) — each
+    * round's per-center distance is the identical sequential double fold
+    * rounded to the 6-dp grid, the running min accumulates via `least`
+    * (associative over the same rounded values, so incremental = the
+    * Scala side's full re-min), and each pick is
+    * `ORDER BY dmin DESC, vec_id LIMIT 1`. */
+  private[graft] def sampleKcenterSql(k: Int = KcK): String = {
+    def l2(a: String, b: String): String =
+      s"""round(list_reduce(list_transform(range(1, len($a) + 1),
+         |        i -> ($a[i]::DOUBLE - $b[i]::DOUBLE)
+         |           * ($a[i]::DOUBLE - $b[i]::DOUBLE)), (x, y) -> x + y), 6)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val pick =
+        s"""c$r AS (SELECT vec_id, embedding, dmin FROM d${r - 1}
+           |        ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+      val dist = if (r < k)
+        s""",
+           |d$r AS (
+           |  SELECT d.vec_id, d.embedding,
+           |         least(d.dmin, ${l2("d.embedding", "c.embedding")}) AS dmin
+           |  FROM d${r - 1} d, c$r c)""".stripMargin
+      else ""
+      pick + dist
+    }.mkString(",\n")
+    val picks = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS INT), vec_id, dmin FROM c$r").mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (
+       |  SELECT e.vec_id, e.embedding,
+       |         ${l2("e.embedding", "c1.embedding")} AS dmin
+       |  FROM e, c1),
+       |$rounds
+       |SELECT CAST(1 AS INT) AS rank, vec_id, CAST(0 AS DOUBLE) AS dmin
+       |FROM c1
+       |$picks
+       |ORDER BY rank""".stripMargin
+  }
+
   /** `ann_knn_graph` (oracled): the k-NN graph construction primitive —
     * top-5 cosine neighbors for every stride-25 probe node, plus a
     * mutual-kNN flag (both endpoints in each other's top-5), the edge set
@@ -1074,6 +1160,7 @@ object Similarity {
     "embedding_pca_project" -> (embeddingPcaProject _),
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_cluster_profile" -> (embeddingClusterProfile _),
+    "sample_kcenter" -> ((s, d) => sampleKcenter(s, d)),
     "embedding_outliers" -> (embeddingOutliers _),
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_topk" -> (annTopk _),
@@ -1096,6 +1183,7 @@ object Similarity {
     "embedding_quantize" -> embeddingQuantizeSql,
     "embedding_kmeans" -> embeddingKmeansSqlFull(),
     "embedding_cluster_profile" -> embeddingClusterProfileSql(),
+    "sample_kcenter" -> sampleKcenterSql(),
     "embedding_outliers" -> embeddingOutliersSql,
     "ann_knn_graph" -> annKnnGraphSql
   )
@@ -1106,6 +1194,7 @@ object Similarity {
     "embedding_pca_project" -> Seq(col("vec_id")),
     "embedding_kmeans" -> Seq(col("vec_id")),
     "embedding_cluster_profile" -> Seq(col("cluster")),
+    "sample_kcenter" -> Seq(col("rank")),
     "embedding_outliers" -> Seq(col("vec_id")),
     "ann_knn_graph" -> Seq(col("src_id"), col("rank")),
     "ann_topk" -> Seq(col("probe_id"), col("rank")),

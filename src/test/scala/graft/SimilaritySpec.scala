@@ -313,4 +313,40 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection shuffles:\n$plan")
   }
+
+  test("sample_kcenter: equals the greedy local twin; coverage radius never increases") {
+    val got = Similarity.sampleKcenter(spark, sf)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    // local greedy twin on the SAME 6-dp grid: seed = min vec_id, then
+    // farthest-point with (dmin desc, vec_id asc) selection each round
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1
+      }
+      r6(acc)
+    }
+    var centers = Vector(vecs.head)
+    var expect = Vector((1, vecs.head._1, 0.0))
+    for (r <- 2 to got.length) {
+      val (id, v, dm) = vecs.map { case (id, v) =>
+        (id, v, centers.map(c => l2(c._2, v)).min)
+      }.maxBy { case (id, _, dm) => (dm, -id) }
+      centers = centers :+ ((id, v))
+      expect = expect :+ ((r, id, dm))
+    }
+    assert(got.toSeq === expect)
+    assert(got.length === 8 && got.map(_._2).distinct.length === 8)
+    // the selection distances are the classic non-increasing radius run
+    got.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, s"radius grew: $a -> $b")
+    }
+  }
 }
