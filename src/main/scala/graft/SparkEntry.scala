@@ -81,7 +81,11 @@ object SparkEntry {
     // the Brandes backward pass over the same DAG — single-source
     // dependency profile; sampled betweenness = S of these summed
     "citation_betweenness" -> ((s, d) =>
-      Citations.betweenness(Citations.edges(s, d)))
+      Citations.betweenness(Citations.edges(s, d))),
+    // landmark harmonic closeness: one multi-source wave, all-integer
+    // histogram, float math confined to the final ≤8-row projection
+    "citation_closeness" -> ((s, d) =>
+      Citations.closeness(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -104,6 +108,7 @@ object SparkEntry {
     "citation_counts_ivm" -> Citations.countsIvmSql,
     "citation_bfs_paths" -> Citations.bfsPathsSql(),
     "citation_betweenness" -> Citations.betweennessSql(),
+    "citation_closeness" -> Citations.closenessSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -170,6 +175,7 @@ object SparkEntry {
     "citation_counts_ivm" -> Seq(col("paper_id")),
     "citation_bfs_paths" -> Seq(col("paper_id")),
     "citation_betweenness" -> Seq(col("paper_id")),
+    "citation_closeness" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

@@ -611,6 +611,40 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(corpus.count(_._2 == 0) === 1)
   }
 
+  test("citation_closeness: hand fixture + corpus differential against bfs_paths") {
+    // same diamond: the top-8 seeds are ALL nodes with in-degree >= 1
+    // (S,A,B,C,D); from S the reach histogram is n1=2 (A,B), n2=1 (C),
+    // n3=1 (D) -> harmonic 2 + 1/2 + 1/3; from A/B: C then D; from C: D
+    val edges = Seq(
+      ("x1", "S"), ("x2", "S"), ("x3", "S"),
+      ("S", "A"), ("S", "B"), ("A", "C"), ("B", "C"), ("C", "D"),
+      ("A", "C") // duplicate edge: reach counts are set-valued (dedup)
+    ).toDF("src", "dst")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Citations.closeness(edges)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got === Map(
+      "S" -> (("S", 2L, 1L, 1L, 0L, 4L, r6(2.0 + 1.0 / 2 + 1.0 / 3))),
+      "A" -> (("A", 1L, 1L, 0L, 0L, 2L, r6(1.0 + 1.0 / 2))),
+      "B" -> (("B", 1L, 1L, 0L, 0L, 2L, r6(1.0 + 1.0 / 2))),
+      "C" -> (("C", 1L, 0L, 0L, 0L, 1L, 1.0)))) // D reaches nothing: dropped
+    // corpus differential: the top-1 seed is bfs_paths' seed, so its
+    // histogram must equal bfs_paths' per-distance node counts
+    val corpusEdges = Citations.edges(spark, sf)
+    val bfs = Citations.bfsPaths(corpusEdges)
+      .as[(String, Int, Long)].collect()
+    val seed = bfs.find(_._2 == 0).get._1
+    val byDist = bfs.filter(_._2 > 0).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val row = Citations.closeness(corpusEdges)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .find(_._1 == seed).get
+    assert(Seq(row._2, row._3, row._4, row._5) ===
+      (1 to 4).map(d => byDist.getOrElse(d, 0L)))
+    assert(row._6 === row._2 + row._3 + row._4 + row._5)
+  }
+
   test("events_heatmap: cells partition the stream; shares sum to 1 per type; 0=Sunday") {
     val got = EventAnalytics.eventsHeatmap(spark, sf)
       .as[(Int, Int, String, Long, Double)].collect()

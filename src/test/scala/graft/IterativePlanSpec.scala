@@ -196,4 +196,18 @@ class IterativePlanSpec extends AnyFunSuite {
       assert(bnlj(plan) === 0, s"bfs grew a nested-loop join:\n$plan")
     }
   }
+
+  test("closeness wave: frontier join + distinct + reached anti-join, nothing else") {
+    val e = Citations.edges(spark, sf)
+    val plans = capture(p => Citations.closeness(e, roundProbe = p))
+    for (r <- plans.keys.toSeq.sorted.take(2)) {
+      val plan = plans(r)
+      auditCommon("closeness", plan)
+      // e ⋈ frontier (shuffle_hash on the pinned edge partitioning) + the
+      // (seed, id) anti-join; the distinct collapses map-side like a sum
+      assert(equiJoins(plan) === 2, s"closeness wave joins changed:\n$plan")
+      assert(plan.contains("LeftAnti"), s"closeness reached-set check must anti-join:\n$plan")
+      assert(bnlj(plan) === 0, s"closeness grew a nested-loop join:\n$plan")
+    }
+  }
 }
