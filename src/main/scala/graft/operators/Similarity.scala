@@ -977,6 +977,17 @@ object Similarity {
     * [[kmeansFit]] cross-engine float discipline), so the DuckDB twin's
     * unrolled rounds pick identical centers. */
   def sampleKcenter(s: SparkSession, d: String, k: Int = KcK): DataFrame = {
+    import s.implicits._
+    kcenterFit(s, d, k).zipWithIndex
+      .map { case ((id, _, dm), i) => (i + 1, id, dm) }
+      .toDF("rank", "vec_id", "dmin")
+  }
+
+  /** The greedy trace behind [[sampleKcenter]] — (vec_id, embedding,
+    * selection dmin) per center, exposed so [[sampleKcenterAssign]] can
+    * fold the identical model. */
+  private[graft] def kcenterFit(s: SparkSession, d: String,
+                                k: Int = KcK): Vector[(Long, Array[Float], Double)] = {
     val e = emb(s, d).select(col("vec_id"), col("embedding"))
     val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
     var picked = Vector(
@@ -993,10 +1004,63 @@ object Similarity {
       picked = picked :+
         ((next.getLong(0), next.getSeq[Float](1).toArray, next.getDouble(2)))
     }
-    import s.implicits._
-    picked.zipWithIndex
-      .map { case ((id, _, dm), i) => (i + 1, id, dm) }
-      .toDF("rank", "vec_id", "dmin")
+    picked
+  }
+
+  /** `sample_kcenter_assign` (oracled): the coreset's SERVE path — every
+    * corpus vector assigned to its nearest k-center, reduced to the
+    * k-row coverage profile (population, coverage radius = max assigned
+    * distance, mean distance) a curriculum/balancing stage consumes to
+    * re-weight regions. Model folds as literals ([[assignKmLit]]
+    * pattern): ONE corpus scan, a codegen'd argmin projection, and a
+    * partial-aggregable reduce to ≤ k rows — zero joins. Determinism:
+    * the argmin ties on the 6-dp grid with center-rank tie-break; the
+    * mean accumulates the grid-rounded distances as exact
+    * DECIMAL(28,6) (order-free — the betweenness/linkPredict decimal
+    * discipline) before ONE final double division on the grid. */
+  def sampleKcenterAssign(s: SparkSession, d: String, k: Int = KcK): DataFrame = {
+    val centers = kcenterFit(s, d, k)
+    val cands = centers.zipWithIndex.map { case ((_, c, _), j) =>
+      struct(expr(s"round(l2_sq(${floatArrayLit(c)}, embedding), 6)").as("dist"),
+        lit(j + 1).as("kc_rank"))
+    }
+    emb(s, d)
+      .withColumn("m", array_min(array(cands: _*)))
+      .groupBy(col("m.kc_rank").as("kc_rank"))
+      .agg(count(lit(1)).as("n_assigned"),
+        max(col("m.dist")).as("radius"),
+        round(sum(col("m.dist").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_dist"))
+  }
+
+  /** DuckDB twin of [[sampleKcenterAssign]]: the [[sampleKcenterSql]]
+    * greedy rounds, centers unioned with their ranks, per-vector argmin
+    * via row_number over (dist, kc_rank), the same DECIMAL(28,6)
+    * accumulation. */
+  private[graft] def sampleKcenterAssignSql(k: Int = KcK): String = {
+    val withBody = sampleKcenterSql(k).split("\nSELECT CAST\\(1 AS INT\\)")(0)
+    val centers = (1 to k).map(r =>
+      s"SELECT $r AS kc_rank, embedding AS ce FROM c$r")
+      .mkString("\n  UNION ALL ")
+    s"""$withBody,
+       |centers AS (
+       |  $centers),
+       |assign AS (
+       |  SELECT vec_id, kc_rank, dist FROM (
+       |    SELECT e.vec_id, c.kc_rank,
+       |      round(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |              i -> (ce[i]::DOUBLE - embedding[i]::DOUBLE)
+       |                 * (ce[i]::DOUBLE - embedding[i]::DOUBLE)), (x, y) -> x + y), 6) AS dist,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY round(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |              i -> (ce[i]::DOUBLE - embedding[i]::DOUBLE)
+       |                 * (ce[i]::DOUBLE - embedding[i]::DOUBLE)), (x, y) -> x + y), 6), c.kc_rank) AS rn
+       |    FROM e, centers c) WHERE rn = 1)
+       |SELECT kc_rank, count(*)::BIGINT AS n_assigned,
+       |       max(dist) AS radius,
+       |       round(CAST(sum(CAST(dist AS DECIMAL(28,6))) AS DOUBLE)
+       |             / count(*), 6) AS avg_dist
+       |FROM assign GROUP BY kc_rank ORDER BY kc_rank""".stripMargin
   }
 
   /** The DuckDB twin of [[sampleKcenter]]: the same greedy rounds
@@ -1161,6 +1225,7 @@ object Similarity {
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_cluster_profile" -> (embeddingClusterProfile _),
     "sample_kcenter" -> ((s, d) => sampleKcenter(s, d)),
+    "sample_kcenter_assign" -> ((s, d) => sampleKcenterAssign(s, d)),
     "embedding_outliers" -> (embeddingOutliers _),
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_topk" -> (annTopk _),
@@ -1184,6 +1249,7 @@ object Similarity {
     "embedding_kmeans" -> embeddingKmeansSqlFull(),
     "embedding_cluster_profile" -> embeddingClusterProfileSql(),
     "sample_kcenter" -> sampleKcenterSql(),
+    "sample_kcenter_assign" -> sampleKcenterAssignSql(),
     "embedding_outliers" -> embeddingOutliersSql,
     "ann_knn_graph" -> annKnnGraphSql
   )
@@ -1195,6 +1261,7 @@ object Similarity {
     "embedding_kmeans" -> Seq(col("vec_id")),
     "embedding_cluster_profile" -> Seq(col("cluster")),
     "sample_kcenter" -> Seq(col("rank")),
+    "sample_kcenter_assign" -> Seq(col("kc_rank")),
     "embedding_outliers" -> Seq(col("vec_id")),
     "ann_knn_graph" -> Seq(col("src_id"), col("rank")),
     "ann_topk" -> Seq(col("probe_id"), col("rank")),

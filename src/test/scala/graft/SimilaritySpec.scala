@@ -349,4 +349,22 @@ class SimilaritySpec extends AnyFunSuite {
       assert(a._3 >= b._3, s"radius grew: $a -> $b")
     }
   }
+
+  test("sample_kcenter_assign: populations partition the corpus; radius bounds the next pick") {
+    val assign = Similarity.sampleKcenterAssign(spark, sf)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(assign.map(_._2).sum === n) // every vector lands in exactly one cell
+    assert(assign.map(_._1).toSeq === (1 to 8))
+    assign.foreach { case (r, cnt, radius, avg) =>
+      assert(cnt > 0 && avg >= 0 && radius >= avg,
+        s"cell $r: avg $avg exceeds radius $radius")
+    }
+    // k-center guarantee: after k picks, NO point is farther from its
+    // center than the last selection distance (the greedy invariant)
+    val lastPick = Similarity.sampleKcenter(spark, sf)
+      .as[(Int, Long, Double)].collect().maxBy(_._1)._3
+    assert(assign.map(_._3).max <= lastPick + 1e-9,
+      s"coverage radius ${assign.map(_._3).max} exceeds final pick $lastPick")
+  }
 }
