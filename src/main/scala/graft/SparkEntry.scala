@@ -193,6 +193,7 @@ object SparkEntry {
     "distinct_parts_per_order" -> Seq(col("l_orderkey")),
     "basket_lift" -> Seq(col("part_a"), col("part_b")),
     "orders_rfm" -> Seq(col("o_custkey")),
+    "orders_cohort_ltv" -> Seq(col("cohort"), col("age")),
     "window_running_revenue" -> Seq(col("o_custkey"), col("o_orderdate"),
       col("o_orderkey")),
     "window_top2_per_segment" -> Seq(col("c_mktsegment"), col("rn")),

@@ -1341,6 +1341,72 @@ object Relational {
       |         ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Customer-cohort retention / lifetime-value curve — the subscription
+    * analytics staple next to [[ordersRfm]]: customers cohorted by the
+    * month of their FIRST order, then per (cohort, months-since-first)
+    * cell the active-customer count, revenue, running cumulative revenue
+    * (the LTV curve), and the retention ratio vs the cohort's birth
+    * month. One row per observed (cohort, age) cell.
+    *
+    * Scale shape: the first-order frame is ONE per-customer aggregate;
+    * the age projection is pure integer month arithmetic
+    * (year·12+month, no interval semantics to disagree on); the cell
+    * aggregate is partial-aggregable and collapses to a
+    * calendar-bounded frame (months², ≤ ~10⁴ cells regardless of corpus
+    * size), so the LTV/retention windows run on that bounded frame —
+    * never the orders table. Revenue fixes to DECIMAL(18,2) BEFORE
+    * summation (order-free exact — the [[ordersRfm]]/rolling7d rule)
+    * and the cumulative window sums those exact decimals; retention is
+    * the one double division, on the 6-dp grid. */
+  def ordersCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val firstOrder = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fd"))
+    val aged = o.join(firstOrder, Seq("o_custkey"))
+      .select(col("o_custkey"), col("o_totalprice"),
+        date_format(col("fd"), "yyyy-MM").as("cohort"),
+        ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+          (year(col("fd")) * 12 + month(col("fd")))).as("age"))
+    val cells = aged.groupBy(col("cohort"), col("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+    val byAge = Window.partitionBy(col("cohort")).orderBy(col("age"))
+    cells
+      .withColumn("cum_revenue", sum(col("revenue")).over(byAge))
+      .withColumn("retention",
+        round(col("n_active").cast("double") /
+          first(col("n_active")).over(byAge), 6))
+      // exact DECIMAL inside; publish as DOUBLE (2-dp values convert
+      // exactly) — the DuckDB client bridge renders decimals as floats,
+      // so a decimal output column would hash-mismatch on "x.50" vs "x.5"
+      .withColumn("revenue", col("revenue").cast("double"))
+      .withColumn("cum_revenue", col("cum_revenue").cast("double"))
+  }
+
+  val ordersCohortLtvSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey, min(o_orderdate) AS fd FROM orders GROUP BY 1),
+      |aged AS (
+      |  SELECT o.o_custkey, o.o_totalprice,
+      |         strftime(f.fd, '%Y-%m') AS cohort,
+      |         CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+      |            - (year(f.fd) * 12 + month(f.fd)) AS INT) AS age
+      |  FROM orders o JOIN f USING (o_custkey)),
+      |cells AS (
+      |  SELECT cohort, age,
+      |         count(DISTINCT o_custkey)::BIGINT AS n_active,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |  FROM aged GROUP BY 1, 2)
+      |SELECT cohort, age, n_active, CAST(revenue AS DOUBLE) AS revenue,
+      |       CAST(sum(revenue) OVER (PARTITION BY cohort ORDER BY age)
+      |            AS DOUBLE) AS cum_revenue,
+      |       round(CAST(n_active AS DOUBLE) /
+      |             first_value(n_active) OVER (PARTITION BY cohort
+      |                                         ORDER BY age), 6)
+      |         AS retention
+      |FROM cells ORDER BY cohort, age""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_percentiles" -> (aggPercentiles _),
     "unpivot_revenue" -> (unpivotRevenue _),
@@ -1358,6 +1424,7 @@ object Relational {
     "distinct_parts_per_order" -> (distinctPartsPerOrder _),
     "basket_lift" -> (basketLift _),
     "orders_rfm" -> (ordersRfm _),
+    "orders_cohort_ltv" -> (ordersCohortLtv _),
     "window_running_revenue" -> (windowRunningRevenue _),
     "window_top2_per_segment" -> (windowTop2PerSegment _),
     "window_lag_delta" -> (windowLagDelta _),
@@ -1408,6 +1475,7 @@ object Relational {
     "distinct_parts_per_order" -> distinctPartsPerOrderSql,
     "basket_lift" -> basketLiftSql,
     "orders_rfm" -> ordersRfmSql,
+    "orders_cohort_ltv" -> ordersCohortLtvSql,
     "window_running_revenue" -> windowRunningRevenueSql,
     "window_top2_per_segment" -> windowTop2PerSegmentSql,
     "window_lag_delta" -> windowLagDeltaSql,

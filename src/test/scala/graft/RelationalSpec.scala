@@ -410,4 +410,32 @@ class RelationalSpec extends AnyFunSuite {
     val q17 = Relational.q17SmallQtyRevenue(spark, sf).as[Double].collect()
     assert(q17.length == 1 && q17.head >= 0.0)
   }
+
+  test("orders_cohort_ltv: birth cells anchor retention at 1; cells partition customers and revenue") {
+    import org.apache.spark.sql.functions.{col, countDistinct, sum => fsum}
+    val got = Relational.ordersCohortLtv(spark, sf)
+      .as[(String, Int, Long, Double, Double, Double)].collect()
+    // outputs are exact 2-dp decimals published as doubles — recover them
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val byCohort = got.groupBy(_._1)
+    byCohort.foreach { case (c, cells) =>
+      val sorted = cells.sortBy(_._2)
+      assert(sorted.head._2 === 0, s"cohort $c missing its birth month")
+      assert(sorted.head._6 === 1.0, s"cohort $c birth retention != 1")
+      // the LTV curve: cum_revenue is the running sum of the cells
+      var run = BigDecimal(0)
+      sorted.foreach { cell =>
+        run += d2(cell._4)
+        assert(d2(cell._5) === run, s"cohort $c cum_revenue drifts at age ${cell._2}")
+        assert(cell._6 > 0 && cell._6 <= 1.0)
+      }
+    }
+    // birth populations partition the customer base; cells partition revenue
+    val orders = Tables.load(spark, sf, "orders")
+    assert(got.filter(_._2 == 0).map(_._3).sum ===
+      orders.agg(countDistinct(col("o_custkey"))).as[Long].head())
+    assert(got.map(v => d2(v._4)).sum ===
+      orders.agg(fsum(col("o_totalprice").cast("decimal(18,2)")))
+        .as[BigDecimal].head())
+  }
 }
