@@ -487,6 +487,69 @@ object Soak {
     check("ivm_identity_6m", ivmDiff == 0,
       f"base⊎delta merge == full recompute on every key (~6M edges, ${tIvm}%.1f s)")
 
+    // Landmark harmonic closeness at ~6M edges: one multi-source wave for
+    // 8 seeds. Invariants: ≤8 rows (reach-nothing seeds drop), each row's
+    // histogram sums to its n_reached, the published harmonic equals the
+    // locally recomputed grid value (the float path stays deterministic
+    // at scale), and no wave escapes its disjoint copy (reach < one
+    // copy's node count).
+    val (clsRows, tCls) = timed(
+      Citations.closeness(edges10)
+        .as[(String, Long, Long, Long, Long, Long, Double)].collect())
+    def r6s(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val clsBad = clsRows.count { r =>
+      r._6 != r._2 + r._3 + r._4 + r._5 ||
+        r._7 != r6s(r._2.toDouble + r._3.toDouble / 2 + r._4.toDouble / 3 +
+          r._5.toDouble / 4) ||
+        r._6 >= hitsBase
+    }
+    check("closeness_6m", clsRows.length <= 8 && clsRows.nonEmpty && clsBad == 0,
+      f"${clsRows.length} landmark waves, 0 invalid (histogram/harmonic/" +
+        f"off-copy) rows (hop-4 multi-source at ~6M edges, ${tCls}%.1f s)")
+
+    // Greedy k-center at 20k vectors: the trace invariants (distinct
+    // picks, non-increasing selection radius) plus the serve path's
+    // partition identity and the greedy coverage guarantee.
+    val ((kcPicks, kcAssign), tKcen) = timed {
+      val p = Similarity.sampleKcenter(spark, out)
+        .as[(Int, Long, Double)].collect().sortBy(_._1)
+      val a = Similarity.sampleKcenterAssign(spark, out)
+        .as[(Int, Long, Double, Double)].collect()
+      (p, a)
+    }
+    val kcMono = kcPicks.drop(1).sliding(2).forall {
+      case Array(x, y) => x._3 >= y._3; case _ => true
+    }
+    check("kcenter_20k",
+      kcPicks.length == 8 && kcPicks.map(_._2).distinct.length == 8 &&
+        kcMono && kcAssign.map(_._2).sum == nVecs &&
+        kcAssign.map(_._3).max <= kcPicks.last._3 + 1e-9,
+      f"8 distinct picks, radius non-increasing, ${kcAssign.map(_._2).sum} " +
+        f"assigned == $nVecs, coverage ${kcAssign.map(_._3).max}%.4f ≤ " +
+        f"final pick ${kcPicks.last._3}%.4f (${tKcen}%.1f s)")
+
+    // Cross-language overlap at 50k docs: the variant suffix maps each
+    // lang's trigram set bijectively per copy, so sizes and intersections
+    // scale by EXACTLY 10 — and Jaccard is therefore IDENTICAL to base on
+    // every pair.
+    val loBase = TextAnalysis.corpusLangOverlap(spark, base)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val (lo10, tLo) = timed(
+      TextAnalysis.corpusLangOverlap(spark, out)
+        .as[(String, String, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r).toMap)
+    val loBad = lo10.count { case (k, r) =>
+      !loBase.get(k).exists(b =>
+        r._3 == 10 * b._3 && r._4 == 10 * b._4 && r._5 == 10 * b._5 &&
+          r._6 == b._6)
+    }
+    check("lang_overlap_50k",
+      lo10.size == loBase.size && loBad == 0,
+      f"${lo10.size} pairs == base ${loBase.size}; sizes/intersections " +
+        f"scale ×10 exactly and Jaccard is bit-identical per pair (${tLo}%.1f s)")
+
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "08")

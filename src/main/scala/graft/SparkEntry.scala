@@ -85,7 +85,9 @@ object SparkEntry {
     // landmark harmonic closeness: one multi-source wave, all-integer
     // histogram, float math confined to the final ≤8-row projection
     "citation_closeness" -> ((s, d) =>
-      Citations.closeness(Citations.edges(s, d)))
+      Citations.closeness(Citations.edges(s, d))),
+    "citation_reciprocity" -> ((s, d) =>
+      Citations.reciprocity(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -109,6 +111,7 @@ object SparkEntry {
     "citation_bfs_paths" -> Citations.bfsPathsSql(),
     "citation_betweenness" -> Citations.betweennessSql(),
     "citation_closeness" -> Citations.closenessSql(),
+    "citation_reciprocity" -> Citations.reciprocitySql,
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -176,6 +179,7 @@ object SparkEntry {
     "citation_bfs_paths" -> Seq(col("paper_id")),
     "citation_betweenness" -> Seq(col("paper_id")),
     "citation_closeness" -> Seq(col("paper_id")),
+    "citation_reciprocity" -> Seq(col("m")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
@@ -194,6 +198,8 @@ object SparkEntry {
     "basket_lift" -> Seq(col("part_a"), col("part_b")),
     "orders_rfm" -> Seq(col("o_custkey")),
     "orders_cohort_ltv" -> Seq(col("cohort"), col("age")),
+    "orders_pareto" -> Seq(col("decile")),
+    "events_survival" -> Seq(col("day")),
     "window_running_revenue" -> Seq(col("o_custkey"), col("o_orderdate"),
       col("o_orderkey")),
     "window_top2_per_segment" -> Seq(col("c_mktsegment"), col("rn")),
