@@ -343,6 +343,109 @@ object EventAnalytics {
       |        sum(n) OVER (PARTITION BY event_type), 6) AS share
       |FROM cells ORDER BY dow, hour, event_type""".stripMargin
 
+  /** `events_survival` (oracled): Kaplan–Meier user-retention curve with
+    * right-censoring — the product-limit estimator S(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) over user lifetimes in days, where a user whose last
+    * event falls in the final 3 observed days is CENSORED (still active
+    * at cutoff) rather than counted as churned. This is the estimator a
+    * growth team actually uses instead of naive retention: naive curves
+    * treat every still-active user as churned at their last event and
+    * systematically underestimate survival near the observation edge.
+    *
+    * Per day: n_risk (users whose death/censor time ≥ t — reverse
+    * cumulative over the day frame), n_deaths, n_censored, and S(t).
+    *
+    * Scale shape: ONE per-user aggregate (the only corpus-sized shuffle)
+    * collapses the stream to a user frame; everything after runs on the
+    * CALENDAR-bounded day frame (≤ span+1 rows — the eventsHeatmap
+    * bound), where the two unpartitioned windows are whitelisted as
+    * bounded-by-construction. Float discipline: each KM factor's
+    * ln(1 − d/n) is an IEEE chain on exact integers fixed to the 12-dp
+    * grid (DECIMAL(14,12)), the log-survival accumulates as an EXACT
+    * decimal sum (no summation-order exposure), and one exp + round(6)
+    * publishes S(t). A day where every at-risk user dies (d = n) sends
+    * S to exactly 0 from there on — flagged explicitly rather than
+    * letting ln(0) diverge cross-engine. */
+  def eventsSurvival(s: SparkSession, d: String): DataFrame = {
+    // pinned exchange: the per-user aggregate needs a user_id shuffle
+    // anyway — making it explicit lets the 1-row cutoff branch read the
+    // same shuffle files instead of re-scanning the events table
+    // (the sampleTokenBudget discipline)
+    val ev = Tables.load(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .where(col("user_id").isNotNull && col("day").isNotNull)
+      .repartition(col("user_id"))
+    val cutoff = ev.agg(max(col("day")).as("end_day"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .crossJoin(broadcast(cutoff))
+      .select(datediff(col("last_day"), col("first_day")).as("life"),
+        (col("last_day") > date_sub(col("end_day"), 3)).cast("int")
+          .as("censored"))
+    val byDay = users.groupBy(col("life"))
+      .agg(sum(lit(1) - col("censored")).as("d"),
+        sum(col("censored")).as("c"))
+    val wDesc = Window.orderBy(col("life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("life").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+      .withColumn("term",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log(lit(1.0) -
+            col("d").cast("double") / col("n_risk").cast("double")), 12)
+            .cast("decimal(14,12)"))
+          .otherwise(lit(0).cast("decimal(14,12)")))
+      .withColumn("wiped",
+        max((col("d") >= col("n_risk")).cast("int")).over(wAsc))
+      .withColumn("s_log", sum(col("term")).over(wAsc))
+      .select(col("life").as("day"), col("n_risk"),
+        col("d").as("n_deaths"), col("c").as("n_censored"),
+        when(col("wiped") === 1, lit(0.0))
+          .otherwise(round(exp(col("s_log").cast("double")), 6))
+          .as("survival"))
+  }
+
+  val eventsSurvivalSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cutoff AS (SELECT max(day) AS end_day FROM ev),
+      |users AS (
+      |  SELECT date_diff('day', min(day), max(day)) AS life,
+      |         CAST(max(day) > (SELECT end_day - 3 FROM cutoff) AS INT)
+      |           AS censored
+      |  FROM ev GROUP BY user_id),
+      |by_day AS (
+      |  SELECT life, CAST(sum(1 - censored) AS BIGINT) AS d,
+      |         CAST(sum(censored) AS BIGINT) AS c
+      |  FROM users GROUP BY 1),
+      |risk AS (
+      |  SELECT *, sum(d + c) OVER (ORDER BY life DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM by_day),
+      |terms AS (
+      |  SELECT *,
+      |    CASE WHEN d > 0 AND d < n_risk
+      |         THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+      |                              / CAST(n_risk AS DOUBLE)), 12)
+      |                   AS DECIMAL(14,12))
+      |         ELSE CAST(0 AS DECIMAL(14,12)) END AS term,
+      |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+      |  FROM risk),
+      |acc AS (
+      |  SELECT *,
+      |    sum(term) OVER (ORDER BY life ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_log,
+      |    max(dead) OVER (ORDER BY life ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wiped
+      |  FROM terms)
+      |SELECT CAST(life AS INT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+      |       d AS n_deaths, c AS n_censored,
+      |       CASE WHEN wiped = 1 THEN 0.0
+      |            ELSE round(exp(CAST(s_log AS DOUBLE)), 6) END AS survival
+      |FROM acc ORDER BY day""".stripMargin
+
   val eventsStickinessSql: String =
     """WITH activity AS (
       |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
@@ -876,6 +979,7 @@ object EventAnalytics {
     "events_cusum" -> (eventsCusum _),
     "events_stickiness" -> (eventsStickiness _),
     "events_heatmap" -> (eventsHeatmap _),
+    "events_survival" -> (eventsSurvival _),
     "events_rolling_7d" -> (rolling7d _),
     "events_ewma" -> (ewma _),
     "events_ab_test" -> (abTest _),
@@ -900,6 +1004,7 @@ object EventAnalytics {
     "events_cusum" -> eventsCusumSql,
     "events_stickiness" -> eventsStickinessSql,
     "events_heatmap" -> eventsHeatmapSql,
+    "events_survival" -> eventsSurvivalSql,
     "events_rolling_7d" -> rolling7dSql,
     "events_ewma" -> ewmaSql,
     "events_ab_test" -> abTestSql,

@@ -377,6 +377,105 @@ object Relational {
        |FROM cust, t ORDER BY o_custkey""".stripMargin
   }
 
+  /** `orders_pareto` (oracled): revenue-concentration profile — the Lorenz
+    * curve by customer decile plus the exact Gini coefficient, the
+    * "which customers are the business" diagnostic next to [[ordersRfm]].
+    * Customers sort ascending by lifetime revenue; decile k's row carries
+    * its customer count, revenue mass, and the cumulative revenue share at
+    * the decile's upper edge; every row repeats the corpus Gini
+    * G = 2·Σᵢ(i·xᵢ)/(n·Σx) − (n+1)/n (the rank identity — exact given
+    * exact ranks and DECIMAL revenue sums).
+    *
+    * Scale shape: the global rank that Gini needs is NOT a global sort —
+    * it is the [[graft.operators.Pipeline.sampleTokenBudget]] distributed
+    * prefix sum: bucket = a monotone 1024-cell revenue band (so bucket is
+    * a prefix of the sort key), per-bucket windows rank within bands, and
+    * a ≤1024-row broadcast offsets table carries the cross-band cumulative
+    * counts/sums. The three unpartitioned windows all run on bounded
+    * frames (≤1024 bucket rows, ≤10 decile rows) — whitelisted as
+    * bounded-by-construction. Arithmetic: revenue bridges the double
+    * column through DECIMAL(18,2) once (the ordersRfm bridge), all sums
+    * and rank·revenue products stay exact DECIMAL, and the only float ops
+    * are the final share/Gini chains — identically parenthesized, round
+    * (6). */
+  def ordersPareto(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val mx = cust.agg(max(col("rev")).as("mx"))
+    val b = cust.crossJoin(broadcast(mx))
+      .withColumn("bucket", least(lit(1023),
+        floor(col("rev").cast("double") * lit(1024.0) /
+          col("mx").cast("double")).cast("int")))
+      .select(col("o_custkey"), col("rev"), col("bucket"))
+    val wOffC = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("b_cnt"), sum(col("rev")).as("b_rev"))
+      .withColumn("cnt_off", coalesce(sum(col("b_cnt")).over(wOffC), lit(0L)))
+      .withColumn("rev_off", coalesce(sum(col("b_rev")).over(wOffC),
+        lit(0).cast("decimal(38,2)")))
+      .select(col("bucket"), col("cnt_off"), col("rev_off"))
+    val nTot = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("b_cnt"), sum(col("rev")).as("b_rev"))
+      .agg(sum(col("b_cnt")).as("n"), sum(col("b_rev")).as("tr"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("rev").asc, col("o_custkey").asc)
+    val ranked = b.join(broadcast(off), Seq("bucket"))
+      .withColumn("rank",
+        col("cnt_off") + row_number().over(wIn).cast("long"))
+      .withColumn("cum", col("rev_off") +
+        sum(col("rev")).over(wIn.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("decile", expr("CAST(((`rank` - 1) * 10) DIV n AS INT)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("rev_d"),
+        max(col("cum")).as("cum_d"),
+        sum(expr("CAST(`rank` AS DECIMAL(12,0)) * CAST(rev AS DECIMAL(18,2))"))
+          .as("srx_d"),
+        max(col("n")).as("n"), max(col("tr")).as("tr"))
+      .withColumn("srx", sum(col("srx_d")).over(wAll))
+      .select(col("decile"), col("n_customers"),
+        round(col("rev_d").cast("double"), 2).as("revenue"),
+        round(col("cum_d").cast("double") / col("tr").cast("double"), 6)
+          .as("cum_share"),
+        round((lit(2.0) * col("srx").cast("double")) /
+          (col("n").cast("double") * col("tr").cast("double")) -
+          (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
+  val ordersParetoSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT o_custkey, rev,
+      |    row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS rank,
+      |    sum(rev) OVER (ORDER BY rev ASC, o_custkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM cust),
+      |tot AS (SELECT count(*) AS n, sum(rev) AS tr FROM r),
+      |dec AS (
+      |  SELECT CAST(((rank - 1) * 10) // n AS INT) AS decile,
+      |    count(*) AS n_customers, sum(rev) AS rev_d, max(cum) AS cum_d,
+      |    sum(CAST(rank AS DECIMAL(12,0)) * CAST(rev AS DECIMAL(18,2)))
+      |      AS srx_d,
+      |    max(n) AS n, max(tr) AS tr
+      |  FROM r, tot GROUP BY 1),
+      |g AS (SELECT *, sum(srx_d) OVER () AS srx FROM dec)
+      |SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+      |  round(CAST(rev_d AS DOUBLE), 2) AS revenue,
+      |  round(CAST(cum_d AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS cum_share,
+      |  round((2.0 * CAST(srx AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * CAST(tr AS DOUBLE)) -
+      |        (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+      |FROM g ORDER BY decile""".stripMargin
+
   /** Running (cumulative) revenue per customer — frame-spec window. */
   def windowRunningRevenue(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -1425,6 +1524,7 @@ object Relational {
     "basket_lift" -> (basketLift _),
     "orders_rfm" -> (ordersRfm _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
+    "orders_pareto" -> (ordersPareto _),
     "window_running_revenue" -> (windowRunningRevenue _),
     "window_top2_per_segment" -> (windowTop2PerSegment _),
     "window_lag_delta" -> (windowLagDelta _),
@@ -1476,6 +1576,7 @@ object Relational {
     "basket_lift" -> basketLiftSql,
     "orders_rfm" -> ordersRfmSql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,
+    "orders_pareto" -> ordersParetoSql,
     "window_running_revenue" -> windowRunningRevenueSql,
     "window_top2_per_segment" -> windowTop2PerSegmentSql,
     "window_lag_delta" -> windowLagDeltaSql,

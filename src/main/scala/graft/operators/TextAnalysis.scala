@@ -444,6 +444,95 @@ object TextAnalysis {
       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin
 
+  /** `token_pmi` (oracled): top-20 collocations per language by pointwise
+    * mutual information over the corpus bigram distribution —
+    * PMI(a,b) = ln( p(a,b) / (p₁(a)·p₂(b)) ) with p₁/p₂ the prefix/suffix
+    * MARGINALS of that same distribution, so every number derives from ONE
+    * bigram count frame (the [[qualityBigramLogprob]] c(v·) trick: corpus
+    * scanned once, marginals and the per-lang total re-aggregate from the
+    * (lang, w1, w2) counts and ReuseExchange feeds all four consumers from
+    * the same shuffle files). A support floor of 5 kills the c_ab=1
+    * PMI-spike artifact every collocation extractor filters.
+    *
+    * Scale shape: the explode collapses map-side into the one wide-key
+    * aggregate; the marginal joins are shuffle joins on vocabulary-sized
+    * frames (never the corpus); the per-lang totals frame is ≤ langs rows,
+    * broadcast. The top-20 window rank-limits (WindowGroupLimit), so each
+    * partition pre-prunes to its own top-20 per language before the
+    * exchange. Float discipline: PMI is one ln of an identically-
+    * parenthesized double ratio of exact integers, round(6); ordering uses
+    * the ROUNDED value with (w1, w2) tie-breaks, so selection is stable
+    * cross-engine. */
+  def tokenPmi(s: SparkSession, d: String): DataFrame = {
+    // the explicit repartition pins ONE exchange all four consumers of the
+    // bigram counts read from (the sampleTokenBudget discipline) — without
+    // it each of big/m1/m2/nb re-derives the corpus scan + explode, a 4×
+    // I/O tax on the TEXT column at 100 TB. The isNotNull filter sits
+    // BELOW the exchange so the per-branch join-key null filters the
+    // planner pushes down are already present and every subtree stays
+    // byte-identical for ReuseExchange.
+    val pairs = docs(s, d)
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |                 i -> struct(element_at(ws, i) AS w1,
+          |                             element_at(ws, i + 1) AS w2))
+          |  ELSE CAST(array() AS array<struct<w1:string,w2:string>>)
+          |END""".stripMargin)).as("bg"))
+      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("lang").isNotNull && col("w1").isNotNull &&
+        col("w2").isNotNull)
+      .repartition(col("lang"), col("w1"), col("w2"))
+    val big = pairs.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val m1 = big.groupBy(col("lang"), col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val m2 = big.groupBy(col("lang"), col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val nb = big.groupBy(col("lang")).agg(sum(col("c_ab")).as("n_b"))
+    val scored = big.where(col("c_ab") >= 5)
+      .join(m1, Seq("lang", "w1"))
+      .join(m2, Seq("lang", "w2"))
+      .join(broadcast(nb), Seq("lang"))
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") * col("n_b").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)))
+      .where(col("rank") <= 20)
+      .select(col("lang"), col("rank"), col("w1"), col("w2"),
+        col("c_ab"), col("pmi"))
+  }
+
+  val tokenPmiSql: String =
+    """WITH pairs AS (
+      |  SELECT lang,
+      |    unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                          i -> ws[i])) AS w1,
+      |    unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                          i -> ws[i + 1])) AS w2
+      |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)),
+      |big AS (
+      |  SELECT lang, w1, w2, count(*) AS c_ab FROM pairs GROUP BY 1, 2, 3),
+      |m1 AS (SELECT lang, w1, sum(c_ab) AS c_a FROM big GROUP BY 1, 2),
+      |m2 AS (SELECT lang, w2, sum(c_ab) AS c_b FROM big GROUP BY 1, 2),
+      |nb AS (SELECT lang, sum(c_ab) AS n_b FROM big GROUP BY 1),
+      |scored AS (
+      |  SELECT big.lang, big.w1, big.w2, big.c_ab,
+      |    round(ln((CAST(big.c_ab AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |             (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6) AS pmi
+      |  FROM big
+      |  JOIN m1 ON big.lang = m1.lang AND big.w1 = m1.w1
+      |  JOIN m2 ON big.lang = m2.lang AND big.w2 = m2.w2
+      |  JOIN nb ON big.lang = nb.lang
+      |  WHERE big.c_ab >= 5)
+      |SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+      |         ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT) AS rank,
+      |       w1, w2, c_ab, pmi
+      |FROM scored
+      |QUALIFY rank <= 20
+      |ORDER BY lang, rank""".stripMargin
+
   /** GPT-2-style BPE pre-tokenizer pattern: contraction suffixes, then
     * letter runs / digit runs / punctuation runs each with an optional
     * leading space, then whitespace runs. Alternation is leftmost-FIRST in
@@ -1765,6 +1854,7 @@ object TextAnalysis {
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
     "token_bigrams" -> (tokenBigrams _),
+    "token_pmi" -> (tokenPmi _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "token_bpe" -> (tokenBpe _),
     "text_quality" -> (textQuality _),
@@ -1799,6 +1889,7 @@ object TextAnalysis {
     "bpe_merges" -> bpeMergesSql(),
     "bpe_encode" -> bpeEncodeSql(),
     "token_bigrams" -> tokenBigramsSql,
+    "token_pmi" -> tokenPmiSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_bpe" -> tokenBpeSql,
     "text_quality" -> textQualitySql,
@@ -1815,6 +1906,7 @@ object TextAnalysis {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "token_pmi" -> Seq(col("lang"), col("rank")),
     "token_fuzzy_pairs" -> Seq(col("tok_a"), col("tok_b")),
     "token_zipf" -> Seq(col("lang")),
     "bpe_merges" -> Seq(col("rank")),

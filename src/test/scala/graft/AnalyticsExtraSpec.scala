@@ -645,6 +645,98 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(row._6 === row._2 + row._3 + row._4 + row._5)
   }
 
+  test("citation_reciprocity: hand fixture — dedup, self-loop drop, exact ratio") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"),
+      ("a", "b"), // duplicate: m counts DISTINCT edges
+      ("d", "d")  // self-loop: excluded entirely
+    ).toDF("src", "dst")
+    val got = Citations.reciprocity(edges)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((3L, 2L,
+      BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    // corpus sanity: ratio in [0, 1], reciprocated bounded by m
+    val c = Citations.reciprocity(Citations.edges(spark, sf))
+      .as[(Long, Long, Double)].collect().head
+    assert(c._1 > 0 && c._2 >= 0 && c._2 <= c._1 &&
+      c._3 >= 0.0 && c._3 <= 1.0)
+  }
+
+  test("events_survival: KM curve equals an in-memory product-limit recompute") {
+    val got = EventAnalytics.eventsSurvival(spark, sf)
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // in-memory oracle with the same grid discipline: 12-dp ln terms,
+    // exact decimal accumulation, one exp + round(6)
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day")
+      .as[(Long, java.sql.Date)].collect()
+    val end = raw.map(_._2.toLocalDate).maxBy(_.toEpochDay)
+    val users = raw.groupBy(_._1).toSeq.map { case (_, rs) =>
+      val days = rs.map(_._2.toLocalDate)
+      val first = days.minBy(_.toEpochDay)
+      val last = days.maxBy(_.toEpochDay)
+      (java.time.temporal.ChronoUnit.DAYS.between(first, last).toInt,
+        last.isAfter(end.minusDays(3)))
+    }.toSeq
+    val byDay = users.groupBy(_._1).toSeq.sortBy(_._1).map { case (life, us) =>
+      (life, us.count(!_._2).toLong, us.count(_._2).toLong)
+    }
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    var atRisk = users.size.toLong
+    var sLog = BigDecimal(0)
+    var wiped = false
+    val expected = byDay.map { case (life, d, c) =>
+      val nRisk = atRisk
+      if (d > 0 && d < nRisk)
+        sLog += r(math.log(1.0 - d.toDouble / nRisk.toDouble), 12)
+      if (d >= nRisk) wiped = true
+      atRisk -= d + c
+      (life, nRisk, d, c,
+        if (wiped) 0.0 else r(math.exp(sLog.toDouble), 6).toDouble)
+    }
+    assert(got.toSeq === expected)
+    // structural: survival non-increasing from 1 downward; counts partition users
+    assert(got.map(_._5).toSeq === got.map(_._5).sorted.reverse.toSeq)
+    got.foreach { r => assert(r._5 >= 0.0 && r._5 <= 1.0) }
+    assert(got.map(r => r._3 + r._4).sum === users.size.toLong)
+    assert(got.head._2 === users.size.toLong)
+  }
+
+  test("token_pmi: scores equal an in-memory marginal recompute; support floor holds") {
+    val got = TextAnalysis.tokenPmi(spark, sf)
+      .as[(String, Int, String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { r => assert(r._5 >= 5 && r._2 >= 1 && r._2 <= 20) }
+    // in-memory oracle: bigram counts -> marginals -> the identical
+    // (c_ab * n_b) / (c_a * c_b) double chain, ln, round(6); selection
+    // re-ranked on the ROUNDED score with (w1, w2) tie-breaks
+    val bigs = Tables.load(spark, sf, "documents")
+      .selectExpr("lang", "split(text, ' ') AS ws")
+      .as[(String, Seq[String])].collect()
+      .flatMap { case (lang, ws) =>
+        ws.zip(ws.drop(1)).map { case (a, b) => (lang, a, b) } }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val m1 = bigs.groupBy { case ((l, a, _), _) => (l, a) }
+      .view.mapValues(_.values.sum).toMap
+    val m2 = bigs.groupBy { case ((l, _, b), _) => (l, b) }
+      .view.mapValues(_.values.sum).toMap
+    val nb = bigs.groupBy { case ((l, _, _), _) => l }
+      .view.mapValues(_.values.sum).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bigs.collect { case ((l, a, b), cab) if cab >= 5 =>
+      (l, a, b, cab, r6(math.log((cab.toDouble * nb(l).toDouble) /
+        (m1((l, a)).toDouble * m2((l, b)).toDouble))))
+    }.toSeq.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy { case (_, a, b, _, pmi) => (-pmi, a, b) }.take(20)
+        .zipWithIndex.map { case ((l, a, b, cab, pmi), i) =>
+          (l, i + 1, a, b, cab, pmi) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.sortBy(r => (r._1, r._2)).toSeq === expected)
+  }
+
   test("events_heatmap: cells partition the stream; shares sum to 1 per type; 0=Sunday") {
     val got = EventAnalytics.eventsHeatmap(spark, sf)
       .as[(Int, Int, String, Long, Double)].collect()

@@ -79,6 +79,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // citation_assortativity: the final 6-number moment aggregate — one
     // partial tuple per partition reaches the single partition (q6 shape)
     "citation_assortativity",
+    // citation_reciprocity: the final (m, reciprocated) global count —
+    // one partial pair per partition reaches the single partition
+    "citation_reciprocity",
     // ≤64-row bit-length-domain aggregate
     "doc_length_histogram",
     // search_hybrid_rrf: the bm25 leg's 1-row corpus-stats aggregate
@@ -100,7 +103,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // orders_rfm: the 1-row anchor-date and 9-threshold quartile
     // aggregates (percentile state bounded by the metric value grids)
     // folded onto the per-customer frame — the quality_deciles shape
-    "orders_rfm"
+    "orders_rfm",
+    // orders_pareto: the ≤1024-row bucket-offset table's cumulative
+    // windows (the corpus_shuffle offsets shape), the ≤10-row decile
+    // frame's Gini window, and the 1-row max/total aggregates
+    "orders_pareto",
+    // events_survival: every window runs on the CALENDAR-bounded day
+    // frame (≤ span+1 rows — the events_heatmap bound); plus the 1-row
+    // observation-cutoff aggregate (q6 shape)
+    "events_survival"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -194,6 +205,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "basket_lift",
     // orders_rfm: the anchor and threshold 1-row frames nested-loop-
     // folded onto every customer (the quality_deciles shape)
-    "orders_rfm"
+    "orders_rfm",
+    // orders_pareto: the 1-row revenue-max (bucket scale) and 1-row
+    // (n, total) frames nested-loop-folded onto every customer
+    "orders_pareto",
+    // events_survival: the 1-row observation-cutoff date folded onto
+    // every user (the orders_rfm anchor shape)
+    "events_survival"
   )
 }

@@ -46,6 +46,45 @@ class RelationalSpec extends AnyFunSuite {
       s"basket exchange not reused:\n$p")
   }
 
+  test("orders_pareto: Lorenz/Gini equals an in-memory exact recompute; deciles partition customers") {
+    val got = Relational.ordersPareto(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    // in-memory oracle with the SAME arithmetic discipline: DECIMAL(18,2)
+    // revenue sums, exact integer ranks, one identically-parenthesized
+    // double chain at the end
+    val rev = Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey", "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+      .as[(Long, java.math.BigDecimal)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(r => BigDecimal(r._2)).sum
+      }.toSeq
+    val sorted = rev.sortBy { case (k, v) => (v, k) }
+    val n = sorted.length
+    val tr = sorted.map(_._2).sum
+    val srx = sorted.zipWithIndex
+      .map { case ((_, x), i) => BigDecimal(i + 1) * x }.sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gini = r6((2.0 * srx.toDouble) / (n.toDouble * tr.toDouble) -
+      (n.toDouble + 1.0) / n.toDouble)
+    val expected = sorted.zipWithIndex
+      .map { case ((_, x), i) => (((i.toLong * 10) / n).toInt, x) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (dec, xs) =>
+        val cumAtEnd = sorted.take(
+          sorted.zipWithIndex.count { case (_, i) => (i.toLong * 10) / n <= dec })
+          .map(_._2).sum
+        (dec, xs.length.toLong,
+          xs.map(_._2).sum.setScale(2).toDouble,
+          r6(cumAtEnd.toDouble / tr.toDouble), gini)
+      }
+    assert(got.toSeq === expected)
+    // structural: deciles partition the customer base, Lorenz curve ends at 1
+    assert(got.map(_._2).sum === n.toLong)
+    assert(got.last._4 === 1.0)
+    assert(got.map(_._4).toSeq === got.map(_._4).sorted.toSeq)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
   test("orders_rfm: scores monotone in their metrics, composite digits consistent") {
     val got = Relational.ordersRfm(spark, sf)
       .as[(Long, Int, Long, Double, Int, Int, Int, Int)].collect()
