@@ -550,6 +550,18 @@ object Soak {
       f"${lo10.size} pairs == base ${loBase.size}; sizes/intersections " +
         f"scale ×10 exactly and Jaccard is bit-identical per pair (${tLo}%.1f s)")
 
+    // reciprocity at ~6M edges: disjoint copies scale m and reciprocated
+    // by exactly 10, so the ratio is INVARIANT (the assortativity rule).
+    val rcpBase = Citations.reciprocity(Citations.edges(spark, base))
+      .as[(Long, Long, Double)].collect().head
+    val (rcp10, tRcp) = timed(Citations.reciprocity(edges10)
+      .as[(Long, Long, Double)].collect().head)
+    check("reciprocity_6m",
+      rcp10._1 == 10 * rcpBase._1 && rcp10._2 == 10 * rcpBase._2 &&
+        rcp10._3 == rcpBase._3,
+      f"m ${rcp10._1} == 10 × ${rcpBase._1}, reciprocated ${rcp10._2} == " +
+        f"10 × ${rcpBase._2}, ratio ${rcp10._3}%.6f invariant (${tRcp}%.1f s)")
+
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "08")

@@ -87,7 +87,12 @@ object SparkEntry {
     "citation_closeness" -> ((s, d) =>
       Citations.closeness(Citations.edges(s, d))),
     "citation_reciprocity" -> ((s, d) =>
-      Citations.reciprocity(Citations.edges(s, d)))
+      Citations.reciprocity(Citations.edges(s, d))),
+    // FW–BW pivot kernel: SCC(pivot) as forward ∩ backward reach
+    // closures — exact set semantics, so the oracle is a plain
+    // recursive-UNION twin, no unrolled rounds needed
+    "citation_scc" -> ((s, d) =>
+      Citations.sccPivot(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -112,6 +117,7 @@ object SparkEntry {
     "citation_betweenness" -> Citations.betweennessSql(),
     "citation_closeness" -> Citations.closenessSql(),
     "citation_reciprocity" -> Citations.reciprocitySql,
+    "citation_scc" -> Citations.sccPivotSql,
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -180,6 +186,7 @@ object SparkEntry {
     "citation_betweenness" -> Seq(col("paper_id")),
     "citation_closeness" -> Seq(col("paper_id")),
     "citation_reciprocity" -> Seq(col("m")),
+    "citation_scc" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

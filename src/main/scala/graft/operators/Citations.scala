@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1114,6 +1114,92 @@ object Citations {
        |FROM l$rounds ORDER BY paper_id""".stripMargin
   }
 
+  /** `citation_scc` (oracled): the strongly connected component of a
+    * deterministic pivot — the FW–BW kernel step (Fleischer/Hendrickson/
+    * Pınar 2000) that every distributed SCC algorithm runs first, because
+    * removing the giant SCC is where nearly all the work is (here it
+    * holds ~13% of nodes; the remainder of this corpus is singletons).
+    * SCC(pivot) = forward-reach(pivot) ∩ backward-reach(pivot); the pivot
+    * is the most-cited node (ties → smallest id, the O11 rule), asserted
+    * non-trivial by the spec.
+    *
+    * Unlike the FLOAT fixpoints (pageRank/HITS), reachability is exact
+    * set semantics — the fixpoint is round-count-agnostic, so the DuckDB
+    * twin is a plain recursive `UNION` closure, not an unrolled
+    * operation-identical CTE: both engines compute the same set or
+    * nothing.
+    *
+    * Scale shape: two frontier BFS loops against the SAME pinned
+    * edge checkpoint (forward joins on src, backward on dst —
+    * shuffle_hash against the frontier, never a re-scan); each round
+    * shuffles only the frontier's out-neighborhood (distinct + anti-join
+    * against the visited set), frontiers are cut per round with
+    * superseded cuts released ([[components]] lifecycle), and the
+    * final ∩ is one semi-join. Convergence is the natural empty
+    * frontier; the rounds cap only guards runaway diameters
+    * (non-convergence throws, the components contract). */
+  def sccPivot(edges: DataFrame, rounds: Int = 32,
+               roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val pivot = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("dst").asc).limit(1)
+      .select(col("dst").as("id")).localCheckpoint()
+    def closure(from: Column, to: Column): DataFrame = {
+      var visited = pivot
+      var frontier = pivot
+      var i = 0
+      var done = false
+      while (!done && i < rounds) {
+        i += 1
+        val nxt = e.join(frontier.hint("shuffle_hash"), from === frontier("id"))
+          .select(to.as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+        roundProbe(i, nxt)
+        val cutN = nxt.localCheckpoint()
+        if (cutN.count() == 0) {
+          graft.Blocks.release(cutN)
+          done = true
+        } else {
+          val grown = visited.union(cutN).localCheckpoint()
+          if (visited ne pivot) graft.Blocks.release(visited)
+          if (frontier ne pivot) graft.Blocks.release(frontier)
+          visited = grown
+          frontier = cutN
+        }
+      }
+      if (!done) throw new IllegalStateException(
+        s"reach closure did not converge in $rounds rounds; raise the cap")
+      visited
+    }
+    val fwd = closure(e("src"), e("dst"))
+    val bwd = closure(e("dst"), e("src"))
+    val scc = fwd.join(bwd, Seq("id"), "left_semi")
+      .select(col("id").as("paper_id"))
+    graft.Blocks.release(e)
+    scc
+  }
+
+  val sccPivotSql: String =
+    """WITH RECURSIVE e AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,
+      |         CAST(l_partkey AS VARCHAR) AS dst
+      |  FROM lineitem WHERE l_orderkey <> l_partkey),
+      |pv AS (
+      |  SELECT dst AS id FROM e
+      |  GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 1),
+      |fwd(id) AS (
+      |  SELECT id FROM pv
+      |  UNION
+      |  SELECT e.dst FROM e JOIN fwd ON e.src = fwd.id),
+      |bwd(id) AS (
+      |  SELECT id FROM pv
+      |  UNION
+      |  SELECT e.src FROM e JOIN bwd ON e.dst = bwd.id)
+      |SELECT f.id AS paper_id
+      |FROM fwd f JOIN bwd b ON f.id = b.id
+      |ORDER BY paper_id""".stripMargin
+
   /** Label-propagation community detection (Raghavan et al. 2007),
     * synchronous flavor: every round each node adopts the label held by
     * the PLURALITY of its neighbors. Where [[components]] converges to a
@@ -1519,6 +1605,19 @@ object Citations {
         round(col("reciprocated").cast("double") / col("m"), 6)
           .as("reciprocity"))
   }
+
+  /** Fold the [[graft.streaming.GraphStreams.pairViewStream]] pair view
+    * into the same (m, reciprocated, reciprocity) row [[reciprocity]]
+    * computes from raw edges — the serve path over the streamed view:
+    * each undirected pair contributes fwd+rev distinct directed edges,
+    * and 2 reciprocated edges iff both directions were seen. */
+  def reciprocityFromPairView(view: DataFrame): DataFrame =
+    view.agg(
+      sum((col("fwd") + col("rev")).cast("long")).as("m"),
+      sum((col("fwd") * col("rev") * lit(2)).cast("long")).as("reciprocated"))
+      .select(col("m"), col("reciprocated"),
+        round(col("reciprocated").cast("double") / col("m"), 6)
+          .as("reciprocity"))
 
   val reciprocitySql: String =
     """WITH e AS (

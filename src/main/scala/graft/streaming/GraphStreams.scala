@@ -38,4 +38,24 @@ object GraphStreams {
   def countViewStream(edges: DataFrame): DataFrame =
     edges.groupBy(col("dst").as("paper_id"))
       .agg(count(lit(1)).as("citations"))
+
+  /** The reciprocity pair view maintained at ingest — the incremental
+    * face of [[graft.operators.Citations.reciprocity]]: one row per
+    * distinct UNDIRECTED pair carrying which directions have been seen
+    * (`fwd` = low→high observed, `rev` = high→low observed). max() is the
+    * order-free monoid here, so duplicate edges collapse exactly as the
+    * batch `distinct()` does and ANY arrival order reproduces the batch
+    * view (GraphStreamsSpec). State size IS the view size — one row per
+    * undirected pair, the same never-expires contract as
+    * [[countViewStream]]; the (m, reciprocated) fold the batch operator
+    * publishes is [[graft.operators.Citations.reciprocityFromPairView]]
+    * over this view. */
+  def pairViewStream(edges: DataFrame): DataFrame =
+    edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        (col("src") < col("dst")).cast("int").as("f"),
+        (col("src") > col("dst")).cast("int").as("r"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("f")).as("fwd"), max(col("r")).as("rev"))
 }

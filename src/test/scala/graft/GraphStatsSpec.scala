@@ -65,6 +65,42 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(got.forall(r => !linked((r._1, r._2))))
   }
 
+  test("citation_scc: hand fixture — pivot SCC found, tails and branches excluded") {
+    // cycle a→b→c→a with an in-tail t→a and an out-branch c→d; pivot is
+    // the max-in-degree node a (in-deg 2). SCC(a) = {a, b, c}: t reaches
+    // a but is not reached back; d is reached but never returns.
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("t", "a"), ("c", "d"),
+      ("a", "b") // duplicate edge: distinct() semantics
+    ).toDF("src", "dst")
+    val got = Citations.sccPivot(e).as[String].collect().sorted
+    assert(got.toSeq === Seq("a", "b", "c"))
+  }
+
+  test("citation_scc: corpus SCC is mutually reachable and maximal on sf0.001") {
+    val scc = Citations.sccPivot(Citations.edges(spark, sf))
+      .as[String].collect().toSet
+    assert(scc.size > 1, "pivot SCC degenerate - fixture not exercising FW-BW")
+    // brute-force mutual-reachability check in memory: every member
+    // reaches every other member within the SCC edge set, and no
+    // outside node is mutually reachable with the pivot
+    val edges = Citations.edges(spark, sf)
+      .as[(String, String)].collect().filter(e => e._1 != e._2)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val radj = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    def reach(start: String, g: Map[String, Set[String]]): Set[String] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(g.getOrElse(_, Set.empty)) -- seen
+        seen ++= nxt; frontier = nxt
+      }
+      seen
+    }
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val pivot = indeg.toSeq.sortBy { case (id, d) => (-d, id) }.head._1
+    val truth = reach(pivot, adj) intersect reach(pivot, radj)
+    assert(scc === truth)
+  }
+
   test("profile_entropy: bounds hold; uniform-limit and a recomputed column agree") {
     val rows = Profiling.profileEntropy(spark, sf)
       .as[(String, Long, Long, Double)].collect().sortBy(_._1)

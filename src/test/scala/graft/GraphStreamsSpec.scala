@@ -47,4 +47,42 @@ class GraphStreamsSpec extends AnyFunSuite {
     val ivm = Citations.countsIvm(edges).as[(String, Long)].collect().toMap
     assert(ivm === batch)
   }
+
+  test("streaming reciprocity pair view == batch over 3-batch arrival; fold == batch operator") {
+    val edges = Citations.edges(spark, sf)
+    val dir = Files.createTempDirectory("graft-pairview").toString
+    (0 until 3).foreach { k =>
+      edges.where(pmod(xxhash64(col("src"), col("dst")), lit(3)) === k)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = GraphStreams.pairViewStream(
+        GraphStreams.readEdges(spark, dir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("pair_view")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("pair_view")
+      .as[(String, String, Int, Int)].collect().toSet
+    // batch twin of the pair view from the same edges
+    val batchView = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        (col("src") < col("dst")).cast("int").as("f"),
+        (col("src") > col("dst")).cast("int").as("r"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("f")).as("fwd"), max(col("r")).as("rev"))
+      .as[(String, String, Int, Int)].collect().toSet
+    assert(streamed === batchView)
+
+    // state = one row per undirected pair (the view), nothing stream-sized
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows === batchView.size.toLong)
+
+    // the fold over the streamed view IS the batch reciprocity row
+    val fold = Citations.reciprocityFromPairView(spark.table("pair_view"))
+      .as[(Long, Long, Double)].collect().head
+    val batchRow = Citations.reciprocity(edges)
+      .as[(Long, Long, Double)].collect().head
+    assert(fold === batchRow)
+  }
 }

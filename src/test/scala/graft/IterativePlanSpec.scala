@@ -210,4 +210,18 @@ class IterativePlanSpec extends AnyFunSuite {
       assert(bnlj(plan) === 0, s"closeness grew a nested-loop join:\n$plan")
     }
   }
+
+  test("scc closure round: frontier join + distinct + visited anti-join, nothing else") {
+    val e = Citations.edges(spark, sf)
+    val plans = capture(p => Citations.sccPivot(e, roundProbe = p))
+    for (r <- plans.keys.toSeq.sorted.take(2)) {
+      val plan = plans(r)
+      auditCommon("sccPivot", plan)
+      // e ⋈ frontier (shuffle_hash) + the visited anti-join — the
+      // closeness wave shape, run to the natural empty-frontier fixpoint
+      assert(equiJoins(plan) === 2, s"scc closure joins changed:\n$plan")
+      assert(plan.contains("LeftAnti"), s"scc visited check must anti-join:\n$plan")
+      assert(bnlj(plan) === 0, s"scc grew a nested-loop join:\n$plan")
+    }
+  }
 }
