@@ -1453,8 +1453,17 @@ object Citations {
       reached = newReached
       frontier = cut
     }
+    // σ accumulated in DECIMAL(38,0) precisely because path counts grow
+    // multiplicatively; the BIGINT output boundary (decimal stringifies
+    // differently across engines) must therefore fail LOUDLY on overflow
+    // — matching the twin, where DuckDB's CAST(... AS BIGINT) raises —
+    // instead of Spark's silent non-ANSI null.
+    val maxLong = lit(new java.math.BigDecimal(Long.MaxValue))
+      .cast("decimal(38,0)")
     reached.select(col("id").as("paper_id"), col("dist"),
-      col("sigma").cast("long").as("sigma"))
+      when(col("sigma") > maxLong, raise_error(concat(
+        lit("bfsPaths: sigma overflows BIGINT at node "), col("id"))))
+        .otherwise(col("sigma").cast("long")).as("sigma"))
   }
 
   /** DuckDB twin of [[betweenness]]: the forward chain + hops backward

@@ -612,11 +612,18 @@ object EventAnalytics {
     val se = sqrt((pp * (lit(1.0) - pp)) *
       ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b"))))
     // a fully-converted (or fully-unconverted) pool has se = 0 and no
-    // defined z; emit NULL rather than divide — mirrored in the twin
-    val degenerate = (col("c_a") + col("c_b") === 0) ||
+    // defined z, and an EMPTY pool (every user of a type on one parity)
+    // divides by n = 0 — Spark yields NULL there but DuckDB IEEE division
+    // yields ±inf/NaN, so both cases emit NULL explicitly in both engines
+    val degenerate = (col("n_a") === 0) || (col("n_b") === 0) ||
+      (col("c_a") + col("c_b") === 0) ||
       (col("c_a") + col("c_b") === col("n_a") + col("n_b"))
     ab.select(col("event_type"), col("n_a"), col("c_a"), col("n_b"),
-      col("c_b"), round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      col("c_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(round(pa, 6)).as("rate_a"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(pb, 6)).as("rate_b"),
       when(degenerate, lit(null).cast("double"))
         .otherwise(round((pa - pb) / se, 9)).as("z_score"))
   }
@@ -639,9 +646,12 @@ object EventAnalytics {
       |SELECT event_type,
       |  CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
       |  CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
-      |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
-      |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
-      |  CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+      |  CASE WHEN n_a = 0 THEN NULL
+      |       ELSE round(CAST(c_a AS DOUBLE) / n_a, 6) END AS rate_a,
+      |  CASE WHEN n_b = 0 THEN NULL
+      |       ELSE round(CAST(c_b AS DOUBLE) / n_b, 6) END AS rate_b,
+      |  CASE WHEN n_a = 0 OR n_b = 0
+      |         OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
       |  ELSE round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
       |    sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) *
       |          (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))) *

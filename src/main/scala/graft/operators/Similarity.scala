@@ -1038,7 +1038,7 @@ object Similarity {
     * via row_number over (dist, kc_rank), the same DECIMAL(28,6)
     * accumulation. */
   private[graft] def sampleKcenterAssignSql(k: Int = KcK): String = {
-    val withBody = sampleKcenterSql(k).split("\nSELECT CAST\\(1 AS INT\\)")(0)
+    val withBody = kcenterRoundsCte(k)
     val centers = (1 to k).map(r =>
       s"SELECT $r AS kc_rank, embedding AS ce FROM c$r")
       .mkString("\n  UNION ALL ")
@@ -1071,6 +1071,20 @@ object Similarity {
     * Scala side's full re-min), and each pick is
     * `ORDER BY dmin DESC, vec_id LIMIT 1`. */
   private[graft] def sampleKcenterSql(k: Int = KcK): String = {
+    val picks = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS INT), vec_id, dmin FROM c$r").mkString("\n")
+    s"""${kcenterRoundsCte(k)}
+       |SELECT CAST(1 AS INT) AS rank, vec_id, CAST(0 AS DOUBLE) AS dmin
+       |FROM c1
+       |$picks
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** The greedy-rounds WITH body (c1..ck, d1..dk-1) shared by
+    * [[sampleKcenterSql]] and [[sampleKcenterAssignSql]] — composed by
+    * both instead of string-splitting one from the other, so a cosmetic
+    * edit to either final SELECT cannot silently break the twin. */
+  private def kcenterRoundsCte(k: Int): String = {
     def l2(a: String, b: String): String =
       s"""round(list_reduce(list_transform(range(1, len($a) + 1),
          |        i -> ($a[i]::DOUBLE - $b[i]::DOUBLE)
@@ -1088,19 +1102,13 @@ object Similarity {
       else ""
       pick + dist
     }.mkString(",\n")
-    val picks = (2 to k).map(r =>
-      s"UNION ALL SELECT CAST($r AS INT), vec_id, dmin FROM c$r").mkString("\n")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
        |d1 AS (
        |  SELECT e.vec_id, e.embedding,
        |         ${l2("e.embedding", "c1.embedding")} AS dmin
        |  FROM e, c1),
-       |$rounds
-       |SELECT CAST(1 AS INT) AS rank, vec_id, CAST(0 AS DOUBLE) AS dmin
-       |FROM c1
-       |$picks
-       |ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** `ann_knn_graph` (oracled): the k-NN graph construction primitive —

@@ -958,7 +958,7 @@ object TextAnalysis {
     * same detection guarantee.
     *
     * The rightmost-min-on-tie rule rides inside ONE window pass via a
-    * fixed-width sort key: `md5hex || %05d(99999-pos)` — 32 hex chars
+    * fixed-width sort key: `md5hex || %09d(999999999-pos)` — 32 hex chars
     * compare the hash, the zero-padded inverted-position suffix breaks
     * ties toward the LARGER position, and `min` over the lexicographic
     * key is therefore exactly the paper's selection. Both engines compare
@@ -978,13 +978,13 @@ object TextAnalysis {
         col("ws"))
       .select(col("doc_id"), col("n_sh"), col("i"),
         concat(md5(expr("concat_ws(' ', slice(ws, i, 3))")),
-          format_string("%05d", lit(99999) - col("i"))).as("key"))
+          format_string("%09d", lit(999999999) - col("i"))).as("key"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, w - 1)
     sh.withColumn("sel", min(col("key")).over(win))
       .where(col("i") <= greatest(col("n_sh") - (w - 1), lit(1)))
       .select(col("doc_id"),
-        (lit(99999) - substring(col("sel"), 33, 5).cast("int")).as("pos"),
+        (lit(999999999) - substring(col("sel"), 33, 9).cast("int")).as("pos"),
         substring(col("sel"), 1, 32).as("fp"))
       .distinct()
   }
@@ -996,7 +996,7 @@ object TextAnalysis {
     """WITH sh AS (
       |  SELECT doc_id, greatest(len(ws) - 2, 1) AS n_sh, i,
       |    concat(md5(array_to_string(ws[i:i+2], ' ')),
-      |           printf('%05d', 99999 - i)) AS key
+      |           printf('%09d', 999999999 - i)) AS key
       |  FROM (SELECT doc_id, ws,
       |          unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
@@ -1007,7 +1007,7 @@ object TextAnalysis {
       |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
       |  FROM sh)
       |SELECT DISTINCT doc_id,
-      |  99999 - CAST(substr(sel, 33, 5) AS INT) AS pos,
+      |  999999999 - CAST(substr(sel, 33, 9) AS INT) AS pos,
       |  substr(sel, 1, 32) AS fp
       |FROM sel WHERE i <= greatest(n_sh - 3, 1)""".stripMargin
 
