@@ -255,7 +255,9 @@ object SparkEntry {
     "events_ab_test" -> Seq(col("event_type")),
     "events_cusum" -> Seq(col("event_type"), col("day")),
     "events_stickiness" -> Seq(col("day")),
-    "events_heatmap" -> Seq(col("dow"), col("hour"), col("event_type"))
+    "events_heatmap" -> Seq(col("dow"), col("hour"), col("event_type")),
+    "events_trend" -> Seq(col("event_type")),
+    "events_scd2" -> Seq(col("user_id"), col("version"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
     Similarity.verifyOrder ++ Multimodal.verifyOrder ++
     Profiling.verifyOrder ++ Pipeline.verifyOrder ++ Sketches.verifyOrder

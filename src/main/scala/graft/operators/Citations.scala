@@ -1129,54 +1129,82 @@ object Citations {
     * operation-identical CTE: both engines compute the same set or
     * nothing.
     *
-    * Scale shape: two frontier BFS loops against the SAME pinned
-    * edge checkpoint (forward joins on src, backward on dst —
-    * shuffle_hash against the frontier, never a re-scan); each round
-    * shuffles only the frontier's out-neighborhood (distinct + anti-join
-    * against the visited set), frontiers are cut per round with
-    * superseded cuts released ([[components]] lifecycle), and the
-    * final ∩ is one semi-join. Convergence is the natural empty
-    * frontier; the rounds cap only guards runaway diameters
-    * (non-convergence throws, the components contract). */
+    * Scale shape: the two reachability closures run FUSED as one tagged
+    * traversal — the direction rides INSIDE the key (`F:`/`B:` prefix on
+    * the node id), so the doubled edge frame `(dir∥from, dir∥to)` is
+    * hash-partitioned ONCE on the probe key and every round is a single
+    * shuffle_hash join + distinct + anti-join against the visited set,
+    * with NO per-round re-exchange of the edges (the un-tagged form
+    * either pays two loops — sum of the two diameters in driver round
+    * trips — or re-shuffles the edge set on src/dst each round). Rounds
+    * run to max(fwd diameter, bwd diameter): a direction that exhausts
+    * early simply stops producing rows. Frontiers are cut per round with
+    * superseded cuts released ([[components]] lifecycle); the final ∩ is
+    * one semi-join between the two tag slices. Convergence is the
+    * natural empty frontier; the rounds cap only guards runaway
+    * diameters (non-convergence throws, the components contract). */
   def sccPivot(edges: DataFrame, rounds: Int = 32,
                roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
-    val e = edges.where(col("src") =!= col("dst")).distinct()
+    val base = edges.where(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
-    val pivot = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    val pivot = base.groupBy(col("dst")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("dst").asc).limit(1)
       .select(col("dst").as("id")).localCheckpoint()
-    def closure(from: Column, to: Column): DataFrame = {
-      var visited = pivot
-      var frontier = pivot
-      var i = 0
-      var done = false
-      while (!done && i < rounds) {
-        i += 1
-        val nxt = e.join(frontier.hint("shuffle_hash"), from === frontier("id"))
-          .select(to.as("id")).distinct()
-          .join(visited, Seq("id"), "left_anti")
-        roundProbe(i, nxt)
-        val cutN = nxt.localCheckpoint()
-        if (cutN.count() == 0) {
-          graft.Blocks.release(cutN)
-          done = true
-        } else {
-          val grown = visited.union(cutN).localCheckpoint()
-          if (visited ne pivot) graft.Blocks.release(visited)
-          if (frontier ne pivot) graft.Blocks.release(frontier)
-          visited = grown
-          frontier = cutN
-        }
+    // F rows walk src→dst, B rows walk dst→src; one pinned partitioning
+    // on the tagged probe key serves both directions every round
+    val e2 = base
+      .select(concat(lit("F:"), col("src")).as("k"),
+        concat(lit("F:"), col("dst")).as("t"))
+      .unionByName(base
+        .select(concat(lit("B:"), col("dst")).as("k"),
+          concat(lit("B:"), col("src")).as("t")))
+      .repartition(col("k")).localCheckpoint()
+    graft.Blocks.release(base)
+    val seed = pivot
+      .select(explode(array(concat(lit("F:"), col("id")),
+        concat(lit("B:"), col("id")))).as("id")).localCheckpoint()
+    graft.Blocks.release(pivot)
+    var visited = seed
+    var frontier = seed
+    var i = 0
+    var done = false
+    while (!done && i < rounds) {
+      i += 1
+      // TWO hops per round: at sf0.1 the per-round cost is flat
+      // (~1 s whether the frontier is 8 or 54k rows — pure stage
+      // overhead), so the round count, not data volume, is the bill;
+      // the double-step halves driver round-trips. h1 appears both in
+      // the union and as h2's probe, but its distinct exchange is
+      // identical in both branches (ReusedExchange) and its output
+      // partitioning (by id) feeds the h2 join without a re-exchange.
+      val h1 = e2.join(frontier.hint("shuffle_hash"), e2("k") === frontier("id"))
+        .select(col("t").as("id")).distinct()
+      val h2 = e2.join(h1.hint("shuffle_hash"), e2("k") === h1("id"))
+        .select(col("t").as("id"))
+      val nxt = h1.unionByName(h2).distinct()
+        .join(visited, Seq("id"), "left_anti")
+      roundProbe(i, nxt)
+      val cutN = nxt.localCheckpoint()
+      if (cutN.count() == 0) {
+        graft.Blocks.release(cutN)
+        done = true
+      } else {
+        val grown = visited.union(cutN).localCheckpoint()
+        if (visited ne seed) graft.Blocks.release(visited)
+        if (frontier ne seed) graft.Blocks.release(frontier)
+        visited = grown
+        frontier = cutN
       }
-      if (!done) throw new IllegalStateException(
-        s"reach closure did not converge in $rounds rounds; raise the cap")
-      visited
     }
-    val fwd = closure(e("src"), e("dst"))
-    val bwd = closure(e("dst"), e("src"))
+    if (!done) throw new IllegalStateException(
+      s"reach closure did not converge in $rounds rounds; raise the cap")
+    val fwd = visited.where(col("id").startsWith("F:"))
+      .select(substring(col("id"), 3, Int.MaxValue).as("id"))
+    val bwd = visited.where(col("id").startsWith("B:"))
+      .select(substring(col("id"), 3, Int.MaxValue).as("id"))
     val scc = fwd.join(bwd, Seq("id"), "left_semi")
       .select(col("id").as("paper_id"))
-    graft.Blocks.release(e)
+    graft.Blocks.release(e2)
     scc
   }
 

@@ -971,7 +971,117 @@ object EventAnalytics {
       |             sum(n_paths) OVER (PARTITION BY t1, t2), 6) AS share
       |FROM t ORDER BY t1, t2, t3""".stripMargin
 
+  /** Per-type linear trend over daily event counts — the capacity-
+    * planning / drift-direction primitive completing [[eventsAnomaly]]
+    * (pointwise outliers) and [[eventsCusum]] (change points): an OLS
+    * slope in events/day over the type's daily series. Slope is
+    * shift-invariant, so the regressor is the raw epoch day — no per-type
+    * min-day pass — and every moment (Σx, Σy, Σx², Σxy) is an exact
+    * integer accumulated in DECIMAL(38,0) (the [[eventsAnomaly]]
+    * overflow discipline: epoch-day⁴-scale products wrap 64 bits).
+    * slope/intercept are then 4 identically-parenthesized IEEE ops on
+    * exact numerators — hash-oracles. Single-day types emit NULL (the
+    * n=0 A/B-pool rule). Shape: ONE corpus shuffle to the daily grid
+    * (calendar-bounded: days×types rows), then a ≤|types|-row aggregate
+    * — at 100 TB the daily grid is KBs regardless of event volume. */
+  def eventsTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(datediff(date_trunc("day", col("ts")),
+        lit("1970-01-01").cast("date")).as("x"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    val num = dec(col("n_days")) * col("sxy") - col("sx") * dec(col("sy"))
+    val den = dec(col("n_days")) * col("sxx") - col("sx") * col("sx")
+    val slope = num.cast("double") / den.cast("double")
+    m.select(col("event_type"), col("n_days"),
+      col("sy").cast("long").as("total"),
+      when(col("n_days") < 2, lit(null).cast("double"))
+        .otherwise(round(slope, 9)).as("slope"),
+      when(col("n_days") < 2, lit(null).cast("double"))
+        .otherwise(round(
+          (col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n_days").cast("double"), 6)).as("intercept"))
+  }
+
+  val eventsTrendSql: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS x,
+      |         event_type, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_days, sum(y) AS sy,
+      |         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |         sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+      |         sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(sy AS BIGINT) AS total,
+      |  CASE WHEN n_days < 2 THEN NULL ELSE round(
+      |    CAST(CAST(n_days AS DECIMAL(38,0)) * sxy - sx * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE), 9)
+      |  END AS slope,
+      |  CASE WHEN n_days < 2 THEN NULL ELSE round(
+      |    (CAST(sy AS DOUBLE) -
+      |     (CAST(CAST(n_days AS DECIMAL(38,0)) * sxy - sx * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+      |      / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+      |     * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6)
+      |  END AS intercept
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** SCD type-2 dimension history from a change stream — the warehouse
+    * pattern the relational family lacked: collapse each user's event
+    * stream to its STATE CHANGES (runs of equal event_type), emit one
+    * row per run with [valid_from, valid_to) validity, a 1-based
+    * version, and an is_current flag (open interval = NULL valid_to:
+    * a max-date sentinel would overflow pandas/Arrow ns timestamps in
+    * the oracle bridge). Both engines order by (ts, event_id) — the
+    * [[ewma]] tie rule — so run boundaries are deterministic.
+    *
+    * Shape: ONE user_id exchange feeds both windows (the lag that finds
+    * change rows and, after the filter, the lead/row_number that closes
+    * intervals — same partition key, same sort, Catalyst plans one
+    * Window over the other with no second exchange). Row volume never
+    * exceeds the change count; nothing is corpus-global. */
+  def eventsScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type").as("state"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("state"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("version"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
+  val eventsScd2Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |         lag(event_type) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      |  SELECT user_id, state, ts, event_id FROM o
+      |  WHERE prev IS NULL OR prev <> state)
+      |SELECT user_id, state, ts AS valid_from,
+      |  lead(ts) OVER w2 AS valid_to,
+      |  CAST(row_number() OVER w2 AS INT) AS version,
+      |  CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM c
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_trend" -> (eventsTrend _),
+    "events_scd2" -> (eventsScd2 _),
     "events_paths" -> (eventsPaths _),
     "events_transitions" -> (eventsTransitions _),
     "events_attribution" -> (eventsAttribution _),
@@ -997,6 +1107,8 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_trend" -> eventsTrendSql,
+    "events_scd2" -> eventsScd2Sql,
     "events_paths" -> eventsPathsSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_attribution" -> eventsAttributionSql,

@@ -216,7 +216,55 @@ object Profiling {
          |     (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM $t) tt""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Referential-integrity audit across the star schema — the
+    * data-quality gate every warehouse ingest runs: for each declared
+    * FK edge, the child row count, orphan rows/keys (child keys with no
+    * parent), and the orphan share. Scale shape per edge: the child
+    * collapses to per-key counts FIRST (partial-aggregable, one keyed
+    * exchange of distinct keys, never fact rows), the anti-join then
+    * runs key-frame vs key-frame, and the two 1-row aggregates fold
+    * with a bounded cross join (the profile_drift totals pattern). At
+    * 100 TB the anti-join input is the key cardinality, not the fact. */
+  def profileIntegrity(s: SparkSession, d: String): DataFrame =
+    FkEdges.map { case (ct, ck, pt, pk) =>
+      val perKey = Tables.load(s, d, ct)
+        .groupBy(col(ck).as("k")).agg(count(lit(1)).as("n"))
+      val totals = perKey.agg(sum(col("n")).as("child_rows"))
+      val orph = perKey
+        .join(Tables.load(s, d, pt).select(col(pk).as("k")),
+          Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("orphan_rows"),
+          count(lit(1)).as("orphan_keys"))
+      orph.crossJoin(totals).select(
+        lit(s"$ct.$ck->$pt.$pk").as("fk"), col("child_rows"),
+        col("orphan_rows"), col("orphan_keys"),
+        round(col("orphan_rows").cast("double") / col("child_rows"), 9)
+          .as("orphan_share"))
+    }.reduce(_ unionByName _)
+
+  private val FkEdges = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  val profileIntegritySql: String =
+    FkEdges.map { case (ct, ck, pt, pk) =>
+      s"""SELECT '$ct.$ck->$pt.$pk' AS fk,
+         |  CAST((SELECT count(*) FROM $ct) AS BIGINT) AS child_rows,
+         |  CAST(coalesce(sum(n), 0) AS BIGINT) AS orphan_rows,
+         |  count(*) AS orphan_keys,
+         |  round(CAST(coalesce(sum(n), 0) AS DOUBLE)
+         |        / (SELECT count(*) FROM $ct), 9) AS orphan_share
+         |FROM (SELECT $ck AS k, count(*) AS n FROM $ct GROUP BY 1) c
+         |WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.k)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_integrity" -> (profileIntegrity _),
     "profile_orders" -> (profileOrders _),
     "profile_documents" -> (profileDocuments _),
     "profile_corr" -> (profileCorr _),
@@ -225,6 +273,7 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_integrity" -> profileIntegritySql,
     "profile_orders" -> profileOrdersSql,
     "profile_documents" -> profileDocumentsSql,
     "profile_corr" -> profileCorrSql,
@@ -233,6 +282,7 @@ object Profiling {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "profile_integrity" -> Seq(col("fk")),
     "profile_orders" -> Seq(col("col_name")),
     "profile_documents" -> Seq(col("col_name")),
     "profile_corr" -> Seq(col("col_a"), col("col_b")),

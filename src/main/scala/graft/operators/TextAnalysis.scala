@@ -138,6 +138,78 @@ object TextAnalysis {
       |         (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
       |FROM agg ORDER BY lang""".stripMargin
 
+  /** Herdan/Heaps vocabulary-growth law per language — the companion of
+    * [[tokenZipf]]'s frequency law: V(N) ≈ k·N^β fitted per doc point
+    * (x = ln tokens, y = ln distinct tokens) by the same OLS machinery.
+    * β says how fast a language's vocabulary grows with corpus size —
+    * the number a tokenizer-budget or dedup-capacity plan needs before
+    * scaling a corpus 100×. Float discipline is the [[tokenZipf]]
+    * convention verbatim: each ln fixes to the 12-dp grid, cross
+    * products accumulate as exact DECIMAL(38,24), the slope chain is
+    * identically-parenthesized IEEE ops. A degenerate language (all
+    * docs the same length ⇒ zero x-variance) emits NULL in both
+    * engines rather than Spark-NULL-vs-DuckDB-inf. Shape: one pure
+    * projection (two size() calls per doc, no explode — the shingle
+    * array never leaves the row) + one ≤|langs|-row aggregate; the ONLY
+    * exchange is the final lang-keyed partial agg. */
+  def tokenHerdan(s: SparkSession, d: String): DataFrame = {
+    val terms = docs(s, d).select(col("lang"),
+      round(log(size(split(col("text"), " ")).cast("double")), 12)
+        .cast("decimal(14,12)").as("x"),
+      round(log(size(array_distinct(split(col("text"), " "))).cast("double")), 12)
+        .cast("decimal(14,12)").as("y"))
+    val agg = terms.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,24)")).cast("double").as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,24)")).cast("double").as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(38,24)")).cast("double").as("syy"))
+    val n = col("n_docs").cast("double")
+    val cov = (n * col("sxy")) - (col("sx") * col("sy"))
+    val varx = (n * col("sxx")) - (col("sx") * col("sx"))
+    val vary = (n * col("syy")) - (col("sy") * col("sy"))
+    agg.select(col("lang"), col("n_docs"),
+      when(varx === 0.0, lit(null).cast("double"))
+        .otherwise(round(cov / varx, 6)).as("beta"),
+      when(varx === 0.0, lit(null).cast("double"))
+        .otherwise(round((col("sy") - (cov / varx) * col("sx")) / n, 6))
+        .as("ln_k"),
+      when(varx === 0.0 || vary === 0.0, lit(null).cast("double"))
+        .otherwise(round((cov * cov) / (varx * vary), 6)).as("r2"))
+  }
+
+  val tokenHerdanSql: String =
+    """WITH terms AS (
+      |  SELECT lang,
+      |    CAST(round(ln(CAST(len(string_split(text, ' ')) AS DOUBLE)), 12)
+      |         AS DECIMAL(14,12)) AS x,
+      |    CAST(round(ln(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)), 12)
+      |         AS DECIMAL(14,12)) AS y
+      |  FROM documents),
+      |agg AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,24))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,24))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,24))) AS DOUBLE) AS syy
+      |  FROM terms GROUP BY 1)
+      |SELECT lang, n_docs,
+      |  CASE WHEN CAST(n_docs AS DOUBLE) * sxx - sx * sx = 0 THEN NULL
+      |  ELSE round((CAST(n_docs AS DOUBLE) * sxy - sx * sy) /
+      |             (CAST(n_docs AS DOUBLE) * sxx - sx * sx), 6) END AS beta,
+      |  CASE WHEN CAST(n_docs AS DOUBLE) * sxx - sx * sx = 0 THEN NULL
+      |  ELSE round((sy - ((CAST(n_docs AS DOUBLE) * sxy - sx * sy) /
+      |                    (CAST(n_docs AS DOUBLE) * sxx - sx * sx)) * sx) /
+      |             CAST(n_docs AS DOUBLE), 6) END AS ln_k,
+      |  CASE WHEN CAST(n_docs AS DOUBLE) * sxx - sx * sx = 0
+      |         OR CAST(n_docs AS DOUBLE) * syy - sy * sy = 0 THEN NULL
+      |  ELSE round(((CAST(n_docs AS DOUBLE) * sxy - sx * sy) *
+      |              (CAST(n_docs AS DOUBLE) * sxy - sx * sy)) /
+      |             ((CAST(n_docs AS DOUBLE) * sxx - sx * sx) *
+      |              (CAST(n_docs AS DOUBLE) * syy - sy * sy)), 6) END AS r2
+      |FROM agg ORDER BY lang""".stripMargin
+
   /** Fuzzy vocabulary pairs at edit distance EXACTLY 1, by SymSpell-style
     * deletion-neighborhood blocking (Garbe's symmetric-delete scheme):
     * every token emits itself plus its single-character deletions as
@@ -1851,6 +1923,7 @@ object TextAnalysis {
     "token_topk" -> (tokenTopk _),
     "token_fuzzy_pairs" -> (tokenFuzzyPairs _),
     "token_zipf" -> (tokenZipf _),
+    "token_herdan" -> (tokenHerdan _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
     "token_bigrams" -> (tokenBigrams _),
@@ -1886,6 +1959,7 @@ object TextAnalysis {
     "token_topk" -> tokenTopkSql,
     "token_fuzzy_pairs" -> tokenFuzzyPairsSql,
     "token_zipf" -> tokenZipfSql,
+    "token_herdan" -> tokenHerdanSql,
     "bpe_merges" -> bpeMergesSql(),
     "bpe_encode" -> bpeEncodeSql(),
     "token_bigrams" -> tokenBigramsSql,
@@ -1909,6 +1983,7 @@ object TextAnalysis {
     "token_pmi" -> Seq(col("lang"), col("rank")),
     "token_fuzzy_pairs" -> Seq(col("tok_a"), col("tok_b")),
     "token_zipf" -> Seq(col("lang")),
+    "token_herdan" -> Seq(col("lang")),
     "bpe_merges" -> Seq(col("rank")),
     "bpe_encode" -> Seq(col("doc_id")),
     "search_hybrid_rrf" -> Seq(col("rank")),

@@ -217,9 +217,14 @@ class IterativePlanSpec extends AnyFunSuite {
     for (r <- plans.keys.toSeq.sorted.take(2)) {
       val plan = plans(r)
       auditCommon("sccPivot", plan)
-      // e ⋈ frontier (shuffle_hash) + the visited anti-join — the
-      // closeness wave shape, run to the natural empty-frontier fixpoint
-      assert(equiJoins(plan) === 2, s"scc closure joins changed:\n$plan")
+      // the double-step round: e2 ⋈ frontier (hop 1) + e2 ⋈ h1 (hop 2)
+      // + the visited anti-join, run to the natural empty-frontier
+      // fixpoint — two hops per driver round trip because the per-round
+      // cost at sf0.1 is stage overhead, not data volume. Catalyst
+      // pushes the anti-join below the union into BOTH hop branches and
+      // h1 feeds both the union and hop 2, so the optimized round plan
+      // carries 5 equi-joins (2 hops + 1 anti, anti+h1 duplicated).
+      assert(equiJoins(plan) === 5, s"scc closure joins changed:\n$plan")
       assert(plan.contains("LeftAnti"), s"scc visited check must anti-join:\n$plan")
       assert(bnlj(plan) === 0, s"scc grew a nested-loop join:\n$plan")
     }

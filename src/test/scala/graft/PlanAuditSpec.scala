@@ -111,7 +111,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // events_survival: every window runs on the CALENDAR-bounded day
     // frame (≤ span+1 rows — the events_heatmap bound); plus the 1-row
     // observation-cutoff aggregate (q6 shape)
-    "events_survival"
+    "events_survival",
+    // profile_integrity: per FK edge, the two 1-row audit aggregates
+    // (orphan totals, child totals) fold together — the fact side
+    // collapsed to per-key counts before any of this
+    "profile_integrity"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
