@@ -18,8 +18,12 @@ object RoundProbe {
     val e = operators.Citations.edges(spark, sfDir)
     val t0 = System.nanoTime()
     var last = t0
-    def probe(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
-      val n = df.count()
+    // the count thunk reads the operator's OWN materialized cut (never
+    // re-executes the round's join tree), so dt is the round's single
+    // real computation — ADVICE r10
+    def probe(i: Int, df: org.apache.spark.sql.DataFrame,
+              cnt: () => Long): Unit = {
+      val n = cnt()
       val t = System.nanoTime()
       println(f"[round] $op $i%2d frontier=$n%8d dt=${(t - last) / 1e9}%6.2f s elapsed=${(t - t0) / 1e9}%6.2f s")
       last = t

@@ -92,7 +92,12 @@ object SparkEntry {
     // closures — exact set semantics, so the oracle is a plain
     // recursive-UNION twin, no unrolled rounds needed
     "citation_scc" -> ((s, d) =>
-      Citations.sccPivot(Citations.edges(s, d)))
+      Citations.sccPivot(Citations.edges(s, d))),
+    // full SCC decomposition: bounded trim-to-core peel + iterated
+    // FW–BW pivot extraction; labels are canonical (min member id),
+    // so the twin is the same bounded schedule in SQL
+    "citation_scc_all" -> ((s, d) =>
+      Citations.sccAll(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -118,6 +123,7 @@ object SparkEntry {
     "citation_closeness" -> Citations.closenessSql(),
     "citation_reciprocity" -> Citations.reciprocitySql,
     "citation_scc" -> Citations.sccPivotSql,
+    "citation_scc_all" -> Citations.sccAllSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -187,6 +193,7 @@ object SparkEntry {
     "citation_closeness" -> Seq(col("paper_id")),
     "citation_reciprocity" -> Seq(col("m")),
     "citation_scc" -> Seq(col("paper_id")),
+    "citation_scc_all" -> Seq(col("paper_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
@@ -257,7 +264,8 @@ object SparkEntry {
     "events_stickiness" -> Seq(col("day")),
     "events_heatmap" -> Seq(col("dow"), col("hour"), col("event_type")),
     "events_trend" -> Seq(col("event_type")),
-    "events_scd2" -> Seq(col("user_id"), col("version"))
+    "events_scd2" -> Seq(col("user_id"), col("version")),
+    "events_scd2_merge" -> Seq(col("user_id"), col("version"))
   ) ++ Dedup.verifyOrder ++ TextAnalysis.verifyOrder ++
     Similarity.verifyOrder ++ Multimodal.verifyOrder ++
     Profiling.verifyOrder ++ Pipeline.verifyOrder ++ Sketches.verifyOrder

@@ -28,10 +28,15 @@ object Citations {
     * plan — the cadence checkpoints replace lineage with a `LogicalRDD`,
     * so the per-round join/aggregate shapes (exactly the plans that
     * matter at 100×) are otherwise invisible to any post-hoc audit. The
-    * probe fires on the round's `next` frame BEFORE the checkpoint cut;
-    * planning a DataFrame is side-effect-free, so production pays one
+    * probe receives the round's UN-CUT `next` frame (for plan capture —
+    * planning a DataFrame is side-effect-free) plus a COUNT THUNK: where
+    * the operator already materialized the round (a checkpoint cut or a
+    * convergence count), the thunk reads those blocks — it never
+    * recomputes the round's join tree (ADVICE r10: a probe-side
+    * `df.count()` on the pre-cut frame executed every round twice,
+    * inflating the dt the tool exists to measure). Production pays one
     * no-op call per round. */
-  val noProbe: (Int, DataFrame) => Unit = (_, _) => ()
+  val noProbe: (Int, DataFrame, () => Long) => Unit = (_, _, _) => ()
 
   /** Edge projection of the driver testdata: "order cites part" — one edge
     * per lineitem. Ids cast to string to preserve the reference's
@@ -554,7 +559,7 @@ object Citations {
     * pinned by a closed-form fixture. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
                damping: Double = 0.85, checkpointEvery: Int = 3,
-               roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+               roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     // Static sides pinned once: without the eager checkpoints every
     // round's materialization would re-run the ENTIRE lineage back to the
     // scan, turning O(iters) work into O(iters²).
@@ -614,7 +619,7 @@ object Citations {
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("inbox"), lit(0.0)) +
               col("dm") / lit(n))).as("rank"))
-      roundProbe(i, next)
+      roundProbe(i, next, () => next.count())
       ranks = if (i % checkpointEvery == 0 || i == iterations) {
         val cut = next.localCheckpoint() // eager: materialized before the release below
         graft.Blocks.release(lastCut)
@@ -646,7 +651,7 @@ object Citations {
   def personalizedPageRank(edges: DataFrame, seedK: Int = 5,
                            iterations: Int = 6, damping: Double = 0.85,
                            checkpointEvery: Int = 3,
-                           roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+                           roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val e = edges.repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -679,7 +684,7 @@ object Citations {
           (lit(1 - damping) * col("s") +
             lit(damping) * (coalesce(col("inbox"), lit(0.0)) +
               col("dm") * col("s"))).as("rank"))
-      roundProbe(i, next)
+      roundProbe(i, next, () => next.count())
       ranks = if (i % checkpointEvery == 0 || i == iterations) {
         val cut = next.localCheckpoint() // eager — materialized before release
         graft.Blocks.release(lastCut)
@@ -808,7 +813,7 @@ object Citations {
     * amortizes one sort of the surviving frame while SHJ re-hashes both
     * sides every round. */
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
-            roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+            roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val und = edges.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -828,9 +833,9 @@ object Citations {
       val next = e
         .join(ok.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(ok.select(col("node").as("b")), Seq("b"), "left_semi")
-      roundProbe(i, next)
       val cut = next.localCheckpoint() // eager — materialized before release
       val n = cut.count() // checkpoint scan; = edge set equality (see doc)
+      roundProbe(i, next, () => n)
       graft.Blocks.release(lastCut)
       lastCut = cut
       e = cut
@@ -924,7 +929,7 @@ object Citations {
     *    steady-state each half-step shuffles exactly once (the message
     *    aggregate no HITS formulation avoids). */
   def hits(edges: DataFrame, iterations: Int = 6,
-           roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+           roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
     val eSrc = edges.repartition(col("src")).localCheckpoint()
     val eDst = eSrc.repartition(col("dst")).localCheckpoint()
@@ -943,8 +948,8 @@ object Citations {
       // (SMJ would sort 600k+ edges 2×/round; the hash build is O(nodes))
       val araw = eSrc.join(hub.hint("shuffle_hash"), eSrc("src") === hub("id"))
         .groupBy(eSrc("dst").as("id")).agg(sum(col("hub")).as("araw"))
-      roundProbe(i, araw)
       val aCut = araw.localCheckpoint() // eager — materialized before release
+      roundProbe(i, araw, () => aCut.count())
       if (lastACut != null) graft.Blocks.release(lastACut)
       lastACut = aCut
       val anorm = broadcast(
@@ -1050,7 +1055,7 @@ object Citations {
     * cuts released immediately; the edge frame is released after the
     * loop (the returned frame reads only the final cut). */
   def components(edges: DataFrame, rounds: Int = 10,
-                 roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+                 roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     // both directions: a node hears the labels of every neighbor
     val und = edges.where(col("src") =!= col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
@@ -1072,9 +1077,9 @@ object Citations {
       val next = labels.join(msg, Seq("id"))
         .select(col("id"), least(col("label"), col("ml")).as("label"),
           (col("ml") < col("label")).as("chg"))
-      roundProbe(i, next)
       val cut = next.localCheckpoint() // eager — materialized before release
       val changed = cut.where(col("chg")).count() // checkpoint scan, no join
+      roundProbe(i, next, () => cut.count())
       graft.Blocks.release(lastCut)
       lastCut = cut
       labels = cut.select(col("id"), col("label"))
@@ -1138,33 +1143,57 @@ object Citations {
     * either pays two loops — sum of the two diameters in driver round
     * trips — or re-shuffles the edge set on src/dst each round). Rounds
     * run to max(fwd diameter, bwd diameter): a direction that exhausts
-    * early simply stops producing rows. Frontiers are cut per round with
-    * superseded cuts released ([[components]] lifecycle); the final ∩ is
-    * one semi-join between the two tag slices. Convergence is the
-    * natural empty frontier; the rounds cap only guards runaway
-    * diameters (non-convergence throws, the components contract). */
-  def sccPivot(edges: DataFrame, rounds: Int = 32,
-               roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
-    val base = edges.where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
-    val pivot = base.groupBy(col("dst")).agg(count(lit(1)).as("d"))
-      .orderBy(col("d").desc, col("dst").asc).limit(1)
-      .select(col("dst").as("id")).localCheckpoint()
+    * early simply stops producing rows.
+    *
+    * Fixed-cost discipline (the r10→r11 probe findings — per-round cost
+    * at sf0.1 is flat stage overhead, so setup jobs and per-round
+    * materializations ARE the bill):
+    *  - edge prep is ONE shuffle: tag first, `repartition(k)`, then a
+    *    PARTITION-LOCAL `dropDuplicates(k, t)` — hashpartitioning(k)
+    *    already clusters (k, t), so Catalyst plans no second exchange —
+    *    and the pivot (max in-degree, ties → smallest id, the O11 rule)
+    *    reads e2's checkpointed F-slice instead of a separate deduped
+    *    base frame;
+    *  - the visited set is the UNION of the per-round checkpointed cuts
+    *    (≤ rounds frames, each lineage-free), not a re-checkpointed
+    *    grown frame — one materialization per round, not two;
+    *  - the final ∩ is one semi-join between the two tag slices,
+    *    checkpointed so every intermediate block can be released before
+    *    return.
+    * Convergence is the natural empty frontier; the cap only guards
+    * runaway diameters (non-convergence throws, the components
+    * contract).
+    *
+    * `rounds` counts DOUBLE-HOP driver round trips: each round takes two
+    * hops (h1 = frontier's neighbors, h2 = their neighbors), so the
+    * traversal explores up to `2 × rounds` hops — the default of 16
+    * keeps the hop budget at 32. */
+  def sccPivot(edges: DataFrame, rounds: Int = 16,
+               roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
+    val raw = edges.where(col("src") =!= col("dst"))
     // F rows walk src→dst, B rows walk dst→src; one pinned partitioning
-    // on the tagged probe key serves both directions every round
-    val e2 = base
+    // on the tagged probe key serves both directions every round, and
+    // the (k, t) dedup runs inside that same exchange
+    val e2 = raw
       .select(concat(lit("F:"), col("src")).as("k"),
         concat(lit("F:"), col("dst")).as("t"))
-      .unionByName(base
+      .unionByName(raw
         .select(concat(lit("B:"), col("dst")).as("k"),
           concat(lit("B:"), col("src")).as("t")))
-      .repartition(col("k")).localCheckpoint()
-    graft.Blocks.release(base)
+      .repartition(col("k"))
+      .dropDuplicates("k", "t")
+      .localCheckpoint()
+    // pivot from the F-slice: t = "F:" ∥ dst, so groupBy(t) is the
+    // in-degree count and the constant prefix preserves the id tie-order
+    val pivot = e2.where(col("k").startsWith("F:"))
+      .groupBy(col("t")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("t").asc).limit(1)
+      .select(substring(col("t"), 3, Int.MaxValue).as("id"))
     val seed = pivot
       .select(explode(array(concat(lit("F:"), col("id")),
         concat(lit("B:"), col("id")))).as("id")).localCheckpoint()
-    graft.Blocks.release(pivot)
-    var visited = seed
+    var cuts = List(seed)
+    var visited: DataFrame = seed
     var frontier = seed
     var i = 0
     var done = false
@@ -1183,28 +1212,32 @@ object Citations {
         .select(col("t").as("id"))
       val nxt = h1.unionByName(h2).distinct()
         .join(visited, Seq("id"), "left_anti")
-      roundProbe(i, nxt)
       val cutN = nxt.localCheckpoint()
-      if (cutN.count() == 0) {
+      val n = cutN.count()
+      roundProbe(i, nxt, () => n)
+      if (n == 0) {
         graft.Blocks.release(cutN)
         done = true
       } else {
-        val grown = visited.union(cutN).localCheckpoint()
-        if (visited ne seed) graft.Blocks.release(visited)
-        if (frontier ne seed) graft.Blocks.release(frontier)
-        visited = grown
+        cuts ::= cutN
+        visited = visited.union(cutN)
         frontier = cutN
       }
     }
     if (!done) throw new IllegalStateException(
-      s"reach closure did not converge in $rounds rounds; raise the cap")
+      s"reach closure did not converge in $rounds double-hop rounds " +
+        s"(${2 * rounds} hops); raise the cap")
     val fwd = visited.where(col("id").startsWith("F:"))
       .select(substring(col("id"), 3, Int.MaxValue).as("id"))
     val bwd = visited.where(col("id").startsWith("B:"))
       .select(substring(col("id"), 3, Int.MaxValue).as("id"))
+    // eager cut so every traversal block (edges + all visited cuts) can
+    // be released before the caller ever executes the returned frame
     val scc = fwd.join(bwd, Seq("id"), "left_semi")
       .select(col("id").as("paper_id"))
+      .localCheckpoint()
     graft.Blocks.release(e2)
+    cuts.foreach(graft.Blocks.release)
     scc
   }
 
@@ -1227,6 +1260,181 @@ object Citations {
       |SELECT f.id AS paper_id
       |FROM fwd f JOIN bwd b ON f.id = b.id
       |ORDER BY paper_id""".stripMargin
+
+  /** `citation_scc_all` (oracled): the FULL SCC decomposition — every
+    * node labeled with its strongly connected component (scc_id = the
+    * component's smallest member id, an algorithm-independent canonical
+    * label) and the component's size. The classic iterated
+    * trim + FW–BW scheme (Fleischer/Hendrickson/Pınar 2000; Hong et al.
+    * 2013's trim refinement), shaped for dataflow:
+    *
+    *  1. TRIM to the directed core: peel nodes with in-degree 0 or
+    *     out-degree 0 (keep = srcs ∩ dsts) to a bounded fixpoint — a
+    *     peeled node can sit on no cycle, so it is its own singleton
+    *     SCC. Each peel round is the [[kCore]] shape: one distinct-key
+    *     semi-join builds the keep set, two semi-joins restrict the
+    *     edges, count-equality detects the fixpoint (the edge set
+    *     shrinks monotonically, so equal counts ⇒ equal sets).
+    *     Measured: the driver corpus peels to EXACTLY the giant SCC in
+    *     3/5/6 rounds at sf0.001/0.01/0.1 — the closures then traverse
+    *     77k core edges instead of 600k at sf0.1.
+    *  2. EXTRACT SCC(pivot) from the core via [[sccPivot]]'s fused
+    *     tagged traversal (pivot = the core's max in-degree node, ties
+    *     → smallest id), label it with min(member), remove its nodes.
+    *  3. REPEAT from 1 on the residual — every surviving cycle lives in
+    *     the re-trimmed core — up to `pivotRounds` extractions
+    *     (convergence-or-throw, the [[components]] contract; one
+    *     non-trivial SCC per iteration is removed, and this corpus has
+    *     exactly one).
+    *  4. Everything never extracted is a singleton: label = own id,
+    *     size 1 — one anti-join of the node frame against the union of
+    *     extracted members.
+    *
+    * SCC labels are exact set semantics (like [[sccPivot]]), so the
+    * DuckDB twin mirrors the same bounded schedule — `trimRounds`
+    * unrolled peel CTEs (no-ops past the fixpoint) + recursive-UNION
+    * closures per pivot iteration — and must produce the identical
+    * labeling or hash-mismatch loudly.
+    *
+    * Scale shape: trim rounds and residual computation are
+    * edge-frame semi/anti-joins (shuffle-partitioned, no broadcast of
+    * anything corpus-sized); the only driver-side values are per-round
+    * counts; the per-SCC (min, size) fold is a 1-row broadcast. At
+    * 100 TB the trim typically removes the vast majority of nodes
+    * (power-law corpora are mostly acyclic tendrils), so the expensive
+    * closure runs on the small cyclic core. */
+  def sccAll(edges: DataFrame, trimRounds: Int = 10, pivotRounds: Int = 2,
+             roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
+    val e0 = edges.where(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
+    val nodes = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    var probeRound = 0
+    var rem = e0
+    var edgesLeft = rem.count()
+    var sccFrames: List[DataFrame] = Nil // (paper_id, scc_id, scc_size)
+    var outer = 0
+    while (edgesLeft > 0 && outer < pivotRounds) {
+      outer += 1
+      // trim to the directed core (bounded fixpoint, kCore discipline)
+      var e = rem
+      var prev = edgesLeft
+      var conv = false
+      var t = 0
+      while (!conv && t < trimRounds) {
+        t += 1
+        val keep = e.select(col("src").as("n")).distinct()
+          .join(e.select(col("dst").as("n")).distinct(), Seq("n"), "left_semi")
+        val nxt = e
+          .join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+        val cut = nxt.localCheckpoint() // eager — materialized before release
+        val n = cut.count()
+        probeRound += 1
+        roundProbe(probeRound, nxt, () => n)
+        if ((e ne e0) && (e ne rem)) graft.Blocks.release(e)
+        e = cut
+        conv = n == prev
+        prev = n
+      }
+      if (!conv) throw new IllegalStateException(
+        s"sccAll: trim did not reach its fixpoint in $trimRounds rounds; raise the cap")
+      if (prev == 0) {
+        // the residual is acyclic — everything left is singletons
+        if (e ne e0) graft.Blocks.release(e)
+        edgesLeft = 0
+      } else {
+        val s = sccPivot(e) // checkpointed member frame (paper_id)
+        val meta = s.agg(min(col("paper_id")).as("scc_id"),
+          count(lit(1)).as("scc_size"))
+        sccFrames ::= s.crossJoin(broadcast(meta))
+        val remNxt = e
+          .join(s.select(col("paper_id").as("src")), Seq("src"), "left_anti")
+          .join(s.select(col("paper_id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        edgesLeft = remNxt.count()
+        probeRound += 1
+        roundProbe(probeRound, remNxt, () => edgesLeft)
+        if (e ne e0) graft.Blocks.release(e)
+        if (rem ne e0) graft.Blocks.release(rem)
+        rem = remNxt
+      }
+    }
+    if (edgesLeft > 0) throw new IllegalStateException(
+      s"sccAll: cycles remain after $pivotRounds pivot extractions; raise the cap")
+    val members = sccFrames.map(_.select(col("paper_id")))
+      .reduceOption(_ unionByName _)
+    val singles = members
+      .map(m => nodes.join(m.withColumnRenamed("paper_id", "id"),
+        Seq("id"), "left_anti"))
+      .getOrElse(nodes)
+      .select(col("id").as("paper_id"), col("id").as("scc_id"),
+        lit(1L).as("scc_size"))
+    graft.Blocks.release(e0)
+    sccFrames.foldLeft(singles)(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[sccAll]]: the same bounded schedule —
+    * `trimRounds` MATERIALIZED peel CTEs per pivot iteration (no-ops
+    * past the fixpoint, the [[kCoreSql]] discipline), a recursive-UNION
+    * closure pair per pivot (exact set semantics, the [[sccPivotSql]]
+    * convention), singleton labeling as one left join at the end.
+    *
+    * DuckDB 1.0 trap: under `WITH RECURSIVE`, a NON-self-referencing
+    * CTE's top-level `UNION` silently loses its dedup (measured: 3-row
+    * union returns 6). Every set-union in this twin is therefore either
+    * a genuinely recursive CTE (where UNION's fixpoint semantics are
+    * correct) or an explicit `SELECT DISTINCT` over `UNION ALL`. */
+  def sccAllSql(trimRounds: Int = 10, pivotRounds: Int = 2): String = {
+    def iteration(p: Int, inEdges: String): String = {
+      val trims = (1 to trimRounds).map { t =>
+        s"""t${p}_$t AS MATERIALIZED (
+           |  SELECT src, dst FROM t${p}_${t - 1}
+           |  WHERE src IN (SELECT dst FROM t${p}_${t - 1})
+           |    AND dst IN (SELECT src FROM t${p}_${t - 1}))""".stripMargin
+      }.mkString(",\n")
+      val tn = s"t${p}_$trimRounds"
+      s"""t${p}_0 AS MATERIALIZED (SELECT src, dst FROM $inEdges),
+         |$trims,
+         |pv$p AS (SELECT dst AS id FROM $tn
+         |         GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT 1),
+         |f$p(id) AS (SELECT id FROM pv$p
+         |  UNION SELECT e.dst FROM $tn e JOIN f$p ON e.src = f$p.id),
+         |b$p(id) AS (SELECT id FROM pv$p
+         |  UNION SELECT e.src FROM $tn e JOIN b$p ON e.dst = b$p.id),
+         |s$p AS MATERIALIZED (
+         |  SELECT f.id FROM f$p f JOIN b$p b ON f.id = b.id),
+         |r$p AS MATERIALIZED (
+         |  SELECT src, dst FROM $tn
+         |  WHERE src NOT IN (SELECT id FROM s$p)
+         |    AND dst NOT IN (SELECT id FROM s$p))""".stripMargin
+    }
+    val iters = (1 to pivotRounds)
+      .map(p => iteration(p, if (p == 1) "e0" else s"r${p - 1}"))
+      .mkString(",\n")
+    val memberSel = (1 to pivotRounds).map(p =>
+      s"""SELECT id, (SELECT min(id) FROM s$p) AS scc_id,
+         |         (SELECT count(*) FROM s$p) AS scc_size FROM s$p""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE e0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem WHERE l_orderkey <> l_partkey),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+       |$iters,
+       |insccs AS MATERIALIZED (
+       |  $memberSel)
+       |SELECT n.id AS paper_id,
+       |       coalesce(s.scc_id, n.id) AS scc_id,
+       |       CAST(coalesce(s.scc_size, 1) AS BIGINT) AS scc_size
+       |FROM nodes n LEFT JOIN insccs s ON s.id = n.id
+       |ORDER BY paper_id""".stripMargin
+  }
 
   /** Label-propagation community detection (Raghavan et al. 2007),
     * synchronous flavor: every round each node adopts the label held by
@@ -1254,7 +1462,7 @@ object Citations {
     * v) — no windows, no cartesians; labels cut per round with
     * superseded cuts released ([[components]] lifecycle). */
   def lpa(edges: DataFrame, rounds: Int = 4,
-          roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+          roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val und = edges.where(col("src") =!= col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
       .union(edges.where(col("src") =!= col("dst"))
@@ -1284,8 +1492,8 @@ object Citations {
       val next = labels.join(msg, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(expr("substring(key, 13)"), col("label")).as("label"))
-      roundProbe(i, next)
       val cut = next.localCheckpoint()
+      roundProbe(i, next, () => cut.count())
       graft.Blocks.release(lastCut)
       lastCut = cut
       labels = cut
@@ -1367,7 +1575,7 @@ object Citations {
     * everything is exact integer arithmetic, so the query hash-oracles
     * with the identically-unrolled twin. */
   def bfsPaths(edges: DataFrame, hops: Int = 4,
-               roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+               roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).localCheckpoint()
     val out = bfsPathsFrom(e, hops, roundProbe)
@@ -1460,7 +1668,7 @@ object Citations {
     * lets [[betweenness]] share one edge checkpoint with its backward
     * pass instead of preparing it twice. */
   private def bfsPathsFrom(e: DataFrame, hops: Int,
-                           roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+                           roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val seed = counts(e).orderBy(col("citations").desc, col("paper_id").asc)
       .limit(1).select(col("paper_id").as("id"),
         lit(0).as("dist"), lit(new java.math.BigDecimal(1))
@@ -1473,8 +1681,8 @@ object Citations {
         .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
         .join(reached.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(i).as("dist"), col("sigma"))
-      roundProbe(i, next)
       val cut = next.localCheckpoint()
+      roundProbe(i, next, () => cut.count())
       val newReached = reached.unionByName(cut).localCheckpoint()
       graft.Blocks.release(reached)
       if (i > 1) graft.Blocks.release(frontier)
@@ -1541,7 +1749,7 @@ object Citations {
     * double adds on the 6-dp grid), so the twin hash-matches without
     * decimal accumulation. */
   def closeness(edges: DataFrame, hops: Int = 4, nSeeds: Int = 8,
-                roundProbe: (Int, DataFrame) => Unit = noProbe): DataFrame = {
+                roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).localCheckpoint()
     val seeds = counts(e)
@@ -1557,8 +1765,8 @@ object Citations {
         .join(reached.select(col("seed"), col("id")),
           Seq("seed", "id"), "left_anti")
         .select(col("seed"), col("id"), lit(i).as("dist"))
-      roundProbe(i, next)
       val cut = next.localCheckpoint()
+      roundProbe(i, next, () => cut.count())
       val newReached = reached.unionByName(cut).localCheckpoint()
       graft.Blocks.release(reached)
       if (i > 1) graft.Blocks.release(frontier)

@@ -1047,11 +1047,18 @@ object EventAnalytics {
     * intervals — same partition key, same sort, Catalyst plans one
     * Window over the other with no second exchange). Row volume never
     * exceeds the change count; nothing is corpus-global. */
-  def eventsScd2(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val changes = Tables.load(s, d, "events")
+  def eventsScd2(s: SparkSession, d: String): DataFrame =
+    scd2Derive(Tables.load(s, d, "events")
       .select(col("user_id"), col("event_type").as("state"), col("ts"),
-        col("event_id"))
+        col("event_id")))
+
+  /** [[eventsScd2]]'s derivation core over an arbitrary change-event
+    * frame `(user_id, state, ts, event_id)` — shared with the merge
+    * path so derive and merge-apply agree on run semantics by
+    * construction. */
+  def scd2Derive(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = events
       .withColumn("prev", lag(col("state"), 1).over(w))
       .where(col("prev").isNull || col("prev") =!= col("state"))
     changes
@@ -1060,6 +1067,91 @@ object EventAnalytics {
       .select(col("user_id"), col("state"), col("ts").as("valid_from"),
         col("valid_to"), col("version"),
         col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
+  /** SCD2 MERGE-APPLY — the pair of [[eventsScd2]]'s *derivation*: apply
+    * a batch of raw change events to an EXISTING SCD2 dimension snapshot
+    * (close open intervals, insert new versions, leave history rows
+    * untouched), the nightly-dimension-load / CDC-apply primitive.
+    *
+    * Semantics, per user:
+    *  1. REPLAY GUARD: batch rows at-or-before the open interval's
+    *     `valid_from` are dropped — a re-delivered batch can never
+    *     double-apply (foreachBatch at-least-once replays, upstream
+    *     retries);
+    *  2. the survivors collapse to STATE RUNS ordered by (ts, event_id)
+    *     — the [[scd2Derive]] rule, shared by construction;
+    *  3. NO-OP SUPPRESSION: a leading run equal to the current open
+    *     state extends it instead of versioning it (and makes a
+    *     same-state-only batch a complete no-op — idempotence);
+    *  4. the open interval closes at the first surviving run's ts;
+    *     inserted versions continue the user's version sequence, the
+    *     last one open. Users absent from the dimension start at
+    *     version 1; users absent from the batch pass through untouched.
+    *
+    * The MERGE LAW (asserted by the oracle, see `events_scd2_merge`):
+    * for any event-time split, merge(derive(prefix), suffix) equals
+    * derive(whole) exactly — so iterated time-ordered merges fold a
+    * change stream into precisely the history a from-scratch derivation
+    * would build.
+    *
+    * Scale shape: everything is keyed by user_id — one exchange feeds
+    * the batch's lag/row_number/lead windows (same key, same sort,
+    * stacked Windows), the open-interval join, and the dimension's
+    * close-join against the ≤|batch users| first-new frame. Nothing is
+    * corpus-global; dim history rows stream through a single keyed
+    * left join. At 100 TB the dimension rewrite is the usual
+    * partition-overwrite sink concern, not this operator's plan. */
+  def scd2Merge(dim: DataFrame, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val open = dim.where(col("is_current") === 1)
+      .select(col("user_id"), col("state").as("cur_state"),
+        col("valid_from").as("cur_from"), col("version").as("cur_version"))
+    val fresh = batch.join(open, Seq("user_id"), "left_outer")
+      .where(col("cur_from").isNull || col("ts") > col("cur_from"))
+    val runs = fresh.withColumn("prev", lag(col("state"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("state"))
+    val surv = runs.withColumn("rn0", row_number().over(w))
+      .where(!(col("rn0") === 1 && col("cur_state").isNotNull &&
+        col("state") === col("cur_state")))
+    val newRows = surv
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version",
+        (coalesce(col("cur_version"), lit(0)) + row_number().over(w))
+          .cast("int"))
+      .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("version"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+    val firstNew = newRows.groupBy(col("user_id"))
+      .agg(min(col("valid_from")).as("close_ts"))
+    val dimUpdated = dim.join(firstNew, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("state"), col("valid_from"),
+        when(col("is_current") === 1 && col("close_ts").isNotNull,
+          col("close_ts")).otherwise(col("valid_to")).as("valid_to"),
+        col("version"),
+        when(col("is_current") === 1 && col("close_ts").isNotNull, lit(0))
+          .otherwise(col("is_current")).as("is_current"))
+    dimUpdated.unionByName(newRows)
+  }
+
+  /** `events_scd2_merge` (oracled): split the event stream at a 1-row
+    * anchor (max ts − 7 days, the events_survival cutoff shape), derive
+    * the dimension from the prefix, MERGE-APPLY the suffix as a raw
+    * change batch. The oracle is the FULL derivation ([[eventsScd2Sql]])
+    * — deliberately NOT a mirrored merge: the hash gate then checks the
+    * merge law itself (merge(derive(prefix), suffix) = derive(whole)),
+    * a differential test no operation-identical twin could provide. */
+  def eventsScd2Merge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type").as("state"), col("ts"),
+        col("event_id"))
+    val cut = broadcast(ev.agg(max(col("ts")).as("mx"))
+      .select((col("mx") - expr("INTERVAL 7 DAYS")).as("c")))
+    val pre = ev.crossJoin(cut).where(col("ts") <= col("c"))
+      .select(col("user_id"), col("state"), col("ts"), col("event_id"))
+    val post = ev.crossJoin(cut).where(col("ts") > col("c"))
+      .select(col("user_id"), col("state"), col("ts"), col("event_id"))
+    scd2Merge(scd2Derive(pre), post)
   }
 
   val eventsScd2Sql: String =
@@ -1082,6 +1174,7 @@ object EventAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend" -> (eventsTrend _),
     "events_scd2" -> (eventsScd2 _),
+    "events_scd2_merge" -> (eventsScd2Merge _),
     "events_paths" -> (eventsPaths _),
     "events_transitions" -> (eventsTransitions _),
     "events_attribution" -> (eventsAttribution _),
@@ -1109,6 +1202,9 @@ object EventAnalytics {
   val oracles: Map[String, String] = Map(
     "events_trend" -> eventsTrendSql,
     "events_scd2" -> eventsScd2Sql,
+    // the merge law as an oracle: the merged dimension must equal the
+    // full from-scratch derivation, hash-exactly
+    "events_scd2_merge" -> eventsScd2Sql,
     "events_paths" -> eventsPathsSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_attribution" -> eventsAttributionSql,

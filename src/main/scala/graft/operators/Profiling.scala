@@ -229,7 +229,8 @@ object Profiling {
     FkEdges.map { case (ct, ck, pt, pk) =>
       val perKey = Tables.load(s, d, ct)
         .groupBy(col(ck).as("k")).agg(count(lit(1)).as("n"))
-      val totals = perKey.agg(sum(col("n")).as("child_rows"))
+      val totals =
+        perKey.agg(coalesce(sum(col("n")), lit(0L)).as("child_rows"))
       val orph = perKey
         .join(Tables.load(s, d, pt).select(col(pk).as("k")),
           Seq("k"), "left_anti")
@@ -238,7 +239,9 @@ object Profiling {
       orph.crossJoin(totals).select(
         lit(s"$ct.$ck->$pt.$pk").as("fk"), col("child_rows"),
         col("orphan_rows"), col("orphan_keys"),
-        round(col("orphan_rows").cast("double") / col("child_rows"), 9)
+        when(col("child_rows") === 0, lit(null).cast("double"))
+          .otherwise(
+            round(col("orphan_rows").cast("double") / col("child_rows"), 9))
           .as("orphan_share"))
     }.reduce(_ unionByName _)
 
@@ -257,8 +260,10 @@ object Profiling {
          |  CAST((SELECT count(*) FROM $ct) AS BIGINT) AS child_rows,
          |  CAST(coalesce(sum(n), 0) AS BIGINT) AS orphan_rows,
          |  count(*) AS orphan_keys,
-         |  round(CAST(coalesce(sum(n), 0) AS DOUBLE)
-         |        / (SELECT count(*) FROM $ct), 9) AS orphan_share
+         |  CASE WHEN (SELECT count(*) FROM $ct) = 0 THEN NULL
+         |       ELSE round(CAST(coalesce(sum(n), 0) AS DOUBLE)
+         |                  / (SELECT count(*) FROM $ct), 9) END
+         |    AS orphan_share
          |FROM (SELECT $ck AS k, count(*) AS n FROM $ct GROUP BY 1) c
          |WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.k)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")

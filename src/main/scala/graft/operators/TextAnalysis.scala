@@ -302,7 +302,7 @@ object TextAnalysis {
     * projection) → a pure per-row replace. Checkpoint-per-round with
     * immediate release, the iterative-operator lifecycle. */
   private[graft] def bpeMergeList(words: DataFrame, rounds: Int,
-                                  roundProbe: (Int, DataFrame) => Unit = (_, _) => ())
+                                  roundProbe: (Int, DataFrame, () => Long) => Unit = (_, _, _) => ())
       : Seq[(Int, String, String, Long)] = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -328,7 +328,7 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("wt"))
         .orderBy(col("wt").desc, col("a"), col("b"))
         .limit(1)
-      roundProbe(r, bestFrame)
+      roundProbe(r, bestFrame, () => 1L) // the argmax frame is ≤1 row by construction
       val best = bestFrame.as[(String, String, Long)].collect()
       if (best.isEmpty) done = true
       else {

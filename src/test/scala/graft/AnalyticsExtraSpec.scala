@@ -819,4 +819,56 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(a.forall(r => nodes.contains(r._2)))
     assert(a.map(_._2).distinct.size > 1)
   }
+
+  test("scd2Merge: hand fixture — close, insert, suppress no-op, new user, pass-through") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // dim: u1 has A[t0,t1) then open B[t1,·); u2 has open C[t0,·)
+    val dim = Seq(
+      (1L, "A", t(0), Option(t(1)), 1, 0),
+      (1L, "B", t(1), None: Option[java.sql.Timestamp], 2, 1),
+      (2L, "C", t(0), None: Option[java.sql.Timestamp], 1, 1))
+      .toDF("user_id", "state", "valid_from", "valid_to", "version", "is_current")
+    // batch: u1 gets a no-op B (suppressed) then C; u3 is brand new with
+    // a duplicate-state run (X, X collapse) then Y; u2 has no rows
+    val batch = Seq(
+      (1L, "B", t(2), 10L), (1L, "C", t(3), 11L),
+      (3L, "X", t(4), 12L), (3L, "X", t(5), 13L), (3L, "Y", t(6), 14L))
+      .toDF("user_id", "state", "ts", "event_id")
+    val got = EventAnalytics.scd2Merge(dim, batch)
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Int, Int)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, "A", t(0), Some(t(1)), 1, 0),
+      (1L, "B", t(1), Some(t(3)), 2, 0), // closed at the surviving C run
+      (1L, "C", t(3), None, 3, 1),
+      (2L, "C", t(0), None, 1, 1), // untouched pass-through
+      (3L, "X", t(4), Some(t(6)), 1, 0), // duplicate X collapsed to one run
+      (3L, "Y", t(6), None, 2, 1)))
+  }
+
+  test("scd2Merge: replay-idempotent, and the merge law holds on sf0.001") {
+    import org.apache.spark.sql.functions.{broadcast, expr, max => fmax}
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type").as("state"), col("ts"),
+        col("event_id"))
+    val cut = broadcast(ev.agg(fmax(col("ts")).as("mx"))
+      .select((col("mx") - expr("INTERVAL 7 DAYS")).as("c")))
+    val pre = ev.crossJoin(cut).where(col("ts") <= col("c"))
+      .select(col("user_id"), col("state"), col("ts"), col("event_id"))
+    val post = ev.crossJoin(cut).where(col("ts") > col("c"))
+      .select(col("user_id"), col("state"), col("ts"), col("event_id"))
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, String, java.sql.Timestamp,
+               Option[java.sql.Timestamp], Int, Int)] =
+      df.as[(Long, String, java.sql.Timestamp,
+             Option[java.sql.Timestamp], Int, Int)].collect().toSet
+    val once = EventAnalytics.scd2Merge(EventAnalytics.scd2Derive(pre), post)
+    val onceRows = rows(once)
+    // merge law: equals the from-scratch derivation over the whole stream
+    assert(onceRows === rows(EventAnalytics.scd2Derive(ev)))
+    // replay: applying the same batch to the merged result is a no-op
+    assert(rows(EventAnalytics.scd2Merge(once, post)) === onceRows)
+    // sanity: the batch actually inserted versions (the law isn't vacuous)
+    assert(rows(EventAnalytics.scd2Derive(pre)) !== onceRows)
+  }
 }

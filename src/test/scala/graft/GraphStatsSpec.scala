@@ -101,6 +101,57 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(scc === truth)
   }
 
+  test("citation_scc_all: hand fixture — two disjoint SCCs need two pivot extractions") {
+    // cycle a→b→c→a (with tail t→a and branch c→d) AND a disjoint
+    // 2-cycle x→y→x: trim keeps both cycles in the core, the first
+    // FW–BW extraction removes one, the second outer iteration must
+    // find the other — exercising the iterated-pivot path. t and d
+    // peel as singletons.
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("t", "a"), ("c", "d"),
+      ("x", "y"), ("y", "x"), ("a", "b")).toDF("src", "dst")
+    val got = Citations.sccAll(e).as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "a", 3L), ("b", "a", 3L), ("c", "a", 3L),
+      ("x", "x", 2L), ("y", "x", 2L),
+      ("t", "t", 1L), ("d", "d", 1L)))
+  }
+
+  test("citation_scc_all: corpus labels partition the nodes; giant matches FW–BW truth on sf0.001") {
+    val rows = Citations.sccAll(Citations.edges(spark, sf))
+      .as[(String, String, Long)].collect()
+    val edges = Citations.edges(spark, sf)
+      .as[(String, String)].collect().filter(e => e._1 != e._2)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    // one row per node, sizes consistent with the label groups
+    assert(rows.length === nodes.size)
+    assert(rows.map(_._1).toSet === nodes)
+    val byScc = rows.groupBy(_._2)
+    byScc.foreach { case (scc, members) =>
+      assert(members.forall(_._3 == members.length.toLong),
+        s"scc_size inconsistent for $scc")
+      assert(members.map(_._1).min === scc, s"label not the min member for $scc")
+    }
+    // the non-trivial component equals the in-memory mutual-reachability
+    // truth from the max-in-degree pivot; everything else is a singleton
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val radj = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    def reach(start: String, g: Map[String, Set[String]]): Set[String] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(g.getOrElse(_, Set.empty)) -- seen
+        seen ++= nxt; frontier = nxt
+      }
+      seen
+    }
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val pivot = indeg.toSeq.sortBy { case (id, d) => (-d, id) }.head._1
+    val truth = reach(pivot, adj) intersect reach(pivot, radj)
+    val nontrivial = byScc.filter(_._2.length > 1)
+    assert(nontrivial.keySet === Set(truth.min))
+    assert(nontrivial(truth.min).map(_._1).toSet === truth)
+    assert(byScc.count(_._2.length == 1) === nodes.size - truth.size)
+  }
+
   test("profile_entropy: bounds hold; uniform-limit and a recomputed column agree") {
     val rows = Profiling.profileEntropy(spark, sf)
       .as[(String, Long, Long, Double)].collect().sortBy(_._1)

@@ -31,13 +31,17 @@ class IterativePlanSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
-  private def capture(run: ((Int, DataFrame) => Unit) => DataFrame): Map[Int, String] = {
+  private def capture(run: ((Int, DataFrame, () => Long) => Unit) => DataFrame): Map[Int, String] = {
     val plans = scala.collection.mutable.Map[Int, String]()
-    // building the executedPlan only plans (no job); rounds 1 and 2 are
+    // sparkPlan is the STATIC physical plan — stable whether or not the
+    // operator's own checkpoint has already executed the round (the
+    // probe now fires post-cut; executedPlan would print final+initial
+    // AQE sections and double-count every join). Rounds 1 and 2 are
     // captured — round 1's inputs are the initial checkpointed scans,
-    // round 2's carry the previous round's scalar folds
-    run((i, df) =>
-      if (i <= 2) plans(i) = df.queryExecution.executedPlan.toString)
+    // round 2's carry the previous round's scalar folds. The count thunk
+    // is never invoked: plan capture must stay job-free.
+    run((i, df, _) =>
+      if (i <= 2) plans(i) = df.queryExecution.sparkPlan.toString)
     plans.toMap
   }
 
@@ -139,7 +143,7 @@ class IterativePlanSpec extends AnyFunSuite {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     val plans = scala.collection.mutable.Map[Int, String]()
     graft.operators.TextAnalysis.bpeMergeList(words, rounds = 2,
-      roundProbe = (r, df) =>
+      roundProbe = (r, df, _) =>
         if (r <= 2) plans(r) = df.queryExecution.executedPlan.toString)
     Seq(1, 2).foreach { r =>
       val plan = plans(r)

@@ -115,7 +115,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // profile_integrity: per FK edge, the two 1-row audit aggregates
     // (orphan totals, child totals) fold together — the fact side
     // collapsed to per-key counts before any of this
-    "profile_integrity"
+    "profile_integrity",
+    // citation_scc_all: the per-extracted-SCC 1-row (min member, size)
+    // canonical-label aggregate — the q6 scalar shape; the traversal
+    // itself is behind checkpoint cuts
+    "citation_scc_all",
+    // events_scd2_merge: the 1-row max-ts split anchor (the
+    // events_survival cutoff shape)
+    "events_scd2_merge"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -215,6 +222,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "orders_pareto",
     // events_survival: the 1-row observation-cutoff date folded onto
     // every user (the orders_rfm anchor shape)
-    "events_survival"
+    "events_survival",
+    // citation_scc_all: each extracted SCC's 1-row (min member id,
+    // size) frame nested-loop-folded onto that SCC's member frame —
+    // the q6 scalar shape, one fold per extraction (≤ pivotRounds)
+    "citation_scc_all",
+    // events_scd2_merge: the 1-row max-ts split anchor nested-loop-
+    // folded onto the event stream (the events_survival cutoff shape)
+    "events_scd2_merge",
+    // profile_integrity: per FK edge, the two 1-row audit aggregates
+    // (orphan totals, child totals) fold together — the fact side
+    // collapsed to per-key counts before any of this
+    "profile_integrity"
   )
 }
