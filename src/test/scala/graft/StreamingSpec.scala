@@ -330,6 +330,65 @@ class StreamingSpec extends AnyFunSuite {
       "no user's taps spanned the split - state carry untested")
   }
 
+  test("streaming scd2 merge: folded dimension == batch derivation across 3 ordered batches") {
+    // three event-time-ORDERED micro-batches (tercile splits) — the
+    // scd2MergeStream ingest contract; each batch merge-applies into
+    // the persisted dimension, and the folded merge law says the final
+    // version equals the from-scratch batch derivation
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts: TIMESTAMP_NTZ micros
+    val cuts = raw.selectExpr(
+      "CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.33) AS LONG)",
+      "CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.66) AS LONG)")
+      .first()
+    val (c1, c2) = (cuts.getLong(0), cuts.getLong(1))
+    val dir = Files.createTempDirectory("graft-scd2-in").toFile.getAbsolutePath
+    def writePart(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-scd2-tmp").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"))
+      new File(s"$dir/$name").setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    val usCol = unix_micros(col("ts").cast("timestamp"))
+    writePart(raw.where(usCol < c1), "000.parquet", now - 120000)
+    writePart(raw.where(usCol >= c1 && usCol < c2), "001.parquet", now - 60000)
+    writePart(raw.where(usCol >= c2), "002.parquet", now)
+
+    val dimPath = Files.createTempDirectory("graft-scd2-dim").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toFile.getAbsolutePath
+    val q = EventStreams.scd2MergeStream(
+      EventStreams.readEvents(spark, dir, maxFilesPerTrigger = Some(1)),
+      dimPath, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    // one dimension version per micro-batch, monotonically numbered
+    val versions = new File(dimPath).listFiles()
+      .filter(_.getName.startsWith("dim_batch=")).map(_.getName).sorted
+    assert(versions.length === 3, s"expected 3 dim versions, got ${versions.toSeq}")
+
+    def rows(df: DataFrame) = df
+      .as[(Long, String, java.sql.Timestamp,
+           Option[java.sql.Timestamp], Int, Int)].collect().toSet
+    val streamed = rows(EventStreams.latestDim(spark, dimPath, Long.MaxValue))
+    val batch = rows(EventAnalytics.scd2Derive(
+      Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("event_type").as("state"), col("ts"),
+          col("event_id"))))
+    assert(streamed === batch)
+    // re-execution safety: batch 2 re-run against its input state (the
+    // batch-1 dimension) reproduces the SAME final dimension
+    val replayed = rows(EventAnalytics.scd2Merge(
+      EventStreams.latestDim(spark, dimPath, 2L),
+      spark.read.schema(EventStreams.eventsSchema).parquet(s"$dir/002.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("user_id"), col("event_type").as("state"), col("ts"),
+          col("event_id"))))
+    assert(replayed === batch)
+  }
+
   test("stream-stream attribution join: pair set == batch interval join") {
     val stream = runStream(
       EventStreams.attributionStream(events()), "s_attrib")
