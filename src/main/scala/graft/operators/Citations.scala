@@ -1171,6 +1171,13 @@ object Citations {
   def sccPivot(edges: DataFrame, rounds: Int = 16,
                roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val raw = edges.where(col("src") =!= col("dst"))
+    // traversal parallelism rides the INPUT's scan splits (the scale
+    // carrier: thousands at 100 TB), floored for local fan-out — NOT the
+    // session shuffle default: every per-round stage inherits this
+    // width via the pinned e2 side, and at sf0.1 the fixed per-task
+    // overhead of 32-way micro-tasks billed 3+ s/run over 8-way
+    // (measured 14.5 → 11.3 s median, identical results)
+    val parts = math.max(raw.rdd.getNumPartitions, 8)
     // F rows walk src→dst, B rows walk dst→src; one pinned partitioning
     // on the tagged probe key serves both directions every round, and
     // the (k, t) dedup runs inside that same exchange
@@ -1180,7 +1187,7 @@ object Citations {
       .unionByName(raw
         .select(concat(lit("B:"), col("dst")).as("k"),
           concat(lit("B:"), col("src")).as("t")))
-      .repartition(col("k"))
+      .repartition(parts, col("k"))
       .dropDuplicates("k", "t")
       .localCheckpoint()
     // pivot from the F-slice: t = "F:" ∥ dst, so groupBy(t) is the
@@ -1192,8 +1199,7 @@ object Citations {
     val seed = pivot
       .select(explode(array(concat(lit("F:"), col("id")),
         concat(lit("B:"), col("id")))).as("id")).localCheckpoint()
-    var cuts = List(seed)
-    var visited: DataFrame = seed
+    var visited = seed
     var frontier = seed
     var i = 0
     var done = false
@@ -1219,8 +1225,10 @@ object Citations {
         graft.Blocks.release(cutN)
         done = true
       } else {
-        cuts ::= cutN
-        visited = visited.union(cutN)
+        val grown = visited.union(cutN).localCheckpoint()
+        if (visited ne seed) graft.Blocks.release(visited)
+        if (frontier ne seed) graft.Blocks.release(frontier)
+        visited = grown
         frontier = cutN
       }
     }
@@ -1237,7 +1245,9 @@ object Citations {
       .select(col("id").as("paper_id"))
       .localCheckpoint()
     graft.Blocks.release(e2)
-    cuts.foreach(graft.Blocks.release)
+    if (visited ne seed) graft.Blocks.release(visited)
+    if (frontier ne seed) graft.Blocks.release(frontier)
+    graft.Blocks.release(seed)
     scc
   }
 
