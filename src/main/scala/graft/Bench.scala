@@ -117,6 +117,15 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // round-stamped copy so the full per-query history is COMMITTABLE —
+    // the headline BENCH_r{N} line truncates below ~0.7 s, so without
+    // this a sub-floor query could regress 5× across rounds invisibly
+    sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_DETAIL_r$r.json"),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
 
     // ONE compact JSON line on stdout, budgeted to survive a 2000-char
     // output tail (sbt appends a ~80-char success line after us): timings

@@ -97,7 +97,10 @@ object SparkEntry {
     // FW–BW pivot extraction; labels are canonical (min member id),
     // so the twin is the same bounded schedule in SQL
     "citation_scc_all" -> ((s, d) =>
-      Citations.sccAll(Citations.edges(s, d)))
+      Citations.sccAll(Citations.edges(s, d))),
+    // condensation DAG: the acyclic SCC quotient with edge multiplicities
+    "citation_scc_condensation" -> ((s, d) =>
+      Citations.sccCondensation(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -124,6 +127,7 @@ object SparkEntry {
     "citation_reciprocity" -> Citations.reciprocitySql,
     "citation_scc" -> Citations.sccPivotSql,
     "citation_scc_all" -> Citations.sccAllSql(),
+    "citation_scc_condensation" -> Citations.sccCondensationSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -194,6 +198,7 @@ object SparkEntry {
     "citation_reciprocity" -> Seq(col("m")),
     "citation_scc" -> Seq(col("paper_id")),
     "citation_scc_all" -> Seq(col("paper_id")),
+    "citation_scc_condensation" -> Seq(col("src_scc"), col("dst_scc")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),

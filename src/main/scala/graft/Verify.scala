@@ -62,11 +62,25 @@ object Verify {
     } + "\""
     // the dev-loop filter applies here too: a subset dump must not list
     // oracles it wrote no parquet for, or the companion oracle_check.py
-    // reports every filtered-out query as a spurious failure
-    val json = SparkEntry.oracleSql
+    // reports every filtered-out query as a spurious failure. But a
+    // subset dump into a dir that ALREADY holds a map MERGES into it
+    // (new entries win) — a shared outDir accumulates incremental dumps,
+    // and overwriting with the subset would orphan every other query's
+    // parquet at compare time.
+    val path = Paths.get(s"$outDir/oracle_sql.json")
+    val existing: Map[String, String] =
+      if (only.nonEmpty && Files.exists(path))
+        org.json4s.jackson.JsonMethods.parse(Files.readString(path)) match {
+          case org.json4s.JObject(fields) =>
+            fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+          case _ => Map.empty
+        }
+      else Map.empty
+    val merged = existing ++ SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(path, json)
     if (!preExisting) spark.stop()
   }
 }

@@ -1398,7 +1398,9 @@ object Citations {
     * union returns 6). Every set-union in this twin is therefore either
     * a genuinely recursive CTE (where UNION's fixpoint semantics are
     * correct) or an explicit `SELECT DISTINCT` over `UNION ALL`. */
-  def sccAllSql(trimRounds: Int = 10, pivotRounds: Int = 2): String = {
+  /** The CTE prefix shared by [[sccAllSql]] and [[sccCondensationSql]]:
+    * e0 / nodes / the unrolled trim-and-pivot iterations / insccs. */
+  private def sccAllCtes(trimRounds: Int, pivotRounds: Int): String = {
     def iteration(p: Int, inEdges: String): String = {
       val trims = (1 to trimRounds).map { t =>
         s"""t${p}_$t AS MATERIALIZED (
@@ -1438,13 +1440,58 @@ object Citations {
        |    SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
        |$iters,
        |insccs AS MATERIALIZED (
-       |  $memberSel)
+       |  $memberSel)""".stripMargin
+  }
+
+  def sccAllSql(trimRounds: Int = 10, pivotRounds: Int = 2): String =
+    s"""${sccAllCtes(trimRounds, pivotRounds)}
        |SELECT n.id AS paper_id,
        |       coalesce(s.scc_id, n.id) AS scc_id,
        |       CAST(coalesce(s.scc_size, 1) AS BIGINT) AS scc_size
        |FROM nodes n LEFT JOIN insccs s ON s.id = n.id
        |ORDER BY paper_id""".stripMargin
+
+  /** `citation_scc_condensation` (oracled): the condensation DAG — the
+    * graph OF the SCCs, each edge (src_scc, dst_scc) with its multiplicity
+    * of underlying distinct edges; intra-SCC edges vanish. This is the
+    * acyclic quotient every cycle-sensitive downstream pass (topological
+    * layering, longest-path dating, dependency levelling) actually wants
+    * to run on. By construction it contains no self-loops and — because
+    * SCCs are maximal — no cycles.
+    *
+    * Scale shape: two keyed joins decorate the edge frame with its
+    * endpoint labels (node-frame build sides, shuffle-partitioned), then
+    * one partial-aggregable count. The decomposition itself is
+    * [[sccAll]] (bounded trim + pivot extraction), reused verbatim. */
+  def sccCondensation(edges: DataFrame, trimRounds: Int = 10,
+                      pivotRounds: Int = 2): DataFrame = {
+    val labels = sccAll(edges, trimRounds, pivotRounds)
+      .select(col("paper_id"), col("scc_id")).localCheckpoint()
+    val e = edges.where(col("src") =!= col("dst")).distinct()
+    e.join(labels.select(col("paper_id").as("src"), col("scc_id").as("src_scc")),
+        Seq("src"))
+      .join(labels.select(col("paper_id").as("dst"), col("scc_id").as("dst_scc")),
+        Seq("dst"))
+      .where(col("src_scc") =!= col("dst_scc"))
+      .groupBy(col("src_scc"), col("dst_scc"))
+      .agg(count(lit(1)).as("n_edges"))
   }
+
+  /** DuckDB twin of [[sccCondensation]]: the [[sccAllSql]] CTE prefix,
+    * then the same two label joins + group. */
+  def sccCondensationSql(trimRounds: Int = 10, pivotRounds: Int = 2): String =
+    s"""${sccAllCtes(trimRounds, pivotRounds)},
+       |lab AS MATERIALIZED (
+       |  SELECT n.id, coalesce(s.scc_id, n.id) AS scc_id
+       |  FROM nodes n LEFT JOIN insccs s ON s.id = n.id)
+       |SELECT ls.scc_id AS src_scc, ld.scc_id AS dst_scc,
+       |       count(*) AS n_edges
+       |FROM e0
+       |JOIN lab ls ON ls.id = e0.src
+       |JOIN lab ld ON ld.id = e0.dst
+       |WHERE ls.scc_id <> ld.scc_id
+       |GROUP BY 1, 2
+       |ORDER BY src_scc, dst_scc""".stripMargin
 
   /** Label-propagation community detection (Raghavan et al. 2007),
     * synchronous flavor: every round each node adopts the label held by

@@ -152,6 +152,46 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(byScc.count(_._2.length == 1) === nodes.size - truth.size)
   }
 
+  test("citation_scc_condensation: hand fixture — intra edges vanish, multiplicities kept") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("t", "a"), ("c", "d"),
+      ("x", "y"), ("y", "x"), ("a", "b")).toDF("src", "dst")
+    val got = Citations.sccCondensation(e)
+      .as[(String, String, Long)].collect().toSet
+    // the a-b-c cycle and the x-y cycle collapse; t→a enters scc "a",
+    // c→d leaves it; the duplicate a→b is intra (and deduped anyway)
+    assert(got === Set(("t", "a", 1L), ("a", "d", 1L)))
+  }
+
+  test("citation_scc_condensation: corpus quotient is a simple DAG consistent with scc_all") {
+    val cond = Citations.sccCondensation(Citations.edges(spark, sf))
+      .as[(String, String, Long)].collect()
+    // no self-loops by construction
+    assert(cond.forall(e => e._1 != e._2))
+    // acyclic: DFS over the quotient finds no back edge
+    val adj = cond.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val color = scala.collection.mutable.Map[String, Int]() // 1=open 2=done
+    def cyclic(v: String): Boolean = color.getOrElse(v, 0) match {
+      case 1 => true
+      case 2 => false
+      case _ =>
+        color(v) = 1
+        val bad = adj.getOrElse(v, Set.empty).exists(cyclic)
+        color(v) = 2
+        bad
+    }
+    assert(!(adj.keySet.exists(cyclic)), "condensation has a cycle")
+    // multiplicities account for every distinct inter-SCC edge
+    val labels = Citations.sccAll(Citations.edges(spark, sf))
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val edges = Citations.edges(spark, sf).as[(String, String)].collect()
+      .filter(e => e._1 != e._2).distinct
+    val expect = edges.map(e => (labels(e._1), labels(e._2)))
+      .filter(p => p._1 != p._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(cond.map(e => (e._1, e._2) -> e._3).toMap === expect)
+  }
+
   test("profile_entropy: bounds hold; uniform-limit and a recomputed column agree") {
     val rows = Profiling.profileEntropy(spark, sf)
       .as[(String, Long, Long, Double)].collect().sortBy(_._1)
