@@ -32,6 +32,11 @@ def canon(df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # long sf0.1 gates run concurrently with Spark harnesses: allow
+    # capping the DuckDB thread pool (default: all cores)
+    t = os.environ.get("DUCKDB_THREADS")
+    if t:
+        con.execute(f"SET threads={int(t)}")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = os.path.join(sf_dir, f"{t}.parquet")

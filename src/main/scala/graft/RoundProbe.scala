@@ -30,6 +30,7 @@ object RoundProbe {
     }
     val out = op match {
       case "scc" => operators.Citations.sccPivot(e, roundProbe = probe)
+      case "sccall" => operators.Citations.sccAll(e, roundProbe = probe)
       case "components" => operators.Citations.components(e, roundProbe = probe)
       case "bfs" => operators.Citations.bfsPaths(e, roundProbe = probe)
       case "lpa" => operators.Citations.lpa(e, roundProbe = probe)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Citations, Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.operators.{Citations, Dedup, EventAnalytics, Multimodal, Pipeline, Profiling, Similarity, TextAnalysis}
 
 /** 10× scale soak for the SCALE-ADAPTIVE knobs — the regime the sf0.01 /
   * sf0.1 oracle gates never reach (round-7 verdict: "the knobs have never
@@ -86,6 +86,28 @@ object Soak {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       new java.io.File(s"$out/_OK2").createNewFile()
+    }
+    // ---- r11 fixture additions: event/relational tables at 10× ----------
+    // events: every event ×10 with distinct event_ids and the SAME ts
+    // (daily counts scale exactly ×10); lineitem: rows duplicated ×10
+    // (per-key counts ×10, key sets unchanged); dimension tables copied
+    // — so the (spark, dir) operators (trend, integrity, herdan over the
+    // doc fixture) run against the soak dir unmodified.
+    if (!new java.io.File(s"$out/_OK3").exists()) {
+      Tables.load(spark, base, "events")
+        .select(col("*"), explode(expr("sequence(0, 9)")).as("v"))
+        .select((col("event_id") * 10 + col("v")).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      Tables.load(spark, base, "lineitem")
+        .select(col("*"), explode(expr("sequence(0, 9)")).as("v")).drop("v")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      Seq("orders", "customer", "supplier", "part", "nation", "region")
+        .foreach(t => Tables.load(spark, base, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet"))
+      new java.io.File(s"$out/_OK3").createNewFile()
     }
     val nDocs = Tables.load(spark, out, "documents").count()
     val nVecs = Tables.load(spark, out, "embeddings").count()
@@ -561,6 +583,116 @@ object Soak {
         rcp10._3 == rcpBase._3,
       f"m ${rcp10._1} == 10 × ${rcpBase._1}, reciprocated ${rcp10._2} == " +
         f"10 × ${rcpBase._2}, ratio ${rcp10._3}%.6f invariant (${tRcp}%.1f s)")
+
+    // ---- r11 additions: trend / integrity / herdan / scd2 at 10× ---------
+    // events_trend: daily counts ×10 ⇒ slope and intercept scale ×10
+    // (the x-moments and n_days are invariant); totals scale exactly
+    val trB = EventAnalytics.eventsTrend(spark, base)
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    val (tr10, tTr) = timed(EventAnalytics.eventsTrend(spark, out)
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1))
+    val trOk = trB.nonEmpty && trB.length == tr10.length &&
+      trB.zip(tr10).forall {
+        case ((t, nB, totB, sB, iB), (t10, n10, tot10, s10, i10)) =>
+          t == t10 && n10 == nB && tot10 == 10 * totB &&
+            sB.zip(s10).forall { case (a, b) => math.abs(b - 10 * a) <= 2e-8 } &&
+            sB.isDefined == s10.isDefined &&
+            iB.zip(i10).forall { case (a, b) => math.abs(b - 10 * a) <= 2e-5 } &&
+            iB.isDefined == i10.isDefined
+      }
+    check("trend_10x", trOk,
+      f"${tr10.length} types: n_days invariant, totals ×10, slope/intercept " +
+        f"×10 on their grids (${tTr}%.1f s)")
+
+    // profile_integrity: lineitem-child edges scale child/orphan ROWS ×10
+    // with orphan KEY sets unchanged; orphan_share is bit-identical
+    // ((10a)/(10b) is the same correctly-rounded IEEE quotient); all
+    // non-lineitem edges are untouched copies
+    val inB = Profiling.profileIntegrity(spark, base)
+      .as[(String, Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    val (in10, tIn) = timed(Profiling.profileIntegrity(spark, out)
+      .as[(String, Long, Long, Long, Option[Double])].collect().sortBy(_._1))
+    val inOk = inB.length == 7 && in10.length == 7 &&
+      inB.zip(in10).forall {
+        case ((fk, crB, orB, okB, shB), (fk10, cr10, or10, ok10, sh10)) =>
+          val m = if (fk.startsWith("lineitem")) 10L else 1L
+          fk == fk10 && cr10 == m * crB && or10 == m * orB &&
+            ok10 == okB && sh10 == shB
+      }
+    check("integrity_10x", inOk,
+      f"7 FK edges: lineitem children ×10, orphan keys + shares invariant (${tIn}%.1f s)")
+
+    // token_herdan: every variant doc contributes the SAME (ln tokens,
+    // ln types) point as its base (word suffixing is a bijection), so
+    // n_docs ×10 and β/ln_k/r² are invariant (both OLS moments scale
+    // ×100; one 6-dp grid step of tolerance for the double ulp)
+    val hB = TextAnalysis.tokenHerdan(spark, base)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    val (h10, tH) = timed(TextAnalysis.tokenHerdan(spark, out)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1))
+    def near6(a: Option[Double], b: Option[Double]): Boolean =
+      a.isDefined == b.isDefined &&
+        a.zip(b).forall { case (x, y) => math.abs(x - y) <= 1.000001e-6 }
+    val hOk = hB.nonEmpty && hB.length == h10.length &&
+      hB.zip(h10).forall {
+        case ((l, nB, bB, kB, rB), (l10, n10, b10, k10, r10)) =>
+          l == l10 && n10 == 10 * nB && near6(bB, b10) && near6(kB, k10) &&
+            near6(rB, r10)
+      }
+    check("herdan_10x", hOk,
+      f"${h10.length} langs: n_docs ×10, β/ln_k/r² invariant (${tH}%.1f s)")
+
+    // events_scd2: a ×10 user bijection (user 10u+v, event 10e+v keeps
+    // the per-user (ts, event_id) order) must produce exactly 10
+    // disjoint copies of every base history row — run-count bijection —
+    // and the merge law must hold at 10×
+    val evSc = Tables.load(spark, base, "events")
+      .select(col("user_id"), col("event_type").as("state"), col("ts"),
+        col("event_id"))
+    val ev10 = evSc
+      .select(col("*"), explode(expr("sequence(0, 9)")).as("v"))
+      .select((col("user_id") * 10 + col("v")).as("user_id"), col("state"),
+        col("ts"), (col("event_id") * 10 + col("v")).as("event_id"))
+      .localCheckpoint()
+    val dB = EventAnalytics.scd2Derive(evSc)
+    val (d10, tS2) = timed {
+      val d = EventAnalytics.scd2Derive(ev10).localCheckpoint()
+      d.count(); d
+    }
+    val mapped = d10.select(expr("user_id div 10").as("user_id"),
+      col("state"), col("valid_from"), col("valid_to"), col("version"),
+      col("is_current"))
+    val grouped = mapped.groupBy("user_id", "state", "valid_from",
+      "valid_to", "version", "is_current").count().localCheckpoint()
+    val notTen = grouped.where(col("count") =!= 10).count()
+    val sExtra = grouped.drop("count").exceptAll(dB).count()
+    val sMissing = dB.exceptAll(grouped.drop("count")).count()
+    check("scd2_bijection_10x", notTen == 0 && sExtra == 0 && sMissing == 0,
+      f"every base history row appears exactly 10× under the user " +
+        f"bijection (notTen=$notTen extra=$sExtra missing=$sMissing, ${tS2}%.1f s)")
+    val cutS = broadcast(ev10.agg(max(col("ts")).as("mx"))
+      .select((col("mx") - expr("INTERVAL 7 DAYS")).as("c")))
+    val preS = ev10.crossJoin(cutS).where(col("ts") <= col("c"))
+      .select(col("user_id"), col("state"), col("ts"), col("event_id"))
+    val postS = ev10.crossJoin(cutS).where(col("ts") > col("c"))
+      .select(col("user_id"), col("state"), col("ts"), col("event_id"))
+    val (mergeDiff, tML) = timed {
+      val merged = EventAnalytics
+        .scd2Merge(EventAnalytics.scd2Derive(preS), postS).localCheckpoint()
+      merged.count()
+      val dAll = d10
+      merged.exceptAll(dAll).count() + dAll.exceptAll(merged).count()
+    }
+    check("scd2_merge_law_10x", mergeDiff == 0,
+      f"merge(derive(prefix), suffix) == derive(whole) at 10× " +
+        f"(symmetric diff $mergeDiff, ${tML}%.1f s)")
+    graft.Blocks.release(ev10)
+    graft.Blocks.release(d10)
+    graft.Blocks.release(grouped)
 
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

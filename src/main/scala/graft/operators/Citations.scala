@@ -1315,8 +1315,12 @@ object Citations {
     * closure runs on the small cyclic core. */
   def sccAll(edges: DataFrame, trimRounds: Int = 10, pivotRounds: Int = 2,
              roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
+    // same width rule as sccPivot: ride the input's scan splits, not the
+    // session shuffle default — per-trim-round stages are overhead-bound
+    // at sf0.1
+    val parts = math.max(edges.rdd.getNumPartitions, 8)
     val e0 = edges.where(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint()
+      .repartition(parts, col("src")).localCheckpoint()
     val nodes = e0.select(col("src").as("id"))
       .unionByName(e0.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
