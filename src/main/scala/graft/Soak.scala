@@ -694,6 +694,40 @@ object Soak {
     graft.Blocks.release(d10)
     graft.Blocks.release(grouped)
 
+    // profile_benford: orders ×10 (same totalprice per copy) ⇒ digit
+    // counts ×10; share is bit-identical ((10n)/(10T) is the same
+    // correctly-rounded IEEE quotient, the integrity_10x argument) and
+    // benford_share depends only on the digit
+    val oBase = Tables.load(spark, base, "orders")
+    val o10 = oBase.select(col("o_totalprice"),
+      explode(expr("sequence(0, 9)")).as("v")).drop("v")
+    val bfB = Profiling.profileBenfordFrom(oBase)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    val (bf10, tBf) = timed(Profiling.profileBenfordFrom(o10)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1))
+    val bfOk = bfB.nonEmpty && bfB.length == bf10.length &&
+      bfB.zip(bf10).forall { case ((d, n, sh, e), (d2, n2, sh2, e2)) =>
+        d == d2 && n2 == 10 * n && sh2 == sh && e2 == e }
+    check("benford_10x", bfOk,
+      f"${bfB.length} digits: counts ×10, shares bit-identical (${tBf}%.1f s)")
+
+    // events_concurrency: the ×10 event fixture duplicates events at the
+    // SAME (user, ts), so gap-sessions — and therefore the session-overlap
+    // profile — are INVARIANT: exact set equality against the base run
+    val ccB = EventAnalytics.eventsConcurrencyFrom(
+      Tables.load(spark, base, "events"))
+    val (cc10, tCv) = timed {
+      val c = EventAnalytics.eventsConcurrencyFrom(
+        Tables.load(spark, out, "events")).localCheckpoint()
+      c.count(); c
+    }
+    val ccExtra = cc10.exceptAll(ccB).count()
+    val ccMissing = ccB.exceptAll(cc10).count()
+    check("concurrency_10x", ccExtra == 0 && ccMissing == 0,
+      f"session overlap profile invariant under ×10 event duplication " +
+        f"(extra=$ccExtra missing=$ccMissing, ${tCv}%.1f s)")
+    graft.Blocks.release(cc10)
+
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "08")

@@ -201,6 +201,7 @@ object SparkEntry {
     "citation_scc_condensation" -> Seq(col("src_scc"), col("dst_scc")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
+    "events_concurrency" -> Seq(col("user_id"), col("session_start")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
     "q5_region_revenue" -> Seq(col("revenue").desc, col("n_name")),
     "join_broadcast_region" -> Seq(col("r_name")),

@@ -748,6 +748,72 @@ object EventAnalytics {
       |GROUP BY s.user_id, s.session_start, s.n_events
       |ORDER BY s.user_id, s.session_start""".stripMargin
 
+  /** `events_concurrency` (oracled): per-session concurrency — for each
+    * session, how many sessions (any user, itself included) were active
+    * at its start instant (t.start ≤ s.start < t.end). The load-profile
+    * question every capacity plan asks, and the canonical interval
+    * OVERLAP join with NO equi key — the case [[joinRangeFrom]]'s doc
+    * defers to "bucketing both sides by coarse time grain": this is that
+    * scale path made concrete.
+    *
+    * Scale shape: a naive inequality self-join is a BNLJ cartesian (the
+    * plan-audit ban). Instead, candidates meet on an INTEGER hour bucket
+    * — the probe side keys by bucket(s.start) (one row per session), the
+    * build side explodes each session into the hour buckets it spans
+    * (fan-out = ceil(duration/1h), bounded by the 30-min session gap +
+    * data horizon, never corpus-sized) — then the exact predicate
+    * decides. Each overlapping pair meets EXACTLY once (t overlaps
+    * s.start ⟹ t spans bucket(s.start), and the build side lists each
+    * of t's buckets once), so no dedup pass is needed. Buckets are
+    * integer `div` on epoch seconds — exact, no float-floor boundary
+    * flips. One hash join + one partial-aggregable count; the only
+    * corpus-sized exchanges are the sessionization and the bucket join.
+    * The DuckDB twin states the same semantics as the direct inequality
+    * join (its IEJoin), so the bucketing itself is oracle-audited. */
+  def eventsConcurrencyFrom(events: DataFrame): DataFrame = {
+    val sess = sessionizeFrom(events)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+      .localCheckpoint() // probe + build sides: sessionize once, not twice
+    val probe = sess.select(col("user_id"), col("session_start"),
+      expr("unix_timestamp(session_start) div 3600").as("bkt"))
+    val build = sess.select(
+      col("session_start").as("t_start"), col("session_end").as("t_end"),
+      explode(expr(
+        """sequence(unix_timestamp(session_start) div 3600,
+          |         (unix_timestamp(session_end) - 1) div 3600)""".stripMargin))
+        .as("bkt"))
+    probe.join(build, Seq("bkt"))
+      .where(col("t_start") <= col("session_start")
+        && col("session_start") < col("t_end"))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(count(lit(1)).as("n_concurrent"))
+  }
+
+  def eventsConcurrency(s: SparkSession, d: String): DataFrame =
+    eventsConcurrencyFrom(Tables.load(s, d, "events"))
+
+  val eventsConcurrencySql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, min(ts) AS session_start,
+      |         max(ts) + INTERVAL 30 MINUTE AS session_end
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT s.user_id, s.session_start, count(*) AS n_concurrent
+      |FROM sessions s JOIN sessions t
+      |  ON t.session_start <= s.session_start
+      | AND s.session_start < t.session_end
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Day-N retention cohorts: users grouped by their first-seen day, then
     * for each later active day the distinct-user count at that day
     * offset (0..7). Two shuffles — the per-user cohort aggregate and the
@@ -1182,6 +1248,7 @@ object EventAnalytics {
     "events_retention" -> (eventsRetention _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
+    "events_concurrency" -> (eventsConcurrency _),
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sliding_hour" -> (slidingHour _),
     "events_sessionize" -> (sessionize _),
@@ -1212,6 +1279,7 @@ object EventAnalytics {
     "events_retention" -> eventsRetentionSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
+    "events_concurrency" -> eventsConcurrencySql,
     "events_tumbling_hour" -> tumblingHourSql,
     "events_sliding_hour" -> slidingHourSql,
     "events_sessionize" -> sessionizeSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -268,7 +269,56 @@ object Profiling {
          |WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.k)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")
 
+  /** `profile_benford` (oracled): first-significant-digit distribution of
+    * `o_totalprice` against Benford's law — the classic fabricated-data /
+    * unit-mixing audit a profiling pass runs on any monetary column
+    * (naturally-grown multiplicative quantities follow P(d) = log10(1 +
+    * 1/d); synthetic or truncated ones don't, and TPC-H's uniform price
+    * model is exactly such a deviation this audit should SHOW).
+    *
+    * Determinism: the digit is the first character of the DECIMAL's
+    * integer part via exact integer/string ops (floor → BIGINT → string),
+    * never a float log10 whose epsilon could flip a power-of-ten
+    * boundary; totalprice ≥ 1 in this schema so the first char is the
+    * first significant digit. The expected share is ln((d+1)/d)/ln(10)
+    * composed identically in both engines (the ln-parity house rule),
+    * round(6) at the end.
+    *
+    * Scale shape: one partial-aggregable count whose key domain is ≤9 BY
+    * CONSTRUCTION; the share window runs over that ≤9-row aggregate (the
+    * [[graft.operators.TextAnalysis.docLengthHistogram]] shape), not the
+    * fact table. */
+  def profileBenfordFrom(orders: DataFrame): DataFrame = {
+    val g = orders
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    g.select(col("digit"), col("n_orders"),
+      round(col("n_orders").cast("double") /
+        sum(col("n_orders")).over(Window.partitionBy()), 6).as("share"),
+      round(log((col("digit").cast("double") + lit(1.0))
+        / col("digit").cast("double")) / log(lit(10.0)), 6)
+        .as("benford_share"))
+  }
+
+  def profileBenford(s: SparkSession, d: String): DataFrame =
+    profileBenfordFrom(Tables.load(s, d, "orders"))
+
+  val profileBenfordSql: String =
+    """WITH g AS (
+      |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |                             AS VARCHAR), 1, 1) AS INT) AS digit,
+      |         count(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT digit, n_orders,
+      |       round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6)
+      |         AS share,
+      |       round(ln((CAST(digit AS DOUBLE) + 1.0) / CAST(digit AS DOUBLE))
+      |             / ln(10.0), 6) AS benford_share
+      |FROM g ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_benford" -> (profileBenford _),
     "profile_integrity" -> (profileIntegrity _),
     "profile_orders" -> (profileOrders _),
     "profile_documents" -> (profileDocuments _),
@@ -278,6 +328,7 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_benford" -> profileBenfordSql,
     "profile_integrity" -> profileIntegritySql,
     "profile_orders" -> profileOrdersSql,
     "profile_documents" -> profileDocumentsSql,
@@ -287,6 +338,7 @@ object Profiling {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "profile_benford" -> Seq(col("digit")),
     "profile_integrity" -> Seq(col("fk")),
     "profile_orders" -> Seq(col("col_name")),
     "profile_documents" -> Seq(col("col_name")),

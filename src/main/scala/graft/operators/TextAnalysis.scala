@@ -1418,6 +1418,103 @@ object TextAnalysis {
       |FROM dbk JOIN logp USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `quality_kneser_ney` (oracled): per-doc mean log-probability under
+    * an interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    * Goodman 1998's interpolated form) fit on the corpus itself — the
+    * production-grade upgrade of [[qualityBigramLogprob]]'s Laplace
+    * smoothing. With absolute discount D = 0.75:
+    *
+    *   P_KN(w|v) = (max(c(v,w) − D, 0) + D·N1+(v·)·P_cont(w)) / c(v·)
+    *   P_cont(w) = N1+(·w) / N1+(··)
+    *
+    * where N1+(v·) = distinct continuations of v, N1+(·w) = distinct
+    * predecessors of w (the "how many contexts has w completed" novelty
+    * count that makes KN famous — "san francisco" inflates c(francisco)
+    * but not N1+(·francisco)), N1+(··) = distinct bigram types. Every
+    * bigram scored is observed in the fit corpus, so c(v·) > 0 and
+    * P_KN > 0 — no OOV branch, same as the Laplace twin.
+    *
+    * Float discipline ([[qualityBigramLogprob]]'s exactly): all counts
+    * are exact integers; P_KN composes them through ONE shared
+    * parenthesization — (greatest(c−D, 0) + (D·n1f)·(n1b/n1t)) / cv —
+    * written identically in both engines (IEEE ops are deterministic
+    * given identical operation order), then ln + round(9) → the per-doc
+    * sum runs in DECIMAL(18,9) (exact, order-free), one /n + round(6)
+    * at the end.
+    *
+    * Scale shape: ONE corpus scan feeds (doc, bigram) counts; the bigram
+    * table, prefix totals/fan-outs (v), and continuation fan-ins (w) all
+    * re-aggregate from it hash-partitioned on their keys; N1+(··) is a
+    * 1-row broadcast. Identical exchange graph to the Laplace twin plus
+    * one more keyed join — nothing corpus-sized funnels anywhere. */
+  def qualityKneserNey(s: SparkSession, d: String): DataFrame = {
+    val db = Tables.load(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |                 i -> concat_ws(' ', slice(ws, i, 2)))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin)).as("bg"))
+    val dbk = db.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    val big = dbk.groupBy(col("bg")).agg(sum(col("k")).as("cvw"))
+    val pre = big
+      .groupBy(expr("split(bg, ' ')[0]").as("v"))
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1f"))
+    val cont = big
+      .groupBy(expr("split(bg, ' ')[1]").as("w"))
+      .agg(count(lit(1)).as("n1b"))
+    val types = big.agg(count(lit(1)).as("n1t"))
+    val logp = big
+      .withColumn("v", expr("split(bg, ' ')[0]"))
+      .withColumn("w", expr("split(bg, ' ')[1]"))
+      .join(pre, Seq("v")).join(cont, Seq("w"))
+      .crossJoin(broadcast(types))
+      .select(col("bg"),
+        round(log(
+          (greatest(col("cvw").cast("double") - lit(0.75), lit(0.0))
+            + (lit(0.75) * col("n1f").cast("double"))
+              * (col("n1b").cast("double") / col("n1t").cast("double")))
+            / col("cv").cast("double")), 9)
+          .cast("decimal(18,9)").as("logp"))
+    dbk.join(logp, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k").cast("decimal(18,0)") * col("logp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("kn_per_bigram"))
+  }
+
+  val qualityKneserNeySql: String =
+    """WITH db AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |dbk AS (SELECT doc_id, bg, count(*) AS k FROM db GROUP BY 1, 2),
+      |big AS (SELECT bg, CAST(sum(k) AS BIGINT) AS cvw FROM dbk GROUP BY 1),
+      |pre AS (SELECT string_split(bg, ' ')[1] AS v,
+      |               CAST(sum(cvw) AS BIGINT) AS cv, count(*) AS n1f
+      |        FROM big GROUP BY 1),
+      |cont AS (SELECT string_split(bg, ' ')[2] AS w, count(*) AS n1b
+      |         FROM big GROUP BY 1),
+      |types AS (SELECT count(*) AS n1t FROM big),
+      |logp AS (
+      |  SELECT bg,
+      |    CAST(round(ln(
+      |      (greatest(CAST(cvw AS DOUBLE) - 0.75, 0.0)
+      |        + (0.75 * CAST(n1f AS DOUBLE))
+      |          * (CAST(n1b AS DOUBLE) / CAST(n1t AS DOUBLE)))
+      |        / CAST(cv AS DOUBLE)), 9) AS DECIMAL(18,9)) AS logp
+      |  FROM big
+      |  JOIN pre ON string_split(big.bg, ' ')[1] = pre.v
+      |  JOIN cont ON string_split(big.bg, ' ')[2] = cont.w, types)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |       round(CAST(sum(CAST(k AS DECIMAL(18,0)) * logp) AS DOUBLE)
+      |             / CAST(sum(k) AS DOUBLE), 6) AS kn_per_bigram
+      |FROM dbk JOIN logp USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qualityUnigramLogprobSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1940,7 +2037,8 @@ object TextAnalysis {
     "doc_winnowing_pairs" -> ((s, d) => docWinnowingPairs(s, d)),
     "doc_length_histogram" -> (docLengthHistogram _),
     "quality_unigram_logprob" -> (qualityUnigramLogprob _),
-    "quality_bigram_logprob" -> (qualityBigramLogprob _)
+    "quality_bigram_logprob" -> (qualityBigramLogprob _),
+    "quality_kneser_ney" -> (qualityKneserNey _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1976,7 +2074,8 @@ object TextAnalysis {
     "doc_winnowing_pairs" -> docWinnowingPairsSql,
     "doc_length_histogram" -> docLengthHistogramSql,
     "quality_unigram_logprob" -> qualityUnigramLogprobSql,
-    "quality_bigram_logprob" -> qualityBigramLogprobSql
+    "quality_bigram_logprob" -> qualityBigramLogprobSql,
+    "quality_kneser_ney" -> qualityKneserNeySql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -2008,6 +2107,7 @@ object TextAnalysis {
     "doc_winnowing_pairs" -> Seq(col("doc_a"), col("doc_b")),
     "doc_length_histogram" -> Seq(col("bucket")),
     "quality_unigram_logprob" -> Seq(col("doc_id")),
-    "quality_bigram_logprob" -> Seq(col("doc_id"))
+    "quality_bigram_logprob" -> Seq(col("doc_id")),
+    "quality_kneser_ney" -> Seq(col("doc_id"))
   )
 }

@@ -871,4 +871,74 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     // sanity: the batch actually inserted versions (the law isn't vacuous)
     assert(rows(EventAnalytics.scd2Derive(pre)) !== onceRows)
   }
+
+  test("events_concurrency: bucket join equals the brute-force overlap count") {
+    val sessions = EventAnalytics.sessionize(spark, sf)
+      .selectExpr("user_id", "session_start", "session_end")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val expect = sessions.map { case (u, s, _) =>
+      (u, s, sessions.count { case (_, ts, te) =>
+        !ts.after(s) && s.before(te) }.toLong)
+    }.toSet
+    val got = EventAnalytics.eventsConcurrency(spark, sf)
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got === expect)
+    // every session overlaps itself, so counts are >= 1 and the operator
+    // emits one row per session (the bucket join neither drops nor dupes)
+    assert(got.size === sessions.length)
+    assert(got.forall(_._3 >= 1L))
+    // the fixture actually exercises cross-session overlap
+    assert(got.exists(_._3 > 1L), "no overlapping sessions in fixture")
+  }
+
+  test("quality_kneser_ney: brute-force interpolated-KN recompute at sf0.001") {
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .as[(Long, Seq[String])].collect()
+    val docBigrams = docs.map { case (id, ws) =>
+      id -> ws.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    }.filter(_._2.nonEmpty)
+    val cvw = docBigrams.flatMap(_._2).groupBy(identity).map { case (b, xs) =>
+      b -> xs.length.toLong }
+    val cv = cvw.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1f = cvw.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1b = cvw.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val n1t = cvw.size.toDouble
+    def r(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val logp = cvw.map { case (bg @ (v, w), c) =>
+      val p = (math.max(c.toDouble - 0.75, 0.0) +
+        (0.75 * n1f(v).toDouble) * (n1b(w).toDouble / n1t)) / cv(v).toDouble
+      bg -> r(math.log(p), 9)
+    }
+    val expect = docBigrams.map { case (id, bgs) =>
+      val n = bgs.length.toLong
+      val s = bgs.map(logp).sum // exact decimal sum, the operator's order-free discipline
+      (id, n, r(s.toDouble / n.toDouble, 6).toDouble)
+    }.toSet
+    val got = TextAnalysis.qualityKneserNey(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expect)
+    // probabilities are proper: every per-doc mean log-prob is negative
+    assert(got.forall(_._3 < 0.0))
+  }
+
+  test("profile_benford: digit counts partition orders; expected shares pinned") {
+    val got = Profiling.profileBenford(spark, sf)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    val prices = Tables.load(spark, sf, "orders")
+      .selectExpr("CAST(floor(o_totalprice) AS BIGINT) AS p")
+      .as[Long].collect()
+    assert(got.map(_._2).sum === prices.length.toLong)
+    val expectCounts = prices.map(_.toString.head.asDigit)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    assert(got.map(t => t._1 -> t._2).toMap === expectCounts)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (d, n, share, benford) =>
+      assert(d >= 1 && d <= 9)
+      assert(share === r6(n.toDouble / prices.length))
+      assert(benford === r6(math.log((d + 1.0) / d) / math.log(10.0)))
+    }
+  }
 }

@@ -57,6 +57,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // quality_bigram_logprob: the 1-row vocabulary-size aggregate (the
     // quality_unigram_logprob corpus-total shape)
     "quality_bigram_logprob",
+    // quality_kneser_ney: the 1-row distinct-bigram-type aggregate
+    // N1+(··) (the quality_bigram_logprob vocabulary-size shape)
+    "quality_kneser_ney",
+    // profile_benford: the share window over the ≤9-row digit-domain
+    // aggregate (the doc_length_histogram bit-length-domain shape)
+    "profile_benford",
     // q19's 1-row global revenue aggregate; q22's 1-row exact-ingredient
     // average (both the q6 scalar-aggregate shape)
     "q19_discounted_revenue", "q22_lost_customers",
@@ -201,6 +207,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // quality_bigram_logprob: the 1-row vocabulary-size frame folded
     // onto every corpus bigram (the unigram corpus-total shape)
     "quality_bigram_logprob",
+    // quality_kneser_ney: the 1-row N1+(··) bigram-type-count frame
+    // folded onto every corpus bigram (the bigram vocabulary shape)
+    "quality_kneser_ney",
     // search_hybrid_rrf: inherits bm25's 1-row corpus-stats fold and
     // adds the dense leg's 1-row probe-vector frame (the ann_topk shape)
     "search_hybrid_rrf",
