@@ -202,6 +202,7 @@ object SparkEntry {
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "events_concurrency" -> Seq(col("user_id"), col("session_start")),
+    "events_forecast_backtest" -> Seq(col("event_type")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
     "q5_region_revenue" -> Seq(col("revenue").desc, col("n_name")),
     "join_broadcast_region" -> Seq(col("r_name")),

@@ -1099,6 +1099,105 @@ object EventAnalytics {
       |  END AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** `events_forecast_backtest` (oracled): holdout evaluation of the
+    * [[eventsTrend]] linear model — fit OLS per event_type on all daily
+    * counts up to (max day − 7), forecast the last 7 days, report MAPE.
+    * The backtest is the step monitoring pipelines actually run before
+    * trusting a trend extrapolation; a model is only as good as its
+    * holdout error.
+    *
+    * Determinism: the train moments are EXACT integer sums in
+    * DECIMAL(38,0) (the [[eventsTrend]] discipline — one double division
+    * each for slope/intercept, rounded to their output grids 9/6 dp);
+    * per-test-day absolute percentage errors compute from those ROUNDED
+    * coefficients with a shared parenthesization, round to the 9-dp
+    * DECIMAL grid, and sum exactly (order-free) before the final /n +
+    * round(6). y ≥ 1 on every test day (days exist only when events
+    * occurred), so APE never divides by zero.
+    *
+    * Scale shape: daily collapse is the one corpus-sized aggregate; the
+    * per-type model frame is ≤|event_types| rows (broadcast onto the
+    * ≤7·|types|-row test frame); the holdout cutoff is a 1-row max
+    * aggregate folded in (the events_survival anchor shape). */
+  def eventsForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(datediff(date_trunc("day", col("ts")),
+        lit("1970-01-01").cast("date")).as("x"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    val cut = daily.agg(max(col("x")).as("mx"))
+      .select((col("mx") - lit(7)).as("c"))
+    val split = daily.crossJoin(broadcast(cut))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = split.where(col("x") <= col("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train_days"), sum(col("y")).as("sy"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    val num = dec(col("n_train_days")) * col("sxy") - col("sx") * dec(col("sy"))
+    val den = dec(col("n_train_days")) * col("sxx") - col("sx") * col("sx")
+    val slopeRaw = num.cast("double") / den.cast("double")
+    // n_train_days < 2 ⇒ the OLS denominator is 0: drop the type rather
+    // than emit an engine-specific NaN/inf (the profile_integrity
+    // degenerate-input twin-contract rule) — a 1-day history has no trend
+    // to backtest
+    val model = m.where(col("n_train_days") >= lit(2))
+      .select(col("event_type"), col("n_train_days"),
+        round(slopeRaw, 9).as("slope"),
+        round((col("sy").cast("double") - slopeRaw * col("sx").cast("double")) /
+          col("n_train_days").cast("double"), 6).as("intercept"))
+    split.where(col("x") > col("c"))
+      .join(model, Seq("event_type"))
+      .select(col("event_type"), col("n_train_days"), col("slope"),
+        col("intercept"),
+        round(abs((col("intercept") + col("slope") * col("x").cast("double"))
+          - col("y").cast("double")) / col("y").cast("double"), 9)
+          .cast("decimal(18,9)").as("ape"))
+      .groupBy(col("event_type"), col("n_train_days"), col("slope"),
+        col("intercept"))
+      .agg(count(lit(1)).as("n_test_days"),
+        round(sum(col("ape")).cast("double") / count(lit(1)), 6).as("mape"))
+  }
+
+  val eventsForecastBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS x,
+      |         event_type, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |cut AS (SELECT max(x) - 7 AS c FROM daily),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_train_days, sum(y) AS sy,
+      |         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |         sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+      |         sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+      |  FROM daily, cut WHERE x <= c GROUP BY 1),
+      |model AS (
+      |  SELECT event_type, CAST(n_train_days AS BIGINT) AS n_train_days,
+      |    round(
+      |      CAST(CAST(n_train_days AS DECIMAL(38,0)) * sxy - sx * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+      |      / CAST(CAST(n_train_days AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE), 9)
+      |      AS slope,
+      |    round((CAST(sy AS DOUBLE) -
+      |      (CAST(CAST(n_train_days AS DECIMAL(38,0)) * sxy - sx * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+      |       / CAST(CAST(n_train_days AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n_train_days AS DOUBLE), 6) AS intercept
+      |  FROM m WHERE n_train_days >= 2),
+      |ape AS (
+      |  SELECT d.event_type, model.n_train_days, model.slope, model.intercept,
+      |         CAST(round(abs((model.intercept + model.slope * CAST(x AS DOUBLE))
+      |                        - CAST(y AS DOUBLE)) / CAST(y AS DOUBLE), 9)
+      |              AS DECIMAL(18,9)) AS ape
+      |  FROM daily d
+      |  CROSS JOIN cut
+      |  JOIN model ON model.event_type = d.event_type
+      |  WHERE d.x > cut.c)
+      |SELECT event_type, n_train_days, slope, intercept,
+      |       count(*) AS n_test_days,
+      |       round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape
+      |FROM ape
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY event_type""".stripMargin
+
   /** SCD type-2 dimension history from a change stream — the warehouse
     * pattern the relational family lacked: collapse each user's event
     * stream to its STATE CHANGES (runs of equal event_type), emit one
@@ -1249,6 +1348,7 @@ object EventAnalytics {
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "events_concurrency" -> (eventsConcurrency _),
+    "events_forecast_backtest" -> (eventsForecastBacktest _),
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sliding_hour" -> (slidingHour _),
     "events_sessionize" -> (sessionize _),
@@ -1280,6 +1380,7 @@ object EventAnalytics {
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "events_concurrency" -> eventsConcurrencySql,
+    "events_forecast_backtest" -> eventsForecastBacktestSql,
     "events_tumbling_hour" -> tumblingHourSql,
     "events_sliding_hour" -> slidingHourSql,
     "events_sessionize" -> sessionizeSql,

@@ -340,6 +340,62 @@ object Pipeline {
       |       CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
       |FROM n ORDER BY doc_id, epoch""".stripMargin
 
+  /** `mix_quota` (oracled): largest-remainder (Hamilton) apportionment of
+    * a fixed token budget across languages — the integer allocation step
+    * a data-mix recipe runs after [[mixTemperature]] picks the REAL
+    * proportions: every language gets floor(B·n/T) tokens, and the
+    * leftover B − Σfloor seats go to the largest fractional remainders
+    * (ties → lang asc, the O11 rule). Hamilton is the unique rule that
+    * never violates quota (each alloc is its ideal share floored or
+    * ceiled) and Σalloc = B EXACTLY — the invariant the spec asserts.
+    *
+    * Determinism: PURE integer arithmetic end to end — B·n is exact
+    * BIGINT (documented bound: B·T < 2^63), floor via integer division,
+    * remainder via mod — so both engines agree bit-for-bit with no float
+    * anywhere (unlike divisor methods, which need float priorities).
+    *
+    * Scale shape: the corpus collapses to ≤|langs| rows in ONE
+    * partial-aggregable token-count exchange; every window after that
+    * runs on the ≤|langs|-row frame (the doc_length_histogram bounded-
+    * domain shape). */
+  def mixQuota(s: SparkSession, d: String, budget: Long = 1000000L): DataFrame = {
+    val toks = Tables.load(s, d, "documents").where(col("lang").isNotNull)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+    val q = toks.withColumn("t_total", sum(col("n_tokens")).over(all))
+      .select(col("lang"), col("n_tokens"),
+        expr(s"($budget * n_tokens) div t_total").as("fl"),
+        expr(s"($budget * n_tokens) % t_total").as("rem"))
+    q.withColumn("leftover", lit(budget) - sum(col("fl")).over(all))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("lang").asc)))
+      .select(col("lang"), col("n_tokens"),
+        (col("fl") + when(col("rk") <= col("leftover"), lit(1L))
+          .otherwise(lit(0L))).as("alloc"))
+  }
+
+  val mixQuotaSql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM c),
+      |q AS (
+      |  SELECT lang, n_tokens,
+      |         CAST((1000000 * n_tokens) // t_total AS BIGINT) AS fl,
+      |         CAST((1000000 * n_tokens) % t_total AS BIGINT) AS rem
+      |  FROM c, t),
+      |r AS (
+      |  SELECT lang, n_tokens, fl,
+      |         1000000 - sum(fl) OVER () AS leftover,
+      |         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+      |  FROM q)
+      |SELECT lang, n_tokens,
+      |       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |         AS alloc
+      |FROM r ORDER BY lang""".stripMargin
+
   /** Deterministic global training order (the corpus shuffle every epoch
     * needs), WITHOUT the single-partition global window: the shuffle key
     * is md5(seed:doc_id), its first `bucketHexChars` hex digits are a
@@ -856,6 +912,7 @@ object Pipeline {
     "pack_batches" -> ((s, d) => packBatches(s, d)),
     "mix_epochs" -> (mixEpochs _),
     "mix_temperature" -> ((s, d) => mixTemperature(s, d)),
+    "mix_quota" -> ((s, d) => mixQuota(s, d)),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "pretrain_manifest" -> ((s, d) => pretrainManifest(s, d))
   )
@@ -873,6 +930,7 @@ object Pipeline {
     "pack_batches" -> packBatchesSql,
     "mix_epochs" -> mixEpochsSql,
     "mix_temperature" -> mixTemperatureSql,
+    "mix_quota" -> mixQuotaSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "pretrain_manifest" -> pretrainManifestSql
   )
@@ -890,6 +948,7 @@ object Pipeline {
     "pack_batches" -> Seq(col("doc_id")),
     "mix_epochs" -> Seq(col("doc_id"), col("epoch")),
     "mix_temperature" -> Seq(col("doc_id"), col("epoch")),
+    "mix_quota" -> Seq(col("lang")),
     "corpus_shuffle" -> Seq(col("doc_id")),
     "pretrain_manifest" -> Seq(col("doc_id"), col("epoch"))
   )

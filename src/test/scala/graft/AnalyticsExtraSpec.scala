@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.{col, sum => fsum}
 
-import graft.operators.{Citations, EventAnalytics, Profiling, TextAnalysis}
+import graft.operators.{Citations, EventAnalytics, Pipeline, Profiling, TextAnalysis}
 
 class AnalyticsExtraSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -921,6 +921,64 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(got === expect)
     // probabilities are proper: every per-doc mean log-prob is negative
     assert(got.forall(_._3 < 0.0))
+  }
+
+  test("events_forecast_backtest: brute-force OLS holdout recompute") {
+    val daily = Tables.load(spark, sf, "events")
+      .selectExpr("CAST(date_diff(date_trunc('day', ts), DATE '1970-01-01') AS LONG) AS x",
+        "event_type")
+      .groupBy("x", "event_type").count()
+      .as[(Long, String, Long)].collect()
+    val cut = daily.map(_._1).max - 7
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = daily.groupBy(_._2).flatMap { case (et, rows) =>
+      val train = rows.filter(_._1 <= cut)
+      val test = rows.filter(_._1 > cut)
+      if (train.length < 2 || test.isEmpty) None else {
+        val n = BigInt(train.length)
+        val sy = train.map(t => BigInt(t._3)).sum
+        val sx = train.map(t => BigInt(t._1)).sum
+        val sxx = train.map(t => BigInt(t._1) * BigInt(t._1)).sum
+        val sxy = train.map(t => BigInt(t._1) * BigInt(t._3)).sum
+        val slope = r(((n * sxy - sx * sy).toDouble) /
+          ((n * sxx - sx * sx).toDouble), 9)
+        val sRaw = ((n * sxy - sx * sy).toDouble) / ((n * sxx - sx * sx).toDouble)
+        val intercept = r((sy.toDouble - sRaw * sx.toDouble) / n.toDouble, 6)
+        val apes = test.map { case (x, _, y) =>
+          BigDecimal(r(math.abs((intercept + slope * x.toDouble) - y.toDouble)
+            / y.toDouble, 9))
+        }
+        Some((et, train.length.toLong, slope, intercept, test.length.toLong,
+          r(apes.sum.toDouble / test.length, 6)))
+      }
+    }.toSet
+    val got = EventAnalytics.eventsForecastBacktest(spark, sf)
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty && got.forall(_._5 <= 7L), "holdout wider than 7 days")
+  }
+
+  test("mix_quota: Hamilton apportionment — sum is exactly the budget, quota never violated") {
+    val got = Pipeline.mixQuota(spark, sf)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._3).sum === 1000000L)
+    val total = got.map(_._2).sum
+    // brute-force largest-remainder recompute
+    val fl = got.map { case (l, n, _) => (l, 1000000L * n / total,
+      1000000L * n % total) }
+    val leftover = 1000000L - fl.map(_._2).sum
+    val bump = fl.sortBy { case (l, _, rem) => (-rem, l) }
+      .take(leftover.toInt).map(_._1).toSet
+    val expect = fl.map { case (l, f, _) =>
+      (l, f + (if (bump(l)) 1L else 0L)) }.toMap
+    got.foreach { case (l, _, alloc) =>
+      assert(alloc === expect(l), s"lang $l")
+      // never-violates-quota: alloc is the ideal share floored or ceiled
+      val ideal = 1000000.0 * got.find(_._1 == l).get._2 / total
+      assert(alloc === math.floor(ideal).toLong ||
+        alloc === math.ceil(ideal).toLong)
+    }
   }
 
   test("profile_benford: digit counts partition orders; expected shares pinned") {

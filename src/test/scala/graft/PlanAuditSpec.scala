@@ -63,6 +63,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // profile_benford: the share window over the ≤9-row digit-domain
     // aggregate (the doc_length_histogram bit-length-domain shape)
     "profile_benford",
+    // events_forecast_backtest: the 1-row holdout-cutoff max aggregate
+    // (the events_survival anchor shape); the model frame is ≤|types|
+    "events_forecast_backtest",
+    // mix_quota: total/leftover/rank windows all run on the ≤|langs|-row
+    // token-count aggregate (the doc_length_histogram bounded-domain
+    // shape)
+    "mix_quota",
     // q19's 1-row global revenue aggregate; q22's 1-row exact-ingredient
     // average (both the q6 scalar-aggregate shape)
     "q19_discounted_revenue", "q22_lost_customers",
@@ -239,6 +246,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // events_scd2_merge: the 1-row max-ts split anchor nested-loop-
     // folded onto the event stream (the events_survival cutoff shape)
     "events_scd2_merge",
+    // events_forecast_backtest: the 1-row holdout-cutoff anchor nested-
+    // loop-folded onto the daily frame (the events_scd2_merge shape)
+    "events_forecast_backtest",
     // profile_integrity: per FK edge, the two 1-row audit aggregates
     // (orphan totals, child totals) fold together — the fact side
     // collapsed to per-key counts before any of this
