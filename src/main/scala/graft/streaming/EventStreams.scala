@@ -399,4 +399,109 @@ object EventStreams {
     else s.read.schema(scd2Schema)
       .parquet(dirs.maxBy(_._1)._2.getAbsolutePath)
   }
+
+  /** Persisted OLS moment schema for [[trendStream]]: the sufficient
+    * statistics of [[EventAnalytics.eventsTrend]]'s per-type fit, all
+    * exact integers (DECIMAL(38,0) for the products). */
+  val trendMomentsSchema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("n_days", LongType),
+    StructField("sy", LongType),
+    StructField("sx", DecimalType(38, 0)),
+    StructField("sxx", DecimalType(38, 0)),
+    StructField("sxy", DecimalType(38, 0))))
+
+  /** Incremental OLS trend — the streaming twin of
+    * [[EventAnalytics.eventsTrend]], built on the one algebraic fact the
+    * batch operator's decimal discipline already exploits: the fit is a
+    * function of five ADDITIVE integer moments (n, Σy, Σx, Σx², Σxy)
+    * over CLOSED days. Daily counts finalize through a watermarked
+    * 1-day tumbling window in APPEND mode — a day emits exactly once,
+    * when the watermark passes its end — so each micro-batch's
+    * contribution folds into the persisted moments by plain addition:
+    * no row is ever revised, no state beyond the open windows and the
+    * ≤|types|-row moment table. Slope/intercept recompute from the
+    * exact moments on read ([[trendFromMoments]]) with the identical
+    * one-division-per-coefficient expression, so stream and batch agree
+    * on the decimal grid whenever they have seen the same closed days.
+    *
+    * Re-execution safety: the [[scd2MergeStream]] versioned-sink
+    * discipline — batch B reads the newest moments version < B and
+    * OVERWRITES version B, so a replayed batch reproduces, not
+    * double-adds. Scale: per batch the work is O(batch) + a ≤|types|-row
+    * merge; the moment table never grows with stream length. */
+  def trendStream(events: DataFrame, momentsPath: String,
+                  checkpointDir: String,
+                  delay: String = DefaultDelay): StreamingQuery =
+    events.withWatermark("ts", delay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"),
+        col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("y"))
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.datediff(
+          col("window.start").cast("date"),
+          org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("y"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val inc = b.selectExpr("event_type", "1L AS n_days", "y AS sy",
+          "CAST(x AS DECIMAL(38,0)) AS sx",
+          "CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) AS sxx",
+          "CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) AS sxy")
+        val merged = latestMoments(s, momentsPath, batchId)
+          .unionByName(inc)
+          .groupBy(col("event_type"))
+          .agg(expr("CAST(sum(n_days) AS LONG) AS n_days"),
+            expr("CAST(sum(sy) AS LONG) AS sy"),
+            expr("CAST(sum(sx) AS DECIMAL(38,0)) AS sx"),
+            expr("CAST(sum(sxx) AS DECIMAL(38,0)) AS sxx"),
+            expr("CAST(sum(sxy) AS DECIMAL(38,0)) AS sxy"))
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$momentsPath/m_batch=$batchId")
+        graft.Blocks.release(b)
+        ()
+      }
+      .start()
+
+  /** The newest committed moments version strictly BEFORE `batchId`
+    * ([[trendStream]] re-execution safety); empty when none exists. */
+  private[graft] def latestMoments(s: SparkSession, momentsPath: String,
+                                   batchId: Long): DataFrame = {
+    val dirs = Option(new java.io.File(momentsPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("m_batch="))
+      .map(f => (f.getName.stripPrefix("m_batch=").toLong, f))
+      .filter(_._1 < batchId)
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], trendMomentsSchema)
+    else s.read.schema(trendMomentsSchema)
+      .parquet(dirs.maxBy(_._1)._2.getAbsolutePath)
+  }
+
+  /** [[EventAnalytics.eventsTrend]]'s output computed from the newest
+    * persisted [[trendStream]] moments — the serve path: identical
+    * slope/intercept expressions over the exact integer moments. */
+  def trendFromMoments(s: SparkSession, momentsPath: String): DataFrame = {
+    val m = latestMoments(s, momentsPath, Long.MaxValue)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val num = dec(col("n_days")) * col("sxy") - col("sx") * dec(col("sy"))
+    val den = dec(col("n_days")) * col("sxx") - col("sx") * col("sx")
+    val slope = num.cast("double") / den.cast("double")
+    m.select(col("event_type"), col("n_days"),
+      col("sy").cast("long").as("total"),
+      org.apache.spark.sql.functions.when(col("n_days") < 2,
+        org.apache.spark.sql.functions.lit(null).cast("double"))
+        .otherwise(org.apache.spark.sql.functions.round(slope, 9)).as("slope"),
+      org.apache.spark.sql.functions.when(col("n_days") < 2,
+        org.apache.spark.sql.functions.lit(null).cast("double"))
+        .otherwise(org.apache.spark.sql.functions.round(
+          (col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n_days").cast("double"), 6)).as("intercept"))
+  }
 }

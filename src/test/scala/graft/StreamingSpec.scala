@@ -389,6 +389,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed === batch)
   }
 
+  test("streaming trend: additive moment folds == batch OLS after the sentinel flush") {
+    // the sentinel micro-batch pushes the watermark past every real day,
+    // so every real (type, day) count appends exactly once and folds into
+    // the persisted moments; the sentinel's own day stays open and its
+    // type never reaches the moment table
+    val momentsPath = Files.createTempDirectory("graft-trend-m").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-trend-ckpt").toFile.getAbsolutePath
+    val q = EventStreams.trendStream(events(), momentsPath, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = EventStreams.trendFromMoments(spark, momentsPath)
+      .where(col("event_type") =!= "__sentinel")
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect().toSet
+    val batch = EventAnalytics.eventsTrend(spark, sf)
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // versioned moment store: one version per micro-batch (re-execution
+    // safety discipline) — at least the data batch and the flush batch
+    val versions = new File(momentsPath).listFiles()
+      .filter(_.getName.startsWith("m_batch=")).map(_.getName).sorted
+    assert(versions.length >= 2, s"expected >=2 moment versions, got ${versions.toSeq}")
+  }
+
   test("stream-stream attribution join: pair set == batch interval join") {
     val stream = runStream(
       EventStreams.attributionStream(events()), "s_attrib")
