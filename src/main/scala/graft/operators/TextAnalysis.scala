@@ -1371,8 +1371,13 @@ object TextAnalysis {
           |  THEN transform(sequence(1, size(ws) - 1),
           |                 i -> concat_ws(' ', slice(ws, i, 2)))
           |  ELSE CAST(array() AS array<string>) END""".stripMargin)).as("bg"))
+    // the quality_kneser_ney scan-dedup pin (see there): the HOF lambda
+    // defeats canonicalization, so dbk/big re-derive per consumer without
+    // the checkpoints (4 corpus scans measured → 2: dbk + the vocab scan)
     val dbk = db.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val big = dbk.groupBy(col("bg")).agg(sum(col("k")).as("cvw"))
+      .localCheckpoint()
     val pre = big
       .groupBy(expr("split(bg, ' ')[0]").as("v")).agg(sum(col("cvw")).as("cv"))
     val vocab = Tables.load(s, d, "documents")
@@ -1455,8 +1460,18 @@ object TextAnalysis {
           |  THEN transform(sequence(1, size(ws) - 1),
           |                 i -> concat_ws(' ', slice(ws, i, 2)))
           |  ELSE CAST(array() AS array<string>) END""".stripMargin)).as("bg"))
+    // PIN the two shared aggregates: the HOF lambda in the bigram explode
+    // defeats plan canonicalization, so without the checkpoints Catalyst
+    // re-derives dbk/big for every consumer — FIVE corpus scans and three
+    // identical (doc_id, bg) aggregations (measured in PlanDump). One
+    // materialization each replaces them: dbk feeds big + the final join,
+    // big feeds pre/cont/types/logp. At 100 TB the dbk blocks are
+    // corpus-scale — the same cost class as the groupBy shuffle they
+    // already pay, vs four extra corpus scans without the pin.
     val dbk = db.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val big = dbk.groupBy(col("bg")).agg(sum(col("k")).as("cvw"))
+      .localCheckpoint()
     val pre = big
       .groupBy(expr("split(bg, ' ')[0]").as("v"))
       .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1f"))
