@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Reconstruct oracle_check records from its log lines and merge runs.
+
+Usage: merge_gate_logs.py <out.json> <log-or-json> [<log-or-json> ...]
+
+Later inputs win on key collisions. A `.log` input is parsed from the
+gate's own stdout lines ([OK]/[FAIL .../[skip]/[rows-only]); a `.json`
+input is a records file oracle_check wrote itself. Lets a long sf0.1
+gate be split across parallel processes (front half killed mid-flight
+keeps its completed verdicts via the log) and still produce ONE
+artifact enumerating every query. Dev tooling only.
+"""
+import sys, os, json, re
+
+def parse_log(path):
+    rec = {}
+    def base():
+        return {"rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None, "err": None}
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"\[OK\]\s+(\S+): (\d+) rows", line)
+            if m:
+                r = base()
+                r.update(rows_match=True, schema_match=True, hash_match=True,
+                         spark_rows=int(m.group(2)), oracle_rows=int(m.group(2)))
+                rec[m.group(1)] = r
+                continue
+            m = re.match(r"\[rows-only\]\s+(\S+): (\d+) rows", line)
+            if m:
+                r = base()
+                r.update(spark_rows=int(m.group(2)), err="no_oracle")
+                rec[m.group(1)] = r
+                continue
+            m = re.match(r"\[skip\]\s+(\S+): (.*)", line)
+            if m:
+                r = base()
+                reason = m.group(2).strip()
+                r.update(err=reason if reason.startswith("skipped") or
+                         reason.startswith("oracle exceeded")
+                         else f"skipped: {reason}")
+                if r["err"].startswith("oracle exceeded"):
+                    r["err"] = "skipped: DuckDB twin " + r["err"][7:]
+                rec[m.group(1)] = r
+                continue
+            m = re.match(r"\[FAIL\]\s+(\S+): (.*)", line)
+            if m:
+                r = base()
+                r.update(hash_match=False, err=f"FAIL: {m.group(2).strip()}")
+                rec[m.group(1)] = r
+    return rec
+
+def main():
+    out, inputs = sys.argv[1], sys.argv[2:]
+    merged = {}
+    for p in inputs:
+        if p.endswith(".json"):
+            with open(p) as f:
+                merged.update(json.load(f))
+        else:
+            merged.update(parse_log(p))
+    with open(out, "w") as f:
+        json.dump(dict(sorted(merged.items())), f, indent=2)
+    ok = sum(1 for v in merged.values() if v.get("hash_match"))
+    sk = sum(1 for v in merged.values()
+             if v.get("err") and str(v["err"]).startswith("skipped"))
+    ro = sum(1 for v in merged.values() if v.get("err") == "no_oracle")
+    fails = [k for k, v in merged.items()
+             if v.get("err") and str(v["err"]).startswith(("FAIL", "oracle_sql"))]
+    print(f"{len(merged)} entries: {ok} hash-green, {ro} rows-only, "
+          f"{sk} skipped, fails={fails}")
+
+if __name__ == "__main__":
+    main()
