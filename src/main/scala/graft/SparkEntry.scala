@@ -203,6 +203,7 @@ object SparkEntry {
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "events_concurrency" -> Seq(col("user_id"), col("session_start")),
     "events_forecast_backtest" -> Seq(col("event_type")),
+    "events_anomaly_mad" -> Seq(col("event_type"), col("day")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
     "q5_region_revenue" -> Seq(col("revenue").desc, col("n_name")),
     "join_broadcast_region" -> Seq(col("r_name")),

@@ -230,6 +230,67 @@ object EventAnalytics {
             6)).as("z"))
   }
 
+  /** `events_anomaly_mad` (oracled): the ROBUST twin of [[eventsAnomaly]]
+    * — median/MAD in place of mean/σ, the estimator monitoring pipelines
+    * switch to once real outliers exist (a single 100× spike day drags
+    * the mean and inflates σ enough to mask itself in z-scores; the
+    * median and MAD have a 50% breakdown point and don't move).
+    * robust_z = (n − median) / (1.4826·MAD), the normal-consistency
+    * scaling (Hampel 1974); MAD = 0 (constant-majority types) emits 0,
+    * the [[eventsAnomaly]] degenerate-variance rule.
+    *
+    * Determinism: the medians ride the PROVEN percentile parity
+    * (Spark `percentile` ↔ DuckDB `quantile_cont`, the agg_percentiles
+    * precedent — identical (1−g)·lo + g·hi interpolation); deviations
+    * and the final score compose those doubles through one shared
+    * parenthesization, round(6) at the output grid.
+    *
+    * Shape: daily collapse (the one corpus shuffle) → ≤|types|-row
+    * median frame broadcast back → ≤|types|-row MAD frame broadcast
+    * back; everything after the collapse runs on days×types rows. */
+  def eventsAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("percentile(n, 0.5)").as("m"), count(lit(1)).as("days"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .where(col("days") > 1)
+      .select(col("day"), col("event_type"), col("n"), col("m"),
+        abs(col("n").cast("double") - col("m")).as("ad"))
+    val madF = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(madF), Seq("event_type"))
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("m"), 6).as("median_n"),
+        round(col("mad"), 6).as("mad"),
+        when(col("mad") === 0.0, lit(0.0))
+          .otherwise(round((col("n").cast("double") - col("m"))
+            / (lit(1.4826) * col("mad")), 6)).as("robust_z"))
+  }
+
+  val eventsAnomalyMadSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, quantile_cont(n, 0.5) AS m, count(*) AS days
+      |  FROM daily GROUP BY 1),
+      |dev AS (
+      |  SELECT day, daily.event_type, n, m,
+      |         abs(CAST(n AS DOUBLE) - m) AS ad
+      |  FROM daily JOIN med USING (event_type) WHERE days > 1),
+      |madf AS (
+      |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT day, dev.event_type, n,
+      |       round(m, 6) AS median_n, round(mad, 6) AS mad,
+      |       CASE WHEN mad = 0 THEN 0.0
+      |            ELSE round((CAST(n AS DOUBLE) - m) / (1.4826 * mad), 6)
+      |       END AS robust_z
+      |FROM dev JOIN madf USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   /** CUSUM drift detection per event type — the change-point companion of
     * [[eventsAnomaly]]'s pointwise z-scores: the running sum of
     * mean-deviations S_i = Σ_{j≤i}(n_j − μ) turns a sustained small shift
@@ -1349,6 +1410,7 @@ object EventAnalytics {
     "join_range" -> (joinRange _),
     "events_concurrency" -> (eventsConcurrency _),
     "events_forecast_backtest" -> (eventsForecastBacktest _),
+    "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sliding_hour" -> (slidingHour _),
     "events_sessionize" -> (sessionize _),
@@ -1381,6 +1443,7 @@ object EventAnalytics {
     "join_range" -> joinRangeSql,
     "events_concurrency" -> eventsConcurrencySql,
     "events_forecast_backtest" -> eventsForecastBacktestSql,
+    "events_anomaly_mad" -> eventsAnomalyMadSql,
     "events_tumbling_hour" -> tumblingHourSql,
     "events_sliding_hour" -> slidingHourSql,
     "events_sessionize" -> sessionizeSql,

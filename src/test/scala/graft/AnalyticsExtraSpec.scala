@@ -981,6 +981,36 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("events_anomaly_mad: robust z equals a local median/MAD recompute") {
+    val daily = Tables.load(spark, sf, "events")
+      .selectExpr("date_trunc('day', ts) AS day", "event_type")
+      .groupBy("day", "event_type").count()
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    def pct(xs: Seq[Double]): Double = { // (1-g)·lo + g·hi at q=0.5
+      val s = xs.sorted; val rank = (s.length - 1) * 0.5
+      val (lo, g) = (s(rank.toInt), rank - rank.toInt)
+      lo + g * (s(math.ceil(rank).toInt) - lo)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = daily.groupBy(_._2).filter(_._2.length > 1)
+      .flatMap { case (et, rows) =>
+        val m = pct(rows.map(_._3.toDouble).toSeq)
+        val ads = rows.map(r => math.abs(r._3.toDouble - m))
+        val mad = pct(ads.toSeq)
+        rows.toSeq.map { case (day, _, n) =>
+          val z = if (mad == 0.0) 0.0
+            else r6((n.toDouble - m) / (1.4826 * mad))
+          (day, et, n, r6(m), r6(mad), z)
+        }
+      }.toSet
+    val got = EventAnalytics.eventsAnomalyMad(spark, sf)
+      .as[(java.sql.Timestamp, String, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("profile_benford: digit counts partition orders; expected shares pinned") {
     val got = Profiling.profileBenford(spark, sf)
       .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
