@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Cross-round bench regression diff (r11 verdict directive #4).
+
+Usage: bench_diff.py <old BENCH_DETAIL_rN.json> <new BENCH_DETAIL_rM.json>
+                     [jsonOut]
+
+Mechanizes what the r11 verdict computed by hand: reads two committed
+per-query bench details and emits
+  - the common-query-set total ratio (new/old, medians),
+  - every query whose median moved >1.5x either way, with the per-run
+    minima alongside the medians (the PLANS.md-recommended statistic for
+    the iterative family, where a single polluted run drags the median
+    but the min stays honest),
+  - queries present in only one round (surface growth/shrink).
+
+A mover whose MIN ratio is close to 1 while its MEDIAN ratio is large is
+the host-noise signature (one slow run among three); a mover whose min
+moved too is a real plan change. Dev tooling only.
+"""
+import sys, json, re
+
+
+def load(path):
+    """Accepts either a BENCH_DETAIL (queries+runs) file or the driver's
+    BENCH_rN wrapper ({n, rc, sf, tail, parsed}) — the wrapper's `tail`
+    embeds the bench JSON line, often TRUNCATED, so per-query medians are
+    regex-recovered (only queries fully inside the tail survive; runs are
+    absent, min falls back to median)."""
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d.get("queries", {}), d.get("runs", {})
+    if d.get("parsed") and "queries" in d["parsed"]:
+        p = d["parsed"]
+        return p["queries"], p.get("runs", {})
+    tail = d.get("tail", "")
+    med = {m.group(1): float(m.group(2)) for m in
+           re.finditer(r'"([a-z0-9_]+)":([0-9.]+)', tail)
+           if m.group(1) not in ("value", "sf", "n", "rc", "cpus",
+                                 "queries_omitted")}
+    if med:
+        print(f"[note] {path}: driver wrapper with truncated tail — "
+              f"recovered {len(med)} per-query medians, no runs")
+    return med, {}
+
+
+def stats(med, runs, q):
+    m = med[q]
+    r = runs.get(q)
+    mn = min(r) if r else m
+    return m, mn
+
+
+def main():
+    old_p, new_p = sys.argv[1], sys.argv[2]
+    omed, oruns = load(old_p)
+    nmed, nruns = load(new_p)
+    common = sorted(set(omed) & set(nmed))
+    only_old = sorted(set(omed) - set(nmed))
+    only_new = sorted(set(nmed) - set(omed))
+
+    o_tot = sum(omed[q] for q in common)
+    n_tot = sum(nmed[q] for q in common)
+    out = {
+        "old": old_p, "new": new_p,
+        "n_common": len(common),
+        "common_total_old_s": round(o_tot, 2),
+        "common_total_new_s": round(n_tot, 2),
+        "common_total_ratio": round(n_tot / o_tot, 3) if o_tot else None,
+        "only_in_old": only_old, "only_in_new": only_new,
+        "movers": [],
+    }
+    print(f"common set: {len(common)} queries; total "
+          f"{o_tot:.1f}s -> {n_tot:.1f}s ({out['common_total_ratio']}x)")
+    if only_new:
+        print(f"new-only ({len(only_new)}): {', '.join(only_new)}")
+    if only_old:
+        print(f"old-only ({len(only_old)}): {', '.join(only_old)}")
+
+    movers = []
+    for q in common:
+        om, omin = stats(omed, oruns, q)
+        nm, nmin = stats(nmed, nruns, q)
+        ratio = nm / om if om else float("inf")
+        if ratio > 1.5 or ratio < 1 / 1.5:
+            min_ratio = nmin / omin if omin else float("inf")
+            movers.append({
+                "query": q, "median_ratio": round(ratio, 2),
+                "old_median_s": round(om, 3), "new_median_s": round(nm, 3),
+                "old_min_s": round(omin, 3), "new_min_s": round(nmin, 3),
+                "min_ratio": round(min_ratio, 2),
+                # one slow run among three inflates the median but not the
+                # min: flag the distinction so host noise self-attributes
+                "verdict": ("host-noise-pattern"
+                            if 1 / 1.3 <= min_ratio <= 1.3 else "real-move"),
+            })
+    movers.sort(key=lambda m: -m["median_ratio"])
+    out["movers"] = movers
+    if movers:
+        print(f"\n{len(movers)} queries moved >1.5x (median), sorted worst first:")
+        print(f"{'query':34s} {'med ratio':>9s} {'old med':>8s} {'new med':>8s}"
+              f" {'old min':>8s} {'new min':>8s} {'min ratio':>9s}  verdict")
+        for m in movers:
+            print(f"{m['query']:34s} {m['median_ratio']:>9.2f}"
+                  f" {m['old_median_s']:>8.3f} {m['new_median_s']:>8.3f}"
+                  f" {m['old_min_s']:>8.3f} {m['new_min_s']:>8.3f}"
+                  f" {m['min_ratio']:>9.2f}  {m['verdict']}")
+    else:
+        print("\nno query moved >1.5x in either direction")
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"\nwrote {sys.argv[3]}")
+
+
+if __name__ == "__main__":
+    main()

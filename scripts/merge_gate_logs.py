@@ -9,6 +9,13 @@ input is a records file oracle_check wrote itself. Lets a long sf0.1
 gate be split across parallel processes (front half killed mid-flight
 keeps its completed verdicts via the log) and still produce ONE
 artifact enumerating every query. Dev tooling only.
+
+Fidelity note: log-reconstructed records are LOSSY vs oracle_check's
+own JSON. Timeout-skip reasons are rebuilt to mirror oracle_check's
+JSON wording exactly, but [FAIL] lines carry no rows_match/schema_match
+split (both stay None; only hash_match=False is recoverable), and
+spark/oracle row counts are absent on FAIL/skip lines. Prefer .json
+inputs when both halves have them; logs are the crash-recovery path.
 """
 import sys, os, json, re
 
@@ -36,11 +43,17 @@ def parse_log(path):
             if m:
                 r = base()
                 reason = m.group(2).strip()
-                r.update(err=reason if reason.startswith("skipped") or
-                         reason.startswith("oracle exceeded")
-                         else f"skipped: {reason}")
-                if r["err"].startswith("oracle exceeded"):
-                    r["err"] = "skipped: DuckDB twin " + r["err"][7:]
+                # timeout line: "oracle exceeded {N}s budget" → mirror
+                # oracle_check's own JSON record wording exactly, so a
+                # merged artifact is indistinguishable from a native one
+                t = re.match(r"oracle exceeded (\S+?)s budget", reason)
+                if t:
+                    r.update(err=f"skipped: DuckDB twin exceeded {t.group(1)}s "
+                             "budget at this sf (quadratic/iterative oracle; "
+                             "hash-green at sf0.01)")
+                else:
+                    r.update(err=reason if reason.startswith("skipped")
+                             else f"skipped: {reason}")
                 rec[m.group(1)] = r
                 continue
             m = re.match(r"\[FAIL\]\s+(\S+): (.*)", line)
@@ -66,7 +79,9 @@ def main():
              if v.get("err") and str(v["err"]).startswith("skipped"))
     ro = sum(1 for v in merged.values() if v.get("err") == "no_oracle")
     fails = [k for k, v in merged.items()
-             if v.get("err") and str(v["err"]).startswith(("FAIL", "oracle_sql"))]
+             if (v.get("err") and str(v["err"]).startswith(
+                 ("FAIL", "oracle_sql", "no_spark_output")))
+             or v.get("hash_match") is False]
     print(f"{len(merged)} entries: {ok} hash-green, {ro} rows-only, "
           f"{sk} skipped, fails={fails}")
 

@@ -83,14 +83,21 @@ def main():
         tmo = os.environ.get("ORACLE_TIMEOUT_S")
         timer = None
         timed_out = []
+        done = []  # set the instant fetchdf returns: a timer that fires in
+        # the window between fetchdf returning and the finally-cancel must
+        # NOT call con.interrupt(), or the poison leaks into the NEXT
+        # query on the shared connection (spurious oracle_sql FAIL).
         if tmo:
             import threading
-            timer = threading.Timer(float(tmo),
-                                    lambda: (timed_out.append(1),
-                                             con.interrupt()))
+            def _interrupt():
+                if not done:
+                    timed_out.append(1)
+                    con.interrupt()
+            timer = threading.Timer(float(tmo), _interrupt)
             timer.start()
         try:
             duck_df = con.execute(oracles[name]).fetchdf()
+            done.append(1)
         except Exception as e:
             if timer:
                 timer.cancel()

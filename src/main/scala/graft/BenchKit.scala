@@ -15,8 +15,21 @@ private[graft] object BenchKit {
     * SPARK_GRAFT_CPUS), shuffle partitions matched to it, UTC, the
     * graft extensions, legacy nanos-as-long kept for older testdata
     * encodings (harmless when the files are TIMESTAMP_NTZ micros —
-    * graft.Tables canonicalizes either), no UI. */
-  def session(): SparkSession = {
+    * graft.Tables canonicalizes either), no UI.
+    *
+    * `periodicGC` is the ContextCleaner's periodic-GC timer. Cleaner
+    * reclamation (broadcasts, finished-job shuffle files) happens only
+    * after a driver GC drains its weak-reference queue; a mostly-idle
+    * heap may not GC for the whole session (round-8: citation_hits runs
+    * grew 19→28→42 s between swept runs), so the default here is 60 s to
+    * keep reclamation inside any long harness run. Bench OVERRIDES it to
+    * 30 min: its [[Blocks.sweepAll]] already runs an explicit System.gc()
+    * between every timed execution (deterministic reclamation), so the
+    * only thing the 60 s timer adds in a bench is a full GC that can land
+    * MID timed run — the r10/r11 suspect for the full-bench-only ~2×
+    * inflation on citation_scc (prefix re-runs, which spend <60 s before
+    * scc, never showed it). */
+  def session(periodicGC: String = "60s"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -25,20 +38,30 @@ private[graft] object BenchKit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // ContextCleaner reclaims broadcasts and finished-job shuffle files
-      // only after the driver GCs (weak-reference queue); the default
-      // periodic-GC interval is 30 min — longer than an entire bench run —
-      // so on a mostly-idle 4 GB heap the debris of ~137 queries × 4
-      // executions just accumulates (round-8: citation_hits runs grew
-      // 19→28→42 s between swept runs; its alphabetical successors
-      // inherited the pressure). 60 s keeps reclamation inside the run.
-      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.cleaner.periodicGC.interval", periodicGC)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Blocks.quietReleaseWarnings() // harness JVM: deliberate releases only
     spark
   }
+
+  /** Total stop-the-world GC milliseconds accumulated by this JVM so far
+    * (summed over all collectors). Deltas around a timed region attribute
+    * "how much of this run was GC" — the instrumentation the r11 verdict
+    * asked for instead of more uninstrumented re-runs. */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** 1-minute system load average at call time (-1.0 if unavailable) —
+    * recorded per timed run so host contention self-attributes in the
+    * committed detail artifact. */
+  def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   /** Materialize every projected column of every row through the full
     * plan via an order-insensitive checksum — unlike `.count()`, a

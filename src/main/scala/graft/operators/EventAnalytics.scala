@@ -821,13 +821,24 @@ object EventAnalytics {
     * plan-audit ban). Instead, candidates meet on an INTEGER hour bucket
     * — the probe side keys by bucket(s.start) (one row per session), the
     * build side explodes each session into the hour buckets it spans
-    * (fan-out = ceil(duration/1h), bounded by the 30-min session gap +
+    * (fan-out = ceil(duration/1h)+1, bounded by the 30-min session gap +
     * data horizon, never corpus-sized) — then the exact predicate
     * decides. Each overlapping pair meets EXACTLY once (t overlaps
     * s.start ⟹ t spans bucket(s.start), and the build side lists each
     * of t's buckets once), so no dedup pass is needed. Buckets are
     * integer `div` on epoch seconds — exact, no float-floor boundary
-    * flips. One hash join + one partial-aggregable count; the only
+    * flips — and the build side's upper bucket is bucket(t_end)
+    * INCLUSIVE: `unix_timestamp` truncates sub-second fractions, so the
+    * tighter `(unix(t_end)-1) div 3600` bound would drop an overlap
+    * whose t_end falls fractionally past an exact hour boundary
+    * (t_end=01:00:00.5 truncates to 01:00:00; minus one second lands in
+    * the PREVIOUS bucket, missing s_start=01:00:00.2). The inclusive
+    * bound covers every overlap (truncation is monotone: s.start < t_end
+    * ⟹ bucket(s.start) ≤ bucket(t_end)) at the cost of at most one
+    * extra candidate bucket per session, which the exact predicate then
+    * discards — and each pair still meets at most once, because the
+    * probe keys on a single bucket. One hash join + one
+    * partial-aggregable count; the only
     * corpus-sized exchanges are the sessionization and the bucket join.
     * The DuckDB twin states the same semantics as the direct inequality
     * join (its IEJoin), so the bucketing itself is oracle-audited. */
@@ -841,7 +852,7 @@ object EventAnalytics {
       col("session_start").as("t_start"), col("session_end").as("t_end"),
       explode(expr(
         """sequence(unix_timestamp(session_start) div 3600,
-          |         (unix_timestamp(session_end) - 1) div 3600)""".stripMargin))
+          |         unix_timestamp(session_end) div 3600)""".stripMargin))
         .as("bkt"))
     probe.join(build, Seq("bkt"))
       .where(col("t_start") <= col("session_start")

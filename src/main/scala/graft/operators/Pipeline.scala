@@ -357,8 +357,15 @@ object Pipeline {
     * Scale shape: the corpus collapses to ≤|langs| rows in ONE
     * partial-aggregable token-count exchange; every window after that
     * runs on the ≤|langs|-row frame (the doc_length_histogram bounded-
-    * domain shape). */
-  def mixQuota(s: SparkSession, d: String, budget: Long = 1000000L): DataFrame = {
+    * domain shape).
+    *
+    * The budget is a single shared constant interpolated into BOTH the
+    * Spark plan and the DuckDB twin ([[mixQuotaSql]]) so the two can
+    * never diverge (a per-call parameter would let a caller shift the
+    * Spark side while the registered oracle silently kept the default). */
+  val MixQuotaBudget: Long = 1000000L
+  def mixQuota(s: SparkSession, d: String): DataFrame = {
+    val budget = MixQuotaBudget
     val toks = Tables.load(s, d, "documents").where(col("lang").isNotNull)
       .groupBy(col("lang"))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
@@ -376,19 +383,19 @@ object Pipeline {
   }
 
   val mixQuotaSql: String =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
       |           AS n_tokens
       |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM c),
       |q AS (
       |  SELECT lang, n_tokens,
-      |         CAST((1000000 * n_tokens) // t_total AS BIGINT) AS fl,
-      |         CAST((1000000 * n_tokens) % t_total AS BIGINT) AS rem
+      |         CAST(($MixQuotaBudget * n_tokens) // t_total AS BIGINT) AS fl,
+      |         CAST(($MixQuotaBudget * n_tokens) % t_total AS BIGINT) AS rem
       |  FROM c, t),
       |r AS (
       |  SELECT lang, n_tokens, fl,
-      |         1000000 - sum(fl) OVER () AS leftover,
+      |         $MixQuotaBudget - sum(fl) OVER () AS leftover,
       |         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
       |  FROM q)
       |SELECT lang, n_tokens,

@@ -891,6 +891,31 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 1L), "no overlapping sessions in fixture")
   }
 
+  test("events_concurrency: sub-second session_end past an hour boundary still meets") {
+    // Regression (r12 advice): unix_timestamp TRUNCATES fractional
+    // seconds, so the old `(unix(t_end)-1) div 3600` build bound put a
+    // session ending at 01:00:00.5 entirely in bucket 0, missing the
+    // overlap with a session starting at 01:00:00.2 (bucket 1). The
+    // inclusive bucket(t_end) bound must count it.
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: one session, start 00:10:00.0, end = last + 30min = 01:00:00.5
+      (1L, ts("2024-01-01 00:10:00.0"), 1.0),
+      (1L, ts("2024-01-01 00:30:00.5"), 1.0),
+      // user 2: single event → session [01:00:00.2, 01:30:00.2)
+      (2L, ts("2024-01-01 01:00:00.2"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val got = EventAnalytics.eventsConcurrencyFrom(events)
+      .as[(Long, Timestamp, Long)].collect()
+      .map { case (u, s, n) => (u, s) -> n }.toMap
+    // sanity: sessionization produced exactly the two sessions described
+    assert(got.size === 2)
+    // user 2's start instant 01:00:00.2 < user 1's end 01:00:00.5 → both active
+    assert(got((2L, ts("2024-01-01 01:00:00.2"))) === 2L)
+    assert(got((1L, ts("2024-01-01 00:10:00.0"))) === 1L)
+  }
+
   test("quality_kneser_ney: brute-force interpolated-KN recompute at sf0.001") {
     val docs = Tables.load(spark, sf, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS ws")
