@@ -100,7 +100,12 @@ object SparkEntry {
       Citations.sccAll(Citations.edges(s, d))),
     // condensation DAG: the acyclic SCC quotient with edge multiplicities
     "citation_scc_condensation" -> ((s, d) =>
-      Citations.sccCondensation(Citations.edges(s, d)))
+      Citations.sccCondensation(Citations.edges(s, d))),
+    // topological levels (longest path from sources) over the
+    // condensation — monotone propagation, convergence-or-throw at 12
+    // rounds (measured fixpoints: rounds 4/7/9 at the three sfs)
+    "citation_scc_layers" -> ((s, d) =>
+      Citations.sccLayers(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -128,6 +133,7 @@ object SparkEntry {
     "citation_scc" -> Citations.sccPivotSql,
     "citation_scc_all" -> Citations.sccAllSql(),
     "citation_scc_condensation" -> Citations.sccCondensationSql(),
+    "citation_scc_layers" -> Citations.sccLayersSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -199,6 +205,7 @@ object SparkEntry {
     "citation_scc" -> Seq(col("paper_id")),
     "citation_scc_all" -> Seq(col("paper_id")),
     "citation_scc_condensation" -> Seq(col("src_scc"), col("dst_scc")),
+    "citation_scc_layers" -> Seq(col("scc_id")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "events_concurrency" -> Seq(col("user_id"), col("session_start")),

@@ -1497,6 +1497,128 @@ object Citations {
        |GROUP BY 1, 2
        |ORDER BY src_scc, dst_scc""".stripMargin
 
+  /** `citation_scc_layers` (oracled): topological levels over the SCC
+    * condensation DAG — for every SCC, `level` = the length of the
+    * LONGEST path from any source SCC (in-degree 0) reaching it, with
+    * sources at level 0. This is the consumer [[sccCondensation]]'s doc
+    * promises: dependency levelling (level k can only depend on levels
+    * < k) and longest-path citation dating (a paper's level bounds how
+    * deep a citation chain must be to reach it), run on the acyclic
+    * quotient where longest-path is well-defined (on the raw graph,
+    * cycles make it meaningless).
+    *
+    * Algorithm: monotone level propagation (the [[components]]
+    * discipline) — each round, level(v) := max(level(v),
+    * max over condensation edges u→v of level(u)+1). Levels only grow
+    * and the DAG is acyclic BY CONSTRUCTION (SCCs are maximal), so the
+    * fixpoint exists and lands in exactly max-level rounds; one more
+    * round detects it via the monotone sum(level) scalar (equal
+    * consecutive sums ⟺ no level moved ⟺ fixpoint, since levels never
+    * decrease). Convergence-or-throw at `levelRounds`.
+    *
+    * Cap evidence (r12 probe, committed in PLANS.md): max level is
+    * 3 / 6 / 8 at sf0.001/0.01/0.1 — detection lands at rounds 4/7/9 —
+    * and the 10× soak graph is ten DISJOINT suffix-tagged copies of the
+    * sf0.1 graph, so its level structure is identical per copy (max
+    * level 8). levelRounds=12 holds 3 rounds of headroom over the
+    * largest measured fixpoint.
+    *
+    * Scale shape: everything after [[sccAll]] runs on SCC-sized frames
+    * (|sccs| ≤ |nodes|, condensation edges ≤ |edges|): two keyed joins
+    * build the deduped condensation ONCE (pinned partitioning, reused
+    * every round), each round is one shuffle_hash join + a
+    * partial-aggregable max + a left join, and the only driver-side
+    * value is the per-round sum scalar. Superseded level cuts are
+    * released in-loop, so peak footprint is O(one iterate). */
+  def sccLayers(edges: DataFrame, trimRounds: Int = 10, pivotRounds: Int = 2,
+                levelRounds: Int = 12,
+                roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
+    val labels = sccAll(edges, trimRounds, pivotRounds).localCheckpoint()
+    // same width rule as sccPivot: condensation frames are ≤ node-sized,
+    // so per-round stages are overhead-bound — ride the input's splits
+    val parts = math.max(edges.rdd.getNumPartitions, 8)
+    val ce = edges.where(col("src") =!= col("dst")).distinct()
+      .join(labels.select(col("paper_id").as("src"), col("scc_id").as("src_scc")),
+        Seq("src"))
+      .join(labels.select(col("paper_id").as("dst"), col("scc_id").as("dst_scc")),
+        Seq("dst"))
+      .where(col("src_scc") =!= col("dst_scc"))
+      .select(col("src_scc"), col("dst_scc")).distinct()
+      .repartition(parts, col("src_scc"))
+      .localCheckpoint()
+    // one row per SCC; scc_size rides along from sccAll's labeling
+    val sccs = labels.select(col("scc_id"), col("scc_size")).distinct()
+      .localCheckpoint()
+    graft.Blocks.release(labels)
+    var levels = sccs.select(col("scc_id"), lit(0L).as("level")).localCheckpoint()
+    var prevSum = 0L
+    var done = false
+    var i = 0
+    while (!done && i < levelRounds) {
+      i += 1
+      val cand = ce.join(levels.hint("shuffle_hash"),
+          ce("src_scc") === levels("scc_id"))
+        .select(col("dst_scc").as("scc_id"), (col("level") + 1).as("lvl"))
+        .groupBy(col("scc_id")).agg(max(col("lvl")).as("lvl"))
+      val next = levels.select(col("scc_id"), col("level"))
+        .join(cand, Seq("scc_id"), "left_outer")
+        .select(col("scc_id"),
+          greatest(col("level"), coalesce(col("lvl"), lit(0L))).as("level"))
+      val cut = next.localCheckpoint()
+      val s = cut.agg(coalesce(sum(col("level")), lit(0L)))
+        .collect()(0).getLong(0)
+      roundProbe(i, next, () => s)
+      graft.Blocks.release(levels)
+      levels = cut
+      if (s == prevSum) done = true else prevSum = s
+    }
+    if (!done) throw new IllegalStateException(
+      s"sccLayers: level propagation did not converge in $levelRounds rounds; " +
+        "raise the cap (the condensation is acyclic, so the fixpoint is the " +
+        "DAG's max level)")
+    val out = sccs.join(levels, Seq("scc_id"))
+      .select(col("scc_id"), col("scc_size"), col("level"))
+      .localCheckpoint()
+    graft.Blocks.release(ce)
+    graft.Blocks.release(sccs)
+    graft.Blocks.release(levels)
+    out
+  }
+
+  /** DuckDB twin of [[sccLayers]]: the [[sccAllSql]] CTE prefix, the
+    * condensation's deduped edge frame, then `levelRounds` unrolled
+    * MATERIALIZED level CTEs (no-ops past the fixpoint, the
+    * [[componentsSql]] discipline) — each the same monotone
+    * max(level, max_pred+1) step the Spark loop runs. */
+  def sccLayersSql(trimRounds: Int = 10, pivotRounds: Int = 2,
+                   levelRounds: Int = 12): String = {
+    val steps = (1 to levelRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT n.scc_id,
+         |         CAST(greatest(n.level, coalesce(c.lvl, 0)) AS BIGINT) AS level
+         |  FROM l${i - 1} n LEFT JOIN (
+         |    SELECT ce.dst_scc AS scc_id, max(p.level) + 1 AS lvl
+         |    FROM ce JOIN l${i - 1} p ON p.scc_id = ce.src_scc
+         |    GROUP BY 1) c ON c.scc_id = n.scc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""${sccAllCtes(trimRounds, pivotRounds)},
+       |lab AS MATERIALIZED (
+       |  SELECT n.id, coalesce(s.scc_id, n.id) AS scc_id,
+       |         CAST(coalesce(s.scc_size, 1) AS BIGINT) AS scc_size
+       |  FROM nodes n LEFT JOIN insccs s ON s.id = n.id),
+       |sc AS MATERIALIZED (SELECT DISTINCT scc_id, scc_size FROM lab),
+       |ce AS MATERIALIZED (
+       |  SELECT DISTINCT ls.scc_id AS src_scc, ld.scc_id AS dst_scc
+       |  FROM e0 JOIN lab ls ON ls.id = e0.src
+       |          JOIN lab ld ON ld.id = e0.dst
+       |  WHERE ls.scc_id <> ld.scc_id),
+       |l0 AS MATERIALIZED (SELECT scc_id, CAST(0 AS BIGINT) AS level FROM sc),
+       |$steps
+       |SELECT s.scc_id, s.scc_size, l.level
+       |FROM sc s JOIN l$levelRounds l USING (scc_id)
+       |ORDER BY scc_id""".stripMargin
+  }
+
   /** Label-propagation community detection (Raghavan et al. 2007),
     * synchronous flavor: every round each node adopts the label held by
     * the PLURALITY of its neighbors. Where [[components]] converges to a

@@ -192,6 +192,54 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(cond.map(e => (e._1, e._2) -> e._3).toMap === expect)
   }
 
+  test("citation_scc_layers: hand fixture — longest-path levels over the quotient") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("t", "a"), ("c", "d"),
+      ("x", "y"), ("y", "x"), ("a", "b")).toDF("src", "dst")
+    val got = Citations.sccLayers(e).as[(String, Long, Long)].collect().toSet
+    // condensation: t → {a,b,c} → d, plus the isolated {x,y}. Sources t
+    // and x sit at level 0; the abc-SCC at 1; d at 2 (longest chain t→scc→d)
+    assert(got === Set(
+      ("a", 3L, 1L), ("t", 1L, 0L), ("d", 1L, 2L), ("x", 2L, 0L)))
+  }
+
+  test("citation_scc_layers: corpus levels equal the Kahn longest-path recompute") {
+    val rows = Citations.sccLayers(Citations.edges(spark, sf))
+      .as[(String, Long, Long)].collect()
+    // recompute: labels from sccAll (itself differentially tested above),
+    // condensation edges in memory, longest-path levels via Kahn peel
+    val labels = Citations.sccAll(Citations.edges(spark, sf))
+      .as[(String, String, Long)].collect()
+    val lab = labels.map(r => r._1 -> r._2).toMap
+    val sizes = labels.map(r => r._2 -> r._3).toMap
+    val edges = Citations.edges(spark, sf).as[(String, String)].collect()
+      .filter(e => e._1 != e._2).distinct
+    val ce = edges.map(e => (lab(e._1), lab(e._2)))
+      .filter(p => p._1 != p._2).distinct
+    val cnodes = sizes.keySet
+    val indeg = scala.collection.mutable.Map[String, Int]()
+      .withDefaultValue(0)
+    ce.foreach { case (_, b) => indeg(b) += 1 }
+    val cadj = ce.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val level = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val q = scala.collection.mutable.Queue[String]()
+    cnodes.filter(indeg(_) == 0).foreach(q.enqueue)
+    var peeled = 0
+    while (q.nonEmpty) {
+      val v = q.dequeue(); peeled += 1
+      cadj.getOrElse(v, Array.empty[String]).foreach { w =>
+        level(w) = math.max(level(w), level(v) + 1)
+        indeg(w) -= 1
+        if (indeg(w) == 0) q.enqueue(w)
+      }
+    }
+    assert(peeled === cnodes.size, "quotient not acyclic — Kahn stalled")
+    val expect = cnodes.map(n => (n, sizes(n), level(n)))
+    assert(rows.toSet === expect)
+    // fixture exercises real depth, not a flat DAG
+    assert(rows.map(_._3).max >= 3L)
+  }
+
   test("profile_entropy: bounds hold; uniform-limit and a recomputed column agree") {
     val rows = Profiling.profileEntropy(spark, sf)
       .as[(String, Long, Long, Double)].collect().sortBy(_._1)

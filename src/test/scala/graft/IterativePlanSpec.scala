@@ -233,4 +233,20 @@ class IterativePlanSpec extends AnyFunSuite {
       assert(bnlj(plan) === 0, s"scc grew a nested-loop join:\n$plan")
     }
   }
+
+  test("sccLayers round: candidate join + max + level left-outer, nothing else") {
+    val e = Citations.edges(spark, sf)
+    val plans = capture(p => Citations.sccLayers(e, roundProbe = p))
+    for (r <- plans.keys.toSeq.sorted.take(2)) {
+      val plan = plans(r)
+      auditCommon("sccLayers", plan)
+      // ce ⋈ levels (shuffle_hash on the pinned condensation partitioning)
+      // feeding the partial-aggregable max, then the left-outer merge back
+      // onto the level frame — 2 equi-joins per round, everything else
+      // projection/aggregate
+      assert(equiJoins(plan) === 2, s"sccLayers round joins changed:\n$plan")
+      assert(plan.contains("LeftOuter"), s"sccLayers merge must left-outer:\n$plan")
+      assert(bnlj(plan) === 0, s"sccLayers grew a nested-loop join:\n$plan")
+    }
+  }
 }
