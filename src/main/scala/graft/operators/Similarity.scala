@@ -1226,7 +1226,140 @@ object Similarity {
       |       CASE WHEN dist > thr THEN 1 ELSE 0 END AS is_outlier
       |FROM dists, st ORDER BY vec_id""".stripMargin
 
+  /** `corpus_bitext_mine` (oracled): margin-based cross-lingual bitext
+    * mining — for every non-pivot-language document, its best
+    * pivot-language ("en") translation candidate scored by the RATIO
+    * MARGIN of Artetxe & Schwenk (2019): margin(x, y) =
+    * cos(x, y) / ((mean cos(x, NN_k(x)) + mean cos(y, NN_k(y))) / 2),
+    * each side's k-NN taken in the OTHER language's embedding space.
+    * Raw cosine mines hub vectors (a generic doc near everything wins
+    * every query); dividing by the two neighborhood means normalizes
+    * away hubness, which is the whole point — [[corpusLangOverlap]]
+    * finds shingle-level leakage, this finds the semantic pairs
+    * shingles miss. SimilaritySpec asserts margin actually re-ranks a
+    * hub fixture that raw cosine gets wrong.
+    *
+    * Determinism (cross-engine exact): cosines land on the 6-dp grid
+    * first (`cosine_sim` + round — the [[annTopk]] contract), are
+    * lifted to exact BIGINT micro-units (×1e6), and every sum/mean
+    * after that is INTEGER arithmetic — margin =
+    * 2·ci·nf·nb / (sf·nb + sb·nf) evaluated as one division of two
+    * exact integers, then rounded — so summation order can never move a
+    * hash (the mix_quota discipline). A non-positive denominator
+    * (pathological all-negative neighborhoods) maps to margin 0.0, not
+    * NULL, keeping the per-probe argmax total.
+    *
+    * Scale shape: ONE scored frame (probe side × broadcast pivot batch,
+    * the [[knnRanked]] discipline — at 100 TB the pivot side is mined
+    * in partition-sized batches against the probe corpus, same plan
+    * per batch) is cut once and feeds both direction's
+    * WindowGroupLimit top-k aggregates; the margin join's build sides
+    * are the per-probe and per-target k-NN means (≤ corpus-slice rows,
+    * broadcast-eligible); the final per-probe argmax is another
+    * WindowGroupLimit over the probes×k candidate frame. No pass is
+    * ever all-pairs-materialized beyond the scored batch itself. */
+  private val BitextK = 4
+  private val BitextPivotLang = "en"
+  private val BitextMarginThreshold = 1.05
+
+  def bitextMineFrom(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"))
+      .join(embs.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val xs = base.where(col("lang") =!= lit(BitextPivotLang))
+      .select(col("doc_id").as("src_id"), col("lang").as("src_lang"),
+        col("embedding").as("xe"))
+    val ys = base.where(col("lang") === lit(BitextPivotLang))
+      .select(col("doc_id").as("tgt_id"), col("embedding").as("ye"))
+    val scored = xs.crossJoin(broadcast(ys))
+      .select(col("src_id"), col("src_lang"), col("tgt_id"),
+        expr(cosFused("xe", "ye")).as("cos"))
+      .withColumn("ci", expr("CAST(round(cos * 1000000) AS BIGINT)"))
+      .localCheckpoint() // probes × pivot-batch rows; feeds 3 consumers
+    val wf = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("tgt_id").asc)
+    val f = scored.withColumn("rf", row_number().over(wf))
+      .where(col("rf") <= BitextK)
+    val fwd = f.groupBy(col("src_id"))
+      .agg(sum(col("ci")).as("sf"), count(lit(1)).as("nf"))
+    val wb = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos").desc, col("src_id").asc)
+    val bwd = scored.withColumn("rb", row_number().over(wb))
+      .where(col("rb") <= BitextK)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("ci")).as("sb"), count(lit(1)).as("nb"))
+    val cand = f
+      .join(fwd, Seq("src_id"))
+      .join(broadcast(bwd), Seq("tgt_id"))
+      .withColumn("margin", expr(
+        """CASE WHEN sf * nb + sb * nf > 0
+          |     THEN round(CAST(2 * ci * nf * nb AS DOUBLE)
+          |                / CAST(sf * nb + sb * nf AS DOUBLE), 6)
+          |     ELSE CAST(0.0 AS DOUBLE) END""".stripMargin))
+    val wm = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    cand.withColumn("rk", row_number().over(wm)).where(col("rk") === 1)
+      .select(col("src_id"), col("src_lang"), col("tgt_id"), col("cos"),
+        col("margin"),
+        (col("margin") > lit(BitextMarginThreshold)).cast("int").as("accepted"))
+  }
+
+  def bitextMine(s: SparkSession, d: String): DataFrame =
+    bitextMineFrom(Tables.load(s, d, "documents"), emb(s, d))
+
+  val bitextMineSql: String = {
+    val cosSql =
+      """round(
+        |      list_reduce(list_transform(range(1, len(xe) + 1),
+        |                  i -> xe[i]::DOUBLE * ye[i]::DOUBLE), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(range(1, len(xe) + 1),
+        |                  i -> xe[i]::DOUBLE * xe[i]::DOUBLE), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(range(1, len(ye) + 1),
+        |                  i -> ye[i]::DOUBLE * ye[i]::DOUBLE), (x, y) -> x + y))),
+        |      6)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT d.doc_id, d.lang, e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       |xs AS (SELECT doc_id AS src_id, lang AS src_lang, embedding AS xe
+       |       FROM base WHERE lang <> '$BitextPivotLang'),
+       |ys AS (SELECT doc_id AS tgt_id, embedding AS ye
+       |       FROM base WHERE lang = '$BitextPivotLang'),
+       |sc0 AS (
+       |  SELECT src_id, src_lang, tgt_id,
+       |    $cosSql AS cos
+       |  FROM xs, ys),
+       |scored AS MATERIALIZED (
+       |  SELECT *, CAST(round(cos * 1000000) AS BIGINT) AS ci FROM sc0),
+       |f AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_id
+       |                ORDER BY cos DESC, tgt_id ASC) AS rf FROM scored)
+       |  WHERE rf <= $BitextK),
+       |fwd AS (SELECT src_id, CAST(sum(ci) AS BIGINT) AS sf,
+       |               count(*) AS nf FROM f GROUP BY 1),
+       |bwd AS (
+       |  SELECT tgt_id, CAST(sum(ci) AS BIGINT) AS sb, count(*) AS nb
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY tgt_id
+       |                   ORDER BY cos DESC, src_id ASC) AS rb FROM scored)
+       |  WHERE rb <= $BitextK GROUP BY 1),
+       |cand AS (
+       |  SELECT f.src_id, f.src_lang, f.tgt_id, f.cos,
+       |         CASE WHEN sf * nb + sb * nf > 0
+       |              THEN round(CAST(2 * ci * nf * nb AS DOUBLE)
+       |                         / CAST(sf * nb + sb * nf AS DOUBLE), 6)
+       |              ELSE 0.0 END AS margin
+       |  FROM f JOIN fwd USING (src_id) JOIN bwd USING (tgt_id))
+       |SELECT src_id, src_lang, tgt_id, cos, margin,
+       |       CASE WHEN margin > $BitextMarginThreshold THEN 1 ELSE 0 END
+       |         AS accepted
+       |FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+       |                 ORDER BY margin DESC, tgt_id ASC) AS rk FROM cand)
+       |WHERE rk = 1
+       |ORDER BY src_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bitext_mine" -> (bitextMine _),
     "embedding_gram" -> (embeddingGram _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_pca_project" -> (embeddingPcaProject _),
@@ -1259,7 +1392,8 @@ object Similarity {
     "sample_kcenter" -> sampleKcenterSql(),
     "sample_kcenter_assign" -> sampleKcenterAssignSql(),
     "embedding_outliers" -> embeddingOutliersSql,
-    "ann_knn_graph" -> annKnnGraphSql
+    "ann_knn_graph" -> annKnnGraphSql,
+    "corpus_bitext_mine" -> bitextMineSql
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -1278,6 +1412,7 @@ object Similarity {
     "ann_lsh" -> Seq(col("probe_id"), col("rank")),
     "ann_pq" -> Seq(col("probe_id"), col("rank")),
     "ann_ivf_pq" -> Seq(col("probe_id"), col("rank")),
-    "dedup_embedding" -> Seq(col("vec_a"), col("vec_b"))
+    "dedup_embedding" -> Seq(col("vec_a"), col("vec_b")),
+    "corpus_bitext_mine" -> Seq(col("src_id"))
   )
 }

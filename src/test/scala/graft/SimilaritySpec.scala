@@ -367,4 +367,76 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assign.map(_._3).max <= lastPick + 1e-9,
       s"coverage radius ${assign.map(_._3).max} exceeds final pick $lastPick")
   }
+
+  test("corpus_bitext_mine: ratio margin demotes the hub raw cosine mines") {
+    // Hub fixture: en doc 10 ("hub") is moderately close to BOTH de
+    // probes; en docs 11/12 are each very aligned with exactly one
+    // probe's true translation direction but slightly FURTHER by raw
+    // cosine than the hub. Raw cosine therefore mines (1→10) and
+    // (2→10); the ratio margin divides by the hub's high backward
+    // neighborhood mean and recovers the true pairing (1→11, 2→12) —
+    // the Artetxe & Schwenk hubness correction doing its one job.
+    val docs = Seq(
+      (1L, "de"), (2L, "de"), (10L, "en"), (11L, "en"), (12L, "en")
+    ).toDF("doc_id", "lang")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.15f, 0.05f)),
+      (2L, Seq(0.15f, 1.0f, 0.05f)),
+      (10L, Seq(0.75f, 0.75f, 0.1f)),  // hub: cos ~0.804 to both probes
+      (11L, Seq(0.85f, 0.0f, 0.7f)),   // true match for 1, cos ~0.794
+      (12L, Seq(0.0f, 0.85f, 0.7f))    // true match for 2, cos ~0.794
+    ).toDF("vec_id", "embedding")
+    val scored = Similarity.bitextMineFrom(docs, embs)
+      .as[(Long, String, Long, Double, Double, Int)].collect()
+      .sortBy(_._1)
+    assert(scored.map(r => (r._1, r._3)).toSeq === Seq((1L, 11L), (2L, 12L)))
+    // and raw cosine really does prefer the hub (the fixture is honest)
+    val rawBest = Seq((1L, Seq(1.0, 0.15, 0.05)), (2L, Seq(0.15, 1.0, 0.05)))
+      .map { case (id, x) =>
+        val ys = Seq((10L, Seq(0.75, 0.75, 0.1)), (11L, Seq(0.85, 0.0, 0.7)),
+          (12L, Seq(0.0, 0.85, 0.7)))
+        def c(a: Seq[Double], b: Seq[Double]) = {
+          val dot = a.zip(b).map(p => p._1 * p._2).sum
+          dot / (math.sqrt(a.map(v => v * v).sum) * math.sqrt(b.map(v => v * v).sum))
+        }
+        id -> ys.maxBy(y => c(x, y._2))._1
+      }
+    assert(rawBest === Seq(1L -> 10L, 2L -> 10L),
+      "fixture no longer exercises hubness — raw cosine should pick the hub")
+    // margins sit on the 6-dp grid and the accept flag matches the margin
+    scored.foreach { r =>
+      assert((r._5 * 1e6).round / 1e6 === r._5)
+      assert(r._6 === (if (r._5 > 1.05) 1 else 0))
+    }
+  }
+
+  test("corpus_bitext_mine: corpus shape — one best target per non-en doc, margin consistent") {
+    val rows = Similarity.bitextMine(spark, sf)
+      .as[(Long, String, Long, Double, Double, Int)].collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "lang").as[(Long, String)].collect()
+    val nonEn = docs.filter(d => d._2 != null && d._2 != "en")
+    assert(rows.length === nonEn.length, "one row per non-pivot doc")
+    assert(rows.map(_._1).toSet === nonEn.map(_._1).toSet)
+    val enIds = docs.filter(_._2 == "en").map(_._1).toSet
+    rows.foreach { r =>
+      assert(enIds(r._3), s"target ${r._3} is not an en doc")
+      assert(r._5 >= 0.0)
+    }
+    // margin re-ranks at least once somewhere in the corpus, or the
+    // operator degenerates to cosine top-1 (compute raw argmax per probe)
+    val embs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .toMap
+    def c(a: Seq[Float], b: Seq[Float]) = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(ad.map(v => v * v).sum) * math.sqrt(bd.map(v => v * v).sum))
+    }
+    val rawArgmax = nonEn.map { case (id, _) =>
+      id -> enIds.toSeq.sortBy(y => (-c(embs(id), embs(y)), y)).head
+    }.toMap
+    val reRanked = rows.count(r => rawArgmax(r._1) != r._3)
+    assert(reRanked > 0, "margin never re-ranked — hubness correction inert")
+  }
 }
