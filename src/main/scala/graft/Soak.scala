@@ -281,6 +281,25 @@ object Soak {
     check("hits_10x", hits10 == 10 * hitsBase,
       f"$hits10 scored nodes == 10 × $hitsBase (6 iterations at ~6M edges, ${tHits}%.1f s)")
 
+    // sccLayers at 10×: ten disjoint copies mean TEN giant SCCs, so the
+    // iterated-pivot path runs ten extractions deep — pivotRounds is
+    // raised to 12 (the shipped default 2 matches the one-giant-SCC
+    // driver corpora; this exercises the convergence contract where the
+    // default would rightly throw). Levels are copy-invariant (label
+    // strings differ, structure doesn't), so the (level → n_sccs)
+    // histogram must scale by exactly 10.
+    val layersBase = Citations.sccLayers(Citations.edges(spark, base))
+      .groupBy(col("level")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val (layers10, tLy) = timed(
+      Citations.sccLayers(edges10, pivotRounds = 12)
+        .groupBy(col("level")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap)
+    val lyOk = layers10 == layersBase.map { case (l, n) => l -> n * 10 }
+    check("scc_layers_10x", lyOk,
+      f"level histogram scales ×10 over ${layers10.values.sum} SCCs " +
+        f"(10 pivot extractions at ~6M edges, ${tLy}%.1f s)")
+
     // Broadcast/shuffle lifecycle under iteration pressure: 20 back-to-
     // back executions of the two broadcast-heaviest operators (hits: 12
     // one-row norm broadcasts per run; pageRank: 6 dangling-mass ones)
