@@ -273,6 +273,7 @@ object SparkEntry {
     "events_anomaly" -> Seq(col("day"), col("event_type")),
     "events_transitions" -> Seq(col("from_type"), col("to_type")),
     "events_paths" -> Seq(col("t1"), col("t2"), col("t3")),
+    "events_markov_stationary" -> Seq(col("event_type")),
     "events_ewma" -> Seq(col("user_id"), col("event_id")),
     "events_ab_test" -> Seq(col("event_type")),
     "events_cusum" -> Seq(col("event_type"), col("day")),

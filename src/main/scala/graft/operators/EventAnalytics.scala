@@ -1109,6 +1109,137 @@ object EventAnalytics {
       |             sum(n_paths) OVER (PARTITION BY t1, t2), 6) AS share
       |FROM t ORDER BY t1, t2, t3""".stripMargin
 
+  /** `events_markov_stationary` (oracled): the long-run visit share of
+    * each event type under the observed session dynamics — the power
+    * iteration π ← πP over [[eventsTransitions]]' first-order matrix
+    * ("where does user attention settle?", the Markov answer the
+    * transition shares only give one hop of). States are ALL observed
+    * event types; a type with no outgoing within-session transition (a
+    * terminal action) is a dangling row distributed uniformly, the
+    * PageRank convention, so P is stochastic and the chain has a
+    * stationary point.
+    *
+    * Scale shape: the distributed work is ONE windowed corpus pass for
+    * the transition counts (the eventsTransitions plan) plus one
+    * column-pruned distinct for the state set; both collapse to bounded
+    * models (≤|types|² counts, ≤|types| states — the embedding_kmeans
+    * model-collect class, NOT a corpus collect). The 40 power-iteration
+    * rounds then run on the driver over that ≤|types|²-cell matrix —
+    * 64-ish multiplications per round beats 40 distributed jobs of
+    * 64-cell work by three orders of magnitude in scheduling overhead,
+    * and the model size is invariant in corpus size.
+    *
+    * Float discipline: the iteration is EXACT-INTEGER — π lives in
+    * 1e-12 "picounits" (BIGINT-scale), each term is one round-half-up
+    * integer division share(v,den) = ⌊(2v+den)/(2den)⌋ over exact
+    * products (BigInt here, HUGEINT in the twin — n·π can pass 2^63 at
+    * corpus scale even though π itself never does), and the per-round
+    * sum is an order-free integer sum. Both engines therefore compute
+    * the IDENTICAL integer sequence; the only float op is the final
+    * π/1e12 division + round(6), which runs in Spark (not Scala) so the
+    * rounding path is the repo-standard Spark-vs-DuckDB round pair.
+    * Σπ drifts from 1e12 by at most |types|²/2 picounits per round
+    * (rounded divisions) — irrelevant at the 6-dp output grid. */
+  def eventsMarkovStationary(s: SparkSession, d: String,
+                             iterations: Int = 40): DataFrame =
+    eventsMarkovStationaryFrom(s, Tables.load(s, d, "events"), iterations)
+
+  def eventsMarkovStationaryFrom(s: SparkSession, ev: DataFrame,
+                                 iterations: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("from_type").isNotNull &&
+        col("ts") < col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val states = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val m = states.length
+    val rowsum: Map[String, Long] =
+      counts.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val scale = BigInt(10).pow(12)
+    def share(v: BigInt, den: BigInt): BigInt = (2 * v + den) / (2 * den)
+    var pi: Map[String, BigInt] = states.map(_ -> share(scale, m)).toMap
+    for (_ <- 1 to iterations) {
+      val next = scala.collection.mutable.Map.empty[String, BigInt]
+        .withDefaultValue(BigInt(0))
+      for (f <- states) rowsum.get(f) match {
+        case Some(rs) =>
+          for (t <- states; n <- counts.get((f, t)))
+            next(t) += share(pi(f) * n, BigInt(rs))
+        case None =>
+          val t0 = share(pi(f), m)
+          for (t <- states) next(t) += t0
+      }
+      pi = states.map(st => st -> next(st)).toMap
+    }
+    val sp = s
+    import sp.implicits._
+    states.toSeq.map(st => (st, pi(st).toLong)).toDF("event_type", "pi_raw")
+      .select(col("event_type"),
+        round(col("pi_raw").cast("double") / lit(1.0e12), 6).as("pi"))
+  }
+
+  /** DuckDB twin: the same integer fixpoint, unrolled — one HUGEINT
+    * matrix CTE (observed rows ∪ dangling uniform rows; zero-count cells
+    * contribute share(0)=0 exactly as the Scala loop's skip does) and
+    * `iterations` join+sum CTEs over it. HUGEINT sums are exact and
+    * order-free, so the CTE chain reproduces the driver loop's integer
+    * sequence bit-for-bit. Every CTE is MATERIALIZED — DuckDB inlines
+    * CTEs by default, and a 40-deep chain each inlining `mat` (itself a
+    * 3-way join) blows the planner up exponentially (measured: the
+    * un-hinted twin doesn't finish; the MATERIALIZED one is
+    * milliseconds). The graph family's unrolled twins use the same
+    * discipline. */
+  def eventsMarkovStationarySql(iterations: Int = 40): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT mat.t2 AS s,
+         |         sum((CAST(2 AS HUGEINT) * p.pi * mat.n + mat.rs) //
+         |             (CAST(2 AS HUGEINT) * mat.rs)) AS pi
+         |  FROM mat JOIN p${i - 1} p ON p.s = mat.f GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM (
+       |    SELECT lag(event_type) OVER w AS from_type,
+       |           event_type AS to_type,
+       |           lag(ts) OVER w AS prev_ts, ts
+       |    FROM events
+       |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |  WHERE from_type IS NOT NULL
+       |    AND ts < prev_ts + INTERVAL 30 MINUTE
+       |  GROUP BY 1, 2),
+       |states AS MATERIALIZED (SELECT DISTINCT event_type AS s FROM events),
+       |mcount AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS HUGEINT) AS m FROM states),
+       |rowsum AS MATERIALIZED (
+       |  SELECT from_type, sum(n) AS rs FROM t GROUP BY 1),
+       |mat AS MATERIALIZED (
+       |  SELECT f.s AS f, g.s AS t2,
+       |    CASE WHEN r.rs IS NULL THEN CAST(1 AS HUGEINT)
+       |         ELSE CAST(COALESCE(t.n, 0) AS HUGEINT) END AS n,
+       |    CASE WHEN r.rs IS NULL THEN (SELECT m FROM mcount)
+       |         ELSE CAST(r.rs AS HUGEINT) END AS rs
+       |  FROM states f CROSS JOIN states g
+       |  LEFT JOIN rowsum r ON r.from_type = f.s
+       |  LEFT JOIN t ON t.from_type = f.s AND t.to_type = g.s),
+       |p0 AS MATERIALIZED (
+       |  SELECT s, (CAST(2000000000000 AS HUGEINT) + m) //
+       |            (CAST(2 AS HUGEINT) * m) AS pi
+       |  FROM states CROSS JOIN mcount),
+       |$rounds
+       |SELECT s AS event_type,
+       |       round(CAST(pi AS DOUBLE) / 1000000000000.0, 6) AS pi
+       |FROM p$iterations ORDER BY event_type""".stripMargin
+  }
+
   /** Per-type linear trend over daily event counts — the capacity-
     * planning / drift-direction primitive completing [[eventsAnomaly]]
     * (pointwise outliers) and [[eventsCusum]] (change points): an OLS
@@ -1414,6 +1545,7 @@ object EventAnalytics {
     "events_scd2_merge" -> (eventsScd2Merge _),
     "events_paths" -> (eventsPaths _),
     "events_transitions" -> (eventsTransitions _),
+    "events_markov_stationary" -> ((s, d) => eventsMarkovStationary(s, d)),
     "events_attribution" -> (eventsAttribution _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -1447,6 +1579,7 @@ object EventAnalytics {
     "events_scd2_merge" -> eventsScd2Sql,
     "events_paths" -> eventsPathsSql,
     "events_transitions" -> eventsTransitionsSql,
+    "events_markov_stationary" -> eventsMarkovStationarySql(),
     "events_attribution" -> eventsAttributionSql,
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,

@@ -605,6 +605,121 @@ object TextAnalysis {
       |QUALIFY rank <= 20
       |ORDER BY lang, rank""".stripMargin
 
+  /** Shared LLR term sum — written ONCE and spliced verbatim into both
+    * engines' expressions so the float path is identically parenthesized
+    * (the [[tokenPmi]] discipline). Dunning's G² over the bigram 2×2
+    * contingency table (o11=c_ab, o12=c_a−c_ab, o21=c_b−c_ab,
+    * o22=n_b−c_a−c_b+c_ab; e_ij = rowsumᵢ·colsumⱼ/n_b):
+    * G² = 2·Σ oᵢⱼ·ln(oᵢⱼ/eᵢⱼ), with the 0·ln(0)=0 limit made explicit
+    * per term. Each ln argument is one double ratio of exact-integer
+    * products — both engines convert the same int64s to double
+    * (round-to-nearest, IEEE-identical) and the term sum is a fixed
+    * 4-term expression, not an order-free aggregate, so round(…,6)
+    * hash-oracles. Every zero-numerator case (oᵢⱼ=0) subsumes the
+    * zero-denominator ones: oᵢⱼ≤ its margin product's factors, so a zero
+    * denominator forces oᵢⱼ=0 and the CASE short-circuits the ln. */
+  private val llrTermSql: String =
+    """round(2 * (
+      |  (CASE WHEN c_ab = 0 THEN 0.0
+      |        ELSE CAST(c_ab AS DOUBLE) *
+      |             ln((CAST(c_ab AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |                (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) END) +
+      |  (CASE WHEN c_a - c_ab = 0 THEN 0.0
+      |        ELSE CAST(c_a - c_ab AS DOUBLE) *
+      |             ln((CAST(c_a - c_ab AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |                (CAST(c_a AS DOUBLE) * CAST(n_b - c_b AS DOUBLE))) END) +
+      |  (CASE WHEN c_b - c_ab = 0 THEN 0.0
+      |        ELSE CAST(c_b - c_ab AS DOUBLE) *
+      |             ln((CAST(c_b - c_ab AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |                (CAST(n_b - c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) END) +
+      |  (CASE WHEN n_b - c_a - c_b + c_ab = 0 THEN 0.0
+      |        ELSE CAST(n_b - c_a - c_b + c_ab AS DOUBLE) *
+      |             ln((CAST(n_b - c_a - c_b + c_ab AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |                (CAST(n_b - c_a AS DOUBLE) * CAST(n_b - c_b AS DOUBLE))) END)
+      |), 6)""".stripMargin
+
+  /** `token_collocations_llr` (oracled): top-20 collocations per language
+    * by Dunning's log-likelihood ratio — the statistically sound twin of
+    * [[tokenPmi]] (PMI over-rewards rare pairs even above the support
+    * floor; G² weighs evidence MASS, so `of the` and true multi-word
+    * units rank by how unexplainable their co-occurrence is under
+    * independence, Dunning 1993). Attraction only: pairs are kept when
+    * observed > expected (c_ab·n_b > c_a·c_b) — G² is two-sided and
+    * would otherwise surface strongly REPELLED common-word pairs.
+    *
+    * Same frame as tokenPmi: ONE corpus scan + explode into the pinned
+    * (lang,w1,w2) exchange, marginals re-aggregate from the bigram counts
+    * (never the corpus), per-lang totals broadcast, top-20 window
+    * rank-limits (WindowGroupLimit prunes per partition before the
+    * exchange). Float discipline: [[llrTermSql]] — one shared expression
+    * string, identically parenthesized in both engines; ranking uses the
+    * ROUNDED value with (w1,w2) tie-breaks. The attraction test runs on
+    * double products: exact through 2^53 (corpus-safe far beyond sf1),
+    * and IEEE-identical in both engines beyond that. */
+  def tokenCollocationsLlr(s: SparkSession, d: String): DataFrame = {
+    val pairs = docs(s, d)
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |                 i -> struct(element_at(ws, i) AS w1,
+          |                             element_at(ws, i + 1) AS w2))
+          |  ELSE CAST(array() AS array<struct<w1:string,w2:string>>)
+          |END""".stripMargin)).as("bg"))
+      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("lang").isNotNull && col("w1").isNotNull &&
+        col("w2").isNotNull)
+      .repartition(col("lang"), col("w1"), col("w2"))
+    val big = pairs.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val m1 = big.groupBy(col("lang"), col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val m2 = big.groupBy(col("lang"), col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val nb = big.groupBy(col("lang")).agg(sum(col("c_ab")).as("n_b"))
+    val scored = big.where(col("c_ab") >= 5)
+      .join(m1, Seq("lang", "w1"))
+      .join(m2, Seq("lang", "w2"))
+      .join(broadcast(nb), Seq("lang"))
+      .where(expr("CAST(c_ab AS DOUBLE) * CAST(n_b AS DOUBLE) > " +
+        "CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)"))
+      .withColumn("llr", expr(llrTermSql))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)))
+      .where(col("rank") <= 20)
+      .select(col("lang"), col("rank"), col("w1"), col("w2"),
+        col("c_ab"), col("llr"))
+  }
+
+  val tokenCollocationsLlrSql: String =
+    s"""WITH pairs AS (
+      |  SELECT lang,
+      |    unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                          i -> ws[i])) AS w1,
+      |    unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                          i -> ws[i + 1])) AS w2
+      |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)),
+      |big AS (
+      |  SELECT lang, w1, w2, count(*) AS c_ab FROM pairs GROUP BY 1, 2, 3),
+      |m1 AS (SELECT lang, w1, sum(c_ab) AS c_a FROM big GROUP BY 1, 2),
+      |m2 AS (SELECT lang, w2, sum(c_ab) AS c_b FROM big GROUP BY 1, 2),
+      |nb AS (SELECT lang, sum(c_ab) AS n_b FROM big GROUP BY 1),
+      |scored AS (
+      |  SELECT big.lang, big.w1, big.w2, big.c_ab,
+      |    ${llrTermSql.replace("\n", "\n    ")} AS llr
+      |  FROM big
+      |  JOIN m1 ON big.lang = m1.lang AND big.w1 = m1.w1
+      |  JOIN m2 ON big.lang = m2.lang AND big.w2 = m2.w2
+      |  JOIN nb ON big.lang = nb.lang
+      |  WHERE big.c_ab >= 5
+      |    AND CAST(big.c_ab AS DOUBLE) * CAST(n_b AS DOUBLE) >
+      |        CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))
+      |SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+      |         ORDER BY llr DESC, w1 ASC, w2 ASC) AS INT) AS rank,
+      |       w1, w2, c_ab, llr
+      |FROM scored
+      |QUALIFY rank <= 20
+      |ORDER BY lang, rank""".stripMargin
+
   /** GPT-2-style BPE pre-tokenizer pattern: contraction suffixes, then
     * letter runs / digit runs / punctuation runs each with an optional
     * leading space, then whitespace runs. Alternation is leftmost-FIRST in
@@ -2040,6 +2155,7 @@ object TextAnalysis {
     "bpe_encode" -> (bpeEncode _),
     "token_bigrams" -> (tokenBigrams _),
     "token_pmi" -> (tokenPmi _),
+    "token_collocations_llr" -> (tokenCollocationsLlr _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "token_bpe" -> (tokenBpe _),
     "text_quality" -> (textQuality _),
@@ -2077,6 +2193,7 @@ object TextAnalysis {
     "bpe_encode" -> bpeEncodeSql(),
     "token_bigrams" -> tokenBigramsSql,
     "token_pmi" -> tokenPmiSql,
+    "token_collocations_llr" -> tokenCollocationsLlrSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_bpe" -> tokenBpeSql,
     "text_quality" -> textQualitySql,
@@ -2095,6 +2212,7 @@ object TextAnalysis {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "token_pmi" -> Seq(col("lang"), col("rank")),
+    "token_collocations_llr" -> Seq(col("lang"), col("rank")),
     "token_fuzzy_pairs" -> Seq(col("tok_a"), col("tok_b")),
     "token_zipf" -> Seq(col("lang")),
     "token_herdan" -> Seq(col("lang")),

@@ -1054,4 +1054,109 @@ class AnalyticsExtraSpec extends AnyFunSuite {
       assert(benford === r6(math.log((d + 1.0) / d) / math.log(10.0)))
     }
   }
+
+  test("token_collocations_llr: G2 equals an in-memory recompute; attraction only") {
+    val got = TextAnalysis.tokenCollocationsLlr(spark, sf)
+      .as[(String, Int, String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r._5 >= 5 && r._2 >= 1 && r._2 <= 20)
+      assert(r._6 > 0, s"G2 of an attracted pair must be positive: $r")
+    }
+    // in-memory oracle: the identical 4-term Dunning sum over the same
+    // contingency table, same double chain and term order, round(6)
+    val bigs = Tables.load(spark, sf, "documents")
+      .selectExpr("lang", "split(text, ' ') AS ws")
+      .as[(String, Seq[String])].collect()
+      .flatMap { case (lang, ws) =>
+        ws.zip(ws.drop(1)).map { case (a, b) => (lang, a, b) } }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val m1 = bigs.groupBy { case ((l, a, _), _) => (l, a) }
+      .view.mapValues(_.values.sum).toMap
+    val m2 = bigs.groupBy { case ((l, _, b), _) => (l, b) }
+      .view.mapValues(_.values.sum).toMap
+    val nb = bigs.groupBy { case ((l, _, _), _) => l }
+      .view.mapValues(_.values.sum).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(o: Long, n: Double, dl: Double, dr: Double): Double =
+      if (o == 0L) 0.0 else o.toDouble * math.log((o.toDouble * n) / (dl * dr))
+    val expected = bigs.collect {
+      case ((l, a, b), cab)
+        if cab >= 5 &&
+          cab.toDouble * nb(l).toDouble > m1((l, a)).toDouble * m2((l, b)).toDouble =>
+        val (ca, cb, n) = (m1((l, a)), m2((l, b)), nb(l))
+        val nd = n.toDouble
+        val llr = r6(2 * (
+          term(cab, nd, ca.toDouble, cb.toDouble) +
+          term(ca - cab, nd, ca.toDouble, (n - cb).toDouble) +
+          term(cb - cab, nd, (n - ca).toDouble, cb.toDouble) +
+          term(n - ca - cb + cab, nd, (n - ca).toDouble, (n - cb).toDouble)))
+        (l, a, b, cab, llr)
+    }.toSeq.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy { case (_, a, b, _, llr) => (-llr, a, b) }.take(20)
+        .zipWithIndex.map { case ((l, a, b, cab, llr), i) =>
+          (l, i + 1, a, b, cab, llr) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.sortBy(r => (r._1, r._2)).toSeq === expected)
+  }
+
+  test("events_markov_stationary: hand chain fixes to (1/3, 2/3); dangling uniform") {
+    def ev(rows: Seq[(Long, String, String)]) =
+      rows.zipWithIndex.map { case ((u, t, tp), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(t), u, tp, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // P = [[0,1],[.5,.5]] via one timeline A,B,B,A,B: stationary (1/3, 2/3)
+    val chain = ev(Seq(
+      (1L, "2024-01-01 10:00:00", "A"), (1L, "2024-01-01 10:01:00", "B"),
+      (1L, "2024-01-01 10:02:00", "B"), (1L, "2024-01-01 10:03:00", "A"),
+      (1L, "2024-01-01 10:04:00", "B")))
+    val got = EventAnalytics.eventsMarkovStationaryFrom(spark, chain)
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("A" -> 0.333333, "B" -> 0.666667))
+    // dangling: C never transitions out -> uniform row; the SAME chain
+    // [[0,1],[.5,.5]] emerges, so dangling handling is what's pinned here
+    val dangle = ev(Seq(
+      (1L, "2024-01-01 10:00:00", "A"), (1L, "2024-01-01 10:01:00", "C")))
+    val got2 = EventAnalytics.eventsMarkovStationaryFrom(spark, dangle)
+      .as[(String, Double)].collect().toMap
+    assert(got2 === Map("A" -> 0.333333, "C" -> 0.666667))
+  }
+
+  test("events_markov_stationary: corpus pi is a stationary distribution") {
+    val got = EventAnalytics.eventsMarkovStationary(spark, sf)
+      .as[(String, Double)].collect().sortBy(_._1)
+    val pi = got.map(_._2)
+    assert(pi.forall(_ >= 0))
+    assert(math.abs(pi.sum - 1.0) < 1e-5, s"sum(pi)=${pi.sum}")
+    // differential twin: double power iteration over an independently
+    // recomputed (lag-within-30min) transition matrix, run past
+    // convergence - got must be its fixpoint on the 6-dp grid
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val trans = raw.groupBy(_._1).values.flatMap { tl =>
+      val s = tl.sortBy(r => (r._2.getTime, r._3))
+      s.zip(s.drop(1)).collect {
+        case (a, b) if b._2.getTime < a._2.getTime + 30 * 60 * 1000 =>
+          (a._4, b._4)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val states = got.map(_._1)
+    val rowsum = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var p = states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to 300) {
+      p = states.map { j =>
+        j -> states.map { i =>
+          rowsum.get(i) match {
+            case Some(rs) => p(i) * trans.getOrElse((i, j), 0L).toDouble / rs
+            case None => p(i) / states.length
+          }
+        }.sum
+      }.toMap
+    }
+    states.zip(pi).foreach { case (st, v) =>
+      assert(math.abs(v - p(st)) < 1e-5, s"$st: got $v, twin ${p(st)}")
+    }
+  }
 }
