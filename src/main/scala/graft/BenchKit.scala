@@ -28,7 +28,23 @@ private[graft] object BenchKit {
     * only thing the 60 s timer adds in a bench is a full GC that can land
     * MID timed run — the r10/r11 suspect for the full-bench-only ~2×
     * inflation on citation_scc (prefix re-runs, which spend <60 s before
-    * scc, never showed it). */
+    * scc, never showed it).
+    *
+    * Status-store retention is capped hard. `spark.ui.enabled=false`
+    * does NOT disable the AppStatus/SQLAppStatus listeners — they keep
+    * per-execution plan graphs, per-stage and per-task metric rows in
+    * driver memory at defaults sized for a UI someone might open
+    * (1000 SQL executions, 1000 jobs/stages, 100k tasks). A ~200-query
+    * harness run with the iterative graph family (hundreds of stages and
+    * a full physical-plan graph PER execution) accumulates a multi-GB
+    * LIVE set that no System.gc() can reclaim, squeezing the young gen —
+    * measured r12: late-bench allocation-heavy queries paid 1.4-1.8 s of
+    * in-run STW GC vs ~30 ms for the identical query in a fresh JVM
+    * (dedup_canonical 11.8 s full-bench vs 2.2-2.7 s isolated/prefix;
+    * the whole text family inflated 2-6× while numeric families were
+    * flat). Retention exists for a UI nothing renders here — cap it at
+    * a debugging-useful tail and the live set stays bounded regardless
+    * of suite length. */
   def session(periodicGC: String = "60s"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -40,6 +56,13 @@ private[graft] object BenchKit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.periodicGC.interval", periodicGC)
       .config("spark.ui.enabled", "false")
+      // bounded status retention (see scaladoc): keep a short debugging
+      // tail, not a UI's worth of history
+      .config("spark.sql.ui.retainedExecutions", "24")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.ui.retainedDeadExecutors", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Blocks.quietReleaseWarnings() // harness JVM: deliberate releases only
