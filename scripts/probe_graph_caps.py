@@ -125,6 +125,29 @@ def level_probe(sf_dir):
           f"(detection lands at round max_level + 1)")
 
 
+def truss_probe(sf_dir, k=3):
+    """kTruss's edge peel: rounds to the count-equality fixpoint (the
+    engine's converged-detection round), with the edge-count trace.
+    Support = common-neighbor count of the edge's endpoints."""
+    raw = edges_of(sf_dir)
+    e = {(min(s, d), max(s, d)) for s, d in raw}
+    sizes = [len(e)]
+    rounds = 0
+    while True:
+        nbr = {}
+        for a, b in e:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        ne = {(a, b) for a, b in e if len(nbr[a] & nbr[b]) >= k - 2}
+        rounds += 1
+        sizes.append(len(ne))
+        if len(ne) == len(e):
+            break
+        e = ne
+    print(f"{sf_dir}: k-truss(k={k}) fixpoint after {rounds} rounds "
+          f"(last is the no-op detector); edge sizes {sizes}")
+
+
 def main():
     sfs = sys.argv[1:] or [f"/root/testdata/sf{s}"
                            for s in ("0.001", "0.01", "0.1")]
@@ -132,6 +155,8 @@ def main():
         trim_probe(sf)
     for sf in sfs:
         level_probe(sf)
+    for sf in sfs:
+        truss_probe(sf)
 
 
 if __name__ == "__main__":

@@ -281,6 +281,21 @@ object Soak {
     check("hits_10x", hits10 == 10 * hitsBase,
       f"$hits10 scored nodes == 10 × $hitsBase (6 iterations at ~6M edges, ${tHits}%.1f s)")
 
+    // kTruss at 10×: disjoint copies can't create or destroy triangles
+    // across copies, so the (support → n_edges) histogram scales by
+    // exactly 10 — pinning both the peel fixpoint and the per-edge
+    // support counts at ~6M input edges.
+    val trussBase = Citations.kTruss(Citations.edges(spark, base))
+      .groupBy(col("support")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val (truss10, tTruss) = timed(Citations.kTruss(edges10)
+      .groupBy(col("support")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap)
+    check("ktruss_10x",
+      truss10 == trussBase.map { case (s, n) => s -> n * 10 },
+      f"support histogram scales ×10 over ${truss10.values.sum} truss edges " +
+        f"(${tTruss}%.1f s)")
+
     // sccLayers at 10×: ten disjoint copies mean TEN giant SCCs, so the
     // iterated-pivot path runs ten extractions deep — pivotRounds is
     // raised to 12 (the shipped default 2 matches the one-giant-SCC
@@ -443,6 +458,27 @@ object Soak {
     check("winnowing_pairs_50k", pairsV0 == pairsBase,
       f"v0 overlap pairs == base (${pairsBase.size} pairs with shared " +
         f"counts) at $nDocs docs (${tPairs}%.1f s)")
+
+    // TextRank at 10×: the suffix rewrite makes each variant a DISJOINT
+    // co-occurrence component inside its lang, so per-lang vocab is
+    // exactly ×10 and the per-lang picounit mass invariant (≤10¹², lost
+    // only to per-term floors) must survive a 10×-bigger graph. Checked
+    // on the FULL rank frame (topK unbounded), not the top-10 slice.
+    val vocabBase = TextAnalysis.tokenTextrank(spark, base, topK = Int.MaxValue)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val (trMass, tTrank) = timed(
+      TextAnalysis.tokenTextrank(spark, out, topK = Int.MaxValue)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"),
+          sum(col("score")).as("mass"))
+        .as[(String, Long, Long)].collect())
+    val trankOk = trMass.forall { case (l, n, mass) =>
+      n == 10 * vocabBase(l) &&
+        mass <= 1000000000000L && mass > 999000000000L
+    }
+    check("textrank_50k", trankOk,
+      trMass.map { case (l, n, m) => f"$l:$n nodes/$m" }.mkString(" ") +
+        f" (${tTrank}%.1f s)")
 
     // LPA on ten disjoint suffix-tagged copies: the tag flips some
     // lexicographic tie-breaks, so per-copy COMMUNITIES may legitimately

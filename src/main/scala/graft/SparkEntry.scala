@@ -105,7 +105,12 @@ object SparkEntry {
     // condensation — monotone propagation, convergence-or-throw at 12
     // rounds (measured fixpoints: rounds 4/7/9 at the three sfs)
     "citation_scc_layers" -> ((s, d) =>
-      Citations.sccLayers(Citations.edges(s, d)))
+      Citations.sccLayers(Citations.edges(s, d))),
+    // edge-peeling cohesive subgraph (kCore's edge analogue): per-edge
+    // triangle support recomputed per round, convergence-or-throw at 6
+    // (measured fixpoint: round 2 at all three sfs and the 10× soak)
+    "citation_ktruss" -> ((s, d) =>
+      Citations.kTruss(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -134,6 +139,7 @@ object SparkEntry {
     "citation_scc_all" -> Citations.sccAllSql(),
     "citation_scc_condensation" -> Citations.sccCondensationSql(),
     "citation_scc_layers" -> Citations.sccLayersSql(),
+    "citation_ktruss" -> Citations.kTrussSql(),
     "citation_counts" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS paper_id, COUNT(*) AS citations
         |FROM lineitem GROUP BY 1 ORDER BY paper_id""".stripMargin,
@@ -206,6 +212,7 @@ object SparkEntry {
     "citation_scc_all" -> Seq(col("paper_id")),
     "citation_scc_condensation" -> Seq(col("src_scc"), col("dst_scc")),
     "citation_scc_layers" -> Seq(col("scc_id")),
+    "citation_ktruss" -> Seq(col("a"), col("b")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "events_concurrency" -> Seq(col("user_id"), col("session_start")),

@@ -188,6 +188,19 @@ object Citations {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .localCheckpoint()
+    val (deg, tri) = orientedTriangles(u)
+    (u, deg, tri)
+  }
+
+  /** Degree table + closed-triangle rows (u, v1, v2) over an
+    * already-canonical PINNED edge set (a < b, deduped, checkpointed by
+    * the caller — every branch here re-reads it). Factored out of
+    * [[triangleRows]] so iterative edge-peeling ([[kTruss]]) can re-run
+    * the degree-oriented wedge enumeration per round on its shrinking
+    * edge frame; the orientation argument (celebrity out-degree bounded
+    * by arboricity, see [[citationTriangles]]) holds unchanged on any
+    * subgraph. */
+  private def orientedTriangles(u: DataFrame): (DataFrame, DataFrame) = {
     val deg = u.select(col("a").as("n")).unionAll(u.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val lowFirst = deg.select(col("n").as("a"), col("d").as("da"))
@@ -206,7 +219,133 @@ object Citations {
     // rows are already canonical (a < b) — so the probe is an equi-join
     val tri = wedges.join(u,
       wedges("v1") === u("a") && wedges("v2") === u("b"), "left_semi")
-    (u, deg, tri)
+    (deg, tri)
+  }
+
+  /** Per-edge triangle support over a canonical pinned edge set: each
+    * closed triangle (u, v1, v2) credits its three edges, re-canonicalized
+    * (u is the low-DEGREE endpoint, not the low id). Integer counts —
+    * no float discipline anywhere in the truss family. */
+  private def edgeSupport(u: DataFrame): DataFrame = {
+    val (_, tri) = orientedTriangles(u)
+    tri.select(explode(array(
+        struct(least(col("u"), col("v1")).as("a"),
+          greatest(col("u"), col("v1")).as("b")),
+        struct(least(col("u"), col("v2")).as("a"),
+          greatest(col("u"), col("v2")).as("b")),
+        struct(col("v1").as("a"), col("v2").as("b")))).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss: the maximal subgraph in which every edge lies on at least
+    * k-2 triangles WITHIN the subgraph (Cohen 2008) — the edge-peeling
+    * analogue of [[kCore]]'s vertex peel, and the standard cohesive-
+    * community primitive one notch stronger than connected components.
+    *
+    * Each round recomputes per-edge support on the surviving edge set via
+    * the degree-oriented wedge join ([[orientedTriangles]] — arboricity-
+    * bounded, never deg² on a hot node) and drops under-supported edges;
+    * edges on zero triangles vanish for free (inner-aggregate semantics:
+    * they never appear in the support table). The edge set shrinks
+    * monotonically, so cut-count equality IS set equality — the [[kCore]]
+    * convergence trick — and the loop is convergence-or-throw at `rounds`
+    * (measured fixpoint: round 2 at sf0.001/0.01/0.1 AND the 10× soak
+    * graph — this family's peel does not cascade on lineitem-derived
+    * graphs; cap 6 = 3× headroom, same sizing rule as the trim cap in
+    * [[sccAll]], PLANS.md r12 probe).
+    *
+    * Returns the surviving edges with their in-truss support — recomputed
+    * once on the converged (checkpointed) frame, so the returned plan is
+    * one bounded wedge join over a LogicalRDD, not `rounds` of stacked
+    * lineage. Scale: per round one dedup-free degree aggregate + the
+    * oriented wedge join; every exchange keys on a node id or a canonical
+    * edge pair. */
+  def kTruss(edges: DataFrame, k: Int = 3, rounds: Int = 6,
+             roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var lastCut = e
+    var prevEdges = e.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < rounds) {
+      i += 1
+      val next = edgeSupport(e)
+        .where(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+      val cut = next.localCheckpoint() // eager — materialized before release
+      val n = cut.count() // checkpoint scan; = edge-set equality (monotone)
+      roundProbe(i, next, () => n)
+      graft.Blocks.release(lastCut)
+      lastCut = cut
+      e = cut
+      converged = n == prevEdges
+      prevEdges = n
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kTruss did not converge in $rounds peel rounds; raise the cap")
+    edgeSupport(e)
+  }
+
+  /** DuckDB twin of [[kTruss]]: the peel unrolled as MATERIALIZED rounds
+    * (the [[kCoreSql]] discipline), each round re-deriving degrees,
+    * orientation, triangles and support from the previous edge set with
+    * the same tie-breaks. Rounds past the fixpoint are no-ops on both
+    * engines. */
+  def kTrussSql(k: Int = 3, rounds: Int = 6): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""deg$i AS MATERIALIZED (
+         |  SELECT n, count(*) AS d FROM (SELECT a AS n FROM e${i - 1}
+         |                                UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1),
+         |o$i AS MATERIALIZED (
+         |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |              THEN u.a ELSE u.b END AS u,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |              THEN u.b ELSE u.a END AS v
+         |  FROM e${i - 1} u JOIN deg$i da ON da.n = u.a
+         |                   JOIN deg$i db ON db.n = u.b),
+         |t$i AS MATERIALIZED (
+         |  SELECT e1.u, e1.v AS v1, e2.v AS v2
+         |  FROM o$i e1 JOIN o$i e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  WHERE EXISTS (SELECT 1 FROM e${i - 1} w
+         |                WHERE w.a = e1.v AND w.b = e2.v)),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM t$i
+         |    UNION ALL SELECT least(u, v2), greatest(u, v2) FROM t$i
+         |    UNION ALL SELECT v1, v2 FROM t$i)
+         |  GROUP BY 1, 2 HAVING count(*) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM raw WHERE src <> dst),
+       |$steps,
+       |degF AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e$rounds
+       |                                       UNION ALL SELECT b FROM e$rounds)
+       |         GROUP BY 1),
+       |oF AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+       |                   THEN u.a ELSE u.b END AS u,
+       |              CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+       |                   THEN u.b ELSE u.a END AS v
+       |       FROM e$rounds u JOIN degF da ON da.n = u.a
+       |                       JOIN degF db ON db.n = u.b),
+       |tF AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+       |       FROM oF e1 JOIN oF e2 ON e1.u = e2.u AND e1.v < e2.v
+       |       WHERE EXISTS (SELECT 1 FROM e$rounds w
+       |                     WHERE w.a = e1.v AND w.b = e2.v))
+       |SELECT a, b, count(*) AS support FROM (
+       |  SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM tF
+       |  UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tF
+       |  UNION ALL SELECT v1, v2 FROM tF)
+       |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
   }
 
   def citationTriangles(edges: DataFrame): DataFrame = {

@@ -720,6 +720,163 @@ object TextAnalysis {
       |QUALIFY rank <= 20
       |ORDER BY lang, rank""".stripMargin
 
+  /** `token_textrank` (oracled): top-10 keywords per language by TextRank
+    * (Mihalcea & Tarau 2004) — damped PageRank over the word co-occurrence
+    * graph, the extractive-keyword primitive a corpus-profiling pipeline
+    * runs where raw frequency (tfidf/topk) over-rewards ubiquity: a token
+    * ranks by how central it is to the lang's co-occurrence STRUCTURE.
+    *
+    * Graph: adjacent-token pairs per doc (window 2, the paper's default),
+    * canonicalized undirected with self-pairs dropped, weighted by corpus
+    * adjacency count; one corpus scan + explode feeds the (lang,w1,w2)
+    * count exchange ([[tokenPmi]]'s frame). The iteration is DEFINED as
+    * exactly `iterations` damped rounds from the uniform start — the
+    * [[graft.operators.Citations.lpa]] convention: both engines unroll the
+    * same fixed count, no fixpoint claim (measured at sf0.01: max per-node
+    * movement decays ~10× per round, ≤9 picounits by round 12).
+    *
+    * Float-free: ranks live in integer picounits (10¹² total mass per
+    * lang) and each round's edge term is floor((17·w·pr)/(20·W)) — d=0.85
+    * as the exact rational 17/20, per-term integer floor-div, order-free
+    * integer sums, so both engines produce identical bits at any scale
+    * (the events_markov_stationary discipline, here DISTRIBUTED: vocab
+    * grows with the corpus, so rounds are joins, not a driver model).
+    * Per-term arithmetic runs in DECIMAL(38,0)/HUGEINT — 17·w·pr can pass
+    * 2^63 at corpus scale — but every quotient and sum is bounded by the
+    * invariant per-lang mass (≤10¹²), so stored ranks stay BIGINT.
+    *
+    * Scale shape: the pair frame is pinned once (localCheckpoint — 2+2·
+    * rounds consumers would otherwise re-run the corpus scan+explode per
+    * round, the [[tokenPmi]] 4× I/O tax squared); each round is ONE
+    * node-keyed hash join + one aggregate over edge-scale rows, rank
+    * frames carry their weighted degree and base term so no round touches
+    * the corpus ([[graft.operators.Citations.pageRank]]'s carry + release
+    * discipline, cut cadence 3). Top-10 window rank-limits per lang. */
+  def tokenTextrank(s: SparkSession, d: String,
+                    iterations: Int = 10, topK: Int = 10): DataFrame =
+    tokenTextrankFrom(docs(s, d), iterations, topK)
+
+  /** [[tokenTextrank]] over an explicit docs frame (lang, text) — the
+    * eventsMarkovStationaryFrom convention, so specs can drive hand
+    * graphs with exactly-known fixpoints. */
+  def tokenTextrankFrom(docsDf: DataFrame,
+                        iterations: Int = 10, topK: Int = 10): DataFrame = {
+    val adj = docsDf
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |                 i -> struct(element_at(ws, i) AS w1,
+          |                             element_at(ws, i + 1) AS w2))
+          |  ELSE CAST(array() AS array<struct<w1:string,w2:string>>)
+          |END""".stripMargin)).as("bg"))
+      .select(col("lang"), least(col("bg.w1"), col("bg.w2")).as("w1"),
+        greatest(col("bg.w1"), col("bg.w2")).as("w2"))
+      .where(col("lang").isNotNull && col("w1") =!= col("w2"))
+    val pairs = adj.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val ed = pairs.select(col("lang"), col("w1").as("src"),
+        col("w2").as("dst"), col("w"))
+      .unionAll(pairs.select(col("lang"), col("w2").as("src"),
+        col("w1").as("dst"), col("w")))
+    val wdeg = ed.groupBy(col("lang"), col("src").as("tok"))
+      .agg(sum(col("w")).as("wdeg"))
+    val nn = wdeg.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // the node frame CARRIES wdeg and the per-lang teleport term, so each
+    // round is one edge join + one aggregate, never a corpus re-touch
+    val nodes = wdeg.join(broadcast(nn), Seq("lang"))
+      .select(col("lang"), col("tok"), col("wdeg"),
+        expr("(CAST(3 AS DECIMAL(38,0)) * 1000000000000) div (20 * n)")
+          .as("base"))
+      .localCheckpoint()
+    var ranks = nodes
+      .join(broadcast(nn), Seq("lang"))
+      .select(col("lang"), col("tok"), col("wdeg"),
+        expr("CAST(1000000000000 AS DECIMAL(38,0)) div n").as("pr"))
+      .localCheckpoint()
+    var lastCut = ranks
+    for (i <- 1 to iterations) {
+      val inbox = ed
+        .join(ranks.select(col("lang"), col("tok").as("src"),
+            col("wdeg").as("src_wdeg"), col("pr")).hint("shuffle_hash"),
+          Seq("lang", "src"))
+        .select(col("lang"), col("dst"),
+          expr("(CAST(17 AS DECIMAL(38,0)) * w * pr) div " +
+            "(CAST(20 AS DECIMAL(38,0)) * src_wdeg)").as("term"))
+        .groupBy(col("lang"), col("dst")).agg(sum(col("term")).as("inflow"))
+      val next = nodes
+        .join(inbox, nodes("lang") === inbox("lang") &&
+          nodes("tok") === inbox("dst"), "left_outer")
+        .select(nodes("lang"), nodes("tok"), nodes("wdeg"),
+          (nodes("base") + coalesce(col("inflow"), lit(0L))).as("pr"))
+      ranks = if (i % 3 == 0 || i == iterations) {
+        val cut = next.localCheckpoint() // eager: materialized pre-release
+        graft.Blocks.release(lastCut)
+        lastCut = cut
+        cut
+      } else next
+    }
+    graft.Blocks.release(pairs)
+    graft.Blocks.release(nodes)
+    ranks
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("pr").desc, col("tok").asc)))
+      .where(col("rank") <= topK)
+      .select(col("lang"), col("rank"), col("tok").as("token"),
+        col("pr").cast("long").as("score"))
+  }
+
+  /** DuckDB twin of [[tokenTextrank]]: the same integer-picounit rounds
+    * unrolled as MATERIALIZED CTEs (un-hinted, DuckDB would inline the
+    * deepening chain — the events_markov_stationary lesson), per-term
+    * HUGEINT floor-div mirroring Spark's DECIMAL(38,0) `div`. */
+  def tokenTextrankSql(iterations: Int = 10, topK: Int = 10): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT nodes.lang, nodes.tok, nodes.wdeg,
+         |         nodes.base + coalesce(inbox.inflow, 0) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.lang, ed.dst AS tok,
+         |           sum((CAST(17 AS HUGEINT) * ed.w * r.pr) //
+         |               (CAST(20 AS HUGEINT) * r.wdeg)) AS inflow
+         |    FROM ed JOIN r${i - 1} r
+         |      ON r.lang = ed.lang AND r.tok = ed.src
+         |    GROUP BY 1, 2) inbox
+         |    ON inbox.lang = nodes.lang AND inbox.tok = nodes.tok)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH adj AS (
+       |  SELECT lang,
+       |    unnest(list_transform(generate_series(1, len(ws) - 1),
+       |                          i -> least(ws[i], ws[i + 1]))) AS w1,
+       |    unnest(list_transform(generate_series(1, len(ws) - 1),
+       |                          i -> greatest(ws[i], ws[i + 1]))) AS w2
+       |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)),
+       |pairs AS MATERIALIZED (
+       |  SELECT lang, w1, w2, count(*) AS w FROM adj
+       |  WHERE w1 <> w2 GROUP BY 1, 2, 3),
+       |ed AS MATERIALIZED (
+       |  SELECT lang, w1 AS src, w2 AS dst, w FROM pairs
+       |  UNION ALL SELECT lang, w2, w1, w FROM pairs),
+       |wdeg AS (SELECT lang, src AS tok, sum(w) AS wdeg FROM ed GROUP BY 1, 2),
+       |nn AS (SELECT lang, count(*) AS n FROM wdeg GROUP BY 1),
+       |nodes AS MATERIALIZED (
+       |  SELECT wdeg.lang, tok, wdeg,
+       |         (CAST(3 AS HUGEINT) * 1000000000000) // (20 * n) AS base
+       |  FROM wdeg JOIN nn ON wdeg.lang = nn.lang),
+       |r0 AS MATERIALIZED (
+       |  SELECT nodes.lang, tok, wdeg,
+       |         CAST(1000000000000 AS HUGEINT) // n AS pr
+       |  FROM nodes JOIN nn ON nodes.lang = nn.lang),
+       |$steps
+       |SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+       |         ORDER BY pr DESC, tok ASC) AS INT) AS rank,
+       |       tok AS token, CAST(pr AS BIGINT) AS score
+       |FROM r$iterations
+       |QUALIFY rank <= $topK
+       |ORDER BY lang, rank""".stripMargin
+  }
+
   /** GPT-2-style BPE pre-tokenizer pattern: contraction suffixes, then
     * letter runs / digit runs / punctuation runs each with an optional
     * leading space, then whitespace runs. Alternation is leftmost-FIRST in
@@ -2156,6 +2313,7 @@ object TextAnalysis {
     "token_bigrams" -> (tokenBigrams _),
     "token_pmi" -> (tokenPmi _),
     "token_collocations_llr" -> (tokenCollocationsLlr _),
+    "token_textrank" -> ((s, d) => tokenTextrank(s, d)),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "token_bpe" -> (tokenBpe _),
     "text_quality" -> (textQuality _),
@@ -2194,6 +2352,7 @@ object TextAnalysis {
     "token_bigrams" -> tokenBigramsSql,
     "token_pmi" -> tokenPmiSql,
     "token_collocations_llr" -> tokenCollocationsLlrSql,
+    "token_textrank" -> tokenTextrankSql(),
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_bpe" -> tokenBpeSql,
     "text_quality" -> textQualitySql,
@@ -2213,6 +2372,7 @@ object TextAnalysis {
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "token_pmi" -> Seq(col("lang"), col("rank")),
     "token_collocations_llr" -> Seq(col("lang"), col("rank")),
+    "token_textrank" -> Seq(col("lang"), col("rank")),
     "token_fuzzy_pairs" -> Seq(col("tok_a"), col("tok_b")),
     "token_zipf" -> Seq(col("lang")),
     "token_herdan" -> Seq(col("lang")),

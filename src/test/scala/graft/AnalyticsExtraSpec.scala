@@ -1159,4 +1159,109 @@ class AnalyticsExtraSpec extends AnyFunSuite {
       assert(math.abs(v - p(st)) < 1e-5, s"$st: got $v, twin ${p(st)}")
     }
   }
+  test("citation_ktruss: square+diagonal — k=3 keeps all with exact supports, k=4 cascades to empty") {
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"), ("1", "3"))
+      .toDF("src", "dst")
+    val t3 = Citations.kTruss(edges, k = 3)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(t3.toSeq === Seq(("1", "2", 1L), ("1", "3", 2L), ("1", "4", 1L),
+      ("2", "3", 1L), ("3", "4", 1L)))
+    // k=4 is the CASCADE case: round 1 keeps only the diagonal (support 2),
+    // which then has no triangles left — the peel must take the second step
+    assert(Citations.kTruss(edges, k = 4).count() === 0L)
+    // ...and an under-sized cap must throw, not return the unconverged set
+    intercept[IllegalStateException] {
+      Citations.kTruss(edges, k = 4, rounds = 2)
+    }
+  }
+
+  test("citation_ktruss: K4 is its own 4-truss, every edge on exactly 2 triangles") {
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val got = Citations.kTruss(k4, k = 4)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length === 6 && got.forall(_._3 === 2L))
+  }
+
+  test("citation_ktruss: corpus differential — in-memory common-neighbor peel at sf0.001") {
+    val got = Citations.kTruss(Citations.edges(spark, sf))
+      .as[(String, String, Long)].collect().toSet
+    val raw = Citations.edges(spark, sf).as[(String, String)].collect()
+    var e = raw.filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else (p._2, p._1)).toSet
+    def supports(es: Set[(String, String)]): Map[(String, String), Int] = {
+      val nbr = es.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.iterator.map { case (a, b) => (a, b) -> (nbr(a) & nbr(b)).size }.toMap
+    }
+    var done = false
+    while (!done) {
+      val sup = supports(e)
+      val next = e.filter(p => sup(p) >= 1)
+      done = next == e
+      e = next
+    }
+    val expected = supports(e).collect {
+      case ((a, b), s) if s >= 1 => (a, b, s.toLong)
+    }.toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("token_textrank: two-token doc sits at the exact uniform fixpoint") {
+    val docsDf = Seq(("en", "a b")).toDF("lang", "text")
+    val got = TextAnalysis.tokenTextrankFrom(docsDf)
+      .as[(String, Int, String, Long)].collect().sortBy(_._2)
+    // n=2: r0 = 10^12/2; one round: base 3*10^12/40 = 7.5e10, inflow
+    // (17*5e11)/20 = 4.25e11 -> 5e11 again. Exactly stationary, so all 10
+    // defined rounds return the uniform mass; tie-break is token asc.
+    assert(got.toSeq === Seq(("en", 1, "a", 500000000000L),
+      ("en", 2, "b", 500000000000L)))
+  }
+
+  test("token_textrank: BigInt recompute at sf0.001 matches bit-exactly; mass conserved") {
+    val got = TextAnalysis.tokenTextrank(spark, sf, topK = Int.MaxValue)
+      .as[(String, Int, String, Long)].collect()
+    val all = got.map(r => ((r._1, r._3), BigInt(r._4))).toMap
+    val docsRaw = Tables.load(spark, sf, "documents")
+      .selectExpr("lang", "split(text, ' ') AS ws")
+      .as[(String, Seq[String])].collect()
+    val pw = scala.collection.mutable.Map[(String, String, String), Long]()
+      .withDefaultValue(0L)
+    docsRaw.foreach { case (l, ws) =>
+      ws.zip(ws.drop(1)).foreach { case (x, y) =>
+        if (x != y) {
+          val (a, b) = if (x < y) (x, y) else (y, x)
+          pw((l, a, b)) += 1L
+        }
+      }
+    }
+    val SCALE = BigInt("1000000000000")
+    pw.keys.map(_._1).toSet.foreach { (l: String) =>
+      val edges = pw.collect { case ((`l`, a, b), w) => (a, b, BigInt(w)) }.toSeq
+      val wdeg = scala.collection.mutable.Map[String, BigInt]()
+        .withDefaultValue(BigInt(0))
+      edges.foreach { case (a, b, w) => wdeg(a) += w; wdeg(b) += w }
+      val n = wdeg.size
+      val base = (BigInt(3) * SCALE) / (BigInt(20) * n)
+      var pr = wdeg.keys.map(t => t -> SCALE / n).toMap
+      for (_ <- 1 to 10) {
+        val inflow = scala.collection.mutable.Map[String, BigInt]()
+          .withDefaultValue(BigInt(0))
+        edges.foreach { case (a, b, w) =>
+          inflow(b) += (BigInt(17) * w * pr(a)) / (BigInt(20) * wdeg(a))
+          inflow(a) += (BigInt(17) * w * pr(b)) / (BigInt(20) * wdeg(b))
+        }
+        pr = wdeg.keys.map(t => t -> (base + inflow(t))).toMap
+      }
+      pr.foreach { case (t, v) =>
+        assert(all((l, t)) === v, s"$l/$t: spark ${all.get((l, t))}, twin $v")
+      }
+      // floor-division bleeds <1 picounit per term per round: the lang's
+      // total mass stays within 0.1% of the invariant 10^12
+      val mass = pr.values.sum
+      assert(mass <= SCALE && mass > SCALE * 999 / 1000, s"$l mass $mass")
+    }
+  }
+
 }
