@@ -1253,6 +1253,124 @@ object EventAnalytics {
     * n=0 A/B-pool rule). Shape: ONE corpus shuffle to the daily grid
     * (calendar-bounded: days×types rows), then a ≤|types|-row aggregate
     * — at 100 TB the daily grid is KBs regardless of event volume. */
+  /** Holt linear (double-exponential) smoothing forecast per event type:
+    * a 7-day horizon from adaptively-smoothed level + trend state — the
+    * short-horizon ops-forecasting twin of [[eventsTrend]]'s GLOBAL OLS
+    * line (OLS weighs January like yesterday; Holt's geometric decay
+    * tracks the recent regime, which is what capacity planning wants).
+    *
+    * Definition (both engines mirror it exactly): daily counts on the
+    * corpus-wide dense day grid (absent days are true zeros), state in
+    * integer microunits, α = 1/4, β = 1/8 as exact rationals, init
+    * L₁ = y₁·S and T₁ = (y₂−y₁)·S, then for t = 2..n
+    *   Lₜ = ⌊(yₜ·S + 3(Lₜ₋₁+Tₜ₋₁))/4⌋,  Tₜ = ⌊((Lₜ−Lₜ₋₁) + 7Tₜ₋₁)/8⌋
+    * with FLOOR division (the driver loop's BigInt fdiv; the twin
+    * emulates it — see [[eventsHoltSql]], DuckDB's `//` truncates —
+    * because trend goes negative on decaying series, exactly where
+    * truncation and floor diverge). Forecast(h) = Lₙ + h·Tₙ,
+    * h = 1..horizon. All integer, so the
+    * hash anchor `forecast_micro` is bit-exact at any scale; the double
+    * display column divides by 10⁶ and rounds to the house grid.
+    *
+    * Exactness law (spec-pinned): on an exact linear ramp y = a + b·t
+    * the invariant L = yₜ·S, T = b·S holds from init (the update's
+    * algebra cancels), so the forecast is exactly (yₙ + h·b)·S.
+    *
+    * Scale shape: ONE corpus shuffle to the (type, day) grid —
+    * calendar-bounded (days×types rows, KBs at any event volume) — then
+    * the sequential recursion runs on the collected model (the
+    * [[eventsMarkovStationary]] bounded-model class; a 30-step linear
+    * recurrence is driver work, not 30 distributed jobs). Twin: a
+    * RECURSIVE CTE marching the same state day by day. */
+  def eventsHolt(s: SparkSession, d: String, horizon: Int = 7): DataFrame =
+    eventsHoltFrom(s, Tables.load(s, d, "events"), horizon)
+
+  def eventsHoltFrom(s: SparkSession, ev: DataFrame,
+                     horizon: Int = 7): DataFrame = {
+    val daily = ev
+      .groupBy(datediff(date_trunc("day", col("ts")),
+        lit("1970-01-01").cast("date")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(1), r.getInt(0)) -> r.getLong(2))
+      .toMap
+    val types = daily.keys.map(_._1).toSeq.distinct.sorted
+    val dmin = daily.keys.map(_._2).min
+    val dmax = daily.keys.map(_._2).max
+    val S = BigInt(1000000)
+    def fdiv(a: BigInt, b: BigInt): BigInt = { // floor division, b > 0
+      val (q, r) = a /% b
+      if (r.signum < 0) q - 1 else q
+    }
+    val rows = types.flatMap { t =>
+      val ys = (dmin to dmax).map(dd => BigInt(daily.getOrElse((t, dd), 0L)))
+      var l = ys.head * S
+      var tr = (if (ys.length > 1) ys(1) - ys.head else BigInt(0)) * S
+      for (i <- 1 until ys.length) {
+        val lNew = fdiv(ys(i) * S + 3 * (l + tr), 4)
+        tr = fdiv((lNew - l) + 7 * tr, 8)
+        l = lNew
+      }
+      (1 to horizon).map(h => (t, h, (l + h * tr).toLong))
+    }
+    val sp = s
+    import sp.implicits._
+    rows.toDF("event_type", "h", "forecast_micro")
+      .select(col("event_type"), col("h"), col("forecast_micro"),
+        round(col("forecast_micro").cast("double") / lit(1000000.0), 3)
+          .as("forecast"))
+  }
+
+  /** DuckDB twin of [[eventsHolt]]: the same day-marching recurrence as
+    * a RECURSIVE CTE carrying (type, next-day, L, T) — linear recursion,
+    * one working set per step, so no MATERIALIZED gymnastics needed
+    * (unlike the unrolled fixpoint twins). TRAP: DuckDB's `//` TRUNCATES
+    * toward zero (measured: -7 // 2 = -3), it is NOT floor division —
+    * and the trend is negative whenever a series decays, so the twin
+    * emulates the driver loop's floor via the modular identity
+    * ⌊a/b⌋ = (a − ((a % b + b) % b)) / b (the subtraction makes the
+    * numerator exactly divisible, so the final `//` never rounds). */
+  def eventsHoltSql(horizon: Int = 7): String = {
+    def fd(a: String, b: Int): String =
+      s"(($a) - (((($a) % $b) + $b) % $b)) // $b"
+    val lNew = fd("g.y * 1000000 + 3 * (r.l + r.tr)", 4)
+    val trNew = fd("x.lNew - x.l + 7 * x.tr", 8)
+    s"""WITH RECURSIVE daily AS MATERIALIZED (
+       |  SELECT event_type,
+       |         datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS day,
+       |         count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS MATERIALIZED (
+       |  SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+       |grid AS MATERIALIZED (
+       |  SELECT t.event_type, g.day, CAST(COALESCE(d.y, 0) AS HUGEINT) AS y
+       |  FROM (SELECT DISTINCT event_type FROM daily) t
+       |  CROSS JOIN (SELECT unnest(generate_series(dmin, dmax)) AS day
+       |              FROM bounds) g
+       |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+       |rec(event_type, i, dmax, l, tr) AS (
+       |  SELECT g1.event_type, g1.day + 1, b.dmax,
+       |         g1.y * 1000000,
+       |         COALESCE(g2.y - g1.y, 0) * 1000000
+       |  FROM bounds b
+       |  JOIN grid g1 ON g1.day = b.dmin
+       |  LEFT JOIN grid g2 ON g2.event_type = g1.event_type
+       |                   AND g2.day = b.dmin + 1
+       |  UNION ALL
+       |  SELECT x.event_type, x.i + 1, x.dmax, x.lNew,
+       |         $trNew
+       |  FROM (SELECT r.event_type, r.i, r.dmax, r.l, r.tr,
+       |               $lNew AS lNew
+       |        FROM rec r JOIN grid g ON g.event_type = r.event_type
+       |                              AND g.day = r.i
+       |        WHERE r.i <= r.dmax) x)
+       |SELECT event_type, CAST(h.h AS INT) AS h,
+       |       CAST(l + h.h * tr AS BIGINT) AS forecast_micro,
+       |       round(CAST(l + h.h * tr AS DOUBLE) / 1000000.0, 3) AS forecast
+       |FROM rec CROSS JOIN (SELECT unnest(generate_series(1, $horizon)) AS h) h
+       |WHERE i = dmax + 1
+       |ORDER BY event_type, h""".stripMargin
+  }
+
   def eventsTrend(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.load(s, d, "events")
       .groupBy(datediff(date_trunc("day", col("ts")),
@@ -1541,6 +1659,7 @@ object EventAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend" -> (eventsTrend _),
+    "events_holt" -> ((s, d) => eventsHolt(s, d)),
     "events_scd2" -> (eventsScd2 _),
     "events_scd2_merge" -> (eventsScd2Merge _),
     "events_paths" -> (eventsPaths _),
@@ -1573,6 +1692,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "events_trend" -> eventsTrendSql,
+    "events_holt" -> eventsHoltSql(),
     "events_scd2" -> eventsScd2Sql,
     // the merge law as an oracle: the merged dimension must equal the
     // full from-scratch derivation, hash-exactly

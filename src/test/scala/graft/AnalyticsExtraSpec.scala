@@ -1264,4 +1264,58 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("events_holt: constant and exact-ramp series forecast exactly") {
+    def ev(rows: Seq[(String, String)]) =
+      rows.zipWithIndex.map { case ((t, tp), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(t), 1L, tp, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // constant series y=2 over 3 days: T stays 0, L stays 2e6 (the update
+    // algebra cancels exactly), so every horizon forecasts 2e6
+    val const = ev(Seq(
+      ("2024-01-01 01:00:00", "A"), ("2024-01-01 02:00:00", "A"),
+      ("2024-01-02 01:00:00", "A"), ("2024-01-02 02:00:00", "A"),
+      ("2024-01-03 01:00:00", "A"), ("2024-01-03 02:00:00", "A")))
+    val gotC = EventAnalytics.eventsHoltFrom(spark, const)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    assert(gotC.map(_._2).toSeq === (1 to 7))
+    assert(gotC.forall(r => r._3 === 2000000L && r._4 === 2.0))
+    // exact ramp y = t (1,2,3,4): L = y_t*S and T = S is INVARIANT from
+    // init, so forecast(h) = (4 + h) * 1e6 exactly — the spec-pinned law
+    val ramp = ev((1 to 4).flatMap(d =>
+      (1 to d).map(k => (f"2024-01-0$d%d 0$k%d:00:00", "B"))))
+    val gotR = EventAnalytics.eventsHoltFrom(spark, ramp)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    gotR.foreach { r => assert(r._3 === (4L + r._2) * 1000000L, s"h=${r._2}") }
+  }
+
+  test("events_holt: BigInt recompute from raw sf0.001 events matches bit-exactly") {
+    val got = EventAnalytics.eventsHolt(spark, sf)
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "datediff(date_trunc('day', ts), DATE '1970-01-01') AS day")
+      .as[(String, Int)].collect()
+    val counts = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dmin = raw.map(_._2).min
+    val dmax = raw.map(_._2).max
+    val S = BigInt(1000000)
+    def fdiv(a: BigInt, b: BigInt): BigInt = {
+      val (q, r) = a /% b; if (r.signum < 0) q - 1 else q
+    }
+    raw.map(_._1).distinct.foreach { t =>
+      val ys = (dmin to dmax).map(dd => BigInt(counts.getOrElse((t, dd), 0L)))
+      var l = ys.head * S
+      var tr = (ys(1) - ys.head) * S
+      for (i <- 1 until ys.length) {
+        val lNew = fdiv(ys(i) * S + 3 * (l + tr), 4)
+        tr = fdiv((lNew - l) + 7 * tr, 8)
+        l = lNew
+      }
+      (1 to 7).foreach { h =>
+        assert(got((t, h)) === (l + h * tr).toLong, s"$t h=$h")
+      }
+    }
+  }
+
 }
