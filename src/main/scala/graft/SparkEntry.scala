@@ -110,7 +110,12 @@ object SparkEntry {
     // triangle support recomputed per round, convergence-or-throw at 6
     // (measured fixpoint: round 2 at all three sfs and the 10× soak)
     "citation_ktruss" -> ((s, d) =>
-      Citations.kTruss(Citations.edges(s, d)))
+      Citations.kTruss(Citations.edges(s, d))),
+    // HyperBall 2-hop in-reach for every node — sketch-propagation, so
+    // rows-only in the gate (engine-specific registers); error bound vs
+    // the exact 2-hop closure asserted in SketchSpec
+    "citation_hyperball" -> ((s, d) =>
+      Citations.hyperBall(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(

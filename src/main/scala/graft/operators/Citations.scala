@@ -292,6 +292,64 @@ object Citations {
     edgeSupport(e)
   }
 
+  /** `citation_hyperball` (rows-only): approximate h-hop in-neighborhood
+    * size for EVERY node at once — HyperBall (Boldi & Vigna 2013), the
+    * neighborhood-function estimator that made billion-node distance
+    * profiles tractable: one HLL sketch per node, each round unioning
+    * every in-neighbor's sketch, so after h rounds sketch(v) holds
+    * {u : dist(u→v) ≤ h} within HLL error. The sketch family's
+    * mergeable-rollup discipline ([[Sketches.distinctUsersMerge]])
+    * composed onto the graph family's frontier loop.
+    *
+    * Why a sketch is the ONLY scale path here: the exact answer for all
+    * nodes is the h-step transitive pair closure — quadratic blow-up on
+    * hub-heavy graphs (this is NOT [[citationReach]], which waves from 5
+    * seeds; here every node is a source). HyperBall's state is instead
+    * 2^lgK registers per node, linear in nodes and INDEPENDENT of ball
+    * sizes; each round is one edge join + one register-union aggregate
+    * (`hll_union_agg` — mergeable map-side partials, so the shuffle
+    * carries one partially-unioned sketch per (partition, dst), never
+    * per-edge register blocks).
+    *
+    * Engine-specific sketch bytes ⇒ rows-only in the driver gate (the
+    * ANN/sketch convention); the numeric contract — every per-node
+    * estimate within HLL error of the exact 2-hop in-ball, computed
+    * brute-force at sf0.001 — is asserted in SketchSpec. Deterministic:
+    * DataSketches HLL is a pure function of the item set, so the top-k
+    * ranking is stable across runs/partitionings (spec-asserted by
+    * re-running repartitioned). */
+  def hyperBall(edges: DataFrame, hops: Int = 2, lgK: Int = 12,
+                k: Int = 30): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    var balls = nodes.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("ball"))
+      .localCheckpoint()
+    var lastCut = balls
+    for (_ <- 1 to hops) {
+      val inbox = e
+        .join(balls.select(col("id").as("u"), col("ball").as("nb"))
+          .hint("shuffle_hash"), e("src") === col("u"))
+        .groupBy(e("dst").as("id"))
+        .agg(hll_union_agg(col("nb")).as("nb"))
+      val next = balls.join(inbox, Seq("id"), "left_outer")
+        .select(balls("id"),
+          when(col("nb").isNull, col("ball"))
+            .otherwise(hll_union(col("ball"), col("nb"))).as("ball"))
+      val cut = next.localCheckpoint() // eager — materialized pre-release
+      graft.Blocks.release(lastCut)
+      lastCut = cut
+      balls = cut
+    }
+    graft.Blocks.release(e)
+    balls.select(col("id").as("paper_id"),
+        hll_sketch_estimate(col("ball")).cast("long").as("reach_est"))
+      .orderBy(col("reach_est").desc, col("paper_id").asc)
+      .limit(k)
+  }
+
   /** DuckDB twin of [[kTruss]]: the peel unrolled as MATERIALIZED rounds
     * (the [[kCoreSql]] discipline), each round re-deriving degrees,
     * orientation, triangles and support from the previous edge set with

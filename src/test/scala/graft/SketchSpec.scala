@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventAnalytics, Relational, Sketches}
+import graft.operators.{Citations, EventAnalytics, Relational, Sketches}
 
 /** Differential tests for sketch-based approximations against their exact
   * twins. Sketch internals differ across engines, so these are NOT
@@ -169,4 +169,32 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(approxMedian - exactMedian) / exactMedian <= 0.01,
       s"approx $approxMedian vs exact $exactMedian")
   }
+  test("citation_hyperball: every estimate within HLL error of the exact 2-hop in-ball; deterministic") {
+    val got = Citations.hyperBall(Citations.edges(spark, sf))
+      .as[(String, Long)].collect()
+    assert(got.length === 30)
+    // exact 2-hop in-ball per node, brute force on the collected edges:
+    // ball(v) = {v} ∪ in(v) ∪ in(in(v))
+    val raw = Citations.edges(spark, sf).as[(String, String)].collect()
+      .filter(p => p._1 != p._2).distinct
+    val inNbr = raw.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      .withDefaultValue(Set.empty[String])
+    def ball2(v: String): Int =
+      (inNbr(v).flatMap(u => inNbr(u)) ++ inNbr(v) + v).size
+    got.foreach { case (v, est) =>
+      val ex = ball2(v)
+      assert(math.abs(est - ex).toDouble / ex <= 0.05,
+        s"$v: estimate $est vs exact $ex drifted > 5%")
+    }
+    // the ranking must be genuinely descending with the id tie-break
+    got.sliding(2).foreach { case Array((idA, a), (idB, b)) =>
+      assert(a > b || (a == b && idA < idB), s"order broke at $idA/$idB")
+    }
+    // determinism across physical layout: DataSketches HLL is a pure
+    // function of the item SET, so a repartitioned rerun is identical
+    val again = Citations.hyperBall(
+      Citations.edges(spark, sf).repartition(7)).as[(String, Long)].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
 }
