@@ -85,4 +85,39 @@ object CitationProps extends Properties("Citations") {
         .as[(String, String)].collect().toList
       got.sorted == expected.sorted
     }
+  // k-truss: random multigraphs (dups/self-loops forced by the small
+  // alphabet) against an in-memory common-neighbor peel — soundness,
+  // maximality, and per-edge supports all pinned by set equality with
+  // the fixpoint of the same monotone operator.
+  private def trussOracle(es: List[(String, String)], k: Int)
+      : Map[(String, String), Int] = {
+    var e = es.filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else (p._2, p._1)).toSet
+    def sup(cur: Set[(String, String)]): Map[(String, String), Int] = {
+      val nbr = cur.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      cur.iterator.map { case (a, b) => (a, b) -> (nbr(a) & nbr(b)).size }.toMap
+    }
+    var done = false
+    while (!done) {
+      // NOT `.collect { case (p, s) if ... => p }.toSet`: on a Map a
+      // pair-producing collect REBUILDS A MAP keyed by p._1, silently
+      // collapsing edges that share a low endpoint (found the hard way —
+      // the property falsified against a CORRECT operator)
+      val next = sup(e).filter(_._2 >= k - 2).keySet
+      done = next == e
+      e = next
+    }
+    sup(e)
+  }
+
+  property("kTruss(k=3) == in-memory peel fixpoint with supports") =
+    forAll(edgesGen) { es =>
+      import spark.implicits._
+      val got = Citations.kTruss(toDf(es), k = 3, rounds = 60)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3.toInt).toMap
+      got == trussOracle(es, 3)
+    }
+
 }
