@@ -473,7 +473,9 @@ object Soak {
           sum(col("score")).as("mass"))
         .as[(String, Long, Long)].collect())
     val trankOk = trMass.forall { case (l, n, mass) =>
-      n == 10 * vocabBase(l) &&
+      // .get, not .apply: a lang present at 10x but absent from the base
+      // run must FAIL the check, not abort the harness (r12 advice)
+      vocabBase.get(l).contains(n / 10) && n % 10 == 0 &&
         mass <= 1000000000000L && mass > 999000000000L
     }
     check("textrank_50k", trankOk,

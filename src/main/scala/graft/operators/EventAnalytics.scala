@@ -1293,6 +1293,14 @@ object EventAnalytics {
       .agg(count(lit(1)).as("y"))
       .collect().map(r => (r.getString(1), r.getInt(0)) -> r.getLong(2))
       .toMap
+    val sp0 = s
+    import sp0.implicits._
+    // empty corpus: zero rows, matching the twin (whose daily CTE is
+    // empty so the recursion never starts) — r12 advice: min/max over an
+    // empty key set must not throw where the oracle returns nothing
+    if (daily.isEmpty)
+      return Seq.empty[(String, Int, Long, Double)]
+        .toDF("event_type", "h", "forecast_micro", "forecast")
     val types = daily.keys.map(_._1).toSeq.distinct.sorted
     val dmin = daily.keys.map(_._2).min
     val dmax = daily.keys.map(_._2).max
@@ -1310,10 +1318,14 @@ object EventAnalytics {
         tr = fdiv((lNew - l) + 7 * tr, 8)
         l = lNew
       }
-      (1 to horizon).map(h => (t, h, (l + h * tr).toLong))
+      (1 to horizon).map { h =>
+        val v = l + h * tr
+        // .toLong would silently wrap where the twin's CAST(.. AS BIGINT)
+        // errors — fail loudly on both engines instead (r12 advice)
+        require(v.isValidLong, s"eventsHolt: forecast_micro overflows Long ($v)")
+        (t, h, v.toLong)
+      }
     }
-    val sp = s
-    import sp.implicits._
     rows.toDF("event_type", "h", "forecast_micro")
       .select(col("event_type"), col("h"), col("forecast_micro"),
         round(col("forecast_micro").cast("double") / lit(1000000.0), 3)
@@ -1366,6 +1378,160 @@ object EventAnalytics {
        |SELECT event_type, CAST(h.h AS INT) AS h,
        |       CAST(l + h.h * tr AS BIGINT) AS forecast_micro,
        |       round(CAST(l + h.h * tr AS DOUBLE) / 1000000.0, 3) AS forecast
+       |FROM rec CROSS JOIN (SELECT unnest(generate_series(1, $horizon)) AS h) h
+       |WHERE i = dmax + 1
+       |ORDER BY event_type, h""".stripMargin
+  }
+
+  /** `events_holt_winters` (oracled): additive Holt–Winters — level +
+    * trend + WEEKLY seasonality (P = 7) over the same corpus-wide dense
+    * daily grid as [[eventsHolt]]. [[eventsHeatmap]] (hash-green) already
+    * proves the events table has hour-of-week structure; Holt alone
+    * aliases that weekly cycle into its trend state, while the seasonal
+    * component absorbs it and forecasts each weekday on its own baseline —
+    * the form ops capacity planning actually uses for weekly-periodic
+    * load.
+    *
+    * Definition (both engines mirror it exactly): α = 1/4, β = 1/8,
+    * γ = 1/4 as exact rationals, state in integer microunits, FLOOR
+    * division throughout (the [[eventsHolt]] fdiv discipline — the twin
+    * emulates floor via the modular identity because DuckDB's `//`
+    * truncates). Init over the first two weeks (classic HW init):
+    * L = ⌊mean(week₁)·S⌋, T = ⌊(Σweek₂ − Σweek₁)·S / P²⌋,
+    * Sᵢ = yᵢ·S − L for the first P days; then for each day t > P
+    *   Lₜ = ⌊(yₜ·S − Sₜ₋ₚ + 3(Lₜ₋₁+Tₜ₋₁)) / 4⌋
+    *   Tₜ = ⌊((Lₜ−Lₜ₋₁) + 7Tₜ₋₁) / 8⌋
+    *   Sₜ = ⌊(yₜ·S − Lₜ + 3Sₜ₋ₚ) / 4⌋
+    * Forecast(h) = Lₙ + h·Tₙ + Sₙ₊ₕ₋ₚ for h = 1..P. All integer, so
+    * `forecast_micro` is the bit-exact hash anchor; a span under 2P days
+    * (seasonal init needs two full weeks) yields ZERO rows on both
+    * engines, as does an empty corpus.
+    *
+    * Scale shape: identical to [[eventsHolt]] — ONE corpus shuffle to the
+    * calendar-bounded (type, day) grid, then a driver-side linear
+    * recurrence over the collected KB-scale model; the twin is the same
+    * RECURSIVE-CTE day march carrying the rotating P-slot seasonal state
+    * as columns. */
+  def eventsHoltWinters(s: SparkSession, d: String,
+                        horizon: Int = 7): DataFrame =
+    eventsHoltWintersFrom(s, Tables.load(s, d, "events"), horizon)
+
+  private val HwPeriod = 7
+
+  def eventsHoltWintersFrom(s: SparkSession, ev: DataFrame,
+                            horizon: Int = 7): DataFrame = {
+    require(horizon >= 1 && horizon <= HwPeriod,
+      s"eventsHoltWinters: horizon must be in 1..$HwPeriod (one seasonal cycle)")
+    val daily = ev
+      .groupBy(datediff(date_trunc("day", col("ts")),
+        lit("1970-01-01").cast("date")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(1), r.getInt(0)) -> r.getLong(2))
+      .toMap
+    val sp0 = s
+    import sp0.implicits._
+    def empty = Seq.empty[(String, Int, Long, Double)]
+      .toDF("event_type", "h", "forecast_micro", "forecast")
+    if (daily.isEmpty) return empty
+    val types = daily.keys.map(_._1).toSeq.distinct.sorted
+    val dmin = daily.keys.map(_._2).min
+    val dmax = daily.keys.map(_._2).max
+    if (dmax - dmin + 1 < 2 * HwPeriod) return empty
+    val S = BigInt(1000000)
+    def fdiv(a: BigInt, b: BigInt): BigInt = { // floor division, b > 0
+      val (q, r) = a /% b
+      if (r.signum < 0) q - 1 else q
+    }
+    val rows = types.flatMap { t =>
+      val ys = (dmin to dmax).map(dd => BigInt(daily.getOrElse((t, dd), 0L)))
+      val w1 = ys.take(HwPeriod).sum
+      val w2 = ys.slice(HwPeriod, 2 * HwPeriod).sum
+      var l = fdiv(w1 * S, HwPeriod)
+      var tr = fdiv((w2 - w1) * S, HwPeriod * HwPeriod)
+      // rotating seasonal state: slot 0 is always S_{t-P} for the next day
+      var seas = ys.take(HwPeriod).map(_ * S - l).toVector
+      for (i <- HwPeriod until ys.length) {
+        val sOld = seas.head
+        val lNew = fdiv(ys(i) * S - sOld + 3 * (l + tr), 4)
+        tr = fdiv((lNew - l) + 7 * tr, 8)
+        val sNew = fdiv(ys(i) * S - lNew + 3 * sOld, 4)
+        l = lNew
+        seas = seas.tail :+ sNew
+      }
+      (1 to horizon).map { h =>
+        val v = l + h * tr + seas(h - 1)
+        require(v.isValidLong,
+          s"eventsHoltWinters: forecast_micro overflows Long ($v)")
+        (t, h, v.toLong)
+      }
+    }
+    rows.toDF("event_type", "h", "forecast_micro")
+      .select(col("event_type"), col("h"), col("forecast_micro"),
+        round(col("forecast_micro").cast("double") / lit(1000000.0), 3)
+          .as("forecast"))
+  }
+
+  /** DuckDB twin of [[eventsHoltWinters]]: the [[eventsHoltSql]] RECURSIVE
+    * day march, with the rotating 7-slot seasonal state carried as columns
+    * s1..s7 (s1 = Sₜ₋ₚ for the day about to be processed; each step shifts
+    * left and appends the new seasonal). Floor division via the same
+    * modular identity; the 2-week init gate lives in `bounds` (HAVING on
+    * the span), so a short or empty corpus yields zero rows — matching the
+    * Scala guard. */
+  def eventsHoltWintersSql(horizon: Int = 7): String = {
+    def fd(a: String, b: Int): String =
+      s"((($a) - (((($a) % $b) + $b) % $b)) // $b)"
+    val lNew = fd("g.y * 1000000 - r.s1 + 3 * (r.l + r.tr)", 4)
+    val trNew = fd("x.lNew - x.l + 7 * x.tr", 8)
+    val sNew = fd("x.y * 1000000 - x.lNew + 3 * x.s1", 4)
+    val initL = fd("w1 * 1000000", 7)
+    val initT = fd("(w2 - w1) * 1000000", 49)
+    val yCols = (0 to 6).map(k =>
+      s"max(CASE WHEN g.day = b.dmin + $k THEN g.y END) AS y$k").mkString(",\n       ")
+    val sInit = (0 to 6).map(k => s"y$k * 1000000 - l").mkString(", ")
+    val seasCase = "CASE h.h " +
+      (1 to 7).map(k => s"WHEN $k THEN s$k").mkString(" ") + " END"
+    s"""WITH RECURSIVE daily AS MATERIALIZED (
+       |  SELECT event_type,
+       |         datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS day,
+       |         count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS MATERIALIZED (
+       |  SELECT min(day) AS dmin, max(day) AS dmax FROM daily
+       |  HAVING max(day) - min(day) + 1 >= 14),
+       |grid AS MATERIALIZED (
+       |  SELECT t.event_type, g.day, CAST(COALESCE(d.y, 0) AS HUGEINT) AS y
+       |  FROM (SELECT DISTINCT event_type FROM daily) t
+       |  CROSS JOIN (SELECT unnest(generate_series(dmin, dmax)) AS day
+       |              FROM bounds) g
+       |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+       |init0 AS MATERIALIZED (
+       |  SELECT g.event_type, b.dmin, b.dmax,
+       |       sum(CASE WHEN g.day < b.dmin + 7 THEN g.y
+       |                ELSE CAST(0 AS HUGEINT) END) AS w1,
+       |       sum(CASE WHEN g.day >= b.dmin + 7 AND g.day < b.dmin + 14
+       |                THEN g.y ELSE CAST(0 AS HUGEINT) END) AS w2,
+       |       $yCols
+       |  FROM grid g CROSS JOIN bounds b
+       |  GROUP BY 1, 2, 3),
+       |init1 AS MATERIALIZED (
+       |  SELECT *, $initL AS l, $initT AS tr FROM init0),
+       |rec(event_type, i, dmax, l, tr, s1, s2, s3, s4, s5, s6, s7) AS (
+       |  SELECT event_type, dmin + 7, dmax, l, tr, $sInit
+       |  FROM init1
+       |  UNION ALL
+       |  SELECT x.event_type, x.i + 1, x.dmax, x.lNew,
+       |         $trNew,
+       |         x.s2, x.s3, x.s4, x.s5, x.s6, x.s7,
+       |         $sNew
+       |  FROM (SELECT r.*, g.y, $lNew AS lNew
+       |        FROM rec r JOIN grid g ON g.event_type = r.event_type
+       |                              AND g.day = r.i
+       |        WHERE r.i <= r.dmax) x)
+       |SELECT event_type, CAST(h.h AS INT) AS h,
+       |       CAST(l + h.h * tr + $seasCase AS BIGINT) AS forecast_micro,
+       |       round(CAST(l + h.h * tr + $seasCase AS DOUBLE) / 1000000.0, 3)
+       |         AS forecast
        |FROM rec CROSS JOIN (SELECT unnest(generate_series(1, $horizon)) AS h) h
        |WHERE i = dmax + 1
        |ORDER BY event_type, h""".stripMargin
@@ -1660,6 +1826,7 @@ object EventAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend" -> (eventsTrend _),
     "events_holt" -> ((s, d) => eventsHolt(s, d)),
+    "events_holt_winters" -> ((s, d) => eventsHoltWinters(s, d)),
     "events_scd2" -> (eventsScd2 _),
     "events_scd2_merge" -> (eventsScd2Merge _),
     "events_paths" -> (eventsPaths _),
@@ -1693,6 +1860,7 @@ object EventAnalytics {
   val oracles: Map[String, String] = Map(
     "events_trend" -> eventsTrendSql,
     "events_holt" -> eventsHoltSql(),
+    "events_holt_winters" -> eventsHoltWintersSql(),
     "events_scd2" -> eventsScd2Sql,
     // the merge law as an oracle: the merged dimension must equal the
     // full from-scratch derivation, hash-exactly

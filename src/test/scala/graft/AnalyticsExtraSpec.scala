@@ -1318,4 +1318,36 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("events_holt / events_holt_winters: empty corpus yields zero rows, not a throw") {
+    val none = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventAnalytics.eventsHoltFrom(spark, none).count() === 0L)
+    assert(EventAnalytics.eventsHoltWintersFrom(spark, none).count() === 0L)
+  }
+
+  test("events_holt_winters: exact weekly-periodic series forecasts each weekday exactly") {
+    // counts per weekday; on an EXACTLY periodic series the HW update
+    // algebra locks L (constant), T = 0, S_i = y_i*S - L from init onward
+    // (every floor division is exact), so forecast(h) = y(weekday)*1e6
+    val c = Seq(2L, 4L, 1L, 5L, 3L, 2L, 4L)
+    val rows = (0 until 21).flatMap { d =>
+      (1 to c(d % 7).toInt).map { k =>
+        (d * 100L + k,
+          java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d $k%02d:00:00"),
+          1L, "A", 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.eventsHoltWintersFrom(spark, rows)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq === (1 to 7))
+    // dmax is day 20 (0-based); forecast day 20+h has weekday (20+h) mod 7
+    got.foreach { r =>
+      assert(r._3 === c((20 + r._2) % 7) * 1000000L, s"h=${r._2}")
+    }
+    // a span under two weeks cannot init the seasonal state: zero rows on
+    // both engines (the SQL twin's HAVING gate), never a partial forecast
+    val short = rows.where(col("ts") < org.apache.spark.sql.functions.lit("2024-01-11"))
+    assert(EventAnalytics.eventsHoltWintersFrom(spark, short).count() === 0L)
+  }
+
 }
