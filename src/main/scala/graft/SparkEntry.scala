@@ -95,17 +95,20 @@ object SparkEntry {
       Citations.sccPivot(Citations.edges(s, d))),
     // full SCC decomposition: bounded trim-to-core peel + iterated
     // FW–BW pivot extraction; labels are canonical (min member id),
-    // so the twin is the same bounded schedule in SQL
-    "citation_scc_all" -> ((s, d) =>
-      Citations.sccAll(Citations.edges(s, d))),
+    // so the twin is the same bounded schedule in SQL. The three SCC
+    // consumers share ONE decomposition per dataset via the pinned
+    // label cache (r12 directive: the family paid it ~3.5x per bench)
+    "citation_scc_all" -> ((s, d) => Citations.sccLabelsCached(s, d)),
     // condensation DAG: the acyclic SCC quotient with edge multiplicities
     "citation_scc_condensation" -> ((s, d) =>
-      Citations.sccCondensation(Citations.edges(s, d))),
+      Citations.sccCondensationFrom(Citations.edges(s, d),
+        Citations.sccLabelsCached(s, d))),
     // topological levels (longest path from sources) over the
     // condensation — monotone propagation, convergence-or-throw at 12
     // rounds (measured fixpoints: rounds 4/7/9 at the three sfs)
     "citation_scc_layers" -> ((s, d) =>
-      Citations.sccLayers(Citations.edges(s, d))),
+      Citations.sccLayersFrom(Citations.edges(s, d),
+        Citations.sccLabelsCached(s, d))),
     // edge-peeling cohesive subgraph (kCore's edge analogue): per-edge
     // triangle support recomputed per round, convergence-or-throw at 6
     // (measured fixpoint: round 2 at all three sfs and the 10× soak)

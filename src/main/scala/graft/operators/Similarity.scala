@@ -1249,20 +1249,33 @@ object Similarity {
     * (pathological all-negative neighborhoods) maps to margin 0.0, not
     * NULL, keeping the per-probe argmax total.
     *
-    * Scale shape: ONE scored frame (probe side × broadcast pivot batch,
-    * the [[knnRanked]] discipline — at 100 TB the pivot side is mined
-    * in partition-sized batches against the probe corpus, same plan
-    * per batch) is cut once and feeds both direction's
-    * WindowGroupLimit top-k aggregates; the margin join's build sides
-    * are the per-probe and per-target k-NN means (≤ corpus-slice rows,
-    * broadcast-eligible); the final per-probe argmax is another
-    * WindowGroupLimit over the probes×k candidate frame. No pass is
-    * ever all-pairs-materialized beyond the scored batch itself. */
+    * Scale shape: this exact form scores the FULL non-pivot × pivot
+    * cross product — it is the ORACLED EXACT TWIN (the [[annTopk]]
+    * role), correct and affordable at test scale, quadratic beyond it.
+    * The scale path is [[bitextMineAnn]] (`corpus_bitext_mine_ann`):
+    * IVF-blocked candidate generation through the shared trained coarse
+    * quantizer, then the identical [[bitextMargin]] arithmetic — the
+    * [[annIvf]] convention, mirroring how production Artetxe–Schwenk
+    * pipelines generate candidates with FAISS. Downstream of the scored
+    * frame, both paths are one localCheckpoint cut feeding the two
+    * directional WindowGroupLimit top-k aggregates, the broadcast-sized
+    * k-NN mean frames, and the final per-probe argmax. */
   private val BitextK = 4
   private val BitextPivotLang = "en"
   private val BitextMarginThreshold = 1.05
 
   def bitextMineFrom(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val (xs, ys) = bitextSides(docs, embs)
+    val scored = xs.crossJoin(broadcast(ys))
+      .select(col("src_id"), col("src_lang"), col("tgt_id"),
+        expr(cosFused("xe", "ye")).as("cos"))
+    bitextMargin(scored)
+  }
+
+  /** The two language sides: non-pivot probes (src_id, src_lang, xe) and
+    * the pivot corpus (tgt_id, ye). */
+  private def bitextSides(docs: DataFrame, embs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val base = docs.select(col("doc_id"), col("lang"))
       .join(embs.select(col("vec_id").as("doc_id"), col("embedding")),
         Seq("doc_id"))
@@ -1271,11 +1284,18 @@ object Similarity {
         col("embedding").as("xe"))
     val ys = base.where(col("lang") === lit(BitextPivotLang))
       .select(col("doc_id").as("tgt_id"), col("embedding").as("ye"))
-    val scored = xs.crossJoin(broadcast(ys))
-      .select(col("src_id"), col("src_lang"), col("tgt_id"),
-        expr(cosFused("xe", "ye")).as("cos"))
+    (xs, ys)
+  }
+
+  /** The margin-scoring pipeline downstream of the scored pair frame —
+    * shared verbatim by the exact (cross-product) and ANN-blocked
+    * (IVF-candidate) paths, so the approximation lives ONLY in which
+    * pairs get scored, never in how a scored pair is ranked. Expects
+    * (src_id, src_lang, tgt_id, cos); each (src_id, tgt_id) at most once. */
+  private def bitextMargin(scoredIn: DataFrame): DataFrame = {
+    val scored = scoredIn
       .withColumn("ci", expr("CAST(round(cos * 1000000) AS BIGINT)"))
-      .localCheckpoint() // probes × pivot-batch rows; feeds 3 consumers
+      .localCheckpoint() // probes × candidate rows; feeds 3 consumers
     val wf = Window.partitionBy(col("src_id"))
       .orderBy(col("cos").desc, col("tgt_id").asc)
     val f = scored.withColumn("rf", row_number().over(wf))
@@ -1306,6 +1326,44 @@ object Similarity {
 
   def bitextMine(s: SparkSession, d: String): DataFrame =
     bitextMineFrom(Tables.load(s, d, "documents"), emb(s, d))
+
+  /** `corpus_bitext_mine_ann` (rows-only): the blocked SCALE PATH for
+    * bitext mining — the [[annTopk]] → [[annIvf]] convention applied to
+    * [[bitextMine]], which is the one query whose exact form scores the
+    * full non-pivot × pivot cross product (fine at test scale, quadratic
+    * at 100 TB — and exactly where production Artetxe–Schwenk pipelines
+    * switch to FAISS candidate generation). Candidates come from the
+    * SAME trained IVF coarse quantizer every ANN query shares
+    * ([[trainedCentroids]] — train once per dataset, √n cells): the
+    * pivot corpus is assigned to its nearest cell (take = 1, argmin
+    * partial-aggregate), each probe fans out to its `NumProbeClusters`
+    * nearest cells, and ONLY within-cell pairs are scored — expected
+    * scored volume O(|xs| · nprobe · |ys|/C) vs the exact |xs| · |ys|,
+    * and no broadcast of a whole language corpus anywhere (the cell join
+    * is a keyed shuffle join). take = 1 on the corpus side means each
+    * (src, tgt) pair appears at most once, so no dedup pass is needed.
+    * The margin arithmetic downstream is [[bitextMargin]] VERBATIM — the
+    * k-NN neighborhoods it normalizes by are computed over the candidate
+    * set, the standard ANN-mining approximation. Recall floor vs the
+    * exact miner asserted in SimilaritySpec (the ScaleSpec LSH-floor
+    * pattern). */
+  def bitextMineAnn(s: SparkSession, d: String): DataFrame = {
+    val (xs, ys) = bitextSides(Tables.load(s, d, "documents"), emb(s, d))
+    val cs = trainedCentroids(s, d)
+    val yCells = assignClusters(
+      ys.select(col("tgt_id"), col("ye").as("embedding")), cs,
+      take = 1, idCol = "tgt_id")
+      .select(col("tgt_id"), col("embedding").as("ye"), col("cid"))
+    val xCells = assignClusters(
+      xs.select(col("src_id"), col("xe").as("embedding")), cs,
+      take = NumProbeClusters, idCol = "src_id")
+      .select(col("src_id"), col("embedding").as("xe"), col("cid"))
+    val scored = xCells.join(yCells, Seq("cid"))
+      .join(xs.select(col("src_id"), col("src_lang")), Seq("src_id"))
+      .select(col("src_id"), col("src_lang"), col("tgt_id"),
+        expr(cosFused("xe", "ye")).as("cos"))
+    bitextMargin(scored)
+  }
 
   val bitextMineSql: String = {
     val cosSql =
@@ -1360,6 +1418,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bitext_mine" -> (bitextMine _),
+    "corpus_bitext_mine_ann" -> (bitextMineAnn _),
     "embedding_gram" -> (embeddingGram _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_pca_project" -> (embeddingPcaProject _),
@@ -1413,6 +1472,7 @@ object Similarity {
     "ann_pq" -> Seq(col("probe_id"), col("rank")),
     "ann_ivf_pq" -> Seq(col("probe_id"), col("rank")),
     "dedup_embedding" -> Seq(col("vec_a"), col("vec_b")),
-    "corpus_bitext_mine" -> Seq(col("src_id"))
+    "corpus_bitext_mine" -> Seq(col("src_id")),
+    "corpus_bitext_mine_ann" -> Seq(col("src_id"))
   )
 }

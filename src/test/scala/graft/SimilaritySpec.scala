@@ -439,4 +439,25 @@ class SimilaritySpec extends AnyFunSuite {
     val reRanked = rows.count(r => rawArgmax(r._1) != r._3)
     assert(reRanked > 0, "margin never re-ranked — hubness correction inert")
   }
+
+  test("corpus_bitext_mine_ann: IVF-blocked miner holds a recall floor vs the exact miner") {
+    // the ann_topk -> ann_ivf convention applied to bitext: the blocked
+    // path must find (nearly) every probe and agree with the exact
+    // cross-product miner's chosen translation for most of them
+    val exact = Similarity.bitextMine(spark, sf)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toMap
+    val ann = Similarity.bitextMineAnn(spark, sf)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toMap
+    assert(ann.keySet.subsetOf(exact.keySet),
+      "ANN path invented a probe the exact miner does not have")
+    val coverage = ann.size.toDouble / exact.size
+    val recall = ann.count { case (s, t) => exact.get(s).contains(t) }
+      .toDouble / exact.size
+    info(f"bitext ANN coverage=$coverage%.3f top1-agreement=$recall%.3f " +
+      f"(nprobe=8, C=sqrt-n cells)")
+    // a probe legitimately drops only when its probed cells hold no pivot
+    // doc — near-total coverage at this corpus shape
+    assert(coverage >= 0.95, f"coverage collapsed: $coverage%.3f")
+    assert(recall >= 0.60, f"recall collapsed: $recall%.3f")
+  }
 }
