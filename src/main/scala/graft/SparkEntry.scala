@@ -118,7 +118,12 @@ object SparkEntry {
     // rows-only in the gate (engine-specific registers); error bound vs
     // the exact 2-hop closure asserted in SketchSpec
     "citation_hyperball" -> ((s, d) =>
-      Citations.hyperBall(Citations.edges(s, d)))
+      Citations.hyperBall(Citations.edges(s, d))),
+    // the h-sweep HyperBall actually exists for: N(h) per hop + the
+    // effective-diameter estimate; rows-only (sketch estimates), exact
+    // pair-closure bound asserted in SketchSpec
+    "citation_neighborhood_fn" -> ((s, d) =>
+      Citations.neighborhoodFunction(Citations.edges(s, d)))
   )
 
   private val citationOracles: Map[String, String] = Map(
@@ -196,6 +201,23 @@ object SparkEntry {
       Multimodal.oracles ++ Profiling.oracles ++ Pipeline.oracles ++
       Sketches.oracles
 
+  /** Dataset-DEPENDENT oracles — twins generated against a fitted model
+    * so both engines consume identical literals (the PCA eigenbasis).
+    * Verify evaluates this with the sfDir in hand and merges it over
+    * [[oracleSql]]; each entry is individually guarded so a failing fit
+    * (e.g. a nonexistent sfDir) degrades that query to rows-only instead
+    * of faulting the dump. */
+  def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
+    Map("embedding_pca_project" -> (() => Similarity.dynamicOracles(s, d)))
+      .flatMap { case (k, thunk) =>
+        try thunk().get(k).map(k -> _)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] dynamic oracle $k failed: ${e.getMessage}")
+            None
+        }
+      }
+
   /** Deterministic presentation order per query, applied ONLY by the
     * Verify harness before writing (the driver's hash compare wants stable
     * rows; the operators themselves stay sort-free). Keys absent here are
@@ -221,6 +243,7 @@ object SparkEntry {
     "citation_scc_condensation" -> Seq(col("src_scc"), col("dst_scc")),
     "citation_scc_layers" -> Seq(col("scc_id")),
     "citation_ktruss" -> Seq(col("a"), col("b")),
+    "citation_neighborhood_fn" -> Seq(col("h")),
     "join_asof" -> Seq(col("event_id")),
     "join_range" -> Seq(col("user_id"), col("session_start")),
     "events_concurrency" -> Seq(col("user_id"), col("session_start")),

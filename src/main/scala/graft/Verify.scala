@@ -76,8 +76,9 @@ object Verify {
           case _ => Map.empty
         }
       else Map.empty
-    val merged = existing ++ SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+    val merged = existing ++
+      (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
+        .filter { case (k, _) => only.isEmpty || only(k) }
     val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(path, json)

@@ -319,7 +319,22 @@ object Citations {
     * ranking is stable across runs/partitionings (spec-asserted by
     * re-running repartitioned). */
   def hyperBall(edges: DataFrame, hops: Int = 2, lgK: Int = 12,
-                k: Int = 30): DataFrame = {
+                k: Int = 30): DataFrame =
+    hyperBallLoop(edges, hops, lgK)((_, _) => ())
+      .select(col("id").as("paper_id"),
+        hll_sketch_estimate(col("ball")).cast("long").as("reach_est"))
+      .orderBy(col("reach_est").desc, col("paper_id").asc)
+      .limit(k)
+
+  /** The HyperBall register-propagation loop, shared by [[hyperBall]]
+    * (top-k ball sizes after the final hop) and [[neighborhoodFunction]]
+    * (the per-hop N(h) sweep): `perHop(h, balls)` fires on the
+    * checkpointed cut after every round (and at h = 0 on the singleton
+    * init), so per-hop consumers aggregate the CURRENT registers without
+    * re-running earlier rounds. Returns the final checkpointed ball
+    * frame; the caller owns its release. */
+  private def hyperBallLoop(edges: DataFrame, hops: Int, lgK: Int)
+      (perHop: (Int, DataFrame) => Unit): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
@@ -327,8 +342,9 @@ object Citations {
     var balls = nodes.groupBy(col("id"))
       .agg(hll_sketch_agg(col("id"), lit(lgK)).as("ball"))
       .localCheckpoint()
+    perHop(0, balls)
     var lastCut = balls
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val inbox = e
         .join(balls.select(col("id").as("u"), col("ball").as("nb"))
           .hint("shuffle_hash"), e("src") === col("u"))
@@ -342,12 +358,53 @@ object Citations {
       graft.Blocks.release(lastCut)
       lastCut = cut
       balls = cut
+      perHop(h, balls)
     }
     graft.Blocks.release(e)
-    balls.select(col("id").as("paper_id"),
-        hll_sketch_estimate(col("ball")).cast("long").as("reach_est"))
-      .orderBy(col("reach_est").desc, col("paper_id").asc)
-      .limit(k)
+    balls
+  }
+
+  /** `citation_neighborhood_fn` (rows-only): HyperBall's actual
+    * deliverable (Boldi & Vigna 2011) — the NEIGHBORHOOD FUNCTION
+    * N(h) = |{(u, v) : dist(u→v) ≤ h}| for h = 0..maxHops, plus the
+    * effective-diameter estimate it exists to compute: the smallest h
+    * whose N(h) reaches 90% of the deepest swept ball volume. One row
+    * per hop: (h, pairs_est, frac_of_max, eff_diameter), the last column
+    * the same scalar on every row of the ≤(maxHops+1)-row frame.
+    * N(0) = |nodes| (every ball starts holding its own id), so the
+    * sweep's h = 0 row doubles as an HLL sanity anchor.
+    *
+    * Scale shape: the [[hyperBall]] loop verbatim (mergeable map-side
+    * partial unions, 2^lgK registers per node, frontier-bounded rounds)
+    * plus ONE partial-aggregable sum of per-node estimates per hop — a
+    * 1-row scalar per round, the graph family's fixpoint-probe class.
+    * The ordered-pair identity Σᵥ|in-ball(v,h)| = Σᵤ|out-ball(u,h)|
+    * means the in-ball propagation direction computes the same N(h) the
+    * out-ball formulation would. Rows-only in the gate (sketch-estimate
+    * values); SketchSpec pins each swept N(h) within HLL error of the
+    * exact h-hop pair closure at sf0.001 for h ≤ 3. */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int = 4,
+                           lgK: Int = 12): DataFrame = {
+    val sp = edges.sparkSession
+    val sweep = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val balls = hyperBallLoop(edges, maxHops, lgK) { (h, b) =>
+      val est = b.agg(coalesce(sum(hll_sketch_estimate(col("ball"))), lit(0.0)))
+        .collect()(0).getDouble(0)
+      sweep += ((h, math.round(est)))
+    }
+    graft.Blocks.release(balls)
+    val nMax = sweep.last._2
+    val rows = sweep.toSeq.map { case (h, p) =>
+      val frac =
+        if (nMax == 0L) 0.0
+        else BigDecimal(p.toDouble / nMax.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (h, p, frac)
+    }
+    val effDiameter = rows.find(_._3 >= 0.9).map(_._1).getOrElse(maxHops)
+    import sp.implicits._
+    rows.map { case (h, p, f) => (h, p, f, effDiameter) }
+      .toDF("h", "pairs_est", "frac_of_max", "eff_diameter")
   }
 
   /** DuckDB twin of [[kTruss]]: the peel unrolled as MATERIALIZED rounds

@@ -731,6 +731,19 @@ object Similarity {
     * dsyevd, deterministic for a fixed matrix) runs on the covariance
     * assembled from that bounded frame. Eigenvector sign is canonicalized
     * (largest-|component| positive) so the model is reproducible. */
+  /** One fit per dataset (the centroidCache convention — the model is
+    * O(d²) driver state): the PROJECTION QUERY and its generated oracle
+    * SQL must consume the IDENTICAL mean/components, because the fit's
+    * Gramian sum is a distributed float aggregate whose low-order bits
+    * can vary across evaluations — within one Verify JVM the cache makes
+    * query and twin bit-consistent by construction. */
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Array[Double], Array[Double], Array[Array[Double]])]()
+
+  private[graft] def pcaFitCached(s: SparkSession, d: String, k: Int)
+      : (Long, Array[Double], Array[Double], Array[Array[Double]]) =
+    pcaCache.computeIfAbsent(s"$d#$k", _ => pcaFit(s, d, k))
+
   private[graft] def pcaFit(s: SparkSession, d: String, k: Int)
       : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
     val dim = 64
@@ -769,12 +782,20 @@ object Similarity {
     * driver-bounded model IS the broadcast — no join, no extra exchange;
     * the projection is a pure per-row map, zero shuffles). Scores are
     * mean-centered (the mean's dot-product folds into a literal offset)
-    * and rounded to the 6-dp grid. Approximate operators' convention:
-    * rows-only in the driver gate; the numeric contract (orthonormal
-    * components, descending eigenvalues, per-component variance =
-    * eigenvalue, EVR bounds) lives in SimilaritySpec. */
+    * and rounded to the 6-dp grid.
+    *
+    * ORACLED (r12 directive #6): the eigensolve itself can't run in
+    * DuckDB, but the fitted model is a bounded artifact — so the twin is
+    * GENERATED per dataset ([[embeddingPcaProjectSql]], wired through
+    * `SparkEntry.dynamicOracleSql`) with the SAME sign-canonicalized
+    * literal components and mean offsets this query folds into its plan.
+    * That proves the distributed projection arithmetic end to end (the
+    * `search_mmr` greedy-decision convention); the fit's own numeric
+    * contract (orthonormal components, descending eigenvalues,
+    * per-component variance = eigenvalue, EVR bounds) stays in
+    * SimilaritySpec. */
   def embeddingPcaProject(s: SparkSession, d: String): DataFrame = {
-    val (_, mean, _, comps) = pcaFit(s, d, k = 4)
+    val (_, mean, _, comps) = pcaFitCached(s, d, k = 4)
     val pcs = comps.zipWithIndex.map { case (w, c) =>
       // java.lang.Double.toString round-trips exactly, and Spark's SQL
       // parser reads the scientific-notation form as a DOUBLE literal
@@ -788,6 +809,35 @@ object Similarity {
     }
     emb(s, d).select(col("vec_id") +: col("label") +: pcs: _*)
   }
+
+  /** DuckDB twin of [[embeddingPcaProject]], GENERATED against the
+    * dataset's cached fit: the same `Double.toString` round-trip-exact
+    * component literals and mean-dot offsets, the same sequential-fold
+    * dot product ([[annTopkSql]]'s list_reduce/list_transform form), the
+    * same round(…, 6). Dataset-dependent by necessity — the whole point
+    * is that both engines consume ONE fitted eigenbasis — so it ships
+    * through `SparkEntry.dynamicOracleSql`, which Verify evaluates with
+    * the sfDir in hand. */
+  def embeddingPcaProjectSql(s: SparkSession, d: String): String = {
+    val (_, mean, _, comps) = pcaFitCached(s, d, k = 4)
+    val pcCols = comps.zipWithIndex.map { case (w, c) =>
+      val lits = w.map(_.toString).mkString("[", ", ", "]")
+      val offset = w.zip(mean).map { case (wi, mi) => wi * mi }.sum
+      s"""round(list_reduce(list_transform(range(1, len(embedding) + 1),
+         |          i -> embedding[i]::DOUBLE * ($lits)[i]),
+         |        (x, y) -> x + y) - (${offset.toString}), 6) AS pc${c + 1}"""
+        .stripMargin
+    }.mkString(",\n       ")
+    s"""SELECT vec_id, label,
+       |       $pcCols
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  /** Dataset-dependent oracles (evaluated by Verify with the sfDir):
+    * twins that must consume a fitted model's literals. */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
+    "embedding_pca_project" -> embeddingPcaProjectSql(s, d)
+  )
 
   // ---- clustering & outlier analytics -----------------------------------
 

@@ -197,4 +197,38 @@ class SketchSpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("citation_neighborhood_fn: swept N(h) within HLL error of the exact pair closure, h <= 3") {
+    val got = Citations.neighborhoodFunction(Citations.edges(spark, sf), maxHops = 3)
+      .as[(Int, Long, Double, Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0 to 3))
+    // exact N(h) = |{(u,v): dist(u->v) <= h}| (self-pairs included) by
+    // brute-force in-neighbor closure on the collected sf0.001 edges
+    val raw = Citations.edges(spark, sf).as[(String, String)].collect()
+      .filter(p => p._1 != p._2).distinct
+    val inNbr = raw.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      .withDefaultValue(Set.empty[String])
+    val nodes = raw.flatMap(p => Seq(p._1, p._2)).distinct
+    var balls = nodes.map(v => v -> Set(v)).toMap
+    val exact = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, nodes.length.toLong))
+    (1 to 3).foreach { h =>
+      balls = balls.map { case (v, b) => v -> (b ++ inNbr(v).flatMap(balls)) }
+      exact += ((h, balls.values.map(_.size.toLong).sum))
+    }
+    // (ball_h(v) = ball_{h-1}(v) ∪ ⋃_{u∈in(v)} ball_{h-1}(u) — the
+    // HyperBall recurrence — so after h rounds it IS dist(u→v) ≤ h)
+    got.foreach { case (h, est, _, _) =>
+      val ex = exact.find(_._1 == h).get._2
+      assert(math.abs(est - ex).toDouble / ex <= 0.05,
+        s"h=$h: estimate $est vs exact $ex drifted > 5%")
+    }
+    // N(h) is monotone nondecreasing; frac of the deepest swept hop ends
+    // at exactly 1.0 and the effective diameter is the first h >= 0.9
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted)
+    assert(got.last._3 === 1.0)
+    val effD = got.head._4
+    assert(got.forall(_._4 == effD))
+    val firstHit = got.find(_._3 >= 0.9).map(_._1).getOrElse(3)
+    assert(effD === firstHit, s"eff_diameter $effD vs first-0.9 hop $firstHit")
+  }
+
 }
