@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (was 8g): the r12 status-store fix capped the live set, so heap
+  // headroom now translates directly into less old-gen pressure — the
+  // residual long-suite GC tax (light-tail queries 1.5-6.5x their
+  // isolated times with gc_ms 10-40x baseline, r12 verdict directive #2)
+  // is a heap-sizing problem, and the box has 128 GiB for one JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
