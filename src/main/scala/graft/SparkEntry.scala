@@ -74,6 +74,11 @@ object SparkEntry {
     // synchronous LPA is DEFINED as exactly 4 rounds (no fixpoint claim —
     // see the Scaladoc); both engines unroll the same count
     "citation_lpa" -> ((s, d) => Citations.lpa(Citations.edges(s, d))),
+    // lpa's exchange with the exact-integer modularity-gain score in
+    // place of the raw neighbor count (LPAm); defined-rounds, like lpa
+    "citation_louvain" -> ((s, d) => Citations.louvain(Citations.edges(s, d))),
+    "citation_louvain_stats" -> ((s, d) =>
+      Citations.louvainStats(Citations.edges(s, d))),
     // the oracle is the FULL recompute: the gate proves the IVM identity
     "citation_counts_ivm" -> ((s, d) =>
       Citations.countsIvm(Citations.edges(s, d))),
@@ -143,6 +148,8 @@ object SparkEntry {
     "citation_components" -> Citations.componentsSql(),
     "citation_ppr" -> Citations.personalizedPageRankSql(),
     "citation_lpa" -> Citations.lpaSql(),
+    "citation_louvain" -> Citations.louvainSql(),
+    "citation_louvain_stats" -> Citations.louvainStatsSql(),
     "citation_counts_ivm" -> Citations.countsIvmSql,
     "citation_bfs_paths" -> Citations.bfsPathsSql(),
     "citation_betweenness" -> Citations.betweennessSql(),
@@ -233,6 +240,8 @@ object SparkEntry {
     "citation_components" -> Seq(col("paper_id")),
     "citation_ppr" -> Seq(col("paper_id")),
     "citation_lpa" -> Seq(col("paper_id")),
+    "citation_louvain" -> Seq(col("paper_id")),
+    "citation_louvain_stats" -> Seq(col("community")),
     "citation_counts_ivm" -> Seq(col("paper_id")),
     "citation_bfs_paths" -> Seq(col("paper_id")),
     "citation_betweenness" -> Seq(col("paper_id")),
@@ -249,6 +258,7 @@ object SparkEntry {
     "events_concurrency" -> Seq(col("user_id"), col("session_start")),
     "events_forecast_backtest" -> Seq(col("event_type")),
     "events_anomaly_mad" -> Seq(col("event_type"), col("day")),
+    "events_seasonal_decompose" -> Seq(col("event_type"), col("day")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
     "q5_region_revenue" -> Seq(col("revenue").desc, col("n_name")),
     "join_broadcast_region" -> Seq(col("r_name")),

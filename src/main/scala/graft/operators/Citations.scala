@@ -2008,6 +2008,200 @@ object Citations {
        |FROM l$rounds ORDER BY paper_id""".stripMargin
   }
 
+  /** Louvain-style community detection, synchronous local-move flavor
+    * (LPAm — Barber & Clark 2009): each round every node adopts the
+    * candidate community (its neighbors' communities ∪ its own) that
+    * maximizes the EXACT-INTEGER modularity-gain score
+    *
+    *   score(i→c) = W·k_{i,c} − deg(i)·(Σtot(c) − [L(i)=c]·deg(i))
+    *
+    * over the previous round's labels, where W = Σdeg = 2m on the
+    * deduplicated undirected frame, k_{i,c} = i's neighbors labeled c,
+    * and Σtot(c) excludes i itself when i already sits in c (the
+    * standard Louvain ΔQ comparison with the common 1/W² factor and the
+    * constant −W·k_{i,L(i)}… terms cancelled — argmax-equivalent, but
+    * integer). Where [[lpa]] maximizes raw neighbor COUNT, this weighs
+    * each candidate against the degree mass already absorbed, so hubs
+    * stop winning solely by being big — the modularity objective.
+    *
+    * Determinism inside a round is the [[lpa]] key trick with the score
+    * in place of the count: a fixed-width `lpad(10²⁴ − score) || label`
+    * sort key, `min` = "highest score, smallest label on ties" (ties
+    * INCLUDING the stay-score move sideways deterministically — both
+    * engines, same rule). Synchronous sweeps can oscillate (the LPA
+    * caveat), so the operator is DEFINED as exactly `rounds` rounds and
+    * the twin unrolls the same count. All arithmetic rides
+    * DECIMAL(38,0) / HUGEINT: W·k is edge-count × degree scale and wraps
+    * 64 bits at corpus sizes where either passes ~10⁹·10⁹ (the
+    * assortativity overflow rule); 10²⁴ bounds |score| for any corpus
+    * with W·maxdeg below that — far past 100 TB.
+    *
+    * Scale shape per round: the [[lpa]] message exchange (one
+    * shuffle_hash join against the pinned edge partitioning, partial-
+    * aggregable (id,c) counts) plus two bounded side frames — Σtot is
+    * ≤|communities| rows and deg is the pinned ≤|V| frame — joined on
+    * the candidate key; labels cut per round, superseded cuts released. */
+  def louvain(edges: DataFrame, rounds: Int = 4,
+              roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
+    val (labels, und, deg) = louvainCore(edges, rounds, roundProbe)
+    graft.Blocks.release(und)
+    graft.Blocks.release(deg)
+    labels.select(col("id").as("paper_id"), col("label").as("community"))
+  }
+
+  /** Shared core: returns (labels, und, deg) with `und`/`deg` still
+    * pinned — [[louvain]] releases them; [[louvainStats]] consumes them
+    * first. `labels` is an eager localCheckpoint, safe past release. */
+  private def louvainCore(edges: DataFrame, rounds: Int,
+                          roundProbe: (Int, DataFrame, () => Long) => Unit)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.where(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .repartition(col("u")).localCheckpoint()
+    val deg = und.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val wTot = und.count() // = Σdeg = 2m, exact
+    val offset = lit(new java.math.BigDecimal("1000000000000000000000000"))
+      .cast("decimal(38,0)") // 10^24 > any |score| this side of yottascale
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    var labels = deg.select(col("id"), col("id").as("label")).localCheckpoint()
+    var lastCut = labels
+    for (i <- 1 to rounds) {
+      val sigma = labels.join(deg, Seq("id"))
+        .groupBy(col("label").as("c")).agg(sum(col("deg")).as("tot"))
+      // the lpa exchange: one repartition on the message key feeds the
+      // (id, c) partial count; the own-community candidate rides in as a
+      // zero-count row so every node scores "stay" even with no same-
+      // community neighbor (max(k) keeps the real count when both exist)
+      val cand = und.join(labels.hint("shuffle_hash"), und("u") === labels("id"))
+        .select(und("v").as("id"), col("label").as("c"), lit(1L).as("k"))
+        .unionByName(labels.select(col("id"), col("label").as("c"),
+          lit(0L).as("k")))
+        .repartition(col("id"))
+        .groupBy(col("id"), col("c")).agg(sum(col("k")).as("k"))
+      val scored = cand
+        .join(labels.select(col("id"), col("label").as("own")), Seq("id"))
+        .join(deg, Seq("id"))
+        .join(sigma, Seq("c"))
+        .withColumn("totx", col("tot") -
+          when(col("c") === col("own"), col("deg")).otherwise(lit(0L)))
+        .withColumn("score",
+          dec38(lit(wTot)) * dec38(col("k")) - dec38(col("deg")) * dec38(col("totx")))
+        .withColumn("key",
+          concat(lpad((offset - col("score")).cast("string"), 25, "0"), col("c")))
+      val next = scored.groupBy(col("id")).agg(min(col("key")).as("key"))
+        .select(col("id"), expr("substring(key, 26)").as("label"))
+      val cut = next.localCheckpoint()
+      roundProbe(i, next, () => cut.count())
+      graft.Blocks.release(lastCut)
+      lastCut = cut
+      labels = cut
+    }
+    (labels, und, deg)
+  }
+
+  /** Per-community rollup of the [[louvain]] partition — the frame a
+    * modularity report reads off directly: Q = Σ_c (W·in·2 − tot²)/W²
+    * with every term here as exact BIGINT columns (in_edges counts
+    * UNDIRECTED inside edges, i.e. the both-direction count div 2).
+    * Bounded output (≤|communities| rows); the stats frame is
+    * checkpointed before the pinned inputs release. */
+  def louvainStats(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val (labels, und, deg) = louvainCore(edges, rounds, noProbe)
+    val base = labels.join(deg, Seq("id"))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("tot_deg"))
+    val lu = labels.select(col("id").as("uid"), col("label").as("cu"))
+    val lv = labels.select(col("id").as("vid"), col("label").as("cv"))
+    val inn = und
+      .join(lu.hint("shuffle_hash"), und("u") === col("uid"))
+      .join(lv.hint("shuffle_hash"), und("v") === col("vid"))
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("c2"))
+      .select(col("community"), expr("c2 div 2").as("in_edges"))
+    val out = base.join(inn, Seq("community"), "left_outer")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"), col("tot_deg"))
+      .localCheckpoint()
+    graft.Blocks.release(und)
+    graft.Blocks.release(deg)
+    graft.Blocks.release(labels)
+    out
+  }
+
+  /** Shared unrolled-CTE body for the louvain twins ([[lpaSql]]
+    * discipline, HUGEINT arithmetic, same 25-wide key). */
+  private def louvainCtes(rounds: Int): String = {
+    val off = "CAST('1000000000000000000000000' AS HUGEINT)"
+    val steps = (1 to rounds).map { i =>
+      s"""sig$i AS MATERIALIZED (
+         |  SELECT l.label AS c, CAST(sum(d.deg) AS HUGEINT) AS tot
+         |  FROM l${i - 1} l JOIN deg d ON d.id = l.id GROUP BY 1),
+         |cand$i AS MATERIALIZED (
+         |  SELECT id, c, CAST(sum(k) AS HUGEINT) AS k FROM (
+         |    SELECT und.v AS id, q.label AS c, 1 AS k
+         |    FROM und JOIN l${i - 1} q ON q.id = und.u
+         |    UNION ALL
+         |    SELECT id, label AS c, 0 AS k FROM l${i - 1})
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT x.id, min(concat(lpad(CAST($off -
+         |      (w.wt * x.k - CAST(d.deg AS HUGEINT) *
+         |       (s.tot - CASE WHEN x.c = p.label
+         |                     THEN CAST(d.deg AS HUGEINT)
+         |                     ELSE CAST(0 AS HUGEINT) END))
+         |    AS VARCHAR), 25, '0'), x.c)) AS key
+         |  FROM cand$i x
+         |  CROSS JOIN w
+         |  JOIN l${i - 1} p ON p.id = x.id
+         |  JOIN deg d ON d.id = x.id
+         |  JOIN sig$i s ON s.c = x.c
+         |  GROUP BY 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT m.id, substr(m.key, 26) AS label FROM m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+       |  UNION
+       |  SELECT dst, src FROM e WHERE src <> dst),
+       |deg AS MATERIALIZED (
+       |  SELECT u AS id, count(*) AS deg FROM und GROUP BY 1),
+       |w AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS wt FROM und),
+       |l0 AS MATERIALIZED (SELECT id, id AS label FROM deg),
+       |$steps""".stripMargin
+  }
+
+  /** DuckDB twin of [[louvain]]. */
+  def louvainSql(rounds: Int = 4): String =
+    s"""${louvainCtes(rounds)}
+       |SELECT id AS paper_id, label AS community
+       |FROM l$rounds ORDER BY paper_id""".stripMargin
+
+  /** DuckDB twin of [[louvainStats]]. */
+  def louvainStatsSql(rounds: Int = 4): String =
+    s"""${louvainCtes(rounds)},
+       |base AS MATERIALIZED (
+       |  SELECT l.label AS community, count(*) AS n_nodes,
+       |         sum(d.deg) AS tot_deg
+       |  FROM l$rounds l JOIN deg d ON d.id = l.id GROUP BY 1),
+       |inn AS MATERIALIZED (
+       |  SELECT a.label AS community, count(*) // 2 AS in_edges
+       |  FROM und JOIN l$rounds a ON a.id = und.u
+       |           JOIN l$rounds b ON b.id = und.v
+       |  WHERE a.label = b.label GROUP BY 1)
+       |SELECT base.community, CAST(base.n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(COALESCE(inn.in_edges, 0) AS BIGINT) AS in_edges,
+       |       CAST(base.tot_deg AS BIGINT) AS tot_deg
+       |FROM base LEFT JOIN inn ON inn.community = base.community
+       |ORDER BY base.community""".stripMargin
+
   /** Incremental view maintenance of the citation-count view: the
     * in-degree aggregate maintained as BASE ⊎ DELTA instead of a full
     * recompute — the lakehouse pattern where yesterday's materialized

@@ -1823,8 +1823,131 @@ object EventAnalytics {
       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** `events_seasonal_decompose` (oracled): classical moving-average
+    * decomposition of each type's daily count series into trend +
+    * weekly-seasonal + residual — the DIAGNOSTIC complement to
+    * [[eventsHoltWinters]] (HW forecasts assuming the weekly cycle;
+    * this measures it: how much of Monday's load is "Mondays are like
+    * that" vs drift vs noise). Definition, mirrored exactly by the twin:
+    *
+    *   trend(t)    = ⌊Σ_{t−3..t+3} y · S / 7⌋   (centered 7-day MA,
+    *                 NULL on the 3 edge days of the span)
+    *   s_raw(dow)  = ⌊Σ detrended(t) over trend days with weekday dow
+    *                 / n_days(dow)⌋,  dow = (epochday + 4) mod 7
+    *   seasonal    = s_raw − ⌊Σ_dow s_raw / 7⌋  (centered to ~zero-sum)
+    *   residual(t) = y·S − trend(t) − seasonal(dow(t))
+    *
+    * Everything is integer microunits (S = 1e6) with FLOOR division —
+    * negative detrended sums floor via `(a − pmod(a,b)) div b`, the
+    * [[eventsHolt]] discipline (DuckDB `//` truncates; its twin uses the
+    * modular identity) — so all three components are bit-exact hash
+    * anchors. A span under 14 days yields zero rows on both engines (the
+    * HW init gate: every weekday needs a trend observation).
+    *
+    * Scale shape: unlike the Holt pair this never touches the driver —
+    * ONE corpus shuffle to the calendar-bounded (type, day) grid, a
+    * partition-local 7-row window over the dense spine, and two
+    * ≤|types|×7-row aggregates joined back broadcast-style. At 100 TB
+    * the post-shuffle frames are KBs regardless of event volume. */
+  def eventsSeasonalDecompose(s: SparkSession, d: String): DataFrame =
+    eventsSeasonalDecomposeFrom(s, Tables.load(s, d, "events"))
+
+  def eventsSeasonalDecomposeFrom(s: SparkSession, ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(datediff(date_trunc("day", col("ts")),
+        lit("1970-01-01").cast("date")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("yd"))
+    val bounds = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .where(col("dmax") - col("dmin") + 1 >= 14)
+    val spine = bounds.select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("yd"), lit(0L)).as("y"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    // dense spine ⇒ 7 window rows ⇔ full ±3-day neighborhood exists
+    val det = grid
+      .withColumn("trend_micro", when(count(lit(1)).over(w7) === 7,
+        expr("(sum(y) OVER (PARTITION BY event_type ORDER BY day " +
+          "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000) div 7")))
+      .withColumn("det", col("y") * lit(1000000L) - col("trend_micro"))
+      .withColumn("dow", pmod(col("day") + lit(4), lit(7)))
+    val sraw = det.where(col("trend_micro").isNotNull)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("det")).as("dsum"), count(lit(1)).as("dn"))
+      .select(col("event_type"), col("dow"),
+        expr("(dsum - pmod(dsum, dn)) div dn").as("s_raw"))
+    val seas = sraw
+      .join(sraw.groupBy(col("event_type")).agg(sum(col("s_raw")).as("ssum"))
+        .select(col("event_type"),
+          expr("(ssum - pmod(ssum, 7)) div 7").as("adj")),
+        Seq("event_type"))
+      .select(col("event_type"), col("dow"),
+        (col("s_raw") - col("adj")).as("seasonal_micro"))
+    det.join(broadcast(seas), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("y"),
+        col("trend_micro"), col("seasonal_micro"),
+        (col("y") * lit(1000000L) - col("trend_micro")
+          - col("seasonal_micro")).as("residual_micro"))
+  }
+
+  /** DuckDB twin of [[eventsSeasonalDecompose]] — same window + two
+    * bounded rollups; floor division over the (possibly negative)
+    * detrended sums via the modular identity, HUGEINT sums cast back to
+    * BIGINT at the output boundary. */
+  val eventsSeasonalDecomposeSql: String = {
+    def fd(a: String, b: String): String =
+      s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type,
+       |         datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS day,
+       |         count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS MATERIALIZED (
+       |  SELECT min(day) AS dmin, max(day) AS dmax FROM daily
+       |  HAVING max(day) - min(day) + 1 >= 14),
+       |grid AS MATERIALIZED (
+       |  SELECT t.event_type, g.day, CAST(COALESCE(d.y, 0) AS BIGINT) AS y
+       |  FROM (SELECT DISTINCT event_type FROM daily) t
+       |  CROSS JOIN (SELECT unnest(generate_series(dmin, dmax)) AS day
+       |              FROM bounds) g
+       |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+       |det AS MATERIALIZED (
+       |  SELECT event_type, day, y,
+       |         CASE WHEN count(*) OVER w = 7
+       |              THEN CAST(sum(y) OVER w AS BIGINT) * 1000000 // 7 END
+       |           AS trend_micro,
+       |         y * 1000000 - (CASE WHEN count(*) OVER w = 7
+       |              THEN CAST(sum(y) OVER w AS BIGINT) * 1000000 // 7 END)
+       |           AS det,
+       |         ((day + 4) % 7 + 7) % 7 AS dow
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |sraw AS MATERIALIZED (
+       |  SELECT event_type, dow,
+       |         ${fd("CAST(sum(det) AS BIGINT)", "count(*)")} AS s_raw
+       |  FROM det WHERE trend_micro IS NOT NULL GROUP BY 1, 2),
+       |seas AS MATERIALIZED (
+       |  SELECT s.event_type, s.dow, s.s_raw - a.adj AS seasonal_micro
+       |  FROM sraw s JOIN (
+       |    SELECT event_type, ${fd("CAST(sum(s_raw) AS BIGINT)", "7")} AS adj
+       |    FROM sraw GROUP BY 1) a USING (event_type))
+       |SELECT d.event_type, CAST(d.day AS INT) AS day, d.y,
+       |       CAST(d.trend_micro AS BIGINT) AS trend_micro,
+       |       CAST(se.seasonal_micro AS BIGINT) AS seasonal_micro,
+       |       CAST(d.y * 1000000 - d.trend_micro - se.seasonal_micro AS BIGINT)
+       |         AS residual_micro
+       |FROM det d JOIN seas se ON se.event_type = d.event_type
+       |                       AND se.dow = d.dow
+       |ORDER BY d.event_type, d.day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend" -> (eventsTrend _),
+    "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
     "events_holt" -> ((s, d) => eventsHolt(s, d)),
     "events_holt_winters" -> ((s, d) => eventsHoltWinters(s, d)),
     "events_scd2" -> (eventsScd2 _),
@@ -1859,6 +1982,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "events_trend" -> eventsTrendSql,
+    "events_seasonal_decompose" -> eventsSeasonalDecomposeSql,
     "events_holt" -> eventsHoltSql(),
     "events_holt_winters" -> eventsHoltWintersSql(),
     "events_scd2" -> eventsScd2Sql,

@@ -2291,7 +2291,100 @@ object TextAnalysis {
       |FROM sh JOIN df USING (sh)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `doc_keyphrases` (oracled): corpus-level RAKE keyphrase extraction
+    * (Rose et al. 2010) — candidate phrases are the maximal stopword-free
+    * word runs (delimiters: the fixed 10-word [[gopherStops]] list, the
+    * only punctuation-free delimiter this corpus has), capped at 4 words;
+    * each word occurrence accumulates freq += 1 and deg += phrase length,
+    * word score = ⌊10⁶·deg/freq⌋ (degree-over-frequency favors words
+    * that live inside longer collocations), phrase score = Σ word scores.
+    * Top-100 by (score, n_occ, phrase) — a fully deterministic total
+    * order, so the limit is oracle-stable. Integer microunits throughout:
+    * the one division floors on both engines (positive operands, so
+    * DuckDB's truncating `//` IS floor here), products ride
+    * DECIMAL(38,0)/HUGEINT past any 64-bit corpus.
+    *
+    * Scale shape: one corpus shuffle for the per-doc position window
+    * (the winnowing partitioning), then two vocabulary-bounded
+    * aggregates and a phrase⋈word-score join keyed on the word — the
+    * token_pmi class. No driver loops, no cartesians; the top-100 plans
+    * as TakeOrderedAndProject. */
+  def docKeyphrases(s: SparkSession, d: String, k: Int = 100,
+                    maxLen: Int = 4): DataFrame = {
+    val stops = gopherStops
+    val toks = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr("sequence(1, size(ws))")).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("i"), expr("element_at(ws, i)").as("w"))
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val seg = toks
+      .withColumn("grp",
+        sum(col("w").isInCollection(stops).cast("long")).over(wdoc))
+      .where(!col("w").isInCollection(stops))
+    val phr = seg.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(expr("transform(sort_array(collect_list(struct(i, w)))," +
+          " x -> x.w)"), " ").as("phrase"))
+      .where(col("plen") <= maxLen)
+    val wordScore = phr
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        expr("(CAST(deg AS DECIMAL(38,0)) * 1000000) div freq").as("wscore"))
+    phr.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScore, Seq("w"))
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(sum(col("wscore")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("n_occ").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), col("n_occ"), col("score_micro"))
+  }
+
+  /** DuckDB twin of [[docKeyphrases]] — same segmentation via the
+    * running stopword count, same floored microunit scores. */
+  def docKeyphrasesSql(k: Int = 100, maxLen: Int = 4): String = {
+    val stops = gopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i, ws[i] AS w
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws))) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |              FROM documents))),
+       |seg AS MATERIALIZED (
+       |  SELECT doc_id, i, w, grp FROM (
+       |    SELECT doc_id, i, w,
+       |           sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+       |             OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |    FROM toks)
+       |  WHERE w NOT IN ($stops)),
+       |phr AS MATERIALIZED (
+       |  SELECT doc_id, grp, count(*) AS plen,
+       |         string_agg(w, ' ' ORDER BY i) AS phrase
+       |  FROM seg GROUP BY 1, 2
+       |  HAVING count(*) <= $maxLen),
+       |wsx AS MATERIALIZED (
+       |  SELECT w, CAST((CAST(sum(plen) AS HUGEINT) * 1000000) // count(*)
+       |              AS BIGINT) AS wscore
+       |  FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM phr)
+       |  GROUP BY 1),
+       |dp AS MATERIALIZED (
+       |  SELECT phrase, count(*) AS n_occ FROM phr GROUP BY 1)
+       |SELECT d.phrase, CAST(d.n_occ AS BIGINT) AS n_occ,
+       |       CAST(sum(x.wscore) AS BIGINT) AS score_micro
+       |FROM (SELECT phrase, n_occ,
+       |             unnest(string_split(phrase, ' ')) AS w FROM dp) d
+       |JOIN wsx x ON x.w = d.w
+       |GROUP BY 1, 2
+       |ORDER BY score_micro DESC, n_occ DESC, phrase
+       |LIMIT $k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_keyphrases" -> ((s, d) => docKeyphrases(s, d)),
     "doc_novelty" -> (docNovelty _),
     "corpus_lang_overlap" -> (corpusLangOverlap _),
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
@@ -2331,6 +2424,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_keyphrases" -> docKeyphrasesSql(),
     "doc_novelty" -> docNoveltySql,
     "corpus_lang_overlap" -> corpusLangOverlapSql,
     "inverted_index" -> invertedIndexSql,

@@ -783,6 +783,88 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("events_seasonal_decompose: additive identity + centered seasonal + full in-memory MA recompute") {
+    val got = EventAnalytics.eventsSeasonalDecompose(spark, sf)
+      .as[(String, Int, Long, Option[Long], Long, Option[Long])].collect()
+    assert(got.nonEmpty, "sf0.001 span is 30 days - the 14-day gate must pass")
+    // additivity: trend + seasonal + residual == y * 1e6 wherever trend exists
+    got.foreach { case (t, day, y, tr, se, re) =>
+      assert(tr.isDefined === re.isDefined, s"($t,$day) trend/residual null parity")
+      tr.foreach(trv => assert(trv + se + re.get === y * 1000000L, s"($t,$day)"))
+    }
+    // full integer recompute: dense grid, centered 7-day MA, floored
+    // per-dow means, centered seasonal - the operator's exact definition
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "datediff(date_trunc('day', ts), DATE '1970-01-01') AS day")
+      .as[(String, Int)].collect()
+    val cnt = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dmin = raw.map(_._2).min
+    val dmax = raw.map(_._2).max
+    val types = raw.map(_._1).distinct.sorted
+    def fdiv(a: Long, b: Long): Long =
+      { val q = a / b; if (a % b != 0 && (a ^ b) < 0) q - 1 else q }
+    val y = (for { t <- types; d <- dmin to dmax }
+      yield (t, d) -> cnt.getOrElse((t, d), 0L)).toMap
+    val trend = (for { t <- types; d <- (dmin + 3) to (dmax - 3) }
+      yield (t, d) -> fdiv((d - 3 to d + 3).map(dd => y((t, dd))).sum * 1000000L, 7L)).toMap
+    def dow(d: Int): Int = (((d + 4) % 7) + 7) % 7
+    val sraw = (for (t <- types; w <- 0 until 7) yield {
+      val dets = ((dmin + 3) to (dmax - 3)).filter(d => dow(d) == w)
+        .map(d => y((t, d)) * 1000000L - trend((t, d)))
+      (t, w) -> fdiv(dets.sum, dets.length.toLong)
+    }).toMap
+    val seasonal = (for (t <- types; w <- 0 until 7) yield {
+      val adj = fdiv((0 until 7).map(x => sraw((t, x))).sum, 7L)
+      (t, w) -> (sraw((t, w)) - adj)
+    }).toMap
+    assert(got.length === types.size * (dmax - dmin + 1))
+    got.foreach { case (t, d, yv, tr, se, _) =>
+      assert(yv === y((t, d)), s"y($t,$d)")
+      assert(tr === trend.get((t, d)), s"trend($t,$d)")
+      assert(se === seasonal((t, dow(d))), s"seasonal($t,$d)")
+    }
+  }
+
+  test("citation_louvain: synchronous modularity-gain recompute matches exactly; stats tie out") {
+    val edges = Citations.edges(spark, sf)
+    val got = Citations.louvain(edges).as[(String, String)].collect().toMap
+    // in-memory twin of the exact-integer LPAm sweep
+    val e = edges.as[(String, String)].collect()
+    val und = e.filter(p => p._1 != p._2)
+      .flatMap(p => Seq((p._1, p._2), (p._2, p._1))).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val w = BigInt(und.length)
+    var lab: Map[String, String] = deg.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 4) {
+      val tot: Map[String, BigInt] = lab.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => BigInt(deg(x._1))).sum).toMap
+      lab = lab.map { case (i, own) =>
+        val k = adj(i).groupBy(lab).view.mapValues(_.size).toMap
+        val best = (k.keySet + own).toSeq.map { c =>
+          val totx = tot(c) - (if (c == own) BigInt(deg(i)) else BigInt(0))
+          (w * BigInt(k.getOrElse(c, 0)) - BigInt(deg(i)) * totx, c)
+        }.reduce { (a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+        }
+        i -> best._2
+      }
+    }
+    assert(got === lab)
+    assert(got.values.toSet.size > 1, "louvain collapsed to one community")
+    // stats frame ties out against the same labels
+    val st = Citations.louvainStats(edges).as[(String, Long, Long, Long)].collect()
+    assert(st.map(_._2).sum === got.size, "sum n_nodes = |V|")
+    assert(st.map(_._4).sum === und.length.toLong, "sum tot_deg = 2m")
+    assert(st.map(_._3).sum === und.count(p => got(p._1) == got(p._2)).toLong / 2,
+      "sum in_edges = inside-community undirected edges")
+    st.foreach { case (c, n, in, td) =>
+      assert(in <= n * (n - 1) / 2, s"community $c overfull")
+      assert(td >= 2 * in, s"community $c degree mass < inside edges")
+    }
+  }
+
   test("citation_lpa: plurality fixture with tie-break; deterministic across repartition") {
     // star around hub H: leaves adopt H's plurality-of-one label... round 1:
     // every leaf's only neighbor is H (label H), H sees 4 leaf labels all

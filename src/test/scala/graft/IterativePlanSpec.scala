@@ -187,6 +187,24 @@ class IterativePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("louvain round: message join + 3 side-frame zips + sigma build, no cartesians") {
+    val e = Citations.edges(spark, sf)
+    val plans = capture(p => Citations.louvain(e, rounds = 2, roundProbe = p))
+    for (r <- Seq(1, 2)) {
+      val plan = plans(r)
+      auditCommon("louvain", plan)
+      // the lpa exchange (und ⋈ labels) + the candidate frame's three
+      // equi-zips (own label, deg, Σtot) + sigma's own labels ⋈ deg
+      // build = 5 equi-joins per round, all keyed — a 6th join or any
+      // nested loop means a side frame stopped being equi-joinable
+      assert(equiJoins(plan) === 5, s"louvain round joins changed:\n$plan")
+      assert(bnlj(plan) === 0, s"louvain grew a nested-loop join:\n$plan")
+      // the argmax rides the lpa min-key discipline: one aggregate pair
+      // (partial + final min(concat(lpad(...)))) — no window functions
+      assert(!plan.contains("Window"), s"louvain argmax became a window:\n$plan")
+    }
+  }
+
   test("bfs hop: frontier join + sigma aggregate + reached anti-join, nothing else") {
     val e = Citations.edges(spark, sf)
     val plans = capture(p => Citations.bfsPaths(e, roundProbe = p))

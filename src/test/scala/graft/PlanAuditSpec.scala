@@ -129,13 +129,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // (orphan totals, child totals) fold together — the fact side
     // collapsed to per-key counts before any of this
     "profile_integrity",
-    // citation_scc_all: the per-extracted-SCC 1-row (min member, size)
-    // canonical-label aggregate — the q6 scalar shape; the traversal
-    // itself is behind checkpoint cuts
-    "citation_scc_all",
+    // (citation_scc_all dropped r13: the label cache landed in r12 —
+    // the decomposition runs once inside sccLabelsCached at construction
+    // time, so this query's own plan is a LogicalRDD read + rollup with
+    // no scalar exchange left)
     // events_scd2_merge: the 1-row max-ts split anchor (the
     // events_survival cutoff shape)
-    "events_scd2_merge"
+    "events_scd2_merge",
+    // events_seasonal_decompose: the 1-row (dmin, dmax) span aggregate
+    // that the calendar spine explodes from — the q6 scalar shape
+    "events_seasonal_decompose"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -239,10 +242,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // events_survival: the 1-row observation-cutoff date folded onto
     // every user (the orders_rfm anchor shape)
     "events_survival",
-    // citation_scc_all: each extracted SCC's 1-row (min member id,
-    // size) frame nested-loop-folded onto that SCC's member frame —
-    // the q6 scalar shape, one fold per extraction (≤ pivotRounds)
-    "citation_scc_all",
+    // (citation_scc_all dropped r13: behind the r12 label cache its
+    // plan is a LogicalRDD read + rollup — the per-extraction scalar
+    // folds run once inside sccLabelsCached, not in this query's plan)
+    // events_seasonal_decompose: the calendar-bounded day spine
+    // (explode of the 1-row span aggregate, ≤ span rows) broadcast-
+    // folded onto the ≤|types|-row distinct frame to form the dense
+    // grid — bounded by calendar × schema, never by corpus volume
+    "events_seasonal_decompose",
     // events_scd2_merge: the 1-row max-ts split anchor nested-loop-
     // folded onto the event stream (the events_survival cutoff shape)
     "events_scd2_merge",

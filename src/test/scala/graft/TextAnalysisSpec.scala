@@ -11,6 +11,39 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("doc_keyphrases: RAKE deg/freq recompute matches the top-100 exactly") {
+    val got = TextAnalysis.docKeyphrases(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val stops =
+      Set("the", "of", "and", "to", "in", "a", "is", "that", "for", "it")
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").as[String].collect()
+    val phrases = texts.flatMap { txt =>
+      val segs = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+      var cur = Vector.empty[String]
+      txt.split(" ", -1).foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) segs += cur; cur = Vector.empty }
+        else cur = cur :+ w
+      }
+      if (cur.nonEmpty) segs += cur
+      segs.filter(_.length <= 4)
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val deg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    phrases.foreach(p => p.foreach { w => freq(w) += 1; deg(w) += p.length })
+    def wscore(w: String): Long = (BigInt(deg(w)) * 1000000 / freq(w)).toLong
+    val top = phrases.groupBy(_.mkString(" ")).toSeq
+      .map { case (ph, occ) => (ph, occ.length.toLong, occ.head.map(wscore).sum) }
+      .sortBy { case (ph, n, s) => (-s, -n, ph) }
+      .take(100)
+    assert(got === top)
+    // no phrase contains a stopword; all within the length cap
+    got.foreach { case (ph, _, _) =>
+      val ws = ph.split(" ")
+      assert(ws.length <= 4 && ws.forall(w => !stops(w)), ph)
+    }
+  }
+
   test("text_stats partitions the corpus exactly (doc counts sum to corpus size)") {
     val stats = TextAnalysis.textStats(spark, sf)
     val total = stats.agg(fsum("n_docs")).first().getLong(0)
