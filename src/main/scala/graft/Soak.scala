@@ -497,6 +497,29 @@ object Soak {
       f"$lpaRows labeled nodes == 10 × $lpaBaseRows, 0 cross-copy " +
         f"communities (4 rounds at ~6M edges, ${tLpa}%.1f s)")
 
+    // louvain at ~6M edges: the lpa structural invariants (the tagged
+    // labels reorder lexicographic tie-breaks, so per-copy communities
+    // may differ from base — see lpa_10x) plus the modularity-score
+    // sanity the stats frame makes checkable: Σtot_deg = 2m exactly.
+    val louBaseRows = Citations.louvain(Citations.edges(spark, base)).count()
+    val ((louRows, louBridges, louTotDeg), tLou) = timed {
+      val l = Citations.louvain(edges10).localCheckpoint()
+      val st = Citations.louvainStats(edges10)
+      val r = (l.count(), l.where(
+        expr("split(paper_id, '~')[1] <> split(community, '~')[1]")).count(),
+        st.agg(sum("tot_deg")).first().getLong(0))
+      Blocks.release(l); r
+    }
+    val undCount10 = {
+      val e = edges10.where(col("src") =!= col("dst"))
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst"), col("src"))).distinct().count()
+    }
+    check("louvain_10x", louRows == 10 * louBaseRows && louBridges == 0 &&
+      louTotDeg == undCount10,
+      f"$louRows labeled == 10 × $louBaseRows, 0 cross-copy communities, " +
+        f"stats degree mass $louTotDeg == 2m (4 rounds at ~6M edges, ${tLou}%.1f s)")
+
     // BFS path counting at ~6M edges: the tagged graph's seed is one
     // copy's most-cited node, and BFS is confined to that copy — exactly
     // one dist-0 row with σ=1, depth within the cap, every reached node
