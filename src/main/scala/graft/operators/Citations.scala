@@ -2103,6 +2103,44 @@ object Citations {
     (labels, und, deg)
   }
 
+  /** The louvain labeling as a per-dataset MODEL ARTIFACT — the
+    * [[sccLabelsCached]] discipline verbatim: both louvain consumers
+    * (the labeling query and the stats rollup) need the identical
+    * 4-round sweep, and without the cache the bench pays it twice per
+    * suite. Pinned local checkpoint per (session, dataset); reuse is
+    * bit-identical by construction (consumers read the same
+    * materialized label rows — the production shape is "persist the
+    * partition to a table once, every report reads the table"). */
+  private val louvainLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def louvainLabelsCached(s: SparkSession, d: String): DataFrame =
+    louvainLabelCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val labels = louvain(edges(s, d)).localCheckpoint()
+      graft.Blocks.pin(labels)
+      labels
+    })
+
+  /** [[louvainStats]] over a PRE-COMPUTED labeling (paper_id, community)
+    * — the label-frame overload [[louvainLabelsCached]] wires through,
+    * so the sweep is paid once per dataset, not once per consumer. The
+    * undirected frame + degrees rebuild from the edges (one shuffle —
+    * cheap against the 4-round sweep they replace). */
+  def louvainStatsFrom(edges: DataFrame, labelsIn: DataFrame): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.where(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .repartition(col("u")).localCheckpoint()
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val labels = labelsIn
+      .select(col("paper_id").as("id"), col("community").as("label"))
+    val out = louvainStatsShape(labels, und, deg).localCheckpoint()
+    graft.Blocks.release(und)
+    out
+  }
+
   /** Per-community rollup of the [[louvain]] partition — the frame a
     * modularity report reads off directly: Q = Σ_c (W·in·2 − tot²)/W²
     * with every term here as exact BIGINT columns (in_edges counts
@@ -2111,6 +2149,17 @@ object Citations {
     * checkpointed before the pinned inputs release. */
   def louvainStats(edges: DataFrame, rounds: Int = 4): DataFrame = {
     val (labels, und, deg) = louvainCore(edges, rounds, noProbe)
+    val out = louvainStatsShape(labels, und, deg).localCheckpoint()
+    graft.Blocks.release(und)
+    graft.Blocks.release(deg)
+    graft.Blocks.release(labels)
+    out
+  }
+
+  /** Shared rollup body: labels (id, label) + pinned und/deg → the
+    * (community, n_nodes, in_edges, tot_deg) frame. */
+  private def louvainStatsShape(labels: DataFrame, und: DataFrame,
+                                deg: DataFrame): DataFrame = {
     val base = labels.join(deg, Seq("id"))
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("tot_deg"))
@@ -2123,14 +2172,9 @@ object Citations {
       .groupBy(col("cu").as("community"))
       .agg(count(lit(1)).as("c2"))
       .select(col("community"), expr("c2 div 2").as("in_edges"))
-    val out = base.join(inn, Seq("community"), "left_outer")
+    base.join(inn, Seq("community"), "left_outer")
       .select(col("community"), col("n_nodes"),
         coalesce(col("in_edges"), lit(0L)).as("in_edges"), col("tot_deg"))
-      .localCheckpoint()
-    graft.Blocks.release(und)
-    graft.Blocks.release(deg)
-    graft.Blocks.release(labels)
-    out
   }
 
   /** Shared unrolled-CTE body for the louvain twins ([[lpaSql]]
