@@ -82,6 +82,10 @@ object SparkEntry {
     "citation_louvain_stats" -> ((s, d) =>
       Citations.louvainStatsFrom(Citations.edges(s, d),
         Citations.louvainLabelsCached(s, d))),
+    // DeepWalk corpus generation with deterministic engine-portable
+    // stepping — the graph → token-sequence bridge
+    "citation_random_walks" -> ((s, d) =>
+      Citations.randomWalks(Citations.edges(s, d))),
     // the oracle is the FULL recompute: the gate proves the IVM identity
     "citation_counts_ivm" -> ((s, d) =>
       Citations.countsIvm(Citations.edges(s, d))),
@@ -153,6 +157,7 @@ object SparkEntry {
     "citation_lpa" -> Citations.lpaSql(),
     "citation_louvain" -> Citations.louvainSql(),
     "citation_louvain_stats" -> Citations.louvainStatsSql(),
+    "citation_random_walks" -> Citations.randomWalksSql(),
     "citation_counts_ivm" -> Citations.countsIvmSql,
     "citation_bfs_paths" -> Citations.bfsPathsSql(),
     "citation_betweenness" -> Citations.betweennessSql(),
@@ -245,6 +250,7 @@ object SparkEntry {
     "citation_lpa" -> Seq(col("paper_id")),
     "citation_louvain" -> Seq(col("paper_id")),
     "citation_louvain_stats" -> Seq(col("community")),
+    "citation_random_walks" -> Seq(col("paper_id"), col("walk_id")),
     "citation_counts_ivm" -> Seq(col("paper_id")),
     "citation_bfs_paths" -> Seq(col("paper_id")),
     "citation_betweenness" -> Seq(col("paper_id")),

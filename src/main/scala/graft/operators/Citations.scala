@@ -2228,6 +2228,117 @@ object Citations {
        |SELECT id AS paper_id, label AS community
        |FROM l$rounds ORDER BY paper_id""".stripMargin
 
+  /** DeepWalk-style random-walk corpus generation (Perozzi et al. 2014):
+    * `walks` walks of up to `steps` hops from EVERY node, following
+    * out-edges — the graph → token-sequence bridge (the walk corpus is
+    * what a skip-gram embedding trains on; this operator materializes
+    * it as one path string per walk). The stepping is DETERMINISTIC and
+    * engine-portable instead of PRNG-seeded: neighbor choice at (cur,
+    * walk w, step t) is `(w·1000003 + t·7919 + cur·31) mod outdeg(cur)`
+    * into the dst-sorted neighbor ranking — an LCG-style mix over exact
+    * integers, so the DuckDB twin reproduces every walk bit-for-bit
+    * (production DeepWalk wants real randomness; the oracle wants
+    * replayability — the SHAPE is the deliverable). Walks end early at
+    * sink nodes (no out-edges): the join is inner, so a dangling `cur`
+    * simply emits no further hops and `n_steps` records the truncation.
+    *
+    * Scale shape per hop: state is ≤ |V|·walks rows (never edge-sized);
+    * the neighbor pick is TWO equi-joins — (cur = src) against the
+    * node-sized outdeg frame to compute the wanted rank, then
+    * (cur, rank) = (src, want) against the pinned ranked-neighbor frame
+    * — NO per-neighbor fan-out (a rank-as-filter formulation would
+    * materialize outdeg(cur) rows per walk at every hub, the difference
+    * between O(walk·deg) and O(walk) per step). The ranking itself is
+    * one window pass over the deduped edges, paid once. */
+  def randomWalks(edges: DataFrame, walks: Int = 2, steps: Int = 4): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst")).distinct()
+    val nb = e.select(col("src"), col("dst"),
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
+          .cast("long").as("rank"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("outdeg"))
+      .repartition(col("src")).localCheckpoint()
+    // detached cut: degs shares no lineage (or exprIds) with nb, so the
+    // per-step double-reference (degs for the rank pick, nb for the hop)
+    // never trips the self-join ambiguity check
+    val degs = nb.select(col("src").as("dsrc"), col("outdeg").as("ddeg"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var state = nodes.select(col("id").as("start"),
+        explode(expr(s"sequence(0, ${walks - 1})")).as("wid"))
+      .withColumn("cur", col("start"))
+      .localCheckpoint()
+    val visited = scala.collection.mutable.ArrayBuffer(
+      state.select(col("start"), col("wid"), lit(0).as("step"),
+        col("cur").as("node")))
+    val cuts = scala.collection.mutable.ArrayBuffer(state)
+    for (t <- 1 to steps) {
+      val want = (pmod(col("wid").cast("long") * lit(1000003L)
+        + lit(t.toLong * 7919L)
+        + col("cur").cast("long") * lit(31L), col("ddeg")) + 1L).as("want")
+      val withIdx = state.join(degs, state("cur") === degs("dsrc"))
+        .select(col("start"), col("wid"), col("cur"), want)
+      state = withIdx
+        .join(nb.hint("shuffle_hash"),
+          withIdx("cur") === nb("src") && withIdx("want") === nb("rank"))
+        .select(col("start"), col("wid"), nb("dst").as("cur"))
+        .localCheckpoint()
+      cuts += state
+      visited += state.select(col("start"), col("wid"), lit(t).as("step"),
+        col("cur").as("node"))
+    }
+    val out = visited.reduce(_ unionByName _)
+      .groupBy(col("start"), col("wid"))
+      .agg(max(col("step")).as("n_steps"),
+        array_join(expr("transform(sort_array(collect_list(struct(step, node)))," +
+          " x -> x.node)"), "->").as("path"))
+      .select(col("start").as("paper_id"), col("wid").as("walk_id"),
+        col("n_steps"), col("path"))
+      .localCheckpoint()
+    cuts.foreach(graft.Blocks.release)
+    graft.Blocks.release(nb)
+    graft.Blocks.release(degs)
+    out
+  }
+
+  /** DuckDB twin of [[randomWalks]] — unrolled hops, same integer mix. */
+  def randomWalksSql(walks: Int = 2, steps: Int = 4): String = {
+    val hops = (1 to steps).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT p.start, p.wid, nb.dst AS cur
+         |  FROM s${t - 1} p JOIN nb ON nb.src = p.cur
+         |   AND nb.rank = ((p.wid * 1000003 + $t * 7919
+         |                   + CAST(p.cur AS BIGINT) * 31) % nb.outdeg
+         |                  + nb.outdeg) % nb.outdeg + 1),
+         |v$t AS (SELECT start, wid, $t AS step, cur AS node FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map(t => s"SELECT * FROM v$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |  WHERE CAST(l_orderkey AS VARCHAR) <> CAST(l_partkey AS VARCHAR)),
+       |nb AS MATERIALIZED (
+       |  SELECT src, dst,
+       |         row_number() OVER (PARTITION BY src ORDER BY dst) AS rank,
+       |         count(*) OVER (PARTITION BY src) AS outdeg
+       |  FROM e),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |s0 AS MATERIALIZED (
+       |  SELECT id AS start, w.wid, id AS cur
+       |  FROM nodes CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${walks - 1})) AS wid) w),
+       |v0 AS (SELECT start, wid, 0 AS step, cur AS node FROM s0),
+       |$hops
+       |SELECT start AS paper_id, CAST(wid AS INT) AS walk_id,
+       |       CAST(max(step) AS INT) AS n_steps,
+       |       string_agg(node, '->' ORDER BY step) AS path
+       |FROM ($unions)
+       |GROUP BY 1, 2 ORDER BY paper_id, walk_id""".stripMargin
+  }
+
   /** DuckDB twin of [[louvainStats]]. */
   def louvainStatsSql(rounds: Int = 4): String =
     s"""${louvainCtes(rounds)},

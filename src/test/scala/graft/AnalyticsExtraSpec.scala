@@ -865,6 +865,36 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("citation_random_walks: LCG stepping recompute matches every path; sinks truncate") {
+    val edges = Citations.edges(spark, sf)
+    val got = Citations.randomWalks(edges).as[(String, Int, Int, String)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val e = edges.as[(String, String)].collect()
+      .filter(p => p._1 != p._2).distinct
+    val nbs = e.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.toVector).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val exp = (for { n <- nodes; w <- 0 until 2 } yield {
+      var cur = n
+      val path = scala.collection.mutable.ArrayBuffer(n)
+      var t = 1
+      var alive = true
+      while (t <= 4 && alive) nbs.get(cur) match {
+        case Some(ns) =>
+          val m = ns.length.toLong
+          val idx = ((w * 1000003L + t * 7919L + cur.toLong * 31L) % m + m) % m
+          cur = ns(idx.toInt); path += cur; t += 1
+        case None => alive = false
+      }
+      (n, w) -> ((path.length - 1, path.mkString("->")))
+    }).toMap
+    assert(got.size === exp.size)
+    assert(got === exp)
+    // some walk must truncate early OR all run full length - and at least
+    // one full-length walk exists (the corpus has hubs with out-edges)
+    assert(got.values.exists(_._1 == 4), "no walk reached full length")
+  }
+
   test("citation_lpa: plurality fixture with tie-break; deterministic across repartition") {
     // star around hub H: leaves adopt H's plurality-of-one label... round 1:
     // every leaf's only neighbor is H (label H), H sees 4 leaf labels all
