@@ -223,7 +223,8 @@ object SparkEntry {
     * (e.g. a nonexistent sfDir) degrades that query to rows-only instead
     * of faulting the dump. */
   def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
-    Map("embedding_pca_project" -> (() => Similarity.dynamicOracles(s, d)))
+    Map("embedding_pca_project" -> (() => Similarity.dynamicOracles(s, d)),
+      "embedding_whiten" -> (() => Similarity.dynamicOracles(s, d)))
       .flatMap { case (k, thunk) =>
         try thunk().get(k).map(k -> _)
         catch {

@@ -833,10 +833,56 @@ object Similarity {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  /** PCA-whitened projection: [[embeddingPcaProject]] with each
+    * component additionally scaled by 1/√λ — the standard isotropy
+    * correction for embedding similarity (whitened space has unit
+    * variance per direction, so cosine/L2 stop being dominated by the
+    * top principal direction). The scale FOLDS INTO THE LITERALS:
+    * w′ = w/√λ and offset′ = (w′·mean) are computed once on the driver
+    * and both engines consume the identical `Double.toString`
+    * round-trip-exact arrays — same zero-shuffle per-row map as the
+    * projection, same 6-dp grid, same dynamic-twin oracle. The fit's
+    * whitening CONTRACT (per-component sample variance = 1, cross-
+    * component covariance = 0) is asserted in SimilaritySpec. */
+  def embeddingWhiten(s: SparkSession, d: String): DataFrame = {
+    val (_, mean, eigvals, comps) = pcaFitCached(s, d, k = 4)
+    val pcs = comps.zip(eigvals).zipWithIndex.map { case ((w, ev), c) =>
+      require(ev > 0, s"embeddingWhiten: non-positive eigenvalue $ev")
+      val ws = w.map(_ / math.sqrt(ev))
+      val wLits = ws.map(_.toString).mkString("array(", "D, ", "D)")
+      val offset = ws.zip(mean).map { case (wi, mi) => wi * mi }.sum
+      round(expr(
+        s"""aggregate(zip_with(embedding, $wLits,
+           |          (x, y) -> CAST(x AS DOUBLE) * y),
+           |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        - lit(offset), 6).as(s"w${c + 1}")
+    }
+    emb(s, d).select(col("vec_id") +: col("label") +: pcs: _*)
+  }
+
+  /** DuckDB twin of [[embeddingWhiten]] — the [[embeddingPcaProjectSql]]
+    * generator over the whitened literals. */
+  def embeddingWhitenSql(s: SparkSession, d: String): String = {
+    val (_, mean, eigvals, comps) = pcaFitCached(s, d, k = 4)
+    val pcCols = comps.zip(eigvals).zipWithIndex.map { case ((w, ev), c) =>
+      val ws = w.map(_ / math.sqrt(ev))
+      val lits = ws.map(_.toString).mkString("[", ", ", "]")
+      val offset = ws.zip(mean).map { case (wi, mi) => wi * mi }.sum
+      s"""round(list_reduce(list_transform(range(1, len(embedding) + 1),
+         |          i -> embedding[i]::DOUBLE * ($lits)[i]),
+         |        (x, y) -> x + y) - (${offset.toString}), 6) AS w${c + 1}"""
+        .stripMargin
+    }.mkString(",\n       ")
+    s"""SELECT vec_id, label,
+       |       $pcCols
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** Dataset-dependent oracles (evaluated by Verify with the sfDir):
     * twins that must consume a fitted model's literals. */
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
-    "embedding_pca_project" -> embeddingPcaProjectSql(s, d)
+    "embedding_pca_project" -> embeddingPcaProjectSql(s, d),
+    "embedding_whiten" -> embeddingWhitenSql(s, d)
   )
 
   // ---- clustering & outlier analytics -----------------------------------
@@ -1472,6 +1518,7 @@ object Similarity {
     "embedding_gram" -> (embeddingGram _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_pca_project" -> (embeddingPcaProject _),
+    "embedding_whiten" -> (embeddingWhiten _),
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_cluster_profile" -> (embeddingClusterProfile _),
     "sample_kcenter" -> ((s, d) => sampleKcenter(s, d)),
@@ -1509,6 +1556,7 @@ object Similarity {
     "embedding_gram" -> Seq(col("i"), col("j")),
     "embedding_quantize" -> Seq(col("vec_id")),
     "embedding_pca_project" -> Seq(col("vec_id")),
+    "embedding_whiten" -> Seq(col("vec_id")),
     "embedding_kmeans" -> Seq(col("vec_id")),
     "embedding_cluster_profile" -> Seq(col("cluster")),
     "sample_kcenter" -> Seq(col("rank")),

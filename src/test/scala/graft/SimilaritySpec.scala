@@ -272,6 +272,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"flagging pass shuffles:\n$plan")
   }
 
+  test("embedding_whiten: unit variance per direction, zero cross-covariance, zero mean") {
+    val w = Similarity.embeddingWhiten(spark, sf)
+      .as[(Long, Int, Double, Double, Double, Double)].collect()
+    assert(w.length === 500)
+    val cols = Array(w.map(_._3), w.map(_._4), w.map(_._5), w.map(_._6))
+    // the whitening contract: each direction has sample mean ~0 and
+    // sample variance ~1 (the eigenvalue is divided out), and directions
+    // are decorrelated — all at the 6-dp projection grid's tolerance
+    cols.zipWithIndex.foreach { case (xs, c) =>
+      val m = xs.sum / xs.length
+      assert(math.abs(m) < 1e-3, s"w${c + 1} mean $m")
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(v - 1.0) < 1e-3, s"w${c + 1} variance $v != 1")
+    }
+    for (a <- 0 until 4; b <- a + 1 until 4) {
+      val ma = cols(a).sum / cols(a).length
+      val mb = cols(b).sum / cols(b).length
+      val cov = cols(a).zip(cols(b))
+        .map { case (x, y) => (x - ma) * (y - mb) }.sum / (cols(a).length - 1)
+      assert(math.abs(cov) < 1e-3, s"cov(w${a + 1}, w${b + 1}) = $cov")
+    }
+  }
+
   test("pca: orthonormal components, descending eigenvalues, variance = eigenvalue") {
     val k = 4
     val (n, mean, eigvals, comps) = Similarity.pcaFit(spark, sf, k)
