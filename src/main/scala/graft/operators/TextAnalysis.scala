@@ -2383,8 +2383,54 @@ object TextAnalysis {
        |LIMIT $k""".stripMargin
   }
 
+  /** `token_skipgram_pairs` (oracled): the word2vec training-pair
+    * sufficient statistics — for every position i and offset d ∈ [1,
+    * window], one (center = wᵢ, context = wᵢ₊d, d) observation, counted
+    * over the corpus with a min-count floor. This is what a skip-gram
+    * embedding trains on (Mikolov et al. 2013 — there with dynamic
+    * window subsampling; the exact counts here are the statistics that
+    * sampling estimates, and the [[graft.operators.Citations.randomWalks]]
+    * paths feed the same consumer for graphs). Forward pairs only
+    * (center precedes context); the symmetric table is a rename away.
+    *
+    * Scale shape: ZERO joins — one explode over positions, a per-row
+    * transform/filter for the ≤window offsets, then ONE partial-
+    * aggregable count keyed on (w, c, d). Pure codegen until the single
+    * exchange; output is vocabulary²-bounded with the floor trimming
+    * the hapax tail. */
+  def tokenSkipgramPairs(s: SparkSession, d: String, window: Int = 2,
+                         minCount: Int = 2): DataFrame =
+    docs(s, d)
+      .select(split(col("text"), " ").as("ws"))
+      .select(col("ws"), explode(expr("sequence(1, size(ws))")).as("i"))
+      .select(explode(expr(
+        s"""filter(transform(sequence(1, $window),
+           |  d -> IF(i + d <= size(ws),
+           |          struct(element_at(ws, i) AS w,
+           |                 element_at(ws, i + d) AS c, d AS dist),
+           |          NULL)),
+           |  x -> x IS NOT NULL)""".stripMargin)).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"), col("p.dist").as("dist"))
+      .groupBy(col("w"), col("c"), col("dist"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+
+  /** DuckDB twin of [[tokenSkipgramPairs]]. */
+  def tokenSkipgramPairsSql(window: Int = 2, minCount: Int = 2): String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |x AS (SELECT ws, unnest(generate_series(1, len(ws))) AS i FROM t),
+       |p AS (
+       |  SELECT ws[i] AS w, ws[i + dd.d] AS c, dd.d AS dist
+       |  FROM x CROSS JOIN
+       |    (SELECT unnest(generate_series(1, $window)) AS d) dd
+       |  WHERE i + dd.d <= len(ws))
+       |SELECT w, c, CAST(dist AS INT) AS dist, count(*) AS n
+       |FROM p GROUP BY 1, 2, 3 HAVING count(*) >= $minCount
+       |ORDER BY w, c, dist""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_keyphrases" -> ((s, d) => docKeyphrases(s, d)),
+    "token_skipgram_pairs" -> ((s, d) => tokenSkipgramPairs(s, d)),
     "doc_novelty" -> (docNovelty _),
     "corpus_lang_overlap" -> (corpusLangOverlap _),
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
@@ -2425,6 +2471,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "doc_keyphrases" -> docKeyphrasesSql(),
+    "token_skipgram_pairs" -> tokenSkipgramPairsSql(),
     "doc_novelty" -> docNoveltySql,
     "corpus_lang_overlap" -> corpusLangOverlapSql,
     "inverted_index" -> invertedIndexSql,
@@ -2464,6 +2511,7 @@ object TextAnalysis {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "token_skipgram_pairs" -> Seq(col("w"), col("c"), col("dist")),
     "token_pmi" -> Seq(col("lang"), col("rank")),
     "token_collocations_llr" -> Seq(col("lang"), col("rank")),
     "token_textrank" -> Seq(col("lang"), col("rank")),

@@ -44,6 +44,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("token_skipgram_pairs: exact window-offset pair recompute; floor respected") {
+    val got = TextAnalysis.tokenSkipgramPairs(spark, sf)
+      .as[(String, String, Int, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val cnt = scala.collection.mutable
+      .Map.empty[(String, String, Int), Long].withDefaultValue(0L)
+    Tables.load(spark, sf, "documents").select("text").as[String].collect()
+      .foreach { t =>
+        val ws = t.split(" ", -1)
+        for (i <- ws.indices; d <- 1 to 2 if i + d < ws.length)
+          cnt((ws(i), ws(i + d), d)) += 1
+      }
+    val exp = cnt.filter(_._2 >= 2).toMap
+    assert(got === exp)
+    assert(got.nonEmpty && got.keys.exists(_._3 == 2), "no distance-2 pairs")
+  }
+
   test("text_stats partitions the corpus exactly (doc counts sum to corpus size)") {
     val stats = TextAnalysis.textStats(spark, sf)
     val total = stats.agg(fsum("n_docs")).first().getLong(0)
