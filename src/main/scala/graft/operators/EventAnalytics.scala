@@ -1945,9 +1945,109 @@ object EventAnalytics {
        |ORDER BY d.event_type, d.day""".stripMargin
   }
 
+  /** `events_autocorr` (oracled): the sample autocorrelation of each
+    * type's daily count series at lags 0..14 — the diagnostic that says
+    * WHICH period [[eventsSeasonalDecompose]] should extract (a weekly
+    * cycle shows as the r₇ ≫ r₁ signature; a trend as slow decay). The
+    * float trap dissolves by scaling through n²: with dₜ = n·yₜ − S
+    * (S = Σy, n = span days — both exact), the lag-k numerator
+    * Σ dₜ·dₜ₊ₖ is an exact integer and rₖ = numₖ/num₀ is ONE double
+    * division + round(9), operation-identical in the twin. A constant
+    * series has num₀ = 0 → rₖ NULL (no variance, no correlation), and
+    * lags past the span sum over zero terms → NULL, both engines.
+    *
+    * Shape: one corpus shuffle to the calendar-bounded dense grid, ONE
+    * window pass (the 15 leads share a single partition/order spec, so
+    * they ride one sort), a ≤|types|-row aggregate, then a per-row
+    * stack. Products ride DECIMAL(38,0)/HUGEINT — (n·y)² wraps 64 bits
+    * at ~3e9 events/day·span. */
+  def eventsAutocorr(s: SparkSession, d: String, maxLag: Int = 14): DataFrame =
+    eventsAutocorrFrom(s, Tables.load(s, d, "events"), maxLag)
+
+  def eventsAutocorrFrom(s: SparkSession, ev: DataFrame,
+                         maxLag: Int = 14): DataFrame = {
+    val daily = ev
+      .groupBy(datediff(date_trunc("day", col("ts")),
+        lit("1970-01-01").cast("date")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("yd"))
+    val bounds = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val spine = bounds.select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("yd"), lit(0L)).as("y"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("day"))
+    val dev = grid
+      .withColumn("d", (count(lit(1)).over(byType).cast("decimal(38,0)")
+        * col("y").cast("decimal(38,0)")
+        - sum(col("y")).over(byType).cast("decimal(38,0)")).cast("decimal(38,0)"))
+    val withLeads = (0 to maxLag).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"p$k", (col("d") * lead(col("d"), k).over(ordered))
+        .cast("decimal(38,0)"))
+    }
+    val nums = withLeads.groupBy(col("event_type"))
+      .agg(sum(col("p0")).as("n0"),
+        (1 to maxLag).map(k => sum(col(s"p$k")).as(s"n$k")): _*)
+    val stacked = nums.select(col("event_type"), col("n0"),
+      explode(array((0 to maxLag).map(k =>
+        struct(lit(k).as("k"), col(s"n$k").as("num"))): _*)).as("x"))
+    stacked.select(col("event_type"), col("x.k").as("k"),
+      when(col("n0") > 0,
+        round(col("x.num").cast("double") / col("n0").cast("double"), 9))
+        .as("r"))
+  }
+
+  /** DuckDB twin of [[eventsAutocorr]] — same n²-scaled integer
+    * numerators (HUGEINT), same single window pass, same round(…, 9). */
+  def eventsAutocorrSql(maxLag: Int = 14): String = {
+    val leadCols = (0 to maxLag)
+      .map(k => s"d * lead(d, $k) OVER w AS p$k").mkString(",\n       ")
+    val sumCols = (0 to maxLag)
+      .map(k => s"sum(p$k) AS n$k").mkString(",\n       ")
+    val unions = (0 to maxLag)
+      .map(k => s"SELECT event_type, $k AS k, n$k AS num, n0 FROM nums")
+      .mkString("\n  UNION ALL ")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type,
+       |         datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS day,
+       |         count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS MATERIALIZED (
+       |  SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+       |grid AS MATERIALIZED (
+       |  SELECT t.event_type, g.day, CAST(COALESCE(d.y, 0) AS HUGEINT) AS y
+       |  FROM (SELECT DISTINCT event_type FROM daily) t
+       |  CROSS JOIN (SELECT unnest(generate_series(dmin, dmax)) AS day
+       |              FROM bounds) g
+       |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+       |dev AS MATERIALIZED (
+       |  SELECT event_type, day,
+       |         count(*) OVER t * y - sum(y) OVER t AS d
+       |  FROM grid
+       |  WINDOW t AS (PARTITION BY event_type)),
+       |leads AS MATERIALIZED (
+       |  SELECT event_type,
+       |       $leadCols
+       |  FROM dev
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |nums AS MATERIALIZED (
+       |  SELECT event_type,
+       |       $sumCols
+       |  FROM leads GROUP BY 1)
+       |SELECT event_type, CAST(k AS INT) AS k,
+       |       CASE WHEN n0 > 0
+       |            THEN round(CAST(num AS DOUBLE) / CAST(n0 AS DOUBLE), 9)
+       |       END AS r
+       |FROM ($unions)
+       |ORDER BY event_type, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend" -> (eventsTrend _),
     "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
+    "events_autocorr" -> ((s, d) => eventsAutocorr(s, d)),
     "events_holt" -> ((s, d) => eventsHolt(s, d)),
     "events_holt_winters" -> ((s, d) => eventsHoltWinters(s, d)),
     "events_scd2" -> (eventsScd2 _),
@@ -1983,6 +2083,7 @@ object EventAnalytics {
   val oracles: Map[String, String] = Map(
     "events_trend" -> eventsTrendSql,
     "events_seasonal_decompose" -> eventsSeasonalDecomposeSql,
+    "events_autocorr" -> eventsAutocorrSql(),
     "events_holt" -> eventsHoltSql(),
     "events_holt_winters" -> eventsHoltWintersSql(),
     "events_scd2" -> eventsScd2Sql,

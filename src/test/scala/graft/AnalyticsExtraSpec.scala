@@ -826,6 +826,38 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("events_autocorr: n2-scaled integer ACF recompute; r0 = 1") {
+    val got = EventAnalytics.eventsAutocorr(spark, sf)
+      .as[(String, Int, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "datediff(date_trunc('day', ts), DATE '1970-01-01') AS day")
+      .as[(String, Int)].collect()
+    val cnt = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dmin = raw.map(_._2).min
+    val dmax = raw.map(_._2).max
+    val types = raw.map(_._1).distinct.sorted
+    val n = BigInt(dmax - dmin + 1)
+    types.foreach { t =>
+      val ys = (dmin to dmax).map(dd => BigInt(cnt.getOrElse((t, dd), 0L)))
+      val s0 = ys.sum
+      val dev = ys.map(y => n * y - s0)
+      val num0 = dev.map(x => x * x).sum
+      for (k <- 0 to 14) {
+        val numk = (0 until dev.length - k).map(i => dev(i) * dev(i + k)).sum
+        val exp =
+          if (num0 > 0 && dev.length > k)
+            Some(BigDecimal(numk.toDouble / num0.toDouble)
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+        assert(got((t, k)) === exp, s"r($t, $k)")
+      }
+      assert(got((t, 0)) === Some(1.0), s"r0($t)")
+    }
+    assert(got.size === types.size * 15)
+  }
+
   test("citation_louvain: synchronous modularity-gain recompute matches exactly; stats tie out") {
     val edges = Citations.edges(spark, sf)
     val got = Citations.louvain(edges).as[(String, String)].collect().toMap

@@ -138,7 +138,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_scd2_merge",
     // events_seasonal_decompose: the 1-row (dmin, dmax) span aggregate
     // that the calendar spine explodes from — the q6 scalar shape
-    "events_seasonal_decompose"
+    "events_seasonal_decompose",
+    // events_autocorr: the same 1-row span aggregate + spine shape
+    "events_autocorr"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -250,6 +252,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // folded onto the ≤|types|-row distinct frame to form the dense
     // grid — bounded by calendar × schema, never by corpus volume
     "events_seasonal_decompose",
+    // events_autocorr: the same calendar-spine broadcast fold
+    "events_autocorr",
     // events_scd2_merge: the 1-row max-ts split anchor nested-loop-
     // folded onto the event stream (the events_survival cutoff shape)
     "events_scd2_merge",
