@@ -74,6 +74,10 @@ object SparkEntry {
     // synchronous LPA is DEFINED as exactly 4 rounds (no fixpoint claim —
     // see the Scaladoc); both engines unroll the same count
     "citation_lpa" -> ((s, d) => Citations.lpa(Citations.edges(s, d))),
+    // deterministic Luby MIS: convergence-or-throw at 12 rounds
+    // (measured fixpoints: 3/3/4 at the three sfs); independence +
+    // maximality spec-asserted in AnalyticsExtraSpec
+    "citation_mis" -> ((s, d) => Citations.mis(Citations.edges(s, d))),
     // lpa's exchange with the exact-integer modularity-gain score in
     // place of the raw neighbor count (LPAm); defined-rounds, like lpa.
     // Both consumers read the per-dataset label cache (the scc model-
@@ -155,6 +159,7 @@ object SparkEntry {
     "citation_components" -> Citations.componentsSql(),
     "citation_ppr" -> Citations.personalizedPageRankSql(),
     "citation_lpa" -> Citations.lpaSql(),
+    "citation_mis" -> Citations.misSql(),
     "citation_louvain" -> Citations.louvainSql(),
     "citation_louvain_stats" -> Citations.louvainStatsSql(),
     "citation_random_walks" -> Citations.randomWalksSql(),
@@ -249,6 +254,7 @@ object SparkEntry {
     "citation_components" -> Seq(col("paper_id")),
     "citation_ppr" -> Seq(col("paper_id")),
     "citation_lpa" -> Seq(col("paper_id")),
+    "citation_mis" -> Seq(col("paper_id")),
     "citation_louvain" -> Seq(col("paper_id")),
     "citation_louvain_stats" -> Seq(col("community")),
     "citation_random_walks" -> Seq(col("paper_id"), col("walk_id")),

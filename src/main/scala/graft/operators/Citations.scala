@@ -2008,6 +2008,155 @@ object Citations {
        |FROM l$rounds ORDER BY paper_id""".stripMargin
   }
 
+  /** Deterministic Luby-style maximal independent set (Luby, SIAM J.
+    * Comput. 1986) on the deduplicated undirected frame — the primitive
+    * behind conflict-free scheduling, graph coloring, and correlation-
+    * clustering pivots (every distributed symmetry-breaking algorithm is
+    * an MIS in a costume). Per round every still-undecided node draws a
+    * PER-ROUND deterministic priority key and joins the set iff its key
+    * is strictly smaller than every undecided neighbor's; winners' whole
+    * neighborhoods are then decided OUT, and the loop repeats on the
+    * shrinking residual graph to convergence-or-throw (the [[components]]
+    * contract). Luby draws the priorities uniformly at random each round
+    * to get O(log n) rounds w.h.p.; the oracle wants replayability, so
+    * the draw is an engine-portable LCG re-seeded by the round index
+    * (`(id mod 99991)·40503 + round·7919 mod 99991` — the
+    * [[randomWalks]] convention), with the node id appended as the
+    * fixed-point tie-break so keys are UNIQUE and "strictly smaller" is
+    * well-defined: `lpad(h, 6, '0') || id`, exact string comparison,
+    * identical on both engines. Re-seeding per round is what keeps the
+    * round count logarithmic — a FIXED priority degrades to the longest
+    * priority-decreasing path (measured: round 3 fixpoint at sf0.001
+    * AND sf0.01, round 4 at sf0.1, vs cap 12).
+    *
+    * Output: every node decided exactly once — (paper_id, in_mis,
+    * round). Independence (no edge inside the set) and maximality
+    * (every OUT node has an IN neighbor) are spec-asserted; the twin
+    * unrolls the identical rounds so the gate hashes the full decision
+    * table, not just the set.
+    *
+    * Scale shape per round: one shuffle_hash message join against the
+    * pinned alive-edge partitioning + one partial-aggregable `min`, a
+    * USING-style left-outer zip of the ≤|alive| key frame, one semi-join
+    * fan for the winners' neighborhoods, and two anti-joins that SHRINK
+    * the edge frame (the [[kCore]] peel lifecycle: cut + release every
+    * round, nothing quadratic, no driver loop over data — the decided
+    * cuts are unioned lazily at the end, ≤rounds frames of disjoint
+    * nodes). */
+  def mis(edges: DataFrame, rounds: Int = 12,
+          roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.where(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    var e = und.repartition(col("u")).localCheckpoint()
+    var alive = e.select(col("u").as("id")).distinct().localCheckpoint()
+    var lastE = e
+    var lastAlive = alive
+    val decidedCuts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var remaining = alive.count()
+    var i = 0
+    while (remaining > 0 && i < rounds) {
+      i += 1
+      val keyed = alive.select(col("id"), concat(
+        lpad(((pmod(col("id").cast("long"), lit(99991L)) * lit(40503L)
+          + lit(i * 7919L)) % lit(99991L)).cast("string"), 6, "0"),
+        col("id")).as("k"))
+      // min undecided-neighbor key per node: e is maintained alive-only,
+      // so the join needs no residual filter
+      val minNb = e.join(keyed.hint("shuffle_hash"), e("u") === keyed("id"))
+        .groupBy(e("v").as("id")).agg(min(col("k")).as("mk"))
+      val winners = keyed.join(minNb, Seq("id"), "left_outer")
+        .where(col("mk").isNull || col("k") < col("mk"))
+        .select(col("id"))
+      // winners' neighborhoods leave the graph on the losing side
+      val out = e.join(winners.select(col("id").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("id")).distinct()
+      val cut = winners
+        .select(col("id"), lit(true).as("in_mis"), lit(i).as("round"))
+        .unionAll(out.select(col("id"), lit(false).as("in_mis"),
+          lit(i).as("round")))
+        .localCheckpoint()
+      decidedCuts += cut
+      val gone = cut.select(col("id"))
+      val nextAlive = alive.join(gone, Seq("id"), "left_anti")
+      val nextE = e
+        .join(gone.select(col("id").as("u")), Seq("u"), "left_anti")
+        .join(gone.select(col("id").as("v")), Seq("v"), "left_anti")
+        .select(col("u"), col("v"))
+      val aliveCut = nextAlive.localCheckpoint()
+      val eCut = nextE.localCheckpoint()
+      remaining = aliveCut.count()
+      roundProbe(i, winners, () => cut.count())
+      graft.Blocks.release(lastAlive)
+      graft.Blocks.release(lastE)
+      lastAlive = aliveCut
+      lastE = eCut
+      alive = aliveCut
+      e = eCut
+    }
+    graft.Blocks.release(lastAlive)
+    graft.Blocks.release(lastE)
+    if (remaining > 0) throw new IllegalStateException(
+      s"mis did not decide every node in $rounds rounds; raise the cap")
+    if (decidedCuts.isEmpty) // empty graph: zero decisions, schema intact
+      und.select(col("u").as("paper_id"), lit(true).as("in_mis"),
+        lit(0).as("round")).limit(0)
+    else decidedCuts.reduce(_ unionAll _)
+      .select(col("id").as("paper_id"), col("in_mis"),
+        col("round").cast("int").as("round"))
+  }
+
+  /** DuckDB twin of [[mis]]: the bounded elimination UNROLLED one round
+    * per MATERIALIZED CTE group ([[kCoreSql]] discipline — a round
+    * references its predecessor several times). Extra oracle rounds past
+    * Spark's detected convergence are no-ops on the empty residual
+    * (empty frames propagate), so the engines agree whenever Spark's
+    * loop converges inside the cap — it throws otherwise. */
+  def misSql(rounds: Int = 12): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT id, concat(lpad(CAST(((CAST(id AS BIGINT) % 99991) * 40503
+         |                        + ${i * 7919}) % 99991 AS VARCHAR), 6, '0'),
+         |                    id) AS k
+         |  FROM a${i - 1}),
+         |m$i AS MATERIALIZED (
+         |  SELECT e.v AS id, min(k.k) AS mk
+         |  FROM e${i - 1} e JOIN k$i k ON k.id = e.u GROUP BY 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT k.id FROM k$i k LEFT JOIN m$i m ON m.id = k.id
+         |  WHERE m.mk IS NULL OR k.k < m.mk),
+         |o$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.v AS id
+         |  FROM e${i - 1} e JOIN w$i w ON w.id = e.u),
+         |dec$i AS MATERIALIZED (
+         |  SELECT id, true AS in_mis, $i AS round FROM w$i
+         |  UNION ALL
+         |  SELECT id, false, $i FROM o$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT a.id FROM a${i - 1} a
+         |  LEFT JOIN dec$i d ON d.id = a.id WHERE d.id IS NULL),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN a$i x ON x.id = e.u JOIN a$i y ON y.id = e.v)""".stripMargin
+    }.mkString(",\n")
+    val decs = (1 to rounds)
+      .map(i => s"SELECT * FROM dec$i").mkString("\n  UNION ALL ")
+    s"""WITH raw AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+       |  UNION
+       |  SELECT dst, src FROM raw WHERE src <> dst),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM e0),
+       |$steps
+       |SELECT id AS paper_id, in_mis, CAST(round AS INT) AS round
+       |FROM ($decs)
+       |ORDER BY paper_id""".stripMargin
+  }
+
   /** Louvain-style community detection, synchronous local-move flavor
     * (LPAm — Barber & Clark 2009): each round every node adopts the
     * candidate community (its neighbors' communities ∪ its own) that

@@ -964,6 +964,54 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.size > 1)
   }
 
+  test("citation_mis: independence + maximality + exactly-once; deterministic across repartition") {
+    // hand fixture: path A-B-C-D plus isolated-by-self-loop E.
+    // Round-1 keys depend only on id mod 99991 so small numeric ids give
+    // hand-checkable priorities: h1(id) = (id*40503 + 7919) % 99991.
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("5", "5"))
+      .toDF("src", "dst")
+    val got = Citations.mis(edges).as[(String, Boolean, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // every non-self-loop endpoint decided exactly once; self-loop-only
+    // node 5 never enters the universe (adjacent to itself, never
+    // independent, never anyone's neighbor)
+    assert(got.keySet === Set("1", "2", "3", "4"))
+    val und = Set(("1", "2"), ("2", "3"), ("3", "4"))
+    // independence: no edge with both endpoints in the set
+    und.foreach { case (a, b) =>
+      assert(!(got(a)._1 && got(b)._1), s"adjacent pair $a-$b both in MIS")
+    }
+    // maximality: every OUT node has an IN neighbor
+    got.filterNot(_._2._1).keys.foreach { v =>
+      val nbs = und.collect { case (a, b) if a == v => b
+                              case (a, b) if b == v => a }
+      assert(nbs.exists(got(_)._1), s"OUT node $v has no IN neighbor")
+    }
+    // corpus invariants at sf0.001 + determinism across input partitioning
+    val sfEdges = Citations.edges(spark, sf)
+    val a = Citations.mis(sfEdges).as[(String, Boolean, Int)].collect()
+    val b = Citations.mis(sfEdges.repartition(13))
+      .as[(String, Boolean, Int)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    val inSet = a.filter(_._2).map(_._1).toSet
+    val undSf = sfEdges.where(col("src") =!= col("dst"))
+      .as[(String, String)].collect().toSet
+    assert(a.map(_._1).distinct.length === a.length, "a node decided twice")
+    undSf.foreach { case (s2, d2) =>
+      assert(!(inSet(s2) && inSet(d2)), s"adjacent $s2-$d2 both in MIS")
+    }
+    val nbMap = (undSf.toSeq ++ undSf.toSeq.map(e2 => (e2._2, e2._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    a.filterNot(_._2).foreach { case (v, _, _) =>
+      assert(nbMap(v).exists(inSet), s"OUT node $v not dominated")
+    }
+    assert(inSet.nonEmpty && inSet.size < a.length,
+      "degenerate MIS (empty or everything)")
+    // convergence margin: the 12-round cap is probe-sized — the sf0.001
+    // sweep must finish well inside it
+    assert(a.map(_._3).max <= 6, s"late convergence: round ${a.map(_._3).max}")
+  }
+
   test("scd2Merge: hand fixture — close, insert, suppress no-op, new user, pass-through") {
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     // dim: u1 has A[t0,t1) then open B[t1,·); u2 has open C[t0,·)
