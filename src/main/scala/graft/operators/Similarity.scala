@@ -674,6 +674,45 @@ object Similarity {
       |             AS DECIMAL(18,12))) AS DOUBLE), 9) AS err2
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** `embedding_jl_project` (oracled): Johnson–Lindenstrauss random
+    * projection to k = 16 dimensions with the database-friendly ±1 sign
+    * matrix (Achlioptas, JCSS 2003) — the data-INDEPENDENT counterpart
+    * to [[embeddingPcaProject]]. PCA needs a fit pass (Gramian +
+    * eigensolve) before it can project anything; JL needs NOTHING from
+    * the data — the projection matrix is a pure function of (i, j), so
+    * the operator is the only dimensionality reduction you can run on
+    * 100 TB in a single map pass over cold data, and the natural first
+    * stage before LSH/IVF indexing when d is large. y_j = (1/√k)·Σᵢ
+    * s(i,j)·xᵢ with s(i,j) = ±1 drawn from the house LCG
+    * (`(i·40503 + j·7919) mod 99991` parity — the [[graft.operators.
+    * Citations.mis]] convention), 1/√16 = 0.25 exact in binary.
+    *
+    * Scale shape: ZERO shuffles — one codegen'd generator (the 16-row j
+    * explode) and a sequential `aggregate` fold over the array per
+    * output coordinate, no exchange anywhere in the plan (spec-asserted).
+    * Both engines sum in ascending-i order on identical doubles; the
+    * round(…, 6) grid absorbs any residual summation-order divergence
+    * (the [[embeddingGram]] convention). */
+  def embeddingJlProject(s: SparkSession, d: String, k: Int = 16): DataFrame =
+    emb(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("j"))
+      .select(col("vec_id"), col("j"),
+        round(lit(1.0 / math.sqrt(k)) * expr(
+          """aggregate(sequence(0, 63), 0D, (acc, i) ->
+            |  acc + IF(pmod(i * 40503 + j * 7919, 99991) % 2 = 0, 1D, -1D)
+            |        * CAST(element_at(embedding, i + 1) AS DOUBLE))"""
+            .stripMargin), 6).as("y"))
+
+  def embeddingJlProjectSql(k: Int = 16): String =
+    s"""SELECT vec_id, CAST(j.j AS INT) AS j,
+       |       round(${1.0 / math.sqrt(k)} * sum(
+       |         CASE WHEN ((t.i * 40503 + j.j * 7919) % 99991) % 2 = 0
+       |              THEN 1 ELSE -1 END
+       |         * CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS y
+       |FROM embeddings, range(0, 64) t(i), range(0, $k) j(j)
+       |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin
+
   /** The 64 per-dimension quantizer scales as a driver-side model
     * (max|x_i|/127 — O(d) state by construction, the kmeansFit
     * convention): train once over the corpus, then fold into
@@ -1519,6 +1558,7 @@ object Similarity {
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_pca_project" -> (embeddingPcaProject _),
     "embedding_whiten" -> (embeddingWhiten _),
+    "embedding_jl_project" -> ((s, d) => embeddingJlProject(s, d)),
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_cluster_profile" -> (embeddingClusterProfile _),
     "sample_kcenter" -> ((s, d) => sampleKcenter(s, d)),
@@ -1543,6 +1583,7 @@ object Similarity {
     "ann_topk_fused" -> annTopkSql,
     "embedding_gram" -> embeddingGramSql,
     "embedding_quantize" -> embeddingQuantizeSql,
+    "embedding_jl_project" -> embeddingJlProjectSql(),
     "embedding_kmeans" -> embeddingKmeansSqlFull(),
     "embedding_cluster_profile" -> embeddingClusterProfileSql(),
     "sample_kcenter" -> sampleKcenterSql(),
@@ -1557,6 +1598,7 @@ object Similarity {
     "embedding_quantize" -> Seq(col("vec_id")),
     "embedding_pca_project" -> Seq(col("vec_id")),
     "embedding_whiten" -> Seq(col("vec_id")),
+    "embedding_jl_project" -> Seq(col("vec_id"), col("j")),
     "embedding_kmeans" -> Seq(col("vec_id")),
     "embedding_cluster_profile" -> Seq(col("cluster")),
     "sample_kcenter" -> Seq(col("rank")),

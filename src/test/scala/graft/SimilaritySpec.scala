@@ -25,6 +25,50 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_jl_project: exact sign-fold recompute, zero exchanges, distances preserved") {
+    val got = Similarity.embeddingJlProject(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    assert(got.length === vecs.size * 16)
+    // exact in-memory recompute: same LCG signs, same ascending-i double
+    // fold, same 0.25 scale, same 6-dp grid
+    got.foreach { case (id, j, y) =>
+      var acc = 0.0
+      val x = vecs(id)
+      for (i <- 0 until 64) {
+        val sign = if ((i * 40503 + j * 7919) % 99991 % 2 == 0) 1.0 else -1.0
+        acc += sign * x(i).toDouble
+      }
+      val exp = BigDecimal(0.25 * acc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(y - exp) < 1e-9, s"vec $id dim $j: got $y expected $exp")
+    }
+    // the whole plan is map-side: no exchange anywhere (the property that
+    // makes JL the only projection runnable over cold 100-TB data)
+    val p = Similarity.embeddingJlProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"JL projection shuffled:\n$p")
+    // JL contract: squared distances concentrate around their original
+    // values (k = 16 → sd of the ratio ≈ √(2/k) ≈ 0.35); assert the
+    // MEDIAN ratio over sampled pairs sits well inside [0.5, 1.6] —
+    // loose enough to be deterministic-data-safe, tight enough that a
+    // broken sign matrix (ratio → 0 or ≫1) fails
+    val proj = got.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.sortBy(_._2).map(_._3).toArray }
+    val ids = vecs.keys.toArray.sorted.take(30)
+    val ratios = for {
+      a <- ids; b <- ids if a < b
+      dx = (0 until 64).map(i => (vecs(a)(i) - vecs(b)(i)).toDouble)
+        .map(t => t * t).sum if dx > 1e-9
+      dy = (0 until 16).map(i => proj(a)(i) - proj(b)(i))
+        .map(t => t * t).sum
+    } yield dy / dx
+    val med = ratios.sorted.apply(ratios.length / 2)
+    assert(med > 0.5 && med < 1.6, s"median distance ratio $med off the JL band")
+  }
+
   test("ann_topk plans the per-probe top-k as WindowGroupLimit (pushed below the shuffle)") {
     val p = Similarity.annTopk(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
