@@ -2428,9 +2428,57 @@ object TextAnalysis {
        |FROM p GROUP BY 1, 2, 3 HAVING count(*) >= $minCount
        |ORDER BY w, c, dist""".stripMargin
 
+  /** `token_glove_cooc` (oracled): the GloVe co-occurrence statistics
+    * (Pennington et al. 2014) — for every ordered pair within a
+    * `window`-word forward span, weight 1/d by offset distance and sum
+    * per (center, context). This is THE input matrix GloVe factorizes;
+    * where [[tokenSkipgramPairs]] keeps the per-offset counts word2vec
+    * samples from, this collapses them through the harmonic distance
+    * kernel. Exact integers end-to-end: the weight is ⌊10⁶/d⌋ microunits
+    * (d ∈ 1..5 divides 10⁶ with identical truncation on both engines —
+    * positive operands, so DuckDB's `//` IS floor here), summed as
+    * BIGINT; the floor trims pairs below 2×10⁵ micro (one max-distance
+    * co-occurrence keeps nothing, one adjacent pair survives).
+    *
+    * Scale shape: the [[tokenSkipgramPairs]] shape — ZERO joins, one
+    * generator pass, ONE partial-aggregable sum keyed on the vocab²-
+    * bounded (w, c). */
+  def tokenGloveCooc(s: SparkSession, d: String, window: Int = 5,
+                     minMicro: Long = 400000L): DataFrame =
+    docs(s, d)
+      .select(split(col("text"), " ").as("ws"))
+      .select(col("ws"), explode(expr("sequence(1, size(ws))")).as("i"))
+      .select(explode(expr(
+        s"""filter(transform(sequence(1, $window),
+           |  d -> IF(i + d <= size(ws),
+           |          struct(element_at(ws, i) AS w,
+           |                 element_at(ws, i + d) AS c,
+           |                 CAST(1000000 div d AS BIGINT) AS wt),
+           |          NULL)),
+           |  x -> x IS NOT NULL)""".stripMargin)).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"), col("p.wt").as("wt"))
+      .groupBy(col("w"), col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("wt")).as("x_micro"))
+      .where(col("x_micro") >= minMicro)
+
+  /** DuckDB twin of [[tokenGloveCooc]]. */
+  def tokenGloveCoocSql(window: Int = 5, minMicro: Long = 400000L): String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |x AS (SELECT ws, unnest(generate_series(1, len(ws))) AS i FROM t),
+       |p AS (
+       |  SELECT ws[i] AS w, ws[i + dd.d] AS c,
+       |         CAST(1000000 // dd.d AS BIGINT) AS wt
+       |  FROM x CROSS JOIN
+       |    (SELECT unnest(generate_series(1, $window)) AS d) dd
+       |  WHERE i + dd.d <= len(ws))
+       |SELECT w, c, count(*) AS n, CAST(sum(wt) AS BIGINT) AS x_micro
+       |FROM p GROUP BY 1, 2 HAVING sum(wt) >= $minMicro
+       |ORDER BY w, c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_keyphrases" -> ((s, d) => docKeyphrases(s, d)),
     "token_skipgram_pairs" -> ((s, d) => tokenSkipgramPairs(s, d)),
+    "token_glove_cooc" -> ((s, d) => tokenGloveCooc(s, d)),
     "doc_novelty" -> (docNovelty _),
     "corpus_lang_overlap" -> (corpusLangOverlap _),
     "inverted_index" -> ((s, d) => invertedIndex(s, d)),
@@ -2472,6 +2520,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "doc_keyphrases" -> docKeyphrasesSql(),
     "token_skipgram_pairs" -> tokenSkipgramPairsSql(),
+    "token_glove_cooc" -> tokenGloveCoocSql(),
     "doc_novelty" -> docNoveltySql,
     "corpus_lang_overlap" -> corpusLangOverlapSql,
     "inverted_index" -> invertedIndexSql,
@@ -2512,6 +2561,7 @@ object TextAnalysis {
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
     "token_skipgram_pairs" -> Seq(col("w"), col("c"), col("dist")),
+    "token_glove_cooc" -> Seq(col("w"), col("c")),
     "token_pmi" -> Seq(col("lang"), col("rank")),
     "token_collocations_llr" -> Seq(col("lang"), col("rank")),
     "token_textrank" -> Seq(col("lang"), col("rank")),

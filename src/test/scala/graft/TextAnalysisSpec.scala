@@ -61,6 +61,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.keys.exists(_._3 == 2), "no distance-2 pairs")
   }
 
+  test("token_glove_cooc: exact harmonic-weight recompute; floor respected") {
+    val got = TextAnalysis.tokenGloveCooc(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val acc = scala.collection.mutable
+      .Map.empty[(String, String), (Long, Long)].withDefaultValue((0L, 0L))
+    Tables.load(spark, sf, "documents").select("text").as[String].collect()
+      .foreach { t =>
+        val ws = t.split(" ", -1)
+        for (i <- ws.indices; d <- 1 to 5 if i + d < ws.length) {
+          val k = (ws(i), ws(i + d))
+          val (n, x) = acc(k)
+          acc(k) = (n + 1, x + 1000000L / d)
+        }
+      }
+    val exp = acc.filter(_._2._2 >= 400000L).toMap
+    assert(got === exp)
+    // the harmonic kernel actually discriminates: some surviving pair
+    // must mix distances (x_micro not a multiple of 10^6)
+    assert(got.values.exists(_._2 % 1000000L != 0L), "no mixed-distance pair")
+  }
+
   test("text_stats partitions the corpus exactly (doc counts sum to corpus size)") {
     val stats = TextAnalysis.textStats(spark, sf)
     val total = stats.agg(fsum("n_docs")).first().getLong(0)
