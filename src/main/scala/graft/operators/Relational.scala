@@ -293,6 +293,89 @@ object Relational {
       |CROSS JOIN n
       |ORDER BY part_a, part_b""".stripMargin
 
+  /** `basket_apriori_triples` (oracled): frequent brand TRIPLES with the
+    * Apriori candidate prune (Agrawal & Srikant, VLDB 1994) — the
+    * multi-item closure [[basketLift]] deliberately stops short of, run
+    * ONE level deeper the way anyone actually runs it at 100 TB: prune
+    * candidates through the k−1 level before counting. Items are brands
+    * (bounded vocabulary — partkey triples dilute to nothing past
+    * sf0.01); the support floor is RELATIVE (0.1% of baskets) via exact
+    * cross-multiplication `n·1000 ≥ N` — no division, no float, engine-
+    * identical at every sf.
+    *
+    * The Apriori discipline at scale: the frequent-PAIR set L2 is
+    * itemset²-bounded (≤ C(|brands|, 2) rows — a broadcastable MODEL,
+    * the trainedCentroids convention), so all three sub-pair prunes run
+    * as broadcast semi-joins BEFORE the triple aggregate — the
+    * candidate fan-out dies before the shuffle, which is the entire
+    * point of Apriori (downward closure: support(abc) ≤ support(any
+    * sub-pair), spec-asserted). Output is the top-50 under the fully
+    * deterministic (n_abc DESC, brands ASC) order — plans as
+    * TakeOrderedAndProject; support_ppm is exact-integer
+    * ⌊10⁶·n/N⌋ (positive operands — DuckDB `//` is floor here). */
+  def basketAprioriTriples(s: SparkSession, d: String,
+                           topK: Int = 50): DataFrame =
+    basketAprioriTriplesFrom(
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")),
+      topK)
+
+  /** The mining itself over any (basket `o`, item `b`) frame. */
+  def basketAprioriTriplesFrom(items: DataFrame, topK: Int = 50): DataFrame = {
+    val op = items.distinct().repartition(col("o"))
+    val nOrders = op.agg(countDistinct(col("o")).as("no"))
+    val pairs = op.select(col("o"), col("b").as("pa"))
+      .join(op.select(col("o"), col("b").as("pb")), Seq("o"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+    val l2 = pairs.crossJoin(broadcast(nOrders))
+      .where(col("n_ab") * lit(1000L) >= col("no"))
+      .select(col("pa"), col("pb"))
+    op.select(col("o"), col("b").as("pa"))
+      .join(op.select(col("o"), col("b").as("pb")), Seq("o"))
+      .where(col("pa") < col("pb"))
+      .join(broadcast(l2), Seq("pa", "pb"), "left_semi")
+      .join(op.select(col("o"), col("b").as("pc")), Seq("o"))
+      .where(col("pb") < col("pc"))
+      .join(broadcast(l2.select(col("pa"), col("pb").as("pc"))),
+        Seq("pa", "pc"), "left_semi")
+      .join(broadcast(l2.select(col("pa").as("pb"), col("pb").as("pc"))),
+        Seq("pb", "pc"), "left_semi")
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("n_abc"))
+      .crossJoin(broadcast(nOrders))
+      .where(col("n_abc") * lit(1000L) >= col("no"))
+      .select(col("pa"), col("pb"), col("pc"), col("n_abc"),
+        expr("CAST((n_abc * 1000000) DIV no AS BIGINT)").as("support_ppm"))
+      .orderBy(col("n_abc").desc, col("pa"), col("pb"), col("pc"))
+      .limit(topK)
+  }
+
+  val basketAprioriTriplesSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |n AS (SELECT count(DISTINCT o) AS no FROM op),
+      |l2 AS (
+      |  SELECT a.b AS pa, bb.b AS pb
+      |  FROM op a JOIN op bb ON a.o = bb.o AND a.b < bb.b
+      |  GROUP BY 1, 2 HAVING count(*) * 1000 >= (SELECT no FROM n)),
+      |tri AS (
+      |  SELECT a.b AS pa, bb.b AS pb, c.b AS pc, count(*) AS n_abc
+      |  FROM op a
+      |  JOIN op bb ON a.o = bb.o AND a.b < bb.b
+      |  JOIN l2 ab ON ab.pa = a.b AND ab.pb = bb.b
+      |  JOIN op c ON bb.o = c.o AND bb.b < c.b
+      |  JOIN l2 ac ON ac.pa = a.b AND ac.pb = c.b
+      |  JOIN l2 bc ON bc.pa = bb.b AND bc.pb = c.b
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) * 1000 >= (SELECT no FROM n))
+      |SELECT pa, pb, pc, n_abc,
+      |       CAST((n_abc * 1000000) // no AS BIGINT) AS support_ppm
+      |FROM tri CROSS JOIN n
+      |ORDER BY n_abc DESC, pa, pb, pc LIMIT 50""".stripMargin
+
   /** RFM customer segmentation — the classic marketing-analytics
     * workload: per customer, days since last order (recency, against the
     * corpus's max order date as the anchor), order count (frequency),
@@ -1522,6 +1605,7 @@ object Relational {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "distinct_parts_per_order" -> (distinctPartsPerOrder _),
     "basket_lift" -> (basketLift _),
+    "basket_apriori_triples" -> ((s, d) => basketAprioriTriples(s, d)),
     "orders_rfm" -> (ordersRfm _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "orders_pareto" -> (ordersPareto _),
@@ -1574,6 +1658,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "distinct_parts_per_order" -> distinctPartsPerOrderSql,
     "basket_lift" -> basketLiftSql,
+    "basket_apriori_triples" -> basketAprioriTriplesSql,
     "orders_rfm" -> ordersRfmSql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "orders_pareto" -> ordersParetoSql,

@@ -113,6 +113,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // basket_lift: the 1-row basket-count (N) aggregate folded onto the
     // support-pruned pair frame — the q6 scalar shape
     "basket_lift",
+    // basket_apriori_triples: the same 1-row basket-count fold, applied
+    // twice (L2 floor + triple floor) — the q6 scalar shape
+    "basket_apriori_triples",
     // orders_rfm: the 1-row anchor-date and 9-threshold quartile
     // aggregates (percentile state bounded by the metric value grids)
     // folded onto the per-customer frame — the quality_deciles shape
@@ -235,6 +238,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // basket_lift: the 1-row N frame nested-loop-folded onto every
     // surviving pair (the q6 scalar shape)
     "basket_lift",
+    // basket_apriori_triples: the same 1-row N fold at both support
+    // floors (the basket_lift shape)
+    "basket_apriori_triples",
     // orders_rfm: the anchor and threshold 1-row frames nested-loop-
     // folded onto every customer (the quality_deciles shape)
     "orders_rfm",

@@ -46,6 +46,66 @@ class RelationalSpec extends AnyFunSuite {
       s"basket exchange not reused:\n$p")
   }
 
+  test("basket_apriori_triples: brute-force recompute + downward closure; prune fixture") {
+    import org.apache.spark.sql.functions.col
+    // full in-memory recompute at sf0.001 with the same relative floor
+    val op = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .selectExpr("l_orderkey AS o", "p_brand AS b").distinct()
+      .as[(Long, String)].collect()
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nOrders = byOrder.size.toLong
+    val pairN = byOrder.values
+      .flatMap(bs => bs.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val l2 = pairN.filter(_._2 * 1000 >= nOrders).keySet
+    val tripN = byOrder.values
+      .flatMap(bs => bs.combinations(3).map(c => (c(0), c(1), c(2))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 * 1000 >= nOrders)
+    val expTop = tripN.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(50)
+      .map { case (k, n) => k -> ((n, n * 1000000L / nOrders)) }.toMap
+    val got = Relational.basketAprioriTriples(spark, sf)
+      .as[(String, String, String, Long, Long)].collect()
+    assert(got.length === math.min(50, tripN.size))
+    assert(got.nonEmpty, "no triple reached the floor at sf0.001")
+    got.foreach { case (a, b, c, n, ppm) =>
+      assert(expTop((a, b, c)) === ((n, ppm)), s"($a,$b,$c)")
+      // downward closure: every sub-pair of a frequent triple is frequent
+      assert(l2((a, b)) && l2((a, c)) && l2((b, c)),
+        s"sub-pair of ($a,$b,$c) not frequent — Apriori invariant broken")
+    }
+    // (at sf0.001 every brand pair clears the 0.1% floor — the prune
+    // path is exercised by the hand fixture below instead)
+    assert(l2.nonEmpty && l2.subsetOf(pairN.keySet))
+    // hand fixture driven through the operator itself: 2000 baskets.
+    // {x,y} together in baskets 1-10 (0.5%), z with x in 11-20 and with
+    // y in 21-30 (so (x,z) and (y,z) are frequent) but with BOTH only in
+    // basket 1 -> every sub-pair clears the 0.1% floor yet the triple
+    // (support 1/2000) misses it: output empty, killed by the support
+    // filter with every prune satisfied.
+    val rows = (1 to 10).flatMap(o => Seq((o.toLong, "x"), (o.toLong, "y"))) ++
+      (11 to 20).flatMap(o => Seq((o.toLong, "x"), (o.toLong, "z"))) ++
+      (21 to 30).flatMap(o => Seq((o.toLong, "y"), (o.toLong, "z"))) ++
+      Seq((1L, "z")) ++ (31 to 2000).map(o => (o.toLong, "f"))
+    val gotFix = Relational
+      .basketAprioriTriplesFrom(rows.toDF("o", "b"))
+      .as[(String, String, String, Long, Long)].collect()
+    assert(gotFix.isEmpty,
+      s"fixture: expected no frequent triple, got ${gotFix.toSeq}")
+    // add z to baskets 2-10 -> triple support 10 (0.5%) -> exactly
+    // (x,y,z) emerges, support_ppm = floor(10e6/2000)
+    val rows2 = rows ++ (2 to 10).map(o => (o.toLong, "z"))
+    val gotFix2 = Relational
+      .basketAprioriTriplesFrom(rows2.toDF("o", "b"))
+      .as[(String, String, String, Long, Long)].collect()
+    assert(gotFix2.map(r => (r._1, r._2, r._3, r._4)).toSeq ===
+      Seq(("x", "y", "z", 10L)))
+    assert(gotFix2.head._5 === 10L * 1000000L / 2000L)
+  }
+
   test("orders_pareto: Lorenz/Gini equals an in-memory exact recompute; deciles partition customers") {
     val got = Relational.ordersPareto(spark, sf)
       .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
