@@ -276,6 +276,7 @@ object SparkEntry {
     "events_anomaly_mad" -> Seq(col("event_type"), col("day")),
     "events_seasonal_decompose" -> Seq(col("event_type"), col("day")),
     "events_autocorr" -> Seq(col("event_type"), col("k")),
+    "events_pacf" -> Seq(col("event_type"), col("k")),
     "q1_pricing_summary" -> Seq(col("l_returnflag"), col("l_linestatus")),
     "q5_region_revenue" -> Seq(col("revenue").desc, col("n_name")),
     "join_broadcast_region" -> Seq(col("r_name")),

@@ -1964,8 +1964,11 @@ object EventAnalytics {
   def eventsAutocorr(s: SparkSession, d: String, maxLag: Int = 14): DataFrame =
     eventsAutocorrFrom(s, Tables.load(s, d, "events"), maxLag)
 
-  def eventsAutocorrFrom(s: SparkSession, ev: DataFrame,
-                         maxLag: Int = 14): DataFrame = {
+  /** The exact-integer lag-numerator aggregate shared by
+    * [[eventsAutocorrFrom]] and [[eventsPacfFrom]]: one row per
+    * event_type with (n0, n1..nmaxLag) — Σ dₜ·dₜ₊ₖ over the n²-scaled
+    * deviations, DECIMAL(38,0) exact. */
+  private[graft] def autocorrNums(ev: DataFrame, maxLag: Int): DataFrame = {
     val daily = ev
       .groupBy(datediff(date_trunc("day", col("ts")),
         lit("1970-01-01").cast("date")).as("day"), col("event_type"))
@@ -1987,9 +1990,14 @@ object EventAnalytics {
       df.withColumn(s"p$k", (col("d") * lead(col("d"), k).over(ordered))
         .cast("decimal(38,0)"))
     }
-    val nums = withLeads.groupBy(col("event_type"))
+    withLeads.groupBy(col("event_type"))
       .agg(sum(col("p0")).as("n0"),
         (1 to maxLag).map(k => sum(col(s"p$k")).as(s"n$k")): _*)
+  }
+
+  def eventsAutocorrFrom(s: SparkSession, ev: DataFrame,
+                         maxLag: Int = 14): DataFrame = {
+    val nums = autocorrNums(ev, maxLag)
     val stacked = nums.select(col("event_type"), col("n0"),
       explode(array((0 to maxLag).map(k =>
         struct(lit(k).as("k"), col(s"n$k").as("num"))): _*)).as("x"))
@@ -1999,16 +2007,14 @@ object EventAnalytics {
         .as("r"))
   }
 
-  /** DuckDB twin of [[eventsAutocorr]] — same n²-scaled integer
-    * numerators (HUGEINT), same single window pass, same round(…, 9). */
-  def eventsAutocorrSql(maxLag: Int = 14): String = {
+  /** The shared WITH-prefix of the autocorr/pacf twins: daily counts →
+    * calendar grid → n²-scaled deviations → lag-product numerators
+    * (HUGEINT), ending at the `nums` CTE. */
+  private def autocorrBaseSql(maxLag: Int): String = {
     val leadCols = (0 to maxLag)
       .map(k => s"d * lead(d, $k) OVER w AS p$k").mkString(",\n       ")
     val sumCols = (0 to maxLag)
       .map(k => s"sum(p$k) AS n$k").mkString(",\n       ")
-    val unions = (0 to maxLag)
-      .map(k => s"SELECT event_type, $k AS k, n$k AS num, n0 FROM nums")
-      .mkString("\n  UNION ALL ")
     s"""WITH daily AS MATERIALIZED (
        |  SELECT event_type,
        |         datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS day,
@@ -2035,7 +2041,16 @@ object EventAnalytics {
        |nums AS MATERIALIZED (
        |  SELECT event_type,
        |       $sumCols
-       |  FROM leads GROUP BY 1)
+       |  FROM leads GROUP BY 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[eventsAutocorr]] — same n²-scaled integer
+    * numerators (HUGEINT), same single window pass, same round(…, 9). */
+  def eventsAutocorrSql(maxLag: Int = 14): String = {
+    val unions = (0 to maxLag)
+      .map(k => s"SELECT event_type, $k AS k, n$k AS num, n0 FROM nums")
+      .mkString("\n  UNION ALL ")
+    s"""${autocorrBaseSql(maxLag)}
        |SELECT event_type, CAST(k AS INT) AS k,
        |       CASE WHEN n0 > 0
        |            THEN round(CAST(num AS DOUBLE) / CAST(n0 AS DOUBLE), 9)
@@ -2044,10 +2059,127 @@ object EventAnalytics {
        |ORDER BY event_type, k""".stripMargin
   }
 
+  /** `events_pacf` (oracled): the partial autocorrelation of each type's
+    * daily series at lags 1..14 via the Durbin–Levinson recursion — the
+    * OTHER half of the Box–Jenkins identification pair ([[eventsAutocorr]]
+    * tails off for AR processes; this cuts off at the AR order, which is
+    * the diagnostic that says how many lag terms a forecast model
+    * actually needs).
+    *
+    * Exactness: the ACF ratios are floored to 10⁻⁶ microunits
+    * (`⌊10⁶·numₖ/num₀⌋`, FLOOR division — numerators go negative, where
+    * DuckDB's `//` truncates, so the twin spells the modular identity;
+    * the [[eventsHolt]] find) and the whole DL recursion then runs in
+    * exact integer microunits: φₖₖ = ⌊(rₖ·10⁶ − Σφₖ₋₁ⱼ·rₖ₋ⱼ)·10⁶ /
+    * (10¹² − Σφₖ₋₁ⱼ·rⱼ)⌋ with each vector update floored once — both
+    * engines compute the IDENTICAL integer sequence, no float anywhere
+    * in the output (phi_micro IS the result). A non-positive denominator
+    * (possible only for a degenerate floored ACF) pins φₖₖ = 0 on both
+    * engines; lags past the span sum zero products and enter as rₖ = 0.
+    *
+    * Scale shape: the distributed work is exactly [[autocorrNums]] (one
+    * calendar-grid pass, one window, one ≤|types|-row aggregate); the
+    * recursion runs on the driver over that ≤|types|×15 model — the
+    * [[eventsMarkovStationary]] bounded-model class, invariant in corpus
+    * size. The twin unrolls the same recursion one level per CTE group
+    * with level-suffixed vector columns (no alias shadowing). */
+  def eventsPacf(s: SparkSession, d: String, maxLag: Int = 14): DataFrame =
+    eventsPacfFrom(s, Tables.load(s, d, "events"), maxLag)
+
+  def eventsPacfFrom(s: SparkSession, ev: DataFrame,
+                     maxLag: Int = 14): DataFrame = {
+    val SCALE = BigInt(1000000)
+    def fdiv(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b // b > 0
+    val out = autocorrNums(ev, maxLag).collect().toSeq.flatMap { row =>
+      val tpe = row.getString(0)
+      def num(i: Int): Option[BigInt] =
+        Option(row.getDecimal(i)).map(d => BigInt(d.toBigInteger))
+      num(1).filter(_ > 0) match {
+        case Some(n0) =>
+          val r = (1 to maxLag)
+            .map(k => fdiv(SCALE * num(1 + k).getOrElse(BigInt(0)), n0))
+          val phi = Array.fill[BigInt](maxLag + 1, maxLag + 1)(BigInt(0))
+          val diag = Array.fill[BigInt](maxLag + 1)(BigInt(0))
+          phi(1)(1) = r(0); diag(1) = r(0)
+          for (k <- 2 to maxLag) {
+            val nm = SCALE * r(k - 1) -
+              (1 until k).map(j => phi(k - 1)(j) * r(k - j - 1)).sum
+            val dn = SCALE * SCALE -
+              (1 until k).map(j => phi(k - 1)(j) * r(j - 1)).sum
+            val p = if (dn > 0) fdiv(nm * SCALE, dn) else BigInt(0)
+            diag(k) = p; phi(k)(k) = p
+            for (j <- 1 until k)
+              phi(k)(j) = phi(k - 1)(j) - fdiv(p * phi(k - 1)(k - j), SCALE)
+          }
+          (1 to maxLag).map { k =>
+            require(diag(k).isValidLong,
+              s"eventsPacf: phi_micro overflows Long (${diag(k)})")
+            (tpe, k, diag(k).toLong)
+          }
+        case None => Seq.empty
+      }
+    }
+    val sp = s
+    import sp.implicits._
+    out.toDF("event_type", "k", "phi_micro")
+  }
+
+  /** DuckDB twin of [[eventsPacf]]: the [[autocorrBaseSql]] prefix, the
+    * floored micro-ACF pivot, then Durbin–Levinson unrolled one level
+    * per CTE group — `da` (num/den sums), `db` (the guarded φₖₖ floor
+    * division), `dl` (the level-suffixed vector update). All HUGEINT;
+    * `fd(a, b)` is the modular floor identity, b > 0 at every call
+    * site. */
+  def eventsPacfSql(maxLag: Int = 14): String = {
+    def fd(a: String, b: String) = s"($a - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+    val rCols = (1 to maxLag).map { k =>
+      val a = s"CAST(1000000 AS HUGEINT) * COALESCE(n$k, 0)"
+      s"${fd(a, "n0")} AS r$k"
+    }.mkString(",\n       ")
+    val levels = (2 to maxLag).map { k =>
+      val nmSum = (1 until k).map(j => s"p${k - 1}_$j * r${k - j}").mkString(" + ")
+      val dnSum = (1 until k).map(j => s"p${k - 1}_$j * r$j").mkString(" + ")
+      val upd = (1 until k).map { j =>
+        s"p${k - 1}_$j - ${fd(s"d$k * p${k - 1}_${k - j}", "1000000")} AS p${k}_$j"
+      }.mkString(",\n       ")
+      val carry = (1 until k).map(j => s"d$j").mkString(", ")
+      val rs = (1 to maxLag).map(j => s"r$j").mkString(", ")
+      s"""da$k AS MATERIALIZED (
+         |  SELECT *,
+         |    CAST(1000000 AS HUGEINT) * r$k - ($nmSum) AS nm,
+         |    CAST(1000000 AS HUGEINT) * 1000000 - ($dnSum) AS dn
+         |  FROM dl${k - 1}),
+         |db$k AS MATERIALIZED (
+         |  SELECT *, CASE WHEN dn > 0 THEN ${fd("nm * 1000000", "dn")}
+         |                 ELSE CAST(0 AS HUGEINT) END AS d$k
+         |  FROM da$k),
+         |dl$k AS MATERIALIZED (
+         |  SELECT event_type, $rs, $carry, d$k,
+         |       $upd,
+         |       d$k AS p${k}_$k
+         |  FROM db$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to maxLag)
+      .map(j => s"SELECT event_type, $j AS k, CAST(d$j AS BIGINT) AS phi_micro FROM dl$maxLag")
+      .mkString("\n  UNION ALL ")
+    s"""${autocorrBaseSql(maxLag)},
+       |r AS MATERIALIZED (
+       |  SELECT event_type,
+       |       $rCols
+       |  FROM nums WHERE n0 > 0),
+       |dl1 AS MATERIALIZED (
+       |  SELECT *, r1 AS p1_1, r1 AS d1 FROM r),
+       |$levels
+       |SELECT event_type, CAST(k AS INT) AS k, phi_micro
+       |FROM ($unions)
+       |ORDER BY event_type, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend" -> (eventsTrend _),
     "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
     "events_autocorr" -> ((s, d) => eventsAutocorr(s, d)),
+    "events_pacf" -> ((s, d) => eventsPacf(s, d)),
     "events_holt" -> ((s, d) => eventsHolt(s, d)),
     "events_holt_winters" -> ((s, d) => eventsHoltWinters(s, d)),
     "events_scd2" -> (eventsScd2 _),
@@ -2084,6 +2216,7 @@ object EventAnalytics {
     "events_trend" -> eventsTrendSql,
     "events_seasonal_decompose" -> eventsSeasonalDecomposeSql,
     "events_autocorr" -> eventsAutocorrSql(),
+    "events_pacf" -> eventsPacfSql(),
     "events_holt" -> eventsHoltSql(),
     "events_holt_winters" -> eventsHoltWintersSql(),
     "events_scd2" -> eventsScd2Sql,

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.{col, sum => fsum}
+import org.apache.spark.sql.functions.{col, lit, sum => fsum}
 
 import graft.operators.{Citations, EventAnalytics, Pipeline, Profiling, TextAnalysis}
 
@@ -856,6 +856,63 @@ class AnalyticsExtraSpec extends AnyFunSuite {
       assert(got((t, 0)) === Some(1.0), s"r0($t)")
     }
     assert(got.size === types.size * 15)
+  }
+
+  test("events_pacf: exact-integer Durbin-Levinson recompute; lag-1 equals floored ACF") {
+    val got = EventAnalytics.eventsPacf(spark, sf)
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "datediff(date_trunc('day', ts), DATE '1970-01-01') AS day")
+      .as[(String, Int)].collect()
+    val cnt = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dmin = raw.map(_._2).min
+    val dmax = raw.map(_._2).max
+    val types = raw.map(_._1).distinct.sorted
+    val n = BigInt(dmax - dmin + 1)
+    val SCALE = BigInt(1000000)
+    def fdiv(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b
+    var covered = 0
+    types.foreach { t =>
+      val ys = (dmin to dmax).map(dd => BigInt(cnt.getOrElse((t, dd), 0L)))
+      val s0 = ys.sum
+      val dev = ys.map(y => n * y - s0)
+      val num0 = dev.map(x => x * x).sum
+      if (num0 > 0) {
+        val r = (1 to 14).map { k =>
+          val numk = (0 until dev.length - k).map(i => dev(i) * dev(i + k)).sum
+          fdiv(SCALE * numk, num0)
+        }
+        val phi = Array.fill[BigInt](15, 15)(BigInt(0))
+        phi(1)(1) = r(0)
+        assert(got((t, 1)) === r(0).toLong, s"phi_11($t) != floored r1")
+        for (k <- 2 to 14) {
+          val nm = SCALE * r(k - 1) -
+            (1 until k).map(j => phi(k - 1)(j) * r(k - j - 1)).sum
+          val dn = SCALE * SCALE -
+            (1 until k).map(j => phi(k - 1)(j) * r(j - 1)).sum
+          val p = if (dn > 0) fdiv(nm * SCALE, dn) else BigInt(0)
+          phi(k)(k) = p
+          for (j <- 1 until k)
+            phi(k)(j) = phi(k - 1)(j) - fdiv(p * phi(k - 1)(k - j), SCALE)
+          assert(got((t, k)) === p.toLong, s"phi($t, $k)")
+          covered += 1
+        }
+      }
+    }
+    assert(got.size === types.count { t =>
+      val ys = (dmin to dmax).map(dd => BigInt(cnt.getOrElse((t, dd), 0L)))
+      val s0 = ys.sum
+      ys.map(y => n * y - s0).map(x => x * x).sum > 0
+    } * 14)
+    assert(covered > 0, "no type exercised the DL recursion")
+    // a partial correlation is a correlation: |phi| stays in micro range
+    got.values.foreach(v => assert(math.abs(v) <= 1100000L, s"|phi|=$v"))
+    // empty-input guard: zero rows, no throw (the eventsHolt advice class)
+    val empty = EventAnalytics.eventsPacfFrom(spark,
+      Tables.load(spark, sf, "events").where(lit(false)))
+    assert(empty.count() === 0)
   }
 
   test("citation_louvain: synchronous modularity-gain recompute matches exactly; stats tie out") {
