@@ -2445,7 +2445,16 @@ object TextAnalysis {
     * bounded (w, c). */
   def tokenGloveCooc(s: SparkSession, d: String, window: Int = 5,
                      minMicro: Long = 400000L): DataFrame =
-    docs(s, d)
+    gloveCoocOf(docs(s, d), window, minMicro)
+
+  /** The co-occurrence transform itself, shared verbatim by the batch
+    * query and the streaming twin ([[graft.streaming.DocStreams
+    * .gloveCoocStream]]) — a running (count, weight-sum) per (w, c) is
+    * exactly the aggregate Structured Streaming maintains incrementally,
+    * state vocab²-bounded BY SCHEMA (the gramOf argument). */
+  private[graft] def gloveCoocOf(docsDf: DataFrame, window: Int = 5,
+                                 minMicro: Long = 400000L): DataFrame =
+    docsDf
       .select(split(col("text"), " ").as("ws"))
       .select(col("ws"), explode(expr("sequence(1, size(ws))")).as("i"))
       .select(explode(expr(

@@ -101,6 +101,20 @@ object DocStreams {
     Sketches.cmsSketch(
       docs.select(explode(split(col("text"), " ")).as("tok")))
 
+  /** GloVe co-occurrence statistics maintained AT INGEST — the streaming
+    * twin of [[graft.operators.TextAnalysis.tokenGloveCooc]], built by
+    * the IDENTICAL [[graft.operators.TextAnalysis.gloveCoocOf]] code (a
+    * generator + one groupBy, so it streams unchanged in complete mode).
+    * State is one (count, weight-sum) pair per surviving (w, c) — vocab²-
+    * bounded no matter how much text flows past — and both the harmonic
+    * weight sum and the count are exact integers, so the streamed matrix
+    * is BIT-IDENTICAL to the batch one over the same corpus (parity
+    * asserted in DocStreamsSpec across multi-batch arrival): the
+    * embedding-training co-occurrence table is ready the moment ingest
+    * finishes, no second corpus scan. */
+  def gloveCoocStream(docs: DataFrame): DataFrame =
+    TextAnalysis.gloveCoocOf(docs)
+
   /** Contamination Bloom filter maintained AT INGEST — the streaming twin
     * of [[graft.operators.Dedup.contaminationBloom]]'s train side, built
     * by the IDENTICAL [[graft.operators.Dedup.contaminationBits]] code (a

@@ -196,6 +196,49 @@ class DocStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming glove cooc: bit-identical to batch across split arrival, vocab-bounded state") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf, "documents")
+    val streamDir = Files.createTempDirectory("graft-glove-in").toString
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-glove-tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$streamDir/$name")
+      Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeBatch(docs.where($"doc_id" % 2 === 0), "000.parquet", now - 60000)
+    writeBatch(docs.where($"doc_id" % 2 === 1), "001.parquet", now)
+
+    val q = DocStreams.gloveCoocStream(
+        DocStreams.readDocs(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("doc_glove")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("doc_glove")
+      .as[(String, String, Long, Long)].collect().toSet
+    // counts and harmonic weights are exact integers and a doc's pairs
+    // never cross docs, so two-batch arrival lands on the batch matrix
+    // EXACTLY
+    val batch = TextAnalysis.tokenGloveCooc(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // state is one aggregate row per (w, c) PAIR seen (pre-floor), not
+    // per token occurrence: bounded by vocab², invariant in corpus reads
+    val vocab = docs.select(explode(split($"text", " "))).distinct().count()
+    val stateRows = q.lastProgress.stateOperators.asInstanceOf[Array[_]]
+      .map(_.asInstanceOf[org.apache.spark.sql.streaming.StateOperatorProgress]
+        .numRowsTotal).sum
+    assert(stateRows <= vocab * vocab, s"state $stateRows beyond vocab²")
+    assert(stateRows >= streamed.size.toLong, "state lost surviving pairs")
+  }
+
   test("streaming upsert: shuffled out-of-order arrival lands on the batch compaction") {
     import graft.operators.Pipeline
     // the batch operator's exact input: base = every doc at v0, delta =
