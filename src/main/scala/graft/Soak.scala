@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Citations, Dedup, EventAnalytics, Multimodal, Pipeline, Profiling, Similarity, TextAnalysis}
+import graft.operators.{Citations, Dedup, EventAnalytics, Multimodal, Pipeline, Profiling, Relational, Similarity, TextAnalysis}
 
 /** 10× scale soak for the SCALE-ADAPTIVE knobs — the regime the sf0.01 /
   * sf0.1 oracle gates never reach (round-7 verdict: "the knobs have never
@@ -520,6 +520,48 @@ object Soak {
       f"$louRows labeled == 10 × $louBaseRows, 0 cross-copy communities, " +
         f"stats degree mass $louTotDeg == 2m (4 rounds at ~6M edges, ${tLou}%.1f s)")
 
+    // MIS at ~6M edges: the LCG priority casts ids to BIGINT, so the
+    // 10× graph is ten NUMERIC disjoint copies (id → id·10 + v — the ~
+    // tags would null-poison the keys, which mis() now rejects loudly).
+    // Per-copy priorities differ from base (the hash reads the id), so
+    // the CHECKS are the operator's contract, not ×10 row mirroring:
+    // every node decided exactly once, zero adjacent winners
+    // (independence), every loser dominated (maximality).
+    val edges10n = Citations.edges(spark, base)
+      .where(col("src") =!= col("dst"))
+      .select(explode(expr("sequence(0, 9)")).as("v"), col("src"), col("dst"))
+      .select(expr("CAST(CAST(src AS BIGINT) * 10 + v AS STRING)").as("src"),
+        expr("CAST(CAST(dst AS BIGINT) * 10 + v AS STRING)").as("dst"))
+    val misBaseNodes = {
+      val e = Citations.edges(spark, base).where(col("src") =!= col("dst"))
+      e.select(col("src").as("id")).union(e.select(col("dst"))).distinct().count()
+    }
+    val ((misRows, misDup, misAdj, misUndom), tMis) = timed {
+      val m = Citations.mis(edges10n).localCheckpoint()
+      val winners = m.where(col("in_mis")).select(col("paper_id"))
+      val losers = m.where(!col("in_mis")).select(col("paper_id"))
+      val und10 = edges10n
+        .select(col("src").as("a"), col("dst").as("b"))
+      val adj = und10
+        .join(winners.select(col("paper_id").as("a")), Seq("a"), "left_semi")
+        .join(winners.select(col("paper_id").as("b")), Seq("b"), "left_semi")
+        .count()
+      val dominated = und10
+        .join(winners.select(col("paper_id").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("paper_id"))
+        .union(und10
+          .join(winners.select(col("paper_id").as("b")), Seq("b"), "left_semi")
+          .select(col("a")))
+      val undom = losers.join(dominated, Seq("paper_id"), "left_anti").count()
+      val dup = m.groupBy(col("paper_id")).count().where(col("count") > 1).count()
+      val r = (m.count(), dup, adj, undom)
+      Blocks.release(m); r
+    }
+    check("mis_10x",
+      misRows == 10 * misBaseNodes && misDup == 0 && misAdj == 0 && misUndom == 0,
+      f"$misRows decided == 10 × $misBaseNodes, 0 double-decisions, " +
+        f"0 adjacent winners, 0 undominated losers (~6M edges, ${tMis}%.1f s)")
+
     // BFS path counting at ~6M edges: the tagged graph's seed is one
     // copy's most-cited node, and BFS is confined to that copy — exactly
     // one dist-0 row with σ=1, depth within the cap, every reached node
@@ -685,6 +727,39 @@ object Soak {
     check("trend_10x", trOk,
       f"${tr10.length} types: n_days invariant, totals ×10, slope/intercept " +
         f"×10 on their grids (${tTr}%.1f s)")
+
+    // events_pacf: daily counts ×10 ⇒ deviations ×10 ⇒ lag numerators
+    // ×100 ⇒ every floored ACF ratio is ⌊100a/100b⌋ = ⌊a/b⌋ — the whole
+    // Durbin–Levinson integer sequence is BIT-IDENTICAL to base
+    val pacfB = EventAnalytics.eventsPacf(spark, base)
+      .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val (pacf10, tPacf) = timed(EventAnalytics.eventsPacf(spark, out)
+      .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq)
+    check("pacf_10x", pacfB.nonEmpty && pacf10 == pacfB,
+      f"${pacf10.length} (type, lag) rows bit-identical to base under " +
+        f"×10 counts (${tPacf}%.1f s)")
+
+    // token_glove_cooc at 50k docs: copy 0 reproduces the base pairs,
+    // copies 1-9 carry word-tagged twins with identical counts — rows
+    // and the exact integer weight mass both scale by exactly 10
+    val glB = TextAnalysis.tokenGloveCooc(spark, base)
+      .agg(count(lit(1)), sum(col("x_micro"))).as[(Long, Long)].collect().head
+    val (gl10, tGl) = timed(TextAnalysis.tokenGloveCooc(spark, out)
+      .agg(count(lit(1)), sum(col("x_micro"))).as[(Long, Long)].collect().head)
+    check("glove_cooc_50k", gl10._1 == 10 * glB._1 && gl10._2 == 10 * glB._2,
+      f"${gl10._1} pairs == 10 × ${glB._1}, weight mass ${gl10._2} == " +
+        f"10 × ${glB._2} (${tGl}%.1f s)")
+
+    // basket_apriori_triples: lineitem rows ×10 but (order, brand)
+    // DISTINCT is multiset-insensitive — the mined triples, supports,
+    // and order are BIT-IDENTICAL to base
+    val apB = Relational.basketAprioriTriples(spark, base)
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    val (ap10, tAp) = timed(Relational.basketAprioriTriples(spark, out)
+      .as[(String, String, String, Long, Long)].collect().toSeq)
+    check("apriori_10x", apB.nonEmpty && ap10 == apB,
+      f"${ap10.length} triples bit-identical under ×10 duplicated " +
+        f"lineitem (${tAp}%.1f s)")
 
     // profile_integrity: lineitem-child edges scale child/orphan ROWS ×10
     // with orphan KEY sets unchanged; orphan_share is bit-identical

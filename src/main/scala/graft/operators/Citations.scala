@@ -2052,6 +2052,14 @@ object Citations {
       .distinct()
     var e = und.repartition(col("u")).localCheckpoint()
     var alive = e.select(col("u").as("id")).distinct().localCheckpoint()
+    // the LCG priority hashes THROUGH a BIGINT cast; a non-numeric id
+    // would cast to NULL and null-poison its key, silently starving the
+    // node of wins — fail loudly instead (the count scans blocks the
+    // loop materialized anyway)
+    val nonNumeric = alive.where(col("id").cast("long").isNull).count()
+    require(nonNumeric == 0,
+      s"mis requires numeric node ids ($nonNumeric non-numeric); " +
+        "the per-round LCG priority casts ids to BIGINT")
     var lastE = e
     var lastAlive = alive
     val decidedCuts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
