@@ -317,7 +317,110 @@ object Profiling {
       |             / ln(10.0), 6) AS benford_share
       |FROM g ORDER BY digit""".stripMargin
 
+  /** `profile_ks` (oracled): the two-sample Kolmogorov–Smirnov distance
+    * between each event type's value distribution and the rest of the
+    * corpus — the NUMERIC drift test next to [[graft.operators.Pipeline
+    * .profileDrift]]'s categorical chi-square (train/eval value drift is
+    * the statistic every data pipeline gates ingest on). The float trap
+    * dissolves by cross-multiplication: at every value-grid point v,
+    * |F_t(v) − F_rest(v)| compares as the EXACT integer
+    * |cum_t(v)·n_rest − cum_rest(v)·n_t| (DECIMAL(38,0)/HUGEINT — the
+    * products pass 2^63 near 10¹⁰ rows), so the sup is exact; the
+    * emitted anchor is `d_ppm` = ⌊10⁶·D⌋ (exact floor division, BIGINT
+    * at any corpus size) and the single double division + round(6)
+    * happens once per type at the end. Values are compared on the exact cent
+    * grid ⌊100·v⌋ (one IEEE multiply + floor, identical on both
+    * engines) — the KS sup over a step function is attained at a step,
+    * and every step of either CDF is a grid point.
+    *
+    * Scale shape: one (type, bin) count exchange, a dense
+    * |types|×|bins| grid (value-grid-bounded — the events_heatmap
+    * argument: cents of bounded amounts, NOT corpus-sized), per-type
+    * cumulative windows (|types|-way parallel), cum_rest derived by
+    * SUMMING the per-type cumulatives per bin — never a global
+    * partition-less window — and bounded broadcast folds (the 1-row
+    * total is the q6 scalar shape). */
+  def profileKs(s: SparkSession, d: String): DataFrame =
+    profileKsFrom(Tables.load(s, d, "events"))
+
+  def profileKsFrom(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("b"))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("cnt"))
+    val types = cells.select(col("event_type")).distinct()
+    val bins = cells.select(col("b")).distinct()
+    val grid = types.crossJoin(broadcast(bins))
+      .join(cells, Seq("event_type", "b"), "left_outer")
+      .select(col("event_type"), col("b"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val cum = grid.withColumn("cum_t",
+      sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("b"))))
+    val byB = cum.groupBy(col("b")).agg(sum(col("cum_t")).as("cum_all"))
+    val tot = cells.groupBy(col("event_type")).agg(sum(col("cnt")).as("n_t"))
+    val nAll = cells.agg(sum(col("cnt")).as("n_all"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    cum.join(broadcast(byB), Seq("b"))
+      .join(broadcast(tot), Seq("event_type"))
+      .crossJoin(broadcast(nAll))
+      .select(col("event_type"), col("n_t"),
+        (col("n_all") - col("n_t")).as("n_rest"),
+        abs(dec(col("cum_t")) * dec(col("n_all") - col("n_t"))
+          - dec(col("cum_all") - col("cum_t")) * dec(col("n_t"))).as("term"))
+      .groupBy(col("event_type"), col("n_t"), col("n_rest"))
+      .agg(max(col("term")).cast("decimal(38,0)").as("dsc"))
+      .select(col("event_type"), col("n_t"), col("n_rest"),
+        // the exact-integer anchor: ⌊10⁶·D⌋ fits BIGINT at ANY corpus
+        // size (D ≤ 1), where the raw scaled sup would pass 2^63 near
+        // 10¹⁰ rows; positive operands, so DIV is floor on both engines
+        when(col("n_rest") > 0,
+          expr("CAST((dsc * 1000000) DIV (CAST(n_t AS DECIMAL(38,0)) " +
+            "* n_rest) AS BIGINT)")).as("d_ppm"),
+        when(col("n_rest") > 0,
+          round(col("dsc").cast("double") /
+            (col("n_t").cast("double") * col("n_rest").cast("double")), 6))
+          .as("d"))
+  }
+
+  val profileKsSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS b,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.b, COALESCE(c.cnt, 0) AS cnt
+      |  FROM (SELECT DISTINCT event_type FROM cells) t
+      |  CROSS JOIN (SELECT DISTINCT b FROM cells) g
+      |  LEFT JOIN cells c ON c.event_type = t.event_type AND c.b = g.b),
+      |cum AS (
+      |  SELECT event_type, b,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum_t
+      |  FROM grid),
+      |byb AS (SELECT b, sum(cum_t) AS cum_all FROM cum GROUP BY 1),
+      |tot AS (SELECT event_type, sum(cnt) AS n_t FROM cells GROUP BY 1),
+      |n AS (SELECT sum(cnt) AS n_all FROM cells),
+      |term AS (
+      |  SELECT c.event_type, t.n_t, n.n_all - t.n_t AS n_rest,
+      |         abs(CAST(c.cum_t AS HUGEINT) * (n.n_all - t.n_t)
+      |             - CAST(b2.cum_all - c.cum_t AS HUGEINT) * t.n_t) AS term
+      |  FROM cum c JOIN byb b2 USING (b) JOIN tot t USING (event_type)
+      |  CROSS JOIN n)
+      |SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
+      |       CAST(n_rest AS BIGINT) AS n_rest,
+      |       CASE WHEN n_rest > 0 THEN
+      |         CAST((max(term) * 1000000)
+      |              // (CAST(n_t AS HUGEINT) * n_rest) AS BIGINT)
+      |       END AS d_ppm,
+      |       CASE WHEN n_rest > 0 THEN
+      |         round(CAST(max(term) AS DOUBLE)
+      |               / (CAST(n_t AS DOUBLE) * CAST(n_rest AS DOUBLE)), 6)
+      |       END AS d
+      |FROM term GROUP BY event_type, n_t, n_rest
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_ks" -> ((s, d) => profileKs(s, d)),
     "profile_benford" -> (profileBenford _),
     "profile_integrity" -> (profileIntegrity _),
     "profile_orders" -> (profileOrders _),
@@ -328,6 +431,7 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_ks" -> profileKsSql,
     "profile_benford" -> profileBenfordSql,
     "profile_integrity" -> profileIntegritySql,
     "profile_orders" -> profileOrdersSql,
@@ -338,6 +442,7 @@ object Profiling {
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
+    "profile_ks" -> Seq(col("event_type")),
     "profile_benford" -> Seq(col("digit")),
     "profile_integrity" -> Seq(col("fk")),
     "profile_orders" -> Seq(col("col_name")),

@@ -1021,6 +1021,62 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.size > 1)
   }
 
+  test("profile_ks: exact cross-multiplied KS recompute; hand fixture; degenerate guard") {
+    // corpus recompute at sf0.001 with the same integer arithmetic
+    val got = Profiling.profileKs(spark, sf)
+      .as[(String, Long, Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    val raw = Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "CAST(floor(value * 100.0) AS BIGINT) AS b")
+      .as[(String, Long)].collect()
+    val types = raw.map(_._1).distinct.sorted
+    val binsAll = raw.map(_._2).distinct.sorted
+    val cnt = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nAll = raw.length.toLong
+    types.foreach { t =>
+      val nT = raw.count(_._1 == t).toLong
+      val nRest = nAll - nT
+      var cumT = 0L; var cumAll = 0L; var best = BigInt(0)
+      binsAll.foreach { b =>
+        cumT += cnt.getOrElse((t, b), 0L)
+        cumAll += types.map(t2 => cnt.getOrElse((t2, b), 0L)).sum
+        val term = (BigInt(cumT) * nRest - BigInt(cumAll - cumT) * nT).abs
+        if (term > best) best = term
+      }
+      val (gN, gR, gD, gd) = got(t)
+      assert(gN === nT && gR === nRest, s"totals for $t")
+      val expPpm = (best * 1000000 / (BigInt(nT) * nRest)).toLong
+      assert(gD === Some(expPpm), s"d_ppm($t): got $gD expected $expPpm")
+      val expD = BigDecimal(best.toDouble / (nT.toDouble * nRest.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gd.exists(v => math.abs(v - expD) < 1e-9), s"d($t)")
+    }
+    assert(got.size === types.size)
+    // hand fixture with BINARY-EXACT values (a cent like 0.03 floors to
+    // bin 2 through the double grid — deliberate, engine-identical, but
+    // hostile to hand arithmetic): A = {0.25, 0.5, 1.0} -> bins
+    // {25, 50, 100}, B = {1.0, 1.25, 1.5, 2.0} -> {100, 125, 150, 200}.
+    // The sup lands at bin 100: F_A = 1, F_B = 1/4 -> D = 3/4; scaled
+    // D = |cumA * nB - cumB * nA| = |3*4 - 1*3| = 9 (bin 50 gives 8,
+    // every later bin less) — symmetric for B by construction
+    val fix = Seq(("A", 0.25), ("A", 0.5), ("A", 1.0),
+      ("B", 1.0), ("B", 1.25), ("B", 1.5), ("B", 2.0))
+      .toDF("event_type", "value")
+    val gf = Profiling.profileKsFrom(fix)
+      .as[(String, Long, Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // D = 9/12 = 0.75 -> 750000 ppm exactly
+    assert(gf("A")._4 === Some(750000L) && gf("B")._4 === Some(750000L))
+    assert(gf("A")._5.exists(v => math.abs(v - 0.75) < 1e-6))
+    // degenerate single-type corpus: n_rest = 0, d NULL, no throw
+    val one = Profiling.profileKsFrom(
+      Seq(("A", 0.5), ("A", 0.7)).toDF("event_type", "value"))
+      .as[(String, Long, Long, Option[Long], Option[Double])].collect()
+    assert(one.length === 1 && one.head._3 === 0L &&
+      one.head._4.isEmpty && one.head._5.isEmpty)
+  }
+
   test("citation_mis: independence + maximality + exactly-once; deterministic across repartition") {
     // hand fixture: path A-B-C-D plus isolated-by-self-loop E.
     // Round-1 keys depend only on id mod 99991 so small numeric ids give

@@ -116,6 +116,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // basket_apriori_triples: the same 1-row basket-count fold, applied
     // twice (L2 floor + triple floor) — the q6 scalar shape
     "basket_apriori_triples",
+    // profile_ks: the 1-row corpus-total fold onto the value-grid-bounded
+    // (type, bin) frame — the q6 scalar shape
+    "profile_ks",
     // orders_rfm: the 1-row anchor-date and 9-threshold quartile
     // aggregates (percentile state bounded by the metric value grids)
     // folded onto the per-customer frame — the quality_deciles shape
@@ -241,6 +244,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // basket_apriori_triples: the same 1-row N fold at both support
     // floors (the basket_lift shape)
     "basket_apriori_triples",
+    // profile_ks: the 1-row corpus-total frame nested-loop-folded onto
+    // the bounded grid (the q6 scalar shape)
+    "profile_ks",
     // orders_rfm: the anchor and threshold 1-row frames nested-loop-
     // folded onto every customer (the quality_deciles shape)
     "orders_rfm",
