@@ -1285,6 +1285,90 @@ object Similarity {
         col("r_src").isNotNull.cast("int").as("mutual"))
   }
 
+  /** `embedding_knn_classify` (oracled): leave-one-out k-NN label
+    * evaluation over the [[knnRanked]] probe set — the label-quality
+    * diagnostic a training pipeline runs before trusting a labeled
+    * corpus (a label whose neighborhood votes against it is noise or a
+    * boundary case; per-class accuracy localizes WHICH class is dirty).
+    * Each probe's top-5 cosine neighbors vote; the majority rides the
+    * [[graft.operators.Citations.lpa]] fixed-width argmax key
+    * (`(9 − votes) ∥ label`, min = most votes / smallest label on ties —
+    * votes ≤ 5, one digit), so the prediction is deterministic and both
+    * engines agree exactly. Per-class rollup: n, n_correct, the exact
+    * ⌊10⁶·acc⌋ anchor (positive DIV = floor on both engines, the
+    * [[graft.operators.Profiling.profileKs]] convention) and round(…, 6).
+    *
+    * Scale shape: the [[annKnnGraph]] argument verbatim — probes
+    * broadcast against one corpus scan, WindowGroupLimit top-5, and
+    * every post-scoring frame is probes×5-bounded; the label zips ride
+    * the bounded side. At 100 TB the probe set is a partition-sized
+    * eval sample: same plan, batched. */
+  def embeddingKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val g = knnRanked(s, d)
+    val voted = g
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")).hint("shuffle_hash"), Seq("nbr_id"))
+      .groupBy(col("src_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("src_id"))
+      .agg(min(concat((lit(9) - col("v")).cast("string"),
+        col("nbr_label").cast("string"))).as("key"))
+      .select(col("src_id"), expr("substring(key, 2)").as("pred"))
+    voted
+      .join(labels.select(col("vec_id").as("src_id"),
+        col("label").cast("string").as("label")), Seq("src_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        expr("CAST((n_correct * 1000000) DIV n AS BIGINT)").as("acc_ppm"),
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+          .as("acc"))
+  }
+
+  val embeddingKnnClassifySql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |probes AS (SELECT vec_id AS src_id, embedding AS pe, label FROM e
+       |           WHERE vec_id % $KnnStride = 0),
+       |scored AS (
+       |  SELECT src_id, e.vec_id AS nbr_id, e.label AS nbr_label,
+       |    round(
+       |      list_reduce(list_transform(range(1, len(embedding) + 1),
+       |                  i -> pe[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(range(1, len(pe) + 1),
+       |                  i -> pe[i]::DOUBLE * pe[i]::DOUBLE), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y))),
+       |      6) AS cos
+       |  FROM probes, e WHERE e.vec_id <> src_id),
+       |g AS (
+       |  SELECT src_id, nbr_id, nbr_label,
+       |         row_number() OVER (PARTITION BY src_id
+       |                            ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT src_id, nbr_label, count(*) AS v
+       |  FROM g WHERE rank <= $KnnK GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT src_id,
+       |         substring(min(concat(CAST(9 - v AS VARCHAR),
+       |                              CAST(nbr_label AS VARCHAR))), 2) AS pred
+       |  FROM votes GROUP BY 1)
+       |SELECT CAST(p2.label AS VARCHAR) AS label, count(*) AS n,
+       |       CAST(sum(CASE WHEN pred = CAST(p2.label AS VARCHAR)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       CAST((sum(CASE WHEN pred = CAST(p2.label AS VARCHAR)
+       |                      THEN 1 ELSE 0 END) * 1000000)
+       |            // count(*) AS BIGINT) AS acc_ppm,
+       |       round(CAST(sum(CASE WHEN pred = CAST(p2.label AS VARCHAR)
+       |                           THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS acc
+       |FROM pred JOIN probes p2 USING (src_id)
+       |GROUP BY 1 ORDER BY label""".stripMargin
+
   val annKnnGraphSql: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |probes AS (SELECT vec_id AS src_id, embedding AS pe FROM e
@@ -1565,6 +1649,7 @@ object Similarity {
     "sample_kcenter_assign" -> ((s, d) => sampleKcenterAssign(s, d)),
     "embedding_outliers" -> (embeddingOutliers _),
     "ann_knn_graph" -> (annKnnGraph _),
+    "embedding_knn_classify" -> (embeddingKnnClassify _),
     "ann_topk" -> (annTopk _),
     "ann_topk_fused" -> (annTopkFused _),
     "ann_ivf" -> (annIvf _),
@@ -1590,6 +1675,7 @@ object Similarity {
     "sample_kcenter_assign" -> sampleKcenterAssignSql(),
     "embedding_outliers" -> embeddingOutliersSql,
     "ann_knn_graph" -> annKnnGraphSql,
+    "embedding_knn_classify" -> embeddingKnnClassifySql,
     "corpus_bitext_mine" -> bitextMineSql
   )
 
@@ -1605,6 +1691,7 @@ object Similarity {
     "sample_kcenter_assign" -> Seq(col("kc_rank")),
     "embedding_outliers" -> Seq(col("vec_id")),
     "ann_knn_graph" -> Seq(col("src_id"), col("rank")),
+    "embedding_knn_classify" -> Seq(col("label")),
     "ann_topk" -> Seq(col("probe_id"), col("rank")),
     "ann_topk_fused" -> Seq(col("probe_id"), col("rank")),
     "ann_ivf" -> Seq(col("probe_id"), col("rank")),

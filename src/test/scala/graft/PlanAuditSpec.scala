@@ -208,6 +208,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // onto the value-count frame (the quality_unigram_logprob shape)
     "profile_entropy",
     "ann_topk", "ann_topk_fused", "ann_ivf", "ann_ivf_pq",
+    // embedding_knn_classify: the stride-bounded probe batch broadcast
+    // against one corpus scan (the ann_topk shape — annKnnGraph hides
+    // the same BNLJ behind its lineage cut; this plan keeps it visible)
+    "embedding_knn_classify",
     // citation_triangles: triangle count × wedge total — two 1-row
     // scalar aggregates folded together for the clustering coefficient
     "citation_triangles",

@@ -25,6 +25,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_knn_classify: leave-one-out vote recompute; per-class rollup ties out") {
+    val got = Similarity.embeddingKnnClassify(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probes = vecs.filter(_._1 % 25 == 0)
+    assert(probes.nonEmpty)
+    val agg = scala.collection.mutable
+      .Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    probes.foreach { case (pid, pe, plabel) =>
+      val top = vecs.filter(_._1 != pid)
+        .map { case (nid, ne, nl) => (nid, cos6(pe, ne), nl) }
+        .sortBy(t => (-t._2, t._1)).take(5)
+      val pred = top.groupBy(_._3).view.mapValues(_.length).toSeq
+        .map { case (l, v) => s"${9 - v}$l" }.min.drop(1)
+      val (n, c) = agg(plabel.toString)
+      agg(plabel.toString) =
+        (n + 1, c + (if (pred == plabel.toString) 1L else 0L))
+    }
+    assert(got.keySet === agg.keySet.toSet)
+    agg.foreach { case (l, (n, c)) =>
+      val (gn, gc, gppm, gacc) = got(l)
+      assert(gn === n && gc === c, s"class $l counts")
+      assert(gppm === c * 1000000L / n, s"class $l ppm")
+      val expAcc = BigDecimal(c.toDouble / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gacc - expAcc) < 1e-9, s"class $l acc")
+    }
+    assert(agg.values.map(_._1).sum === probes.length.toLong)
+  }
+
   test("embedding_jl_project: exact sign-fold recompute, zero exchanges, distances preserved") {
     val got = Similarity.embeddingJlProject(spark, sf)
       .as[(Long, Int, Double)].collect()
