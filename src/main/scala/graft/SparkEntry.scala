@@ -104,6 +104,10 @@ object SparkEntry {
       Citations.closeness(Citations.edges(s, d))),
     "citation_reciprocity" -> ((s, d) =>
       Citations.reciprocity(Citations.edges(s, d))),
+    // rich-club coefficient curve: exact-integer ppm anchors over the
+    // degree-histogram-bounded threshold grid
+    "citation_rich_club" -> ((s, d) =>
+      Citations.richClub(Citations.edges(s, d))),
     // FW–BW pivot kernel: SCC(pivot) as forward ∩ backward reach
     // closures — exact set semantics, so the oracle is a plain
     // recursive-UNION twin, no unrolled rounds needed
@@ -168,6 +172,7 @@ object SparkEntry {
     "citation_betweenness" -> Citations.betweennessSql(),
     "citation_closeness" -> Citations.closenessSql(),
     "citation_reciprocity" -> Citations.reciprocitySql,
+    "citation_rich_club" -> Citations.richClubSql,
     "citation_scc" -> Citations.sccPivotSql,
     "citation_scc_all" -> Citations.sccAllSql(),
     "citation_scc_condensation" -> Citations.sccCondensationSql(),
@@ -263,6 +268,7 @@ object SparkEntry {
     "citation_betweenness" -> Seq(col("paper_id")),
     "citation_closeness" -> Seq(col("paper_id")),
     "citation_reciprocity" -> Seq(col("m")),
+    "citation_rich_club" -> Seq(col("k")),
     "citation_scc" -> Seq(col("paper_id")),
     "citation_scc_all" -> Seq(col("paper_id")),
     "citation_scc_condensation" -> Seq(col("src_scc"), col("dst_scc")),

@@ -2165,6 +2165,97 @@ object Citations {
        |ORDER BY paper_id""".stripMargin
   }
 
+  /** `citation_rich_club` (oracled): the rich-club coefficient curve
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) over every distinct degree threshold —
+    * do high-degree nodes preferentially cite EACH OTHER (the "rich
+    * club" of hub papers), or only spray edges downward? (Colizza et
+    * al., Nature Physics 2006.) E_k counts edges whose BOTH endpoints
+    * have degree > k, N_k the nodes with degree > k; the whole curve is
+    * exact integer arithmetic — the emitted anchor is
+    * ⌊10⁶·φ⌋ ppm (DECIMAL(38,0) cross products, the profileKs
+    * convention — N_k² passes 2^63 past ~3·10⁹ qualifying nodes) next
+    * to the rounded double.
+    *
+    * Scale shape: one degree aggregate over the deduplicated undirected
+    * frame, two shuffle joins zipping degrees onto the edges, then the
+    * corpus COLLAPSES to two histograms (≤|distinct degrees| rows — the
+    * degree_dist bound, |distinct degrees| ≤ O(√m)) and everything
+    * after — the threshold θ-joins included — runs histogram ×
+    * histogram, never corpus-sized (the bounded-BNLJ class,
+    * PlanAuditSpec-whitelisted with that justification). */
+  def richClub(edges: DataFrame): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // per-edge min endpoint degree, collapsed to a bounded histogram
+    val em = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(least(col("da"), col("db")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("e_at"))
+    val nh = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_at"))
+    // thresholds: every distinct degree (φ defined just below each)
+    val ks = nh.select(col("deg").as("k"))
+    val ek = ks.join(em, col("m") > col("k"), "left_outer")
+      .groupBy(col("k")).agg(sum(coalesce(col("e_at"), lit(0L))).as("e_k"))
+    val nk = ks.join(nh, col("deg") > col("k"), "left_outer")
+      .groupBy(col("k")).agg(sum(coalesce(col("n_at"), lit(0L))).as("n_k"))
+    ek.join(nk, Seq("k"))
+      .select(col("k"), coalesce(col("e_k"), lit(0L)).as("e_k"),
+        coalesce(col("n_k"), lit(0L)).as("n_k"))
+      .select(col("k"), col("e_k"), col("n_k"),
+        when(col("n_k") >= 2, expr(
+          "CAST((CAST(e_k AS DECIMAL(38,0)) * 2000000) DIV " +
+            "(CAST(n_k AS DECIMAL(38,0)) * (n_k - 1)) AS BIGINT)"))
+          .as("phi_ppm"),
+        when(col("n_k") >= 2,
+          round(col("e_k").cast("double") * 2.0 /
+            (col("n_k").cast("double") * (col("n_k").cast("double") - 1.0)),
+            6)).as("phi"))
+  }
+
+  /** DuckDB twin of [[richClub]] — same histogram collapse, same
+    * threshold θ-joins, same exact ppm floor. */
+  val richClubSql: String =
+    """WITH e AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+      |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e WHERE src <> dst),
+      |deg AS MATERIALIZED (
+      |  SELECT node, count(*) AS deg
+      |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY 1),
+      |em AS MATERIALIZED (
+      |  SELECT least(da.deg, db.deg) AS m, count(*) AS e_at
+      |  FROM und JOIN deg da ON da.node = und.a
+      |           JOIN deg db ON db.node = und.b
+      |  GROUP BY 1),
+      |nh AS MATERIALIZED (SELECT deg, count(*) AS n_at FROM deg GROUP BY 1),
+      |ks AS (SELECT deg AS k FROM nh),
+      |ek AS (
+      |  SELECT k, CAST(COALESCE(sum(e_at), 0) AS BIGINT) AS e_k
+      |  FROM ks LEFT JOIN em ON em.m > ks.k GROUP BY 1),
+      |nk AS (
+      |  SELECT k, CAST(COALESCE(sum(n_at), 0) AS BIGINT) AS n_k
+      |  FROM ks LEFT JOIN nh ON nh.deg > ks.k GROUP BY 1)
+      |SELECT k, e_k, n_k,
+      |       CASE WHEN n_k >= 2 THEN
+      |         CAST((CAST(e_k AS HUGEINT) * 2000000)
+      |              // (CAST(n_k AS HUGEINT) * (n_k - 1)) AS BIGINT)
+      |       END AS phi_ppm,
+      |       CASE WHEN n_k >= 2 THEN
+      |         round(CAST(e_k AS DOUBLE) * 2.0
+      |               / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)), 6)
+      |       END AS phi
+      |FROM ek JOIN nk USING (k)
+      |ORDER BY k""".stripMargin
+
   /** Louvain-style community detection, synchronous local-move flavor
     * (LPAm — Barber & Clark 2009): each round every node adopts the
     * candidate community (its neighbors' communities ∪ its own) that

@@ -1077,6 +1077,49 @@ class AnalyticsExtraSpec extends AnyFunSuite {
       one.head._4.isEmpty && one.head._5.isEmpty)
   }
 
+  test("citation_rich_club: exact histogram recompute; monotone counts; hand fixture") {
+    val got = Citations.richClub(Citations.edges(spark, sf))
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+      .sortBy(_._1)
+    // in-memory recompute from the deduplicated undirected frame
+    val und = Citations.edges(spark, sf)
+      .where(col("src") =!= col("dst"))
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().as[(String, String)].collect().toSet
+    val deg = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ks = deg.values.toSeq.distinct.sorted
+    assert(got.map(_._1).toSeq === ks)
+    got.foreach { case (k, eK, nK, ppm, phi) =>
+      val expN = deg.values.count(_ > k).toLong
+      val expE = und.count { case (a, b) => deg(a) > k && deg(b) > k }.toLong
+      assert(nK === expN && eK === expE, s"k=$k counts")
+      if (expN >= 2) {
+        assert(ppm === Some(BigInt(expE) * 2000000 / (BigInt(expN) * (expN - 1))))
+        val expPhi = BigDecimal(2.0 * expE / (expN.toDouble * (expN - 1).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(phi.exists(v => math.abs(v - expPhi) < 1e-9), s"phi(k=$k)")
+      } else assert(ppm.isEmpty && phi.isEmpty, s"k=$k degenerate")
+    }
+    // E_k and N_k are non-increasing in k by construction
+    got.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3, s"counts rose ${lo._1}->${hi._1}")
+      case _ => ()
+    }
+    // hand fixture: triangle {A,B,C} (deg 2 each) + pendant D on A
+    // (degA=3, degD=1). k=1: club {A,B,C}, 3 inner edges -> phi = 1.
+    // k=2: club {A}, degenerate. k=3: empty.
+    val fix = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "D"))
+      .toDF("src", "dst")
+    val gf = Citations.richClub(fix)
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+      .sortBy(_._1).toSeq
+    assert(gf === Seq(
+      (1L, 3L, 3L, Some(1000000L), Some(1.0)),
+      (2L, 0L, 1L, None, None),
+      (3L, 0L, 0L, None, None)))
+  }
+
   test("citation_mis: independence + maximality + exactly-once; deterministic across repartition") {
     // hand fixture: path A-B-C-D plus isolated-by-self-loop E.
     // Round-1 keys depend only on id mod 99991 so small numeric ids give

@@ -212,6 +212,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // against one corpus scan (the ann_topk shape — annKnnGraph hides
     // the same BNLJ behind its lineage cut; this plan keeps it visible)
     "embedding_knn_classify",
+    // citation_rich_club: the threshold θ-joins run histogram ×
+    // histogram (≤|distinct degrees| rows each side — the degree_dist
+    // bound); the corpus collapsed before any of this
+    "citation_rich_club",
     // citation_triangles: triangle count × wedge total — two 1-row
     // scalar aggregates folded together for the clustering coefficient
     "citation_triangles",
