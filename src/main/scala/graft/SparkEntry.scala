@@ -108,6 +108,10 @@ object SparkEntry {
     // degree-histogram-bounded threshold grid
     "citation_rich_club" -> ((s, d) =>
       Citations.richClub(Citations.edges(s, d))),
+    // average-neighbor-degree curve: within a degree class the mean of
+    // means collapses to one exact integer ratio per k
+    "citation_knn_degree" -> ((s, d) =>
+      Citations.knnDegree(Citations.edges(s, d))),
     // FW–BW pivot kernel: SCC(pivot) as forward ∩ backward reach
     // closures — exact set semantics, so the oracle is a plain
     // recursive-UNION twin, no unrolled rounds needed
@@ -173,6 +177,7 @@ object SparkEntry {
     "citation_closeness" -> Citations.closenessSql(),
     "citation_reciprocity" -> Citations.reciprocitySql,
     "citation_rich_club" -> Citations.richClubSql,
+    "citation_knn_degree" -> Citations.knnDegreeSql,
     "citation_scc" -> Citations.sccPivotSql,
     "citation_scc_all" -> Citations.sccAllSql(),
     "citation_scc_condensation" -> Citations.sccCondensationSql(),
@@ -269,6 +274,7 @@ object SparkEntry {
     "citation_closeness" -> Seq(col("paper_id")),
     "citation_reciprocity" -> Seq(col("m")),
     "citation_rich_club" -> Seq(col("k")),
+    "citation_knn_degree" -> Seq(col("k")),
     "citation_scc" -> Seq(col("paper_id")),
     "citation_scc_all" -> Seq(col("paper_id")),
     "citation_scc_condensation" -> Seq(col("src_scc"), col("dst_scc")),

@@ -2218,6 +2218,68 @@ object Citations {
             6)).as("phi"))
   }
 
+  /** `citation_knn_degree` (oracled): the average-nearest-neighbor-degree
+    * curve k_nn(k) — for each degree class k, the mean neighbor degree
+    * of its nodes (Pastor-Satorras et al., PRL 2001): rising = hubs
+    * attach to hubs (assortative), falling = hubs attach to leaves. The
+    * curve-valued refinement of [[citationAssortativity]]'s single r,
+    * and the exact-rational trick is that WITHIN a degree class every
+    * node has the same degree, so the class mean of per-node MEAN
+    * neighbor degrees collapses to Σ S_v / (k·N_k) — one integer
+    * numerator over one integer denominator, anchored as ⌊10⁶·k_nn⌋
+    * ppm (the [[richClub]] convention, DECIMAL(38,0) products).
+    *
+    * Scale shape: the degree aggregate, two shuffle zips of degrees
+    * onto the edge frame, one per-node sum, then everything collapses
+    * to the ≤|distinct degrees| histogram. All equi-joins, nothing
+    * quadratic. */
+  def knnDegree(edges: DataFrame): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // S_v = sum of neighbor degrees, then collapse to the degree class
+    val sv = sym
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .groupBy(col("u")).agg(sum(col("dv")).as("s"))
+    deg.join(sv, Seq("u"))
+      .groupBy(col("deg").as("k"))
+      .agg(count(lit(1)).as("n_k"), sum(col("s")).as("s_k"))
+      .select(col("k"), col("n_k"), col("s_k"),
+        expr("CAST((CAST(s_k AS DECIMAL(38,0)) * 1000000) DIV " +
+          "(CAST(k AS DECIMAL(38,0)) * n_k) AS BIGINT)").as("knn_ppm"),
+        round(col("s_k").cast("double") /
+          (col("k").cast("double") * col("n_k").cast("double")), 6)
+          .as("knn"))
+  }
+
+  /** DuckDB twin of [[knnDegree]]. */
+  val knnDegreeSql: String =
+    """WITH e AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS src,
+      |         CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e WHERE src <> dst),
+      |sym AS MATERIALIZED (
+      |  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+      |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+      |sv AS MATERIALIZED (
+      |  SELECT sym.u, sum(d2.deg) AS s
+      |  FROM sym JOIN deg d2 ON d2.u = sym.v GROUP BY 1)
+      |SELECT deg.deg AS k, count(*) AS n_k,
+      |       CAST(sum(sv.s) AS BIGINT) AS s_k,
+      |       CAST((CAST(sum(sv.s) AS HUGEINT) * 1000000)
+      |            // (CAST(deg.deg AS HUGEINT) * count(*)) AS BIGINT)
+      |         AS knn_ppm,
+      |       round(CAST(sum(sv.s) AS DOUBLE)
+      |             / (CAST(deg.deg AS DOUBLE) * count(*)), 6) AS knn
+      |FROM deg JOIN sv USING (u)
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   /** DuckDB twin of [[richClub]] — same histogram collapse, same
     * threshold θ-joins, same exact ppm floor. */
   val richClubSql: String =

@@ -1120,6 +1120,40 @@ class AnalyticsExtraSpec extends AnyFunSuite {
       (3L, 0L, 0L, None, None)))
   }
 
+  test("citation_knn_degree: exact class-ratio recompute; star fixture") {
+    val got = Citations.knnDegree(Citations.edges(spark, sf))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val und = Citations.edges(spark, sf)
+      .where(col("src") =!= col("dst"))
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().as[(String, String)].collect().toSet
+    val nb = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nb.view.mapValues(_.size.toLong).toMap
+    val exp = deg.groupBy(_._2).map { case (k, nodes) =>
+      // keys is a SET — map through toSeq or equal per-node sums collapse
+      val sK = nodes.keys.toSeq.map(v => nb(v).map(deg).sum).sum
+      k -> ((nodes.size.toLong, sK))
+    }
+    assert(got.map(_._1).toSet === exp.keySet)
+    got.foreach { case (k, nK, sK, ppm, knn) =>
+      val (eN, eS) = exp(k)
+      assert(nK === eN && sK === eS, s"k=$k counts")
+      assert(ppm === BigInt(eS) * 1000000 / (BigInt(k) * eN), s"k=$k ppm")
+      val e = BigDecimal(eS.toDouble / (k.toDouble * eN.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(knn - e) < 1e-9, s"k=$k knn")
+    }
+    // star fixture: hub H with 4 leaves — leaves (k=1) see only the hub
+    // (knn = 4), the hub (k=4) sees only leaves (knn = 1)
+    val fix = Seq(("H", "L1"), ("H", "L2"), ("H", "L3"), ("H", "L4"))
+      .toDF("src", "dst")
+    val gf = Citations.knnDegree(fix)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(gf === Seq((1L, 4L, 16L, 4000000L, 4.0),
+      (4L, 1L, 4L, 1000000L, 1.0)))
+  }
+
   test("citation_mis: independence + maximality + exactly-once; deterministic across repartition") {
     // hand fixture: path A-B-C-D plus isolated-by-self-loop E.
     // Round-1 keys depend only on id mod 99991 so small numeric ids give
