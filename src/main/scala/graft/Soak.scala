@@ -562,6 +562,37 @@ object Soak {
       f"$misRows decided == 10 × $misBaseNodes, 0 double-decisions, " +
         f"0 adjacent winners, 0 undominated losers (~6M edges, ${tMis}%.1f s)")
 
+    // degree-mixing curves under ten disjoint copies: per-copy degrees
+    // equal base degrees, so both histograms scale EXACTLY ×10 per
+    // threshold/class — rich_club's E_k and N_k multiply by 10 (φ itself
+    // doesn't: its denominator is quadratic in N_k), and knn_degree's
+    // ppm anchor is BIT-IDENTICAL (ΣS_v/(k·N_k) is a ratio of two
+    // ×10-linear terms)
+    val rcB = Citations.richClub(Citations.edges(spark, base))
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (rc10, tRc) = timed(Citations.richClub(edges10)
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap)
+    val rcOk = rc10.keySet == rcB.keySet && rcB.forall { case (k, (e, n)) =>
+      rc10(k) == ((10 * e, 10 * n))
+    }
+    check("rich_club_10x", rcOk && rcB.nonEmpty,
+      f"${rc10.size} thresholds: E_k and N_k scale exactly ×10 " +
+        f"(~6M edges, ${tRc}%.1f s)")
+    val kdB = Citations.knnDegree(Citations.edges(spark, base))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (kd10, tKd) = timed(Citations.knnDegree(edges10)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap)
+    val kdOk = kd10.keySet == kdB.keySet && kdB.forall { case (k, (n, s, ppm)) =>
+      kd10(k) == ((10 * n, 10 * s, ppm))
+    }
+    check("knn_degree_10x", kdOk && kdB.nonEmpty,
+      f"${kd10.size} degree classes: counts ×10, knn_ppm bit-identical " +
+        f"(${tKd}%.1f s)")
+
     // BFS path counting at ~6M edges: the tagged graph's seed is one
     // copy's most-cited node, and BFS is confined to that copy — exactly
     // one dist-0 row with σ=1, depth within the cap, every reached node
