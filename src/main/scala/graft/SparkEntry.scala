@@ -303,6 +303,8 @@ object SparkEntry {
       col("n_name").asc_nulls_first),
     "distinct_parts_per_order" -> Seq(col("l_orderkey")),
     "basket_lift" -> Seq(col("part_a"), col("part_b")),
+    "basket_apriori_triples" -> Seq(col("n_abc").desc, col("pa"), col("pb"),
+      col("pc")),
     "orders_rfm" -> Seq(col("o_custkey")),
     "orders_cohort_ltv" -> Seq(col("cohort"), col("age")),
     "orders_pareto" -> Seq(col("decile")),

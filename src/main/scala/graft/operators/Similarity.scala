@@ -690,9 +690,12 @@ object Similarity {
     * Scale shape: ZERO shuffles — one codegen'd generator (the 16-row j
     * explode) and a sequential `aggregate` fold over the array per
     * output coordinate, no exchange anywhere in the plan (spec-asserted).
-    * Both engines sum in ascending-i order on identical doubles; the
-    * round(…, 6) grid absorbs any residual summation-order divergence
-    * (the [[embeddingGram]] convention). */
+    * Both engines fold sequentially in ascending-i order on identical
+    * doubles — Spark's `aggregate` and the twin's `list_reduce(
+    * list_transform(...))` (the [[annTopk]] convention; a plain SQL
+    * `sum()` over unnested rows would leave the accumulation order to
+    * the engine's parallel aggregation and make the oracle flaky on a
+    * rounding boundary). */
   def embeddingJlProject(s: SparkSession, d: String, k: Int = 16): DataFrame =
     emb(s, d)
       .select(col("vec_id"), col("embedding"),
@@ -706,12 +709,14 @@ object Similarity {
 
   def embeddingJlProjectSql(k: Int = 16): String =
     s"""SELECT vec_id, CAST(j.j AS INT) AS j,
-       |       round(${1.0 / math.sqrt(k)} * sum(
-       |         CASE WHEN ((t.i * 40503 + j.j * 7919) % 99991) % 2 = 0
-       |              THEN 1 ELSE -1 END
-       |         * CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS y
-       |FROM embeddings, range(0, 64) t(i), range(0, $k) j(j)
-       |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin
+       |       round(${1.0 / math.sqrt(k)} * list_reduce(
+       |         list_transform(range(0, 64), i ->
+       |           (CASE WHEN ((i * 40503 + j.j * 7919) % 99991) % 2 = 0
+       |                 THEN 1 ELSE -1 END)
+       |           * embedding[i + 1]::DOUBLE),
+       |         (x, y) -> x + y), 6) AS y
+       |FROM embeddings, range(0, $k) j(j)
+       |ORDER BY vec_id, j""".stripMargin
 
   /** The 64 per-dimension quantizer scales as a driver-side model
     * (max|x_i|/127 — O(d) state by construction, the kmeansFit

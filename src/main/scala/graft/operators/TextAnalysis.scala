@@ -2437,8 +2437,9 @@ object TextAnalysis {
     * kernel. Exact integers end-to-end: the weight is ⌊10⁶/d⌋ microunits
     * (d ∈ 1..5 divides 10⁶ with identical truncation on both engines —
     * positive operands, so DuckDB's `//` IS floor here), summed as
-    * BIGINT; the floor trims pairs below 2×10⁵ micro (one max-distance
-    * co-occurrence keeps nothing, one adjacent pair survives).
+    * BIGINT; the floor trims pairs below `minMicro` (default 4×10⁵
+    * micro: one max-distance co-occurrence keeps nothing, one adjacent
+    * pair survives).
     *
     * Scale shape: the [[tokenSkipgramPairs]] shape — ZERO joins, one
     * generator pass, ONE partial-aggregable sum keyed on the vocab²-
