@@ -104,6 +104,10 @@ object SparkEntry {
       Citations.closeness(Citations.edges(s, d))),
     "citation_reciprocity" -> ((s, d) =>
       Citations.reciprocity(Citations.edges(s, d))),
+    // directed connected-triad census: 13 Holland-Leinhardt classes,
+    // open wedges counted combinatorially (never enumerated)
+    "citation_motifs" -> ((s, d) =>
+      Citations.motifCensus(Citations.edges(s, d))),
     // rich-club coefficient curve: exact-integer ppm anchors over the
     // degree-histogram-bounded threshold grid
     "citation_rich_club" -> ((s, d) =>
@@ -176,6 +180,7 @@ object SparkEntry {
     "citation_betweenness" -> Citations.betweennessSql(),
     "citation_closeness" -> Citations.closenessSql(),
     "citation_reciprocity" -> Citations.reciprocitySql,
+    "citation_motifs" -> Citations.motifCensusSql,
     "citation_rich_club" -> Citations.richClubSql,
     "citation_knn_degree" -> Citations.knnDegreeSql,
     "citation_scc" -> Citations.sccPivotSql,
@@ -273,6 +278,7 @@ object SparkEntry {
     "citation_betweenness" -> Seq(col("paper_id")),
     "citation_closeness" -> Seq(col("paper_id")),
     "citation_reciprocity" -> Seq(col("m")),
+    "citation_motifs" -> Seq(col("motif")),
     "citation_rich_club" -> Seq(col("k")),
     "citation_knn_degree" -> Seq(col("k")),
     "citation_scc" -> Seq(col("paper_id")),

@@ -3000,6 +3000,253 @@ object Citations {
         round(col("reciprocated").cast("double") / col("m"), 6)
           .as("reciprocity"))
 
+  // ---------- directed triad census (motifs) -----------------------------
+
+  /** The 13 connected Holland–Leinhardt triad classes, each pinned by its
+    * CANONICAL arc set on nodes A=0, B=1, C=2 (Wasserman & Faust's
+    * standard drawings — these literals ARE the definition; the census
+    * classifies by isomorphism against them, never by remembered
+    * formulas). The 3 disconnected classes (003, 012, 102) are
+    * deliberately out of scope: their counts are O(n³) bookkeeping with
+    * zero analytic content at corpus scale. */
+  private val triadCanon: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "021D" -> Seq((1, 0), (1, 2)),                                  // A<-B->C
+    "021U" -> Seq((0, 1), (2, 1)),                                  // A->B<-C
+    "021C" -> Seq((0, 1), (1, 2)),                                  // A->B->C
+    "111D" -> Seq((0, 1), (1, 0), (2, 0)),                          // A<->B<-C
+    "111U" -> Seq((0, 1), (1, 0), (0, 2)),                          // A<->B->C
+    "201"  -> Seq((0, 1), (1, 0), (1, 2), (2, 1)),                  // A<->B<->C
+    "030T" -> Seq((0, 1), (2, 1), (0, 2)),                          // A->B<-C, A->C
+    "030C" -> Seq((1, 0), (2, 1), (0, 2)),                          // A<-B<-C, A->C
+    "120D" -> Seq((1, 0), (1, 2), (0, 2), (2, 0)),                  // A<-B->C, A<->C
+    "120U" -> Seq((0, 1), (2, 1), (0, 2), (2, 0)),                  // A->B<-C, A<->C
+    "120C" -> Seq((0, 1), (1, 2), (0, 2), (2, 0)),                  // A->B->C, A<->C
+    "210"  -> Seq((0, 1), (1, 2), (2, 1), (0, 2), (2, 0)),          // A->B<->C, A<->C
+    "300"  -> Seq((0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)))  // all
+
+  /** Dyad-state convention shared by the operator and its twin: for a
+    * canonical pair a < b, state = fwd + 2·rev with fwd = [a→b exists],
+    * rev = [b→a exists] — 1 = a→b only, 2 = b→a only, 3 = mutual. */
+  private def triadArcs(sxy: Int, sxz: Int, syz: Int): Seq[(Int, Int)] =
+    Seq((sxy, 0, 1), (sxz, 0, 2), (syz, 1, 2)).flatMap { case (s, i, j) =>
+      (if ((s & 1) != 0) Seq((i, j)) else Nil) ++
+        (if ((s & 2) != 0) Seq((j, i)) else Nil)
+    }
+
+  /** For every (sxy, sxz, syz) dyad-state triple of a CLOSED triad
+    * (x < y < z, all three pairs connected): the triad class plus the
+    * three centered wedge types — what each center's open-wedge tally
+    * over-counts by, so the open census can subtract triangles without
+    * ever enumerating wedges. Index = (sxy−1)·9 + (sxz−1)·3 + (syz−1),
+    * the same base-3 key both engines compute. Built once by canonical-
+    * form search over all 6 node permutations — classification is BY
+    * ISOMORPHISM against [[triadCanon]], never a hand-derived case
+    * table. */
+  private lazy val triadTable: IndexedSeq[(String, String, String, String)] = {
+    def maskOf(arcs: Seq[(Int, Int)]): Int = arcs.map {
+      case (0, 1) => 1; case (1, 0) => 2; case (0, 2) => 4
+      case (2, 0) => 8; case (1, 2) => 16; case (2, 1) => 32
+    }.sum
+    val perms = Seq(0, 1, 2).permutations.toSeq
+    def canon(arcs: Seq[(Int, Int)]): Int =
+      perms.map(p => maskOf(arcs.map { case (i, j) => (p(i), p(j)) })).min
+    val byCanon = triadCanon.map { case (n, a) => canon(a) -> n }.toMap
+    // wedge type of dyad (a, b) state s seen from one endpoint:
+    // M = mutual, O = center points out, I = center is pointed at
+    def rel(s: Int, centerIsA: Boolean): String =
+      if (s == 3) "M" else if ((s == 1) == centerIsA) "O" else "I"
+    def wedge(t1: String, t2: String): String =
+      Seq(t1, t2).sorted.mkString match {
+        case "OO" => "021D"; case "II" => "021U"; case "IO" => "021C"
+        case "MO" => "111U"; case "IM" => "111D"; case "MM" => "201"
+      }
+    for {
+      sxy <- 1 to 3; sxz <- 1 to 3; syz <- 1 to 3
+    } yield (
+      byCanon(canon(triadArcs(sxy, sxz, syz))),
+      wedge(rel(sxy, centerIsA = true), rel(sxz, centerIsA = true)),   // at x
+      wedge(rel(sxy, centerIsA = false), rel(syz, centerIsA = true)),  // at y
+      wedge(rel(sxz, centerIsA = false), rel(syz, centerIsA = false))) // at z
+  }
+
+  /** `citation_motifs` (oracled): the directed connected-triad census —
+    * counts of all 13 connected Holland–Leinhardt classes (021D … 300),
+    * THE standard structural signature of a directed graph (triad
+    * significance profiles, Milo et al., Science 2004) and the natural
+    * next step past [[citationTriangles]]'s single undirected count: a
+    * citation corpus should be wildly transitive-heavy (030T) and
+    * mutual-free; mass in 030C/300 flags contamination the way
+    * [[reciprocity]] does, but localized to motif shape.
+    *
+    * The 100-TB shape is what makes this operator: open wedges are NEVER
+    * enumerated (a celebrity node's wedge set is deg² — the exact bomb
+    * triangle orientation exists to dodge). Instead:
+    *
+    *   1. One shuffle builds the dyad-state pair frame (a < b, state ∈
+    *      {1, 2, 3}) — fixed-width keys, map-side combine.
+    *   2. Per-node tallies (m, o, i) = (mutual, asym-out, asym-in) dyad
+    *      counts give every CENTERED wedge total combinatorially:
+    *      C(o,2)→021D, C(i,2)→021U, i·o→021C, m·o→111U, m·i→111D,
+    *      C(m,2)→201. O(V) rows, partial-aggregable.
+    *   3. Closed triads ride the degree-oriented triangle machinery
+    *      ([[orientedTriangles]] — arboricity-bounded, never deg²), each
+    *      classified by its three dyad states through the base-3
+    *      [[triadTable]] lookup (a literal 27-element array, codegen'd
+    *      element_at — no join).
+    *   4. Each triangle contributes 3 centered wedges that step 2
+    *      counted as if open — the same lookup row says which classes to
+    *      subtract. open = tallies − triangle wedges; closed = triangle
+    *      classes. Exact integers end-to-end.
+    *
+    * Total cost: the pair shuffle + the triangle join — the census is
+    * free once you can count triangles, which is the Suri–Vassilvitskii
+    * point made census-shaped. */
+  def motifCensus(edges: DataFrame): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst")).distinct()
+    // dyad-state pair frame, pinned: read by the node tallies, the
+    // triangle machinery, and the three per-triangle state joins
+    val p = e
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        when(col("src") < col("dst"), 1).otherwise(0).as("f"),
+        when(col("src") > col("dst"), 1).otherwise(0).as("r"))
+      .groupBy(col("a"), col("b"))
+      .agg((max(col("f")) + lit(2) * max(col("r"))).as("st"))
+      .localCheckpoint()
+
+    // per-node (m, o, i) dyad tallies → combinatorial centered-wedge
+    // totals per open class, collapsed to ONE row
+    val tallies = p.select(col("a").as("u"),
+        when(col("st") === 3, "M").when(col("st") === 1, "O")
+          .otherwise("I").as("t"))
+      .unionAll(p.select(col("b").as("u"),
+        when(col("st") === 3, "M").when(col("st") === 2, "O")
+          .otherwise("I").as("t")))
+      .groupBy(col("u"))
+      .agg(sum(when(col("t") === "M", 1L).otherwise(0L)).as("m"),
+        sum(when(col("t") === "O", 1L).otherwise(0L)).as("o"),
+        sum(when(col("t") === "I", 1L).otherwise(0L)).as("i"))
+      .agg(sum(expr("o * (o - 1) DIV 2")).as("021D"),
+        sum(expr("i * (i - 1) DIV 2")).as("021U"),
+        sum(expr("i * o")).as("021C"),
+        sum(expr("m * o")).as("111U"),
+        sum(expr("m * i")).as("111D"),
+        sum(expr("m * (m - 1) DIV 2")).as("201"))
+
+    // closed triads: orientation-bounded triangle rows, then the three
+    // dyad states via keyed joins on the pinned pair frame
+    val (_, tri) = orientedTriangles(p.select(col("a"), col("b")))
+    val sorted = tri.select(array_sort(array(col("u"), col("v1"), col("v2"))).as("s"))
+      .select(element_at(col("s"), 1).as("x"), element_at(col("s"), 2).as("y"),
+        element_at(col("s"), 3).as("z"))
+    def st(of: String, k1: String, k2: String) =
+      p.select(col("a").as(k1), col("b").as(k2), col("st").as(of))
+    val lk = triadTable
+    def lkArr(sel: ((String, String, String, String)) => String) =
+      array(lk.map(t => lit(sel(t))): _*)
+    val idx = (col("sxy") - 1) * 9 + (col("sxz") - 1) * 3 + (col("syz") - 1) + 1
+    val classified = sorted
+      .join(st("sxy", "x", "y"), Seq("x", "y"))
+      .join(st("sxz", "x", "z"), Seq("x", "z"))
+      .join(st("syz", "y", "z"), Seq("y", "z"))
+      .select(element_at(lkArr(_._1), idx).as("tri_class"),
+        element_at(lkArr(_._2), idx).as("wx"),
+        element_at(lkArr(_._3), idx).as("wy"),
+        element_at(lkArr(_._4), idx).as("wz"))
+      .localCheckpoint()
+    val closed = classified.groupBy(col("tri_class").as("motif"))
+      .agg(count(lit(1)).as("n"))
+    val triWedges = classified
+      .select(explode(array(col("wx"), col("wy"), col("wz"))).as("motif"))
+      .groupBy(col("motif")).agg(count(lit(1)).as("n_closed"))
+
+    val openClasses = Seq("021D", "021U", "021C", "111U", "111D", "201")
+    val openTot = tallies.select(explode(array(openClasses.map(c =>
+        struct(lit(c).as("motif"), coalesce(col(s"`$c`"), lit(0L)).as("n_tot"))): _*)).as("e"))
+      .select(col("e.motif").as("motif"), col("e.n_tot").as("n_tot"))
+    val open = openTot.join(triWedges, Seq("motif"), "left_outer")
+      .select(col("motif"),
+        (col("n_tot") - coalesce(col("n_closed"), lit(0L))).as("n"))
+
+    val catalog = triadCanon.map(_._1)
+    val catDf = p.sparkSession.range(catalog.size)
+      .select(element_at(array(catalog.map(lit(_)): _*),
+        (col("id") + 1).cast("int")).as("motif"))
+    catDf.join(open.unionAll(closed), Seq("motif"), "left_outer")
+      .groupBy(col("motif"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+  }
+
+  /** The DuckDB twin of [[motifCensus]]: the same dyad-state frame, the
+    * same combinatorial tallies, the same oriented triangle enumeration,
+    * and the IDENTICAL 27-element base-3 lookup lists rendered from
+    * [[triadTable]] — classification logic exists once. */
+  lazy val motifCensusSql: String = {
+    def arr(sel: ((String, String, String, String)) => String) =
+      triadTable.map(t => s"'${sel(t)}'").mkString("[", ", ", "]")
+    val catalog = triadCanon.map { case (n, _) => s"('$n')" }.mkString(", ")
+    s"""WITH e AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,
+       |                  CAST(l_partkey AS VARCHAR) AS dst
+       |           FROM lineitem WHERE l_orderkey <> l_partkey),
+       |p AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |             max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+       |             + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS st
+       |      FROM e GROUP BY 1, 2),
+       |tal AS (
+       |  SELECT u, sum(CASE WHEN t = 'M' THEN 1 ELSE 0 END) AS m,
+       |            sum(CASE WHEN t = 'O' THEN 1 ELSE 0 END) AS o,
+       |            sum(CASE WHEN t = 'I' THEN 1 ELSE 0 END) AS i
+       |  FROM (SELECT a AS u, CASE WHEN st = 3 THEN 'M'
+       |                            WHEN st = 1 THEN 'O' ELSE 'I' END AS t FROM p
+       |        UNION ALL
+       |        SELECT b, CASE WHEN st = 3 THEN 'M'
+       |                       WHEN st = 2 THEN 'O' ELSE 'I' END FROM p)
+       |  GROUP BY u),
+       |opentot AS (
+       |  SELECT '021D' AS motif, sum(o * (o - 1) // 2)::BIGINT AS n_tot FROM tal
+       |  UNION ALL SELECT '021U', sum(i * (i - 1) // 2)::BIGINT FROM tal
+       |  UNION ALL SELECT '021C', sum(i * o)::BIGINT FROM tal
+       |  UNION ALL SELECT '111U', sum(m * o)::BIGINT FROM tal
+       |  UNION ALL SELECT '111D', sum(m * i)::BIGINT FROM tal
+       |  UNION ALL SELECT '201', sum(m * (m - 1) // 2)::BIGINT FROM tal),
+       |deg AS (SELECT n, count(*) AS d FROM
+       |        (SELECT a AS n FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+       |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+       |                  THEN p.a ELSE p.b END AS u,
+       |             CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+       |                  THEN p.b ELSE p.a END AS v
+       |      FROM p JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b),
+       |tri AS (SELECT e1.u AS u, e1.v AS v1, e2.v AS v2
+       |        FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+       |        WHERE EXISTS (SELECT 1 FROM p
+       |                      WHERE p.a = e1.v AND p.b = e2.v)),
+       |srt AS (SELECT least(u, v1, v2) AS x,
+       |               list_sort([u, v1, v2])[2] AS y,
+       |               greatest(u, v1, v2) AS z FROM tri),
+       |cls AS (
+       |  SELECT (${arr(_._1)})[idx] AS tri_class, (${arr(_._2)})[idx] AS wx,
+       |         (${arr(_._3)})[idx] AS wy, (${arr(_._4)})[idx] AS wz
+       |  FROM (SELECT (pxy.st - 1) * 9 + (pxz.st - 1) * 3 + (pyz.st - 1) + 1 AS idx
+       |        FROM srt
+       |        JOIN p pxy ON pxy.a = srt.x AND pxy.b = srt.y
+       |        JOIN p pxz ON pxz.a = srt.x AND pxz.b = srt.z
+       |        JOIN p pyz ON pyz.a = srt.y AND pyz.b = srt.z)),
+       |closedc AS (SELECT tri_class AS motif, count(*)::BIGINT AS n
+       |            FROM cls GROUP BY 1),
+       |triw AS (SELECT motif, count(*)::BIGINT AS n_closed FROM (
+       |           SELECT wx AS motif FROM cls
+       |           UNION ALL SELECT wy FROM cls
+       |           UNION ALL SELECT wz FROM cls) GROUP BY 1),
+       |openc AS (SELECT motif, n_tot - COALESCE(n_closed, 0) AS n
+       |          FROM opentot LEFT JOIN triw USING (motif)),
+       |cat(motif) AS (VALUES $catalog),
+       |allc AS (SELECT motif, sum(n)::BIGINT AS n FROM (
+       |           SELECT motif, n FROM openc
+       |           UNION ALL SELECT motif, n FROM closedc) GROUP BY 1)
+       |SELECT cat.motif AS motif, COALESCE(allc.n, 0)::BIGINT AS n
+       |FROM cat LEFT JOIN allc USING (motif) ORDER BY motif""".stripMargin
+  }
+
   val reciprocitySql: String =
     """WITH e AS (
       |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,

@@ -140,4 +140,79 @@ class CitationsSpec extends AnyFunSuite {
         "Generated on: 2026-01-01 00:00:00\n"
     assert(got === expected)
   }
+
+  // ---- motif census: independent brute-force classifier ------------------
+
+  /** Fresh canonical drawings, written independently of the operator's
+    * table (the differential point): class name -> arc set on {0,1,2}. */
+  private val motifDrawings: Map[String, Set[(Int, Int)]] = Map(
+    "021D" -> Set((1, 0), (1, 2)),
+    "021U" -> Set((0, 1), (2, 1)),
+    "021C" -> Set((0, 1), (1, 2)),
+    "111D" -> Set((0, 1), (1, 0), (2, 0)),
+    "111U" -> Set((0, 1), (1, 0), (0, 2)),
+    "201" -> Set((0, 1), (1, 0), (1, 2), (2, 1)),
+    "030T" -> Set((0, 1), (2, 1), (0, 2)),
+    "030C" -> Set((1, 0), (2, 1), (0, 2)),
+    "120D" -> Set((1, 0), (1, 2), (0, 2), (2, 0)),
+    "120U" -> Set((0, 1), (2, 1), (0, 2), (2, 0)),
+    "120C" -> Set((0, 1), (1, 2), (0, 2), (2, 0)),
+    "210" -> Set((0, 1), (1, 2), (2, 1), (0, 2), (2, 0)),
+    "300" -> Set((0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)))
+
+  /** Brute-force census: every 3-subset of nodes, classified by trying
+    * all 6 permutations against the drawings. Connected classes only. */
+  private def bruteCensus(arcs: Set[(String, String)]): Map[String, Long] = {
+    val es = arcs.filter { case (a, b) => a != b }
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val perms = Seq(0, 1, 2).permutations.toSeq
+    val triples = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+    } yield Seq(nodes(i), nodes(j), nodes(k))
+    triples.flatMap { t =>
+      val local = for {
+        i <- 0 to 2; j <- 0 to 2
+        if i != j && es.contains((t(i), t(j)))
+      } yield (i, j)
+      val ls = local.toSet
+      motifDrawings.collectFirst {
+        case (name, d) if perms.exists(p =>
+          ls.map { case (i, j) => (p(i), p(j)) } == d) => name
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  }
+
+  private def censusOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    Citations.motifCensus(df).as[(String, Long)].collect().toMap
+
+  test("motif census: each canonical 3-node drawing lands in its own class") {
+    motifDrawings.foreach { case (name, arcs) =>
+      val df = arcs.toSeq.map { case (a, b) => (s"n$a", s"n$b") }
+        .toDF("src", "dst")
+      val got = censusOf(df).filter(_._2 > 0)
+      assert(got === Map(name -> 1L), s"drawing $name")
+    }
+  }
+
+  test("motif census == brute-force isomorphism census on an LCG graph") {
+    // deterministic pseudo-random digraph: 24 nodes, ~90 arcs, with
+    // enough density that mutual dyads and closed triads all appear
+    val arcs = (0 until 240).map { t =>
+      val a = (t * 40503 + 17) % 24
+      val b = (t * t * 7919 + t) % 24
+      (s"v$a", s"v$b")
+    }.toSet
+    val got = censusOf(arcs.toSeq.toDF("src", "dst")).filter(_._2 > 0)
+    assert(got === bruteCensus(arcs))
+  }
+
+  test("motif census: dup edges and self-loops do not perturb the census") {
+    val base = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"))
+    val noisy = base ++ base ++ Seq(("a", "a"), ("c", "c"))
+    val a = censusOf(base.toDF("src", "dst"))
+    val b = censusOf(noisy.toDF("src", "dst"))
+    assert(a === b)
+    assert(a("120C") === 1L)
+  }
 }
