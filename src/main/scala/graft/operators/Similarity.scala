@@ -1093,6 +1093,67 @@ object Similarity {
        |       round(sds / n_vecs, 6) AS avg_dist
        |FROM g2 WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** `embedding_silhouette` (oracled): per-cluster SIMPLIFIED silhouette
+    * over the Lloyd model — for each vector, a = distance to its own
+    * centroid, b = distance to the nearest OTHER centroid, s = (b−a)/
+    * max(a,b); per cluster: size and mean s. The simplified silhouette
+    * (Hruschka et al. 2004) is the one that exists at 100 TB: the classic
+    * silhouette's a/b are means over ALL points of a cluster — O(n²)
+    * pairwise distances — while this is O(n·k) and a pure per-row
+    * projection under the same literal-folded centroid kernel as
+    * [[embeddingKmeans]] (ZERO extra shuffles beyond the k-row final
+    * aggregate). The metric a training pipeline actually watches: mean
+    * silhouette collapsing toward 0 says the cluster structure the data
+    * mix was balanced on has dissolved.
+    *
+    * Float discipline: a and b are the same round-6 squared-L2 values the
+    * assignment uses; s is round(…, 6); the per-cluster mean accumulates
+    * the 6-dp terms as DECIMAL(18,6) — order-free exact — and divides
+    * once (the rolling7d rule), so the twin's aggregation order cannot
+    * diverge. a = b = 0 (vector equal to two centroids) pins s = 0. */
+  def embeddingSilhouette(s: SparkSession, d: String): DataFrame = {
+    val cs = kmeansFit(s, d)
+    val cands = cs.zipWithIndex.map { case (c, j) =>
+      struct(expr(s"round(l2_sq(${floatArrayLit(c)}, embedding), 6)").as("dist"),
+        lit(j).as("cluster"))
+    }
+    val sil = emb(s, d)
+      .withColumn("ds", array(cands: _*))
+      .withColumn("m", array_min(col("ds")))
+      .select(col("m.cluster").as("cluster"), col("m.dist").as("a"),
+        array_min(expr("filter(ds, x -> x.cluster != m.cluster)"))
+          .getField("dist").as("b"))
+      .select(col("cluster"),
+        when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+          .as("sil"))
+    sil.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("sil").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_sil"))
+  }
+
+  /** DuckDB twin: the identical unrolled fit, distances to every final
+    * centroid, b = min over the non-assigned ones — afinal's dist IS a
+    * (same round-6 kernel the oracle already proved bit-equal). */
+  private[graft] def embeddingSilhouetteSql(k: Int = KmK, iters: Int = KmIters): String =
+    s"""${embeddingKmeansSql(k, iters)},
+       |alld AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> (ce[i]::DOUBLE - embedding[i]::DOUBLE)
+       |         * (ce[i]::DOUBLE - embedding[i]::DOUBLE)), (x, y) -> x + y), 6) AS dd
+       |  FROM e, c$iters c),
+       |silv AS (
+       |  SELECT a.vec_id, a.cid AS cluster, a.dist AS adist, min(d.dd) AS bdist
+       |  FROM afinal a JOIN alld d ON d.vec_id = a.vec_id AND d.cid <> a.cid
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(cluster AS INT) AS cluster, count(*)::BIGINT AS n_vecs,
+       |       round(CAST(sum(CAST(CASE WHEN greatest(adist, bdist) = 0 THEN 0
+       |               ELSE round((bdist - adist) / greatest(adist, bdist), 6)
+       |             END AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_sil
+       |FROM silv GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val KcK = 8
 
   /** `sample_kcenter` (oracled): greedy k-center (farthest-point-first)
@@ -1650,6 +1711,7 @@ object Similarity {
     "embedding_jl_project" -> ((s, d) => embeddingJlProject(s, d)),
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_cluster_profile" -> (embeddingClusterProfile _),
+    "embedding_silhouette" -> (embeddingSilhouette _),
     "sample_kcenter" -> ((s, d) => sampleKcenter(s, d)),
     "sample_kcenter_assign" -> ((s, d) => sampleKcenterAssign(s, d)),
     "embedding_outliers" -> (embeddingOutliers _),
@@ -1676,6 +1738,7 @@ object Similarity {
     "embedding_jl_project" -> embeddingJlProjectSql(),
     "embedding_kmeans" -> embeddingKmeansSqlFull(),
     "embedding_cluster_profile" -> embeddingClusterProfileSql(),
+    "embedding_silhouette" -> embeddingSilhouetteSql(),
     "sample_kcenter" -> sampleKcenterSql(),
     "sample_kcenter_assign" -> sampleKcenterAssignSql(),
     "embedding_outliers" -> embeddingOutliersSql,
@@ -1692,6 +1755,7 @@ object Similarity {
     "embedding_jl_project" -> Seq(col("vec_id"), col("j")),
     "embedding_kmeans" -> Seq(col("vec_id")),
     "embedding_cluster_profile" -> Seq(col("cluster")),
+    "embedding_silhouette" -> Seq(col("cluster")),
     "sample_kcenter" -> Seq(col("rank")),
     "sample_kcenter_assign" -> Seq(col("kc_rank")),
     "embedding_outliers" -> Seq(col("vec_id")),

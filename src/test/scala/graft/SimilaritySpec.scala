@@ -302,6 +302,21 @@ class SimilaritySpec extends AnyFunSuite {
       f"c${p._1}: n=${p._2} top=${p._3} purity=${p._4}%.3f").mkString("  "))
   }
 
+  test("embedding_silhouette: sizes sum to n, s in [0,1], realized from the assignment") {
+    val sil = Similarity.embeddingSilhouette(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    assert(sil.map(_._2).sum === 500L)
+    // under argmin assignment, a <= b by construction, so simplified
+    // silhouette is non-negative; 1 would mean a degenerate a = 0
+    assert(sil.forall(s => s._3 >= 0.0 && s._3 < 1.0))
+    // per-cluster sizes must equal the assignment's
+    val assigned = Similarity.embeddingKmeans(spark, sf)
+      .as[(Long, Int, Double)].collect().groupBy(_._2).view.mapValues(_.length)
+    sil.foreach { case (cl, n, _) => assert(n === assigned(cl).toLong) }
+    info(sil.sortBy(_._1).map(s => f"c${s._1}: n=${s._2} sil=${s._3}%.4f")
+      .mkString("  "))
+  }
+
   test("ann_knn_graph: 5 ranked neighbors per stride probe, no self, mutual flag symmetric") {
     val got = Similarity.annKnnGraph(spark, sf)
       .as[(Long, Int, Long, Double, Int)].collect()
