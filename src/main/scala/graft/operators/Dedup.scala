@@ -281,6 +281,84 @@ object Dedup {
       shingleArrays(rows), num = 7, den = 10)
   }
 
+  /** `doc_containment` (oracled): asymmetric n-gram CONTAINMENT pairs —
+    * C(A→B) = |S_A ∩ S_B| / |S_A| over word 3-gram shingle sets
+    * (Broder 1997's second resemblance measure), one ordered row per
+    * pair with C >= 1/2. Jaccard-gated dedup ([[dedupNear]] /
+    * [[dedupNgram]]) structurally misses SUBSET duplication: a chunk
+    * quoted whole inside a 10×-larger document has J ≈ 0.1 but
+    * containment 1.0 — and the corpus really holds such pairs (probed
+    * at sf0.1: full-containment pairs at ppm = 10⁶ between docs of
+    * unequal shingle counts). This is the dedup a training pipeline
+    * needs against quote-expansion and doc-in-doc republication.
+    *
+    * Blocking at 100 TB: candidates must share >= 1 shingle with
+    * document frequency <= `dfCap` — a rare-shingle inverted index. The
+    * cap bounds the per-shingle fan-out (Σ_sh C(df,2), each term ≤
+    * dfCap·df/2) the way LSH bands bound the Jaccard path; a true pair
+    * is missed only if EVERY shared shingle lives in > dfCap documents.
+    * Measured here: max word-3-gram df is 7 at sf0.01 and 25 at sf0.1,
+    * so the default cap drops nothing at the gate scales — and the twin
+    * mirrors the cap, so engine parity holds by construction at ANY
+    * scale; the blocked-vs-exhaustive recall is what the spec pins.
+    * Verification is exact set intersection over the 8-byte fingerprint
+    * arrays ([[shingleArrays]] — set sizes equal the string-set sizes,
+    * same collision argument), threshold by integer cross-multiplication,
+    * ppm = ⌊10⁶·inter/n_a⌋ on positive BIGINTs. */
+  def docContainment(s: SparkSession, d: String, dfCap: Int = 64): DataFrame =
+    docContainmentFrom(Tables.load(s, d, "documents"), dfCap)
+
+  /** The composable core over any (doc_id, text) frame. */
+  def docContainmentFrom(docsDf: DataFrame, dfCap: Int = 64): DataFrame = {
+    val rows = wordShingleRowsFrom(docsDf, 3)
+    // one hashed distinct (doc, shingle) frame feeds the df filter and
+    // both sides of the inverted-index join through a single exchange
+    val hashed = rows.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .distinct().repartition(col("h"))
+    val rare = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select(col("h"))
+    val byH = hashed.join(rare, Seq("h"), "left_semi")
+    val cands = byH.select(col("h"), col("doc_id").as("doc_a"))
+      .hint("shuffle_hash")
+      .join(byH.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val arrays = shingleArrays(rows)
+    cands
+      .join(arrays.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
+        Seq("doc_a"))
+      .join(arrays.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_size"),
+        size(col("sa")).cast("long").as("n_a"))
+      .where(col("inter_size") * 2 >= col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("inter_size"), col("n_a"),
+        expr("CAST((inter_size * 1000000) DIV n_a AS BIGINT)")
+          .as("containment_ppm"))
+  }
+
+  /** DuckDB twin of [[docContainment]] — the same df-capped inverted
+    * index blocking (NOT all-pairs: parity by construction, and the
+    * sf0.1 gate stays linear-ish instead of joining the quadratic dedup
+    * grind list). */
+  def docContainmentSql(dfCap: Int = 64): String =
+    s"""$wordShinglesCte,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $dfCap),
+       |exr AS (SELECT doc_id, g FROM ex JOIN rare USING (g)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM exr a JOIN exr b USING (g) WHERE a.doc_id <> b.doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |             len(list_intersect(sa.s, sb.s))::BIGINT AS inter_size,
+       |             len(sa.s)::BIGINT AS n_a
+       |      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+       |                JOIN sh sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, inter_size, n_a,
+       |       (inter_size * 1000000) // n_a AS containment_ppm
+       |FROM v WHERE inter_size * 2 >= n_a
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** 60-bit SimHash per document: each token occurrence votes ±1 per bit
     * position from its md5 bits; fingerprint bit j is set iff the vote sum
     * is positive. 60 bits (not 64) keeps the fingerprint inside a signed
@@ -645,6 +723,7 @@ object Dedup {
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_ngram" -> (dedupNgram _),
+    "doc_containment" -> ((s, d) => docContainment(s, d)),
     "simhash_fingerprints" -> (simhashFingerprints _),
     "simhash_pairs" -> (simhashPairs _),
     "dedup_spans" -> (dedupSpans _),
@@ -727,6 +806,7 @@ object Dedup {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "dedup_ngram" -> jaccardPairsSql(charShinglesCte, 7, 10),
+    "doc_containment" -> docContainmentSql(),
     "simhash_fingerprints" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin,
@@ -792,6 +872,7 @@ object Dedup {
     "dedup_clusters" -> Seq(col("doc_id")),
     "dedup_canonical" -> Seq(col("cluster_id")),
     "dedup_ngram" -> Seq(col("doc_a"), col("doc_b")),
+    "doc_containment" -> Seq(col("doc_a"), col("doc_b")),
     "simhash_fingerprints" -> Seq(col("doc_id")),
     "simhash_pairs" -> Seq(col("doc_a"), col("doc_b")),
     "dedup_spans" -> Seq(col("doc_id")),

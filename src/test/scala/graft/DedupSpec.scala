@@ -289,4 +289,52 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum === chars.size.toLong)
     assert(got.values.exists(_._3 > 1), "no multi-member cluster at sf0.001")
   }
+
+  test("doc_containment catches a planted subset pair that Jaccard misses") {
+    // doc 2 = the first quarter of doc 1: containment(2 -> 1) = 1.0, but
+    // J = |A|/|B| ~ 0.25 -- below every Jaccard gate in the suite
+    val words = (0 until 200).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.take(50).mkString(" ")),
+      (3L, (200 until 400).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cont = Dedup.docContainmentFrom(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val sub = cont.find(r => r._1 == 2L && r._2 == 1L)
+    assert(sub.nonEmpty, "subset pair not found")
+    assert(sub.get._5 === 1000000L, "full containment must be ppm 1e6")
+    // the reverse direction (big doc in small) must be ~quarter, not 1.0
+    val rev = cont.find(r => r._1 == 1L && r._2 == 2L)
+    assert(rev.isEmpty, "1->2 containment ~0.24 is below the 0.5 gate")
+    // Jaccard gate at 0.6 really misses it
+    val near = Dedup.dedupNearFrom(docs).as[(Long, Long, Long, Long)].collect()
+    assert(!near.exists(r => r._1 == 1L && r._2 == 2L))
+    // unrelated doc 3 pairs with nothing
+    assert(!cont.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+
+  test("doc_containment blocking is exhaustive-recall on the corpus (df cap drops nothing)") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.expr(
+        """array_distinct(CASE WHEN size(split(text,' ')) >= 3
+          |THEN transform(sequence(1, size(split(text,' '))-2),
+          |     i -> concat_ws(' ', slice(split(text,' '), i, 3)))
+          |ELSE array(text) END)""".stripMargin).as("s"))
+    val a = docs.select($"doc_id".as("da"), $"s".as("sa"))
+    val b = docs.select($"doc_id".as("db"), $"s".as("sb"))
+    val brute = a.crossJoin(b).where($"da" =!= $"db")
+      .select($"da", $"db",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect($"sa", $"sb"))
+          .cast("long").as("i"),
+        org.apache.spark.sql.functions.size($"sa").cast("long").as("na"))
+      .where($"i" * 2 >= $"na")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val blocked = Dedup.docContainment(spark, sf)
+      .select($"doc_a", $"doc_b", $"inter_size", $"n_a")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "no containment pairs at sf0.001 -- fixture rot")
+  }
 }
