@@ -311,6 +311,7 @@ object SparkEntry {
     "basket_lift" -> Seq(col("part_a"), col("part_b")),
     "basket_apriori_triples" -> Seq(col("n_abc").desc, col("pa"), col("pb"),
       col("pc")),
+    "basket_rules" -> Seq(col("antecedent"), col("consequent")),
     "orders_rfm" -> Seq(col("o_custkey")),
     "orders_cohort_ltv" -> Seq(col("cohort"), col("age")),
     "orders_pareto" -> Seq(col("decile")),

@@ -376,6 +376,81 @@ object Relational {
       |FROM tri CROSS JOIN n
       |ORDER BY n_abc DESC, pa, pb, pc LIMIT 50""".stripMargin
 
+  /** `basket_rules` (oracled): association RULES over the frequent-pair
+    * lattice — the step [[basketLift]] (symmetric pair stats) and
+    * [[basketAprioriTriples]] (itemsets) both stop short of: directed
+    * a→b rules with confidence n_ab/n_a and lift n_ab·N/(n_a·n_b),
+    * which is what a recommender actually serves. Same relative 0.1%
+    * support floor by exact cross-multiplication; both directions of
+    * every frequent pair emitted (confidence is the asymmetric part —
+    * that is the point).
+    *
+    * Scale shape: the [[basketAprioriTriples]] discipline — one distinct
+    * (basket, item) shuffle, the itemset²-bounded pair aggregate, then
+    * the per-item counts fold back as a broadcast MODEL (≤ |brands|
+    * rows). Confidence stays in BIGINT; lift's n_ab·N·10⁶ numerator
+    * rides DECIMAL(38,0)/HUGEINT (it overflows BIGINT around N ≈ 10¹²
+    * baskets — exactly the scale this engine is for), with the emitted
+    * anchor ⌊·⌋ back in BIGINT ppm (the decimal-output trap). */
+  def basketRules(s: SparkSession, d: String): DataFrame =
+    basketRulesFrom(
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")))
+
+  /** The rule mining itself over any (basket `o`, item `b`) frame. */
+  def basketRulesFrom(items: DataFrame): DataFrame = {
+    val op = items.distinct().repartition(col("o"))
+    val nOrders = op.agg(countDistinct(col("o")).as("no"))
+    val itemN = op.groupBy(col("b")).agg(count(lit(1)).as("n_item"))
+    val pairs = op.select(col("o"), col("b").as("pa"))
+      .join(op.select(col("o"), col("b").as("pb")), Seq("o"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
+      .crossJoin(broadcast(nOrders))
+      .where(col("n_both") * lit(1000L) >= col("no"))
+    val both = pairs
+      .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+        col("n_both"), col("no"))
+      .unionAll(pairs.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("n_both"), col("no")))
+    both
+      .join(broadcast(itemN.select(col("b").as("antecedent"),
+        col("n_item").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(itemN.select(col("b").as("consequent"),
+        col("n_item").as("n_cons"))), Seq("consequent"))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"),
+        expr("CAST((n_both * 1000000) DIV n_ante AS BIGINT)").as("conf_ppm"),
+        expr(
+          """CAST((CAST(n_both AS DECIMAL(38,0)) * no * 1000000)
+            |DIV (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("lift_ppm"))
+  }
+
+  val basketRulesSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |n AS (SELECT count(DISTINCT o) AS no FROM op),
+      |itemn AS (SELECT b, count(*) AS n_item FROM op GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.b AS pa, bb.b AS pb, count(*) AS n_both
+      |  FROM op a JOIN op bb ON a.o = bb.o AND a.b < bb.b
+      |  GROUP BY 1, 2 HAVING count(*) * 1000 >= (SELECT no FROM n)),
+      |dirs AS (
+      |  SELECT pa AS antecedent, pb AS consequent, n_both FROM pairs
+      |  UNION ALL SELECT pb, pa, n_both FROM pairs)
+      |SELECT antecedent, consequent, n_both, ia.n_item AS n_ante,
+      |       (n_both * 1000000) // ia.n_item AS conf_ppm,
+      |       CAST((n_both::HUGEINT * no * 1000000)
+      |            // (ia.n_item::HUGEINT * ic.n_item) AS BIGINT) AS lift_ppm
+      |FROM dirs
+      |JOIN itemn ia ON ia.b = antecedent
+      |JOIN itemn ic ON ic.b = consequent
+      |CROSS JOIN n
+      |ORDER BY antecedent, consequent""".stripMargin
+
   /** RFM customer segmentation — the classic marketing-analytics
     * workload: per customer, days since last order (recency, against the
     * corpus's max order date as the anchor), order count (frequency),
@@ -1606,6 +1681,7 @@ object Relational {
     "distinct_parts_per_order" -> (distinctPartsPerOrder _),
     "basket_lift" -> (basketLift _),
     "basket_apriori_triples" -> ((s, d) => basketAprioriTriples(s, d)),
+    "basket_rules" -> ((s, d) => basketRules(s, d)),
     "orders_rfm" -> (ordersRfm _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "orders_pareto" -> (ordersPareto _),
@@ -1659,6 +1735,7 @@ object Relational {
     "distinct_parts_per_order" -> distinctPartsPerOrderSql,
     "basket_lift" -> basketLiftSql,
     "basket_apriori_triples" -> basketAprioriTriplesSql,
+    "basket_rules" -> basketRulesSql,
     "orders_rfm" -> ordersRfmSql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "orders_pareto" -> ordersParetoSql,

@@ -106,6 +106,51 @@ class RelationalSpec extends AnyFunSuite {
     assert(gotFix2.head._5 === 10L * 1000000L / 2000L)
   }
 
+  test("basket_rules: both directions per frequent pair; conf/lift from exact recompute") {
+    import org.apache.spark.sql.functions.col
+    val op = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .selectExpr("l_orderkey AS o", "p_brand AS b").distinct()
+      .as[(Long, String)].collect()
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val itemN = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = op.groupBy(_._1).values
+      .flatMap(rs => rs.map(_._2).sorted.toSeq.combinations(2)
+        .map(c => (c(0), c(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 * 1000 >= nOrders)
+    val got = Relational.basketRules(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.length === pairN.size * 2, "one rule per direction per frequent pair")
+    got.foreach { case (a, c, nBoth, nAnte, conf, lift) =>
+      val key = if (a < c) (a, c) else (c, a)
+      assert(pairN(key) === nBoth, s"$a->$c n_both")
+      assert(nAnte === itemN(a), s"$a->$c n_ante")
+      assert(conf === nBoth * 1000000L / nAnte, s"$a->$c conf")
+      assert(lift === (BigInt(nBoth) * nOrders * 1000000L /
+        (BigInt(itemN(a)) * itemN(c))).toLong, s"$a->$c lift")
+    }
+    // lift is direction-symmetric, confidence is not (the point of rules)
+    val byPair = got.groupBy(r => if (r._1 < r._2) (r._1, r._2) else (r._2, r._1))
+    byPair.values.foreach { rs =>
+      assert(rs.length === 2)
+      assert(rs(0)._6 === rs(1)._6, "lift must match across directions")
+    }
+    assert(got.exists(r => {
+      val rev = got.find(x => x._1 == r._2 && x._2 == r._1).get
+      r._5 != rev._5
+    }), "no asymmetric confidence found — fixture rot")
+    // hand fixture: x in 3 baskets, y in 2, both in 2 of 3 total ->
+    // conf(x->y) = 2/3, conf(y->x) = 1, lift = 2*3/(3*2) = 1
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"))
+    val fix = Relational.basketRulesFrom(rows.toDF("o", "b"))
+      .as[(String, String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(fix.toSeq === Seq(
+      ("x", "y", 2L, 3L, 666666L, 1000000L),
+      ("y", "x", 2L, 2L, 1000000L, 1000000L)))
+  }
+
   test("orders_pareto: Lorenz/Gini equals an in-memory exact recompute; deciles partition customers") {
     val got = Relational.ordersPareto(spark, sf)
       .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
