@@ -1093,6 +1093,86 @@ object Similarity {
        |       round(sds / n_vecs, 6) AS avg_dist
        |FROM g2 WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** `embedding_triplet_mine` (oracled): hard-triplet mining for
+    * contrastive training (FaceNet's online mining, Schroff et al. 2015)
+    * — per anchor, the HARDEST positive (same label, minimum cosine: the
+    * in-class point the encoder has pushed furthest away) and the
+    * HARDEST negative (different label, maximum cosine: the impostor
+    * it pulled closest), plus the margin pos−neg and a violation flag
+    * (margin < 0.05 means this triplet would still produce gradient).
+    * This is the mining pass a metric-learning pipeline runs per epoch;
+    * the violation RATE over anchors is the curriculum signal.
+    *
+    * Scale shape: the [[knnRanked]] probe-batch convention verbatim —
+    * the bounded anchor batch broadcasts against ONE corpus scan, the
+    * per-anchor argmin/argmax collapse through partial-aggregable struct
+    * extrema (never a sort), so the cost is one fused-cosine pass. At
+    * full 100-TB mining you shard anchors into batches and union —
+    * every batch is this exact plan. Ties break to the smaller neighbor
+    * id on both engines (struct-min with negated cosine on the negative
+    * side; the twin's row_number orders match). Anchors whose class has
+    * no other member mine nothing and drop. */
+  def embeddingTripletMine(s: SparkSession, d: String,
+                           margin: Double = 0.05): DataFrame = {
+    val e = emb(s, d)
+    val probes = e.where(col("vec_id") % KnnStride === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("pe"),
+        col("label").as("a_label"))
+    val scored = e.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"),
+        col("vec_id").as("nbr_id"), col("label").as("nbr_label"),
+        expr(cosFused("pe", "embedding")).as("cos"))
+    scored.groupBy(col("anchor_id"), col("a_label"))
+      .agg(
+        min(when(col("nbr_label") === col("a_label"),
+          struct(col("cos"), col("nbr_id")))).as("p"),
+        min(when(col("nbr_label") =!= col("a_label"),
+          struct((-col("cos")).as("nc"), col("nbr_id")))).as("ng"))
+      .where(col("p").isNotNull && col("ng").isNotNull)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("p.nbr_id").as("pos_id"), col("p.cos").as("pos_cos"),
+        col("ng.nbr_id").as("neg_id"), (-col("ng.nc")).as("neg_cos"))
+      .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+      .withColumn("violation",
+        (col("margin") < lit(margin)).cast("int"))
+  }
+
+  def embeddingTripletMineSql(margin: Double = 0.05): String =
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |probes AS (SELECT vec_id AS anchor_id, embedding AS pe,
+       |                  label AS a_label
+       |           FROM e WHERE vec_id % $KnnStride = 0),
+       |scored AS (
+       |  SELECT anchor_id, a_label, e.vec_id AS nbr_id, e.label AS nbr_label,
+       |    round(
+       |      list_reduce(list_transform(range(1, len(embedding) + 1),
+       |                  i -> pe[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(range(1, len(pe) + 1),
+       |                  i -> pe[i]::DOUBLE * pe[i]::DOUBLE), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y))),
+       |      6) AS cos
+       |  FROM probes, e WHERE e.vec_id <> anchor_id),
+       |pos AS (
+       |  SELECT anchor_id, a_label, nbr_id AS pos_id, cos AS pos_cos,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY cos, nbr_id) AS rn
+       |  FROM scored WHERE nbr_label = a_label),
+       |neg AS (
+       |  SELECT anchor_id, nbr_id AS neg_id, cos AS neg_cos,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY cos DESC, nbr_id) AS rn
+       |  FROM scored WHERE nbr_label <> a_label)
+       |SELECT p.anchor_id, p.a_label AS label, p.pos_id, p.pos_cos,
+       |       n.neg_id, n.neg_cos,
+       |       round(p.pos_cos - n.neg_cos, 6) AS margin,
+       |       CASE WHEN round(p.pos_cos - n.neg_cos, 6) < $margin
+       |            THEN 1 ELSE 0 END::INT AS violation
+       |FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+       |WHERE p.rn = 1 AND n.rn = 1
+       |ORDER BY p.anchor_id""".stripMargin
+
   /** `embedding_silhouette` (oracled): per-cluster SIMPLIFIED silhouette
     * over the Lloyd model — for each vector, a = distance to its own
     * centroid, b = distance to the nearest OTHER centroid, s = (b−a)/
@@ -1712,6 +1792,7 @@ object Similarity {
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_cluster_profile" -> (embeddingClusterProfile _),
     "embedding_silhouette" -> (embeddingSilhouette _),
+    "embedding_triplet_mine" -> ((s, d) => embeddingTripletMine(s, d)),
     "sample_kcenter" -> ((s, d) => sampleKcenter(s, d)),
     "sample_kcenter_assign" -> ((s, d) => sampleKcenterAssign(s, d)),
     "embedding_outliers" -> (embeddingOutliers _),
@@ -1739,6 +1820,7 @@ object Similarity {
     "embedding_kmeans" -> embeddingKmeansSqlFull(),
     "embedding_cluster_profile" -> embeddingClusterProfileSql(),
     "embedding_silhouette" -> embeddingSilhouetteSql(),
+    "embedding_triplet_mine" -> embeddingTripletMineSql(),
     "sample_kcenter" -> sampleKcenterSql(),
     "sample_kcenter_assign" -> sampleKcenterAssignSql(),
     "embedding_outliers" -> embeddingOutliersSql,
@@ -1756,6 +1838,7 @@ object Similarity {
     "embedding_kmeans" -> Seq(col("vec_id")),
     "embedding_cluster_profile" -> Seq(col("cluster")),
     "embedding_silhouette" -> Seq(col("cluster")),
+    "embedding_triplet_mine" -> Seq(col("anchor_id")),
     "sample_kcenter" -> Seq(col("rank")),
     "sample_kcenter_assign" -> Seq(col("kc_rank")),
     "embedding_outliers" -> Seq(col("vec_id")),

@@ -317,6 +317,41 @@ class SimilaritySpec extends AnyFunSuite {
       .mkString("  "))
   }
 
+  test("embedding_triplet_mine: hardest pos/neg match a brute-force recompute") {
+    val got = Similarity.embeddingTripletMine(spark, sf)
+      .as[(Long, Int, Long, Double, Long, Double, Double, Int)].collect()
+    assert(got.length === 20) // every stride anchor has a pos and a neg
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .as[(Long, Array[Float], Int)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    got.foreach { case (aid, lbl, posId, posCos, negId, negCos, margin, viol) =>
+      val (_, ae, al) = byId(aid)
+      assert(lbl === al)
+      val others = vecs.filter(_._1 != aid)
+      val (expPos, expPosCos) = others.filter(_._3 == al)
+        .map(v => (v._1, cos(ae, v._2))).minBy { case (id, c) => (c, id) }
+      val (expNeg, expNegCos) = others.filter(_._3 != al)
+        .map(v => (v._1, cos(ae, v._2))).minBy { case (id, c) => (-c, id) }
+      assert((posId, posCos) === ((expPos, expPosCos)), s"anchor $aid pos")
+      assert((negId, negCos) === ((expNeg, expNegCos)), s"anchor $aid neg")
+      assert(margin === BigDecimal(posCos - negCos)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(viol === (if (margin < 0.05) 1 else 0))
+    }
+    val rate = got.count(_._8 == 1).toDouble / got.length
+    info(f"triplet violation rate at sf0.001: $rate%.2f")
+  }
+
   test("ann_knn_graph: 5 ranked neighbors per stride probe, no self, mutual flag symmetric") {
     val got = Similarity.annKnnGraph(spark, sf)
       .as[(Long, Int, Long, Double, Int)].collect()
