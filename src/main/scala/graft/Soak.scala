@@ -914,6 +914,69 @@ object Soak {
         f"(extra=$ccExtra missing=$ccMissing, ${tCv}%.1f s)")
     graft.Blocks.release(cc10)
 
+    // ---- r14 additions ----------------------------------------------------
+    // citation_motifs under ten disjoint tagged copies: no triple can
+    // span copies, so every connected triad class count scales by
+    // EXACTLY 10 (the kcore convention applied to the census)
+    val moB = Citations.motifCensus(Citations.edges(spark, base))
+      .as[(String, Long)].collect().toMap
+    val (mo10, tMo) = timed(Citations.motifCensus(edges10)
+      .as[(String, Long)].collect().toMap)
+    val moOk = mo10.keySet == moB.keySet &&
+      moB.forall { case (k, n) => mo10(k) == 10 * n }
+    check("motifs_10x", moOk && moB.values.sum > 0,
+      f"13 classes scale exactly ×10 at ~6M edges " +
+        f"(${moB.values.sum} -> ${mo10.values.sum} connected triads, ${tMo}%.1f s)")
+
+    // basket_rules: duplicated lineitem is distinct-insensitive — the
+    // rule set, counts, and ppm anchors are bit-identical (the apriori
+    // convention)
+    val brB = Relational.basketRules(spark, base)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val (br10, tBr) = timed(Relational.basketRules(spark, out)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq)
+    check("rules_10x", brB.nonEmpty && br10 == brB,
+      f"${br10.length} rules bit-identical under ×10 duplicated lineitem " +
+        f"(${tBr}%.1f s)")
+
+    // doc_containment at 50k docs: copy 0 is the base corpus and copies
+    // 1-9 carry word-tagged twins (disjoint shingle vocabularies — no
+    // cross-copy candidates, per-copy dfs equal base dfs so the blocking
+    // decisions replay), so pairs and the exact ppm mass scale ×10
+    val dcB = Dedup.docContainment(spark, base)
+      .agg(count(lit(1)), sum(col("containment_ppm")))
+      .as[(Long, Long)].collect().head
+    val (dc10, tDc) = timed(Dedup.docContainment(spark, out)
+      .agg(count(lit(1)), sum(col("containment_ppm")))
+      .as[(Long, Long)].collect().head)
+    check("containment_50k", dc10._1 == 10 * dcB._1 && dc10._2 == 10 * dcB._2,
+      f"${dc10._1} pairs == 10 × ${dcB._1}, ppm mass ×10 exactly " +
+        f"(${tDc}%.1f s)")
+
+    // embedding_triplet_mine at 20k vectors (noisy copies — not exact
+    // scaling): every stride anchor mines a full triplet, margins live
+    // on [-2, 2], and the pass stays one broadcast scan
+    val (tm20, tTm) = timed(Similarity.embeddingTripletMine(spark, out)
+      .as[(Long, Int, Long, Double, Long, Double, Double, Int)].collect())
+    val tmOk = tm20.length == (nVecs / 25) &&
+      tm20.forall(r => r._7 >= -2.0 && r._7 <= 2.0 &&
+        r._3 != r._1 && r._5 != r._1)
+    check("triplet_mine_20k", tmOk && tTm < 60,
+      f"${tm20.length} anchors == ${nVecs / 25}, margins in range, " +
+        f"no self pos/neg (${tTm}%.1f s)")
+
+    // embedding_silhouette at 20k: sizes partition the corpus, means in
+    // [0, 1) under argmin assignment
+    val (sl20, tSl) = timed(Similarity.embeddingSilhouette(spark, out)
+      .as[(Int, Long, Double)].collect())
+    check("silhouette_20k",
+      sl20.map(_._2).sum == nVecs &&
+        sl20.forall(s => s._3 >= 0.0 && s._3 < 1.0) && tSl < 60,
+      f"${sl20.length} clusters partition $nVecs vectors, " +
+        f"sil in [0,1) (${tSl}%.1f s)")
+
     // ---- artifact --------------------------------------------------------
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "08")

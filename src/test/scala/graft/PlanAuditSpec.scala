@@ -116,6 +116,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // basket_apriori_triples: the same 1-row basket-count fold, applied
     // twice (L2 floor + triple floor) — the q6 scalar shape
     "basket_apriori_triples",
+    // basket_rules: the same 1-row basket-count fold (support floor +
+    // lift's N numerator) — the basket_lift shape
+    "basket_rules",
+    // citation_motifs: the 1-row open-wedge totals aggregate (6 BIGINT
+    // class sums — the per-node tallies collapse to ONE row by schema)
+    // plus the 13-row class catalog — both bounded by construction
+    "citation_motifs",
     // profile_ks: the 1-row corpus-total fold onto the value-grid-bounded
     // (type, bin) frame — the q6 scalar shape
     "profile_ks",
@@ -212,6 +219,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // against one corpus scan (the ann_topk shape — annKnnGraph hides
     // the same BNLJ behind its lineage cut; this plan keeps it visible)
     "embedding_knn_classify",
+    // embedding_triplet_mine: the same stride-bounded anchor batch
+    // broadcast against one fused-cosine corpus scan (the
+    // embedding_knn_classify shape, extrema instead of top-k)
+    "embedding_triplet_mine",
     // citation_rich_club: the threshold θ-joins run histogram ×
     // histogram (≤|distinct degrees| rows each side — the degree_dist
     // bound); the corpus collapsed before any of this
@@ -252,6 +263,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // basket_apriori_triples: the same 1-row N fold at both support
     // floors (the basket_lift shape)
     "basket_apriori_triples",
+    // basket_rules: the same 1-row N fold (support floor + lift
+    // numerator) — the basket_lift shape
+    "basket_rules",
     // profile_ks: the 1-row corpus-total frame nested-loop-folded onto
     // the bounded grid (the q6 scalar shape)
     "profile_ks",
