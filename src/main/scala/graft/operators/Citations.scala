@@ -3101,18 +3101,30 @@ object Citations {
     * Total cost: the pair shuffle + the triangle join — the census is
     * free once you can count triangles, which is the Suri–Vassilvitskii
     * point made census-shaped. */
-  def motifCensus(edges: DataFrame): DataFrame = {
-    val e = edges.where(col("src") =!= col("dst")).distinct()
-    // dyad-state pair frame, pinned: read by the node tallies, the
-    // triangle machinery, and the three per-triangle state joins
-    val p = e
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"),
-        when(col("src") < col("dst"), 1).otherwise(0).as("f"),
-        when(col("src") > col("dst"), 1).otherwise(0).as("r"))
-      .groupBy(col("a"), col("b"))
-      .agg((max(col("f")) + lit(2) * max(col("r"))).as("st"))
-      .localCheckpoint()
+  def motifCensus(edges: DataFrame): DataFrame =
+    motifCensusFromStates(
+      edges.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"),
+          when(col("src") < col("dst"), 1).otherwise(0).as("f"),
+          when(col("src") > col("dst"), 1).otherwise(0).as("r"))
+        .groupBy(col("a"), col("b"))
+        .agg((max(col("f")) + lit(2) * max(col("r"))).as("st")))
+
+  /** The census over the [[graft.streaming.GraphStreams.pairViewStream]]
+    * pair view — the serve path over streamed state (the
+    * [[reciprocityFromPairView]] convention): the view's (fwd, rev)
+    * flags ARE the dyad state, so the census of a live-maintained graph
+    * costs only this fold, never an edge-log replay. */
+  def motifCensusFromPairView(view: DataFrame): DataFrame =
+    motifCensusFromStates(view.select(col("a"), col("b"),
+      (col("fwd") + lit(2) * col("rev")).cast("int").as("st")))
+
+  /** Census core over the canonical dyad-state frame (a < b, st). */
+  private def motifCensusFromStates(states: DataFrame): DataFrame = {
+    // pinned: read by the node tallies, the triangle machinery, and the
+    // three per-triangle state joins
+    val p = states.localCheckpoint()
 
     // per-node (m, o, i) dyad tallies → combinatorial centered-wedge
     // totals per open class, collapsed to ONE row

@@ -84,5 +84,15 @@ class GraphStreamsSpec extends AnyFunSuite {
     val batchRow = Citations.reciprocity(edges)
       .as[(Long, Long, Double)].collect().head
     assert(fold === batchRow)
+
+    // the motif census over the streamed view IS the batch census —
+    // the view's (fwd, rev) flags are the dyad states, so a live graph
+    // serves its full triad profile without replaying the edge log
+    val censusFold = Citations.motifCensusFromPairView(spark.table("pair_view"))
+      .as[(String, Long)].collect().toMap
+    val censusBatch = Citations.motifCensus(edges)
+      .as[(String, Long)].collect().toMap
+    assert(censusFold === censusBatch)
+    assert(censusFold.values.sum > 0, "no connected triads — fixture rot")
   }
 }
