@@ -367,6 +367,7 @@ object SparkEntry {
     "events_stickiness" -> Seq(col("day")),
     "events_heatmap" -> Seq(col("dow"), col("hour"), col("event_type")),
     "events_trend" -> Seq(col("event_type")),
+    "events_ridge" -> Seq(col("event_type")),
     "events_holt" -> Seq(col("event_type"), col("h")),
     "events_holt_winters" -> Seq(col("event_type"), col("h")),
     "events_scd2" -> Seq(col("user_id"), col("version")),

@@ -1561,6 +1561,113 @@ object EventAnalytics {
             col("n_days").cast("double"), 6)).as("intercept"))
   }
 
+  /** Shared Cramer arithmetic for [[eventsRidge]]: the four 3×3
+    * determinants as SQL over the pre-cast moment columns (n_, st, stt,
+    * sw, swt, sy, sty, swy) — identical text in both dialects, so the
+    * solve exists ONCE (the motif-lookup convention). A = XᵀX + λI for
+    * X = [1, t, w]; A is symmetric positive definite for λ > 0, so
+    * det(A) > 0 and the floor divisions below have a positive
+    * denominator. */
+  private def ridgeDetSql(lam: Long): (String, String, String, String) = {
+    def det(c1: (String, String, String), c2: (String, String, String),
+            c3: (String, String, String)): String = {
+      val ((x1, y1, z1), (x2, y2, z2), (x3, y3, z3)) = (c1, c2, c3)
+      s"($x1 * ($y2 * $z3 - $z2 * $y3) - $x2 * ($y1 * $z3 - $z1 * $y3)" +
+        s" + $x3 * ($y1 * $z2 - $z1 * $y2))"
+    }
+    val a1 = (s"(n_ + $lam)", "st", "sw")
+    val a2 = ("st", s"(stt + $lam)", "swt")
+    val a3 = ("sw", "swt", s"(sw + $lam)")
+    val b = ("sy", "sty", "swy")
+    (det(a1, a2, a3), det(b, a2, a3), det(a1, b, a3), det(a1, a2, b))
+  }
+
+  /** `events_ridge` (oracled): per-type ridge regression of the daily
+    * count on [intercept, day index, weekend flag] — the multivariate
+    * step past [[eventsTrend]]'s simple OLS, and the canonical
+    * demonstration that a GLM at 100 TB is ONE aggregate: the normal
+    * equations (XᵀX + λI)θ = Xᵀy need only the 8 sufficient-statistic
+    * sums (n, Σt, Σt², Σw, Σwt, Σy, Σty, Σwy — w² = w for a flag), so
+    * the corpus collapses map-side to ≤|types| moment rows and the
+    * solve is a per-row projection. d = 3 means Cramer's rule IS the
+    * solver, in exact DECIMAL(38,0)/HUGEINT integer arithmetic — no
+    * float linear algebra anywhere, θ̂ emitted as ⌊10⁶·det(A_j)/det(A)⌋
+    * micro anchors.
+    *
+    * Determinism notes: t is days since the GLOBAL min day (a 1-row
+    * broadcast anchor, the events_survival shape) — keeping t span-
+    * bounded keeps every determinant under ~10²² on this corpus (the
+    * DECIMAL(38,0) budget holds to ~30k-day spans); w derives from the
+    * pure-integer `pmod(epoch_day + 4, 7) ∈ {0, 6}` dow (the
+    * seasonal_decompose convention — no engine dayofweek involved);
+    * det(A) > 0 (SPD), and the numerators can be negative, so the floor
+    * is the `(a − pmod(a, b)) DIV b` emulation on both engines (DuckDB
+    * `//` truncates toward zero — the events_holt trap). λ = 10 keeps A
+    * invertible even for a type seen on one day. */
+  def eventsRidge(s: SparkSession, d: String, lambda: Long = 10L): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(datediff(date_trunc("day", col("ts")),
+        lit("1970-01-01").cast("date")).as("x"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    val anchor = daily.agg(min(col("x")).as("x0"))
+    val f = daily.crossJoin(broadcast(anchor))
+      .select(col("event_type"),
+        (col("x") - col("x0")).cast("long").as("t"),
+        when(pmod(col("x") + lit(4), lit(7)).isin(0, 6), 1L)
+          .otherwise(0L).as("w"),
+        col("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = f.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("t"))).as("st"),
+        sum(dec(col("t")) * dec(col("t"))).as("stt"),
+        sum(dec(col("w"))).as("sw"),
+        sum(dec(col("w")) * dec(col("t"))).as("swt"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("t")) * dec(col("y"))).as("sty"),
+        sum(dec(col("w")) * dec(col("y"))).as("swy"))
+      .withColumn("n_", dec(col("n_days")))
+    val (detA, det0, det1, det2) = ridgeDetSql(lambda)
+    def theta(num: String, name: String) =
+      expr(s"""CAST((($num * 1000000) - pmod(($num * 1000000), $detA))
+              | DIV $detA AS BIGINT)""".stripMargin.replace("\n", ""))
+        .as(name)
+    m.select(col("event_type"), col("n_days"),
+      theta(det0, "intercept_micro"),
+      theta(det1, "slope_micro"),
+      theta(det2, "weekend_micro"))
+  }
+
+  def eventsRidgeSql(lambda: Long = 10L): String = {
+    val (detA, det0, det1, det2) = ridgeDetSql(lambda)
+    def theta(num: String, name: String) =
+      s"""CAST(((($num * 1000000) - ((($num * 1000000) % $detA + $detA)
+         | % $detA)) // $detA) AS BIGINT) AS $name""".stripMargin
+        .replace("\n", "")
+    s"""WITH daily AS (
+       |  SELECT date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS x,
+       |         event_type, count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |a AS (SELECT min(x) AS x0 FROM daily),
+       |f AS (SELECT event_type, (x - x0)::HUGEINT AS t,
+       |             CASE WHEN (((x + 4) % 7 + 7) % 7) IN (0, 6)
+       |                  THEN 1 ELSE 0 END::HUGEINT AS w,
+       |             y::HUGEINT AS y
+       |      FROM daily CROSS JOIN a),
+       |m AS (
+       |  SELECT event_type, count(*)::HUGEINT AS n_,
+       |         count(*)::BIGINT AS n_days,
+       |         sum(t) AS st, sum(t * t) AS stt, sum(w) AS sw,
+       |         sum(w * t) AS swt, sum(y) AS sy, sum(t * y) AS sty,
+       |         sum(w * y) AS swy
+       |  FROM f GROUP BY 1)
+       |SELECT event_type, n_days,
+       |       ${theta(det0, "intercept_micro")},
+       |       ${theta(det1, "slope_micro")},
+       |       ${theta(det2, "weekend_micro")}
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   val eventsTrendSql: String =
     """WITH daily AS (
       |  SELECT date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS x,
@@ -2177,6 +2284,7 @@ object EventAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend" -> (eventsTrend _),
+    "events_ridge" -> ((s, d) => eventsRidge(s, d)),
     "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
     "events_autocorr" -> ((s, d) => eventsAutocorr(s, d)),
     "events_pacf" -> ((s, d) => eventsPacf(s, d)),
@@ -2214,6 +2322,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "events_trend" -> eventsTrendSql,
+    "events_ridge" -> eventsRidgeSql(),
     "events_seasonal_decompose" -> eventsSeasonalDecomposeSql,
     "events_autocorr" -> eventsAutocorrSql(),
     "events_pacf" -> eventsPacfSql(),

@@ -1732,4 +1732,54 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(EventAnalytics.eventsHoltWintersFrom(spark, short).count() === 0L)
   }
 
+  test("events_ridge: BigInt Cramer recompute matches; ridge shrinks toward zero") {
+    import org.apache.spark.sql.functions.{col => c, date_trunc, datediff, lit, count => cnt}
+    val got = EventAnalytics.eventsRidge(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // independent recompute: daily counts in memory, normal equations in
+    // BigInt, Cramer with mathematical floor
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(datediff(date_trunc("day", c("ts")),
+        lit("1970-01-01").cast("date")).as("x"), c("event_type"))
+      .agg(cnt(lit(1)).as("y"))
+      .as[(Int, String, Long)].collect()
+    val x0 = daily.map(_._1).min
+    val lam = BigInt(10)
+    def floorDiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b; if (a % b != 0 && (a.signum != b.signum)) q - 1 else q
+    }
+    daily.groupBy(_._2).foreach { case (et, rows) =>
+      val ts = rows.map(r => BigInt(r._1 - x0))
+      val ws = rows.map(r => BigInt(if ((r._1 + 4) % 7 == 0 || (r._1 + 4) % 7 == 6) 1 else 0))
+      val ys = rows.map(r => BigInt(r._3))
+      val n = BigInt(rows.length)
+      val st = ts.sum; val stt = ts.map(t => t * t).sum
+      val sw = ws.sum; val swt = ts.zip(ws).map { case (t, w) => t * w }.sum
+      val sy = ys.sum; val sty = ts.zip(ys).map { case (t, y) => t * y }.sum
+      val swy = ws.zip(ys).map { case (w, y) => w * y }.sum
+      def det(c1: (BigInt, BigInt, BigInt), c2: (BigInt, BigInt, BigInt),
+              c3: (BigInt, BigInt, BigInt)): BigInt =
+        c1._1 * (c2._2 * c3._3 - c2._3 * c3._2) -
+          c2._1 * (c1._2 * c3._3 - c1._3 * c3._2) +
+          c3._1 * (c1._2 * c2._3 - c1._3 * c2._2)
+      val a1 = (n + lam, st, sw); val a2 = (st, stt + lam, swt)
+      val a3 = (sw, swt, sw + lam); val b = (sy, sty, swy)
+      val dA = det(a1, a2, a3)
+      assert(dA > 0, s"$et: ridge matrix not SPD?")
+      val exp = (floorDiv(det(b, a2, a3) * 1000000, dA),
+        floorDiv(det(a1, b, a3) * 1000000, dA),
+        floorDiv(det(a1, a2, b) * 1000000, dA))
+      val r = got.find(_._1 == et).get
+      assert(r._2 === rows.length.toLong, s"$et n_days")
+      assert((r._3, r._4, r._5) === exp, s"$et theta")
+    }
+    // regularization sanity: a huge lambda crushes every coefficient
+    val crushed = EventAnalytics.eventsRidge(spark, sf, lambda = 1000000000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    crushed.foreach { r =>
+      assert(math.abs(r._3) < got.find(_._1 == r._1).get._3.abs.max(1),
+        s"${r._1} intercept did not shrink")
+    }
+  }
 }

@@ -153,7 +153,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // that the calendar spine explodes from — the q6 scalar shape
     "events_seasonal_decompose",
     // events_autocorr: the same 1-row span aggregate + spine shape
-    "events_autocorr"
+    "events_autocorr",
+    // events_ridge: the 1-row global min-day anchor (the
+    // events_survival cutoff shape)
+    "events_ridge"
   )
 
   test("every query plan: no cartesian, no UDFs, single-partition only where bounded") {
@@ -294,6 +297,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // events_forecast_backtest: the 1-row holdout-cutoff anchor nested-
     // loop-folded onto the daily frame (the events_scd2_merge shape)
     "events_forecast_backtest",
+    // events_ridge: the 1-row global min-day anchor nested-loop-folded
+    // onto the daily frame (the events_forecast_backtest shape)
+    "events_ridge",
     // profile_integrity: per FK edge, the two 1-row audit aggregates
     // (orphan totals, child totals) fold together — the fact side
     // collapsed to per-key counts before any of this
