@@ -310,20 +310,26 @@ object Dedup {
 
   /** The composable core over any (doc_id, text) frame. */
   def docContainmentFrom(docsDf: DataFrame, dfCap: Int = 64): DataFrame = {
-    val rows = wordShingleRowsFrom(docsDf, 3)
-    // one hashed distinct (doc, shingle) frame feeds the df filter and
-    // both sides of the inverted-index join through a single exchange
-    val hashed = rows.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .distinct().repartition(col("h"))
+    // ONE hashed distinct (doc, shingle-fingerprint) frame, pinned (the
+    // triangleRows discipline): FIVE consumers read it — the df filter,
+    // both inverted-index join sides, and the per-doc verify arrays
+    // (collect_set over the already-hashed rows replaces a separate
+    // shingleArrays re-scan). Unpinned this was 3 corpus scans with the
+    // rare-side subtree rebuilt under the broadcast semi-join (the
+    // candidatePairs trap); pinned + shuffle_hash it is exactly one.
+    val hashed = wordShingleRowsFrom(docsDf, 3)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .distinct().repartition(col("h")).localCheckpoint()
     val rare = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select(col("h"))
-    val byH = hashed.join(rare, Seq("h"), "left_semi")
+    val byH = hashed.join(rare.hint("shuffle_hash"), Seq("h"), "left_semi")
     val cands = byH.select(col("h"), col("doc_id").as("doc_a"))
       .hint("shuffle_hash")
       .join(byH.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val arrays = shingleArrays(rows)
+    val arrays = hashed.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("shingles"))
     cands
       .join(arrays.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
         Seq("doc_a"))

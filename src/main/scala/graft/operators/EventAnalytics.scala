@@ -1605,10 +1605,14 @@ object EventAnalytics {
     * `//` truncates toward zero — the events_holt trap). λ = 10 keeps A
     * invertible even for a type seen on one day. */
   def eventsRidge(s: SparkSession, d: String, lambda: Long = 10L): DataFrame = {
+    // pin the daily frame (calendar × |types| bounded): the anchor min
+    // and the moment aggregate both read it — unpinned, each re-scans
+    // the raw events (measured: 2 FileScans → 1)
     val daily = Tables.load(s, d, "events")
       .groupBy(datediff(date_trunc("day", col("ts")),
         lit("1970-01-01").cast("date")).as("x"), col("event_type"))
       .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
     val anchor = daily.agg(min(col("x")).as("x0"))
     val f = daily.crossJoin(broadcast(anchor))
       .select(col("event_type"),
