@@ -679,6 +679,24 @@ object Dedup {
     graft.sources.FingerprintIndex.dedupAgainstIndex(s, docs.where(!isCorpus), path)
   }
 
+  /** `containment_incremental` (oracled): [[docContainment]] run the way
+    * a live pipeline runs it — corpus fingerprints persisted once
+    * ([[graft.sources.FingerprintIndex]], the same index dedup uses),
+    * each new batch probing them in O(batch) joins. Same md5-prefix
+    * corpus/batch split as [[dedupIncremental]]; the df cap computes
+    * over corpus ∪ batch, so the emitted cross pairs equal the one-batch
+    * operator's exactly (DedupSpec). */
+  def containmentIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+    val isCorpus = substring(md5(col("doc_id").cast("string")), 1, 1) < "e"
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fp_index_cont_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    graft.sources.FingerprintIndex.writeIndex(docs.where(isCorpus), path)
+    graft.sources.FingerprintIndex.containmentAgainstIndex(
+      s, docs.where(!isCorpus), path)
+  }
+
   // ---------- DuckDB twins ----------------------------------------------
 
   private val wordShinglesCte: String =
@@ -735,7 +753,8 @@ object Dedup {
     "dedup_spans" -> (dedupSpans _),
     "contamination_check" -> (contaminationCheck _),
     "contamination_bloom" -> (contaminationBloom _),
-    "dedup_incremental" -> (dedupIncremental _)
+    "dedup_incremental" -> (dedupIncremental _),
+    "containment_incremental" -> (containmentIncremental _)
   )
 
   /** Cluster-labeling twin (reused by [[dedupCanonicalSql]], which wraps
@@ -867,7 +886,30 @@ object Dedup {
          |  ON substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) < 'e'
          | AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) >= 'e'
          |WHERE len(list_intersect(a.s, b.s)) * 5 >= len(list_distinct(a.s || b.s)) * 3
-         |ORDER BY corpus_id, new_id""".stripMargin
+         |ORDER BY corpus_id, new_id""".stripMargin,
+    // the cross-split variant of docContainmentSql: the df cap over ALL
+    // documents (corpus ∪ batch — exactly the incremental probe's df),
+    // candidates restricted to pairs straddling the split, both
+    // directions emitted
+    "containment_incremental" ->
+      s"""$wordShinglesCte,
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+         |exr AS (SELECT doc_id, g FROM ex JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exr a JOIN exr b USING (g)
+         |         WHERE a.doc_id <> b.doc_id
+         |           AND (substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) < 'e')
+         |            <> (substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) < 'e')),
+         |v AS (SELECT doc_a, doc_b,
+         |             len(list_intersect(sa.s, sb.s))::BIGINT AS inter_size,
+         |             len(sa.s)::BIGINT AS n_a
+         |      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |                JOIN sh sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, inter_size, n_a,
+         |       (inter_size * 1000000) // n_a AS containment_ppm
+         |FROM v WHERE inter_size * 2 >= n_a
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 
   val verifyOrder: Map[String, Seq[Column]] = Map(
@@ -884,6 +926,7 @@ object Dedup {
     "dedup_spans" -> Seq(col("doc_id")),
     "contamination_check" -> Seq(col("doc_id")),
     "contamination_bloom" -> Seq(col("doc_id")),
-    "dedup_incremental" -> Seq(col("corpus_id"), col("new_id"))
+    "dedup_incremental" -> Seq(col("corpus_id"), col("new_id")),
+    "containment_incremental" -> Seq(col("doc_a"), col("doc_b"))
   )
 }

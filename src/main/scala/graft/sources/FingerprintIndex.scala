@@ -91,6 +91,62 @@ object FingerprintIndex {
       .where(col("inter_size") * den >= col("union_size") * num)
   }
 
+  /** Containment pairs between a NEW batch and the indexed corpus — the
+    * incremental face of [[Dedup.docContainment]], sharing the index
+    * [[writeIndex]] already persists: the stored shingle ARRAYS carry
+    * everything containment needs (candidates come from exploding them
+    * into an on-the-fly posting list — a columnar scan of 8-byte
+    * fingerprints, the same O(corpus-fingerprint) read contract as
+    * [[dedupAgainstIndex]]'s full bands-table join; corpus TEXT is never
+    * touched). The df cap is computed over corpus ∪ batch, so the
+    * blocking decisions are IDENTICAL to running the one-batch operator
+    * over the union — incremental and batch agree exactly on cross
+    * pairs (DedupSpec asserts it). Emits BOTH directions of every cross
+    * pair at containment >= num/den: a new doc contained in the corpus
+    * is a skip signal; a corpus doc contained in a new doc flags the
+    * new doc as an expansion of something already ingested. */
+  def containmentAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+                              path: String, dfCap: Int = 64,
+                              n: Int = DefaultShingleN,
+                              num: Int = 1, den: Int = 2): DataFrame = {
+    val newHashed = Dedup.wordShingleRowsFrom(newDocs, n)
+      .select(col("doc_id").as("new_id"), xxhash64(col("sh")).as("h"))
+      .distinct().repartition(col("h")).localCheckpoint()
+    val idx = spark.read.parquet(s"$path/shingles")
+    val posts = idx.select(col("doc_id").as("corpus_id"),
+      explode(col("shingles")).as("h")).repartition(col("h"))
+      .localCheckpoint()
+    val rare = posts.select(col("h"))
+      .unionAll(newHashed.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select(col("h"))
+    val cands = posts.join(rare.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .hint("shuffle_hash")
+      .join(newHashed.join(rare.hint("shuffle_hash"), Seq("h"), "left_semi"),
+        Seq("h"))
+      .select(col("corpus_id"), col("new_id")).distinct()
+    val corpusArr = idx.select(col("doc_id").as("corpus_id"),
+      col("shingles").as("sa"))
+    val newArr = newHashed.groupBy(col("new_id"))
+      .agg(collect_set(col("h")).as("sb"))
+    val joined = cands
+      .join(corpusArr, Seq("corpus_id"))
+      .join(newArr, Seq("new_id"))
+      .select(col("corpus_id"), col("new_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("n_corpus"),
+        size(col("sb")).cast("long").as("n_new"))
+      .localCheckpoint()
+    def dir(a: String, b: String, na: String) = joined
+      .where(col("inter") * den >= col(na) * num)
+      .select(col(a).as("doc_a"), col(b).as("doc_b"),
+        col("inter").as("inter_size"), col(na).as("n_a"),
+        expr(s"CAST((inter * 1000000) DIV $na AS BIGINT)")
+          .as("containment_ppm"))
+    dir("new_id", "corpus_id", "n_new")
+      .unionAll(dir("corpus_id", "new_id", "n_corpus"))
+  }
+
   /** Append a batch's fingerprints to the index (the post-ingest step:
     * once a batch is admitted, its fingerprints join the corpus index so
     * FUTURE batches dedup against it too). Parquet append — no read,

@@ -314,6 +314,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!cont.exists(r => r._1 == 3L || r._2 == 3L))
   }
 
+  test("containment_incremental == one-batch containment restricted to cross pairs") {
+    val inc = Dedup.containmentIncremental(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // the one-batch operator over the WHOLE corpus (df cap computed over
+    // corpus + batch on both paths), filtered to pairs straddling the
+    // md5 split — the exact contract the index probe must honor
+    def corpusSide(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString
+        .charAt(0) < 'e'
+    val batch = Dedup.docContainment(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .filter(r => corpusSide(r._1) != corpusSide(r._2)).toSet
+    assert(inc === batch)
+    assert(inc.nonEmpty, "no cross-split containment pairs at sf0.001 — fixture rot")
+    // both directions really occur (near-dup pairs straddling the split
+    // emit a row each way; pure subset pairs emit only one)
+    assert(inc.exists(r => inc.exists(x => x._1 == r._2 && x._2 == r._1)))
+  }
+
   test("doc_containment blocking is exhaustive-recall on the corpus (df cap drops nothing)") {
     val docs = Tables.load(spark, sf, "documents")
       .select($"doc_id", org.apache.spark.sql.functions.expr(
