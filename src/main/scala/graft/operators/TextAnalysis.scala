@@ -358,6 +358,138 @@ object TextAnalysis {
         col("tok_right"), col("weight"))
   }
 
+  /** `wordpiece_merges` (oracled): the LIKELIHOOD-scored merge trainer
+    * (Schuster & Nakajima 2012; the WordPiece objective) next to
+    * [[bpeMerges]]'s raw-frequency one — per round, merge the adjacent
+    * pair maximizing n_ab/(n_a·n_b), the pair whose fusion most raises
+    * corpus likelihood under a unigram-symbol model. The practical
+    * difference is real: BPE happily merges two individually-frequent
+    * symbols that co-occur incidentally; WordPiece demands the pair
+    * co-occur MORE than its parts predict, so early merges capture
+    * morphemes instead of raw collocations.
+    *
+    * Exact-arithmetic discipline: the score is the floored ppb quotient
+    * ⌊10⁹·n_ab/(n_a·n_b)⌋ in DECIMAL(38,0)/HUGEINT (n_a·n_b overflows
+    * BIGINT near 10⁹-token corpora) with (score DESC, a, b) tie-break —
+    * a defined deterministic variant of the real-valued objective (the
+    * textrank picounit convention: floor collapses only sub-ppb
+    * distinctions, and what both engines compute is identical BY
+    * CONSTRUCTION). Per round: the same one-exchange pair count as BPE
+    * plus a symbol-count aggregate, the argmax joins both (symbol
+    * vocabulary is model-sized — broadcastable), and the winner's
+    * replace is a pure projection. Same {sym} representation, same
+    * convergence-on-empty. */
+  def wordpieceMerges(s: SparkSession, d: String, rounds: Int = 10): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val words = bpeWords(s, d)
+    var vocab = words
+      .select(expr(
+        """array_join(transform(sequence(1, length(w)), i ->
+          |  concat('{', substring(w, i, 1), '}')), '')""".stripMargin).as("rep"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    var done = false
+    val symsOf = expr(
+      """transform(filter(split(rep, '\\}'), x -> x != ''),
+        |          x -> substring(x, 2, length(x)))""".stripMargin)
+    for (r <- 1 to rounds if !done) {
+      val framed = vocab.select(col("freq"), symsOf.as("syms")).localCheckpoint()
+      val symCounts = framed
+        .select(col("freq"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("n"))
+      val pairs = framed.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), i ->
+            |  struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n_ab"))
+      val best = pairs
+        .join(broadcast(symCounts.select(col("s").as("a"), col("n").as("na"))),
+          Seq("a"))
+        .join(broadcast(symCounts.select(col("s").as("b"), col("n").as("nb"))),
+          Seq("b"))
+        .select(col("a"), col("b"), col("n_ab"), expr(
+          """CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000000)
+            |DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("score_ppb"))
+        .orderBy(col("score_ppb").desc, col("a"), col("b"))
+        .limit(1)
+        .as[(String, String, Long, Long)].collect()
+      graft.Blocks.release(framed)
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, nab, score) = best.head
+        require(!(a + b).exists(c => c == '{' || c == '}' || c == '\''),
+          s"corpus token contains a delimiter/quote: '$a' '$b'")
+        merges += ((r, a, b, nab, score))
+        val next = vocab
+          .select(expr(s"replace(rep, '{$a}{$b}', '{$a$b}')").as("rep"),
+            col("freq"))
+          .localCheckpoint()
+        graft.Blocks.release(vocab)
+        vocab = next
+      }
+    }
+    graft.Blocks.release(vocab)
+    merges.toSeq.toDF("rank", "tok_left", "tok_right", "n_pair", "score_ppb")
+      .select(col("rank").cast("int").as("rank"), col("tok_left"),
+        col("tok_right"), col("n_pair"), col("score_ppb"))
+  }
+
+  /** DuckDB twin of [[wordpieceMerges]]: the bpeCtes round structure
+    * with a per-round symbol-count CTE and the identical floored-ppb
+    * argmax. */
+  def wordpieceMergesSql(rounds: Int = 10): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""f$r AS MATERIALIZED (
+         |  SELECT freq,
+         |         list_transform(list_filter(string_split(rep, '}'),
+         |                                    x -> x <> ''),
+         |                        x -> x[2:]) AS syms
+         |  FROM v${r - 1}),
+         |s$r AS MATERIALIZED (
+         |  SELECT s, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, unnest(syms) AS s FROM f$r) GROUP BY 1),
+         |p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b,
+         |         CAST(sum(freq) AS BIGINT) AS n_ab
+         |  FROM f$r, UNNEST(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT a, b, n_ab,
+         |         CAST((n_ab::HUGEINT * 1000000000)
+         |              // (sa.n::HUGEINT * sb.n) AS BIGINT) AS score_ppb
+         |  FROM p$r JOIN s$r sa ON sa.s = a JOIN s$r sb ON sb.s = b
+         |  ORDER BY score_ppb DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT w, replace(rep, '{' || a || '}{' || b || '}',
+         |                 '{' || a || b || '}') AS rep, freq
+         |  FROM v${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT $r AS rk, a, b, n_ab, score_ppb FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) BETWEEN 1 AND 32
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(
+       |           list_transform(range(1, len(w) + 1),
+       |                          i -> '{' || w[i] || '}'), '') AS rep,
+       |         freq
+       |  FROM wf),
+       |$roundCtes
+       |SELECT CAST(rk AS INT) AS rank, a AS tok_left, b AS tok_right,
+       |       n_ab AS n_pair, score_ppb
+       |FROM ($out)
+       |ORDER BY rank""".stripMargin
+  }
+
   private def bpeWords(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")).between(1, 32))
@@ -2506,6 +2638,7 @@ object TextAnalysis {
     "token_zipf" -> (tokenZipf _),
     "token_herdan" -> (tokenHerdan _),
     "bpe_merges" -> (bpeMerges _),
+    "wordpiece_merges" -> ((s, d) => wordpieceMerges(s, d)),
     "bpe_encode" -> (bpeEncode _),
     "token_bigrams" -> (tokenBigrams _),
     "token_pmi" -> (tokenPmi _),
@@ -2548,6 +2681,7 @@ object TextAnalysis {
     "token_zipf" -> tokenZipfSql,
     "token_herdan" -> tokenHerdanSql,
     "bpe_merges" -> bpeMergesSql(),
+    "wordpiece_merges" -> wordpieceMergesSql(),
     "bpe_encode" -> bpeEncodeSql(),
     "token_bigrams" -> tokenBigramsSql,
     "token_pmi" -> tokenPmiSql,
@@ -2579,6 +2713,7 @@ object TextAnalysis {
     "token_zipf" -> Seq(col("lang")),
     "token_herdan" -> Seq(col("lang")),
     "bpe_merges" -> Seq(col("rank")),
+    "wordpiece_merges" -> Seq(col("rank")),
     "bpe_encode" -> Seq(col("doc_id")),
     "search_hybrid_rrf" -> Seq(col("rank")),
     "search_mmr" -> Seq(col("rank")),

@@ -379,6 +379,58 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(got.length === 10, "sf0.001 corpus should sustain 10 merges")
   }
 
+  test("wordpiece_merges: likelihood argmax equals a reference recompute; diverges from BPE") {
+    val got = TextAnalysis.wordpieceMerges(spark, sf)
+      .as[(Int, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.length === 10)
+    // in-memory reference: same greedy loop, score = floor(1e9*n_ab/(n_a*n_b))
+    var vocab = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .where(org.apache.spark.sql.functions.length(col("w")).between(1, 32))
+      .groupBy(col("w")).count().as[(String, Long)].collect()
+      .map { case (w, f) => (w.toSeq.map(_.toString): Seq[String]) -> f }.toMap
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    var r = 0
+    var go = true
+    while (go && r < 10) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      val syms = scala.collection.mutable.Map[String, Long]()
+      vocab.foreach { case (ss, f) =>
+        ss.foreach(s => syms(s) = syms.getOrElse(s, 0L) + f)
+        ss.sliding(2).filter(_.length == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (pairs.isEmpty) go = false
+      else {
+        val scored = pairs.map { case ((a, b), nab) =>
+          (a, b, nab,
+            (BigInt(nab) * 1000000000L / (BigInt(syms(a)) * syms(b))).toLong)
+        }.toSeq
+        val (a, b, nab, sc) = scored.minBy { case (x, y, _, s) => (-s, x, y) }
+        r += 1; expect += ((r, a, b, nab, sc))
+        vocab = vocab.groupMapReduce { case (ss, _) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          out.toSeq
+        }(_._2)(_ + _)
+      }
+    }
+    assert(got.toSeq === expect.toSeq)
+    // the likelihood objective must pick a different merge sequence than
+    // raw frequency on this corpus (else the variant is vacuous here)
+    val bpe = TextAnalysis.bpeMerges(spark, sf)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got.map(g => (g._2, g._3)).toSeq !== bpe.map(g => (g._2, g._3)).toSeq,
+      "wordpiece merge sequence identical to BPE — objective not exercised")
+  }
+
   test("bpe_encode: folded-literal projection equals the oracled aggregate query") {
     import org.apache.spark.sql.functions.{explode, split, length}
     val corpus = TextAnalysis.bpeEncode(spark, sf)
