@@ -65,9 +65,27 @@ def stats(med, runs, q):
 def main():
     args = [a for a in sys.argv[1:] if a != "--gate"]
     gate = "--gate" in sys.argv
+    expect = None
+    if "--expect" in args:
+        i = args.index("--expect")
+        expect = args[i + 1]
+        del args[i:i + 2]
     old_p, new_p = args[0], args[1]
     omed, oruns, ogcs = load(old_p)
     nmed, nruns, ngcs = load(new_p)
+    if expect:
+        # same set-equality discipline as merge_gate_logs.py: the NEW
+        # detail must bench exactly SparkEntry.queries (query_keys.json
+        # from a graft.Verify dump at the same HEAD) — ends the r13/r14
+        # drift where late-added queries silently missed BENCH_DETAIL
+        with open(expect) as f:
+            want = set(json.load(f))
+        if set(nmed) != want:
+            print(f"SET-EQUALITY FAIL vs {expect}: "
+                  f"missing={sorted(want - set(nmed))} "
+                  f"extra={sorted(set(nmed) - want)}", file=sys.stderr)
+            sys.exit(2)
+        print(f"set-equality OK: new detail benches all {len(want)} queries")
     common = sorted(set(omed) & set(nmed))
     only_old = sorted(set(omed) - set(nmed))
     only_new = sorted(set(nmed) - set(omed))

@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
 """Reconstruct oracle_check records from its log lines and merge runs.
 
-Usage: merge_gate_logs.py <out.json> <log-or-json> [<log-or-json> ...]
+Usage: merge_gate_logs.py [--expect query_keys.json] <out.json> \
+           <log-or-json> [<log-or-json> ...]
+
+--expect: path to the JVM-dumped SparkEntry.queries key set
+(graft.Verify writes <dumpDir>/query_keys.json on every run). The merged
+artifact's key set must EQUAL it — any missing or extra query is a hard
+exit(2) with the diff printed. This is the set-equality gate that ends
+the r13/r14 enumeration-drift class (late-added queries silently absent
+from the sf0.1 artifact); without --expect the merge only warns.
 
 Later inputs win on key collisions. A `.log` input is parsed from the
 gate's own stdout lines ([OK]/[FAIL .../[skip]/[rows-only]); a `.json`
@@ -64,7 +72,12 @@ def parse_log(path):
     return rec
 
 def main():
-    out, inputs = sys.argv[1], sys.argv[2:]
+    argv = sys.argv[1:]
+    expect = None
+    if argv and argv[0] == "--expect":
+        expect = argv[1]
+        argv = argv[2:]
+    out, inputs = argv[0], argv[1:]
     merged = {}
     for p in inputs:
         if p.endswith(".json"):
@@ -84,6 +97,21 @@ def main():
              or v.get("hash_match") is False]
     print(f"{len(merged)} entries: {ok} hash-green, {ro} rows-only, "
           f"{sk} skipped, fails={fails}")
+    if expect:
+        with open(expect) as f:
+            want = set(json.load(f))
+        have = set(merged)
+        if have != want:
+            missing = sorted(want - have)
+            extra = sorted(have - want)
+            print(f"SET-EQUALITY FAIL vs {expect}: "
+                  f"missing={missing} extra={extra}", file=sys.stderr)
+            sys.exit(2)
+        print(f"set-equality OK: artifact enumerates all {len(want)} "
+              "SparkEntry.queries keys")
+    else:
+        print("WARNING: no --expect query_keys.json given; artifact "
+              "key-set completeness NOT verified", file=sys.stderr)
 
 if __name__ == "__main__":
     main()

@@ -53,8 +53,15 @@ ORACLE_SKIP_JSON="$WORK/skips.json" ORACLE_TIMEOUT_S=2400 DUCKDB_THREADS=16 \
 
 wait $GRIND_PID || true
 
-# grind records win over the main pass's skip records
-python3 scripts/merge_gate_logs.py "$OUT" "$WORK/main.json" "$WORK/grind.json"
+# grind records win over the main pass's skip records; --expect asserts
+# the merged artifact enumerates EXACTLY SparkEntry.queries (the JVM
+# dumps query_keys.json on every Verify run) — exit 2 + diff otherwise
+[ -f "$DUMP/query_keys.json" ] || {
+  echo "FATAL: $DUMP/query_keys.json missing — re-run graft.Verify" >&2
+  exit 2
+}
+python3 scripts/merge_gate_logs.py --expect "$DUMP/query_keys.json" \
+  "$OUT" "$WORK/main.json" "$WORK/grind.json"
 echo "workdir: $WORK"
 python3 - "$OUT" <<'EOF'
 import json, sys

@@ -86,6 +86,11 @@ object SparkEntry {
     "citation_louvain_stats" -> ((s, d) =>
       Citations.louvainStatsFrom(Citations.edges(s, d),
         Citations.louvainLabelsCached(s, d))),
+    // multi-level: coarsen the cached level-1 partition to a weighted
+    // supergraph, re-sweep, compose (Blondel et al.'s phase 2)
+    "citation_louvain_ml" -> ((s, d) =>
+      Citations.louvainMlFrom(Citations.edges(s, d),
+        Citations.louvainLabelsCached(s, d))),
     // DeepWalk corpus generation with deterministic engine-portable
     // stepping — the graph → token-sequence bridge
     "citation_random_walks" -> ((s, d) =>
@@ -174,6 +179,7 @@ object SparkEntry {
     "citation_mis" -> Citations.misSql(),
     "citation_louvain" -> Citations.louvainSql(),
     "citation_louvain_stats" -> Citations.louvainStatsSql(),
+    "citation_louvain_ml" -> Citations.louvainMlSql(),
     "citation_random_walks" -> Citations.randomWalksSql(),
     "citation_counts_ivm" -> Citations.countsIvmSql,
     "citation_bfs_paths" -> Citations.bfsPathsSql(),
@@ -244,7 +250,9 @@ object SparkEntry {
     * of faulting the dump. */
   def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
     Map("embedding_pca_project" -> (() => Similarity.dynamicOracles(s, d)),
-      "embedding_whiten" -> (() => Similarity.dynamicOracles(s, d)))
+      "embedding_whiten" -> (() => Similarity.dynamicOracles(s, d)),
+      "ann_ivf" -> (() => Similarity.dynamicOracles(s, d)),
+      "ann_lsh" -> (() => Similarity.dynamicOracles(s, d)))
       .flatMap { case (k, thunk) =>
         try thunk().get(k).map(k -> _)
         catch {
@@ -272,6 +280,7 @@ object SparkEntry {
     "citation_mis" -> Seq(col("paper_id")),
     "citation_louvain" -> Seq(col("paper_id")),
     "citation_louvain_stats" -> Seq(col("community")),
+    "citation_louvain_ml" -> Seq(col("paper_id")),
     "citation_random_walks" -> Seq(col("paper_id"), col("walk_id")),
     "citation_counts_ivm" -> Seq(col("paper_id")),
     "citation_bfs_paths" -> Seq(col("paper_id")),

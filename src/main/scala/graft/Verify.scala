@@ -48,6 +48,14 @@ object Verify {
       // blocks must not outlive its dump (graft.Blocks)
       Blocks.sweepAll(spark)
     }
+    // The JVM-side source of truth for gate set-equality: every artifact
+    // built from this dump must enumerate EXACTLY this key set (r13/r14
+    // drift class: late-added queries silently missing from sf0.1 gate +
+    // bench detail). Always the FULL set, even on subset dev dumps — the
+    // contract is SparkEntry.queries, not whatever this run dumped.
+    Files.writeString(Paths.get(s"$outDir/query_keys.json"),
+      SparkEntry.queries.keySet.toSeq.sorted
+        .mkString("[\"", "\", \"", "\"]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -369,8 +369,12 @@ object Citations {
     * N(h) = |{(u, v) : dist(u→v) ≤ h}| for h = 0..maxHops, plus the
     * effective-diameter estimate it exists to compute: the smallest h
     * whose N(h) reaches 90% of the deepest swept ball volume. One row
-    * per hop: (h, pairs_est, frac_of_max, eff_diameter), the last column
-    * the same scalar on every row of the ≤(maxHops+1)-row frame.
+    * per hop: (h, pairs_est, frac_of_max, eff_diameter, horizon_reached),
+    * the last two columns the same scalars on every row of the
+    * ≤(maxHops+1)-row frame. `horizon_reached` is TRUE iff the sweep was
+    * still adding mass at its deepest hop — eff_diameter is then a lower
+    * bound clamped at maxHops, not a converged estimate (the silent-clamp
+    * hole the r13/r14 verdicts flagged).
     * N(0) = |nodes| (every ball starts holding its own id), so the
     * sweep's h = 0 row doubles as an HLL sanity anchor.
     *
@@ -394,6 +398,16 @@ object Citations {
     }
     graft.Blocks.release(balls)
     val nMax = sweep.last._2
+    // HORIZON SIGNAL (r13/r14 verdict directive): frac is normalized to
+    // the DEEPEST SWEPT ball, so the last row is 1.0 ≥ 0.9 by
+    // construction and the find() below can never miss — on a corpus
+    // whose true 90% point lies beyond maxHops the eff_diameter would
+    // silently read maxHops. The sweep converged iff the last hop added
+    // no mass (HLL is a pure function of the ball SET, so equal sets ⇒
+    // equal estimates); when it hasn't, horizon_reached=true flags
+    // eff_diameter as a lower bound clamped at the sweep depth.
+    val horizonReached =
+      maxHops < 1 || sweep(sweep.length - 1)._2 != sweep(sweep.length - 2)._2
     val rows = sweep.toSeq.map { case (h, p) =>
       val frac =
         if (nMax == 0L) 0.0
@@ -403,8 +417,8 @@ object Citations {
     }
     val effDiameter = rows.find(_._3 >= 0.9).map(_._1).getOrElse(maxHops)
     import sp.implicits._
-    rows.map { case (h, p, f) => (h, p, f, effDiameter) }
-      .toDF("h", "pairs_est", "frac_of_max", "eff_diameter")
+    rows.map { case (h, p, f) => (h, p, f, effDiameter, horizonReached) }
+      .toDF("h", "pairs_est", "frac_of_max", "eff_diameter", "horizon_reached")
   }
 
   /** DuckDB twin of [[kTruss]]: the peel unrolled as MATERIALIZED rounds
@@ -2449,6 +2463,250 @@ object Citations {
     val out = louvainStatsShape(labels, und, deg).localCheckpoint()
     graft.Blocks.release(und)
     out
+  }
+
+  /** MULTI-LEVEL Louvain (r13/r14 verdict directive #4) — the coarsening
+    * phase the classic algorithm (Blondel et al. 2008) gains most of its
+    * modularity from on large graphs, on top of the one-level local-move
+    * sweep ([[louvain]]):
+    *
+    *   1. level-1 labels from the cached 4-round LPAm sweep;
+    *   2. COARSEN: communities become supernodes, parallel edges
+    *      collapse to one weighted edge (w = cross-community row count
+    *      of the direction-doubled undirected frame — symmetric by
+    *      construction), self-loops fold into the supernode's weighted
+    *      degree (deg_w(c) = Σ_{i∈c} deg(i), which includes internal
+    *      mass automatically);
+    *   3. re-run the SAME exact-integer modularity-gain sweep on the
+    *      weighted supergraph — identical score algebra with k as
+    *      summed edge WEIGHT and deg as weighted degree; W is unchanged
+    *      (Σ deg_w = Σ deg = 2m), so the 10²⁴ key bound still holds —
+    *      with each round's synchronous candidate ACCEPTED ONLY IF the
+    *      partition-level modularity score improves (see below);
+    *   4. compose: node → level-1 community → level-2 community.
+    *
+    * TWO DETERMINISM GUARDS make the synchronous level-2 sweep behave
+    * like the classic sequential phase. (a) LABEL DESCENT: a supernode
+    * may only move to a community with a smaller label (own label always
+    * stays a candidate) — symmetric pairs otherwise SWAP (A→B while
+    * B→A, partition unchanged) instead of merging; descent leaves
+    * exactly one side of any would-be swap eligible. (b) MONOTONE
+    * ACCEPT: synchronous rounds can still collectively overshoot
+    * (measured on the 24-cycle fixture). Each round therefore
+    * compares the exact-integer partition score
+    *   S(L) = W·Σ_{cross rows internal to L} w − Σ_c tot_c²
+    * (the Q·W² numerator minus the labeling-INVARIANT self-loop term
+    * W·Σ_u sl(u), which cancels in any comparison) and keeps the
+    * candidate only when S strictly improves; a rejected round leaves
+    * the labels unchanged, and because the sweep is deterministic every
+    * later round recomputes the same candidate and rejects it too — the
+    * fixpoint. Since coarsening preserves Q exactly (the identity
+    * supernode labeling IS the level-1 partition), this guarantees
+    * Q(multi-level) ≥ Q(one-level) unconditionally — the invariant
+    * AnalyticsExtraSpec recomputes from scratch. S rides DECIMAL(38,0)/
+    * HUGEINT (W·w and tot² both pass 64 bits near 10¹⁰ edges) and each
+    * probe is two supergraph-bounded aggregates — the graph family's
+    * scalar fixpoint-probe class, ~free at any corpus size.
+    *
+    * The supergraph is bounded by |communities| nodes and min(|und|,
+    * |communities|²) weighted edges — after one level of a real corpus
+    * this is orders of magnitude below |V|, so the level-2 sweep is
+    * nearly free at 100 TB scale (the whole point of coarsening). Both
+    * levels are DEFINED-ROUNDS (4 + 4) like [[lpa]]/[[louvain]], and the
+    * DuckDB twin unrolls the identical schedule INCLUDING the accept
+    * rule (per-round scalar score CTEs gating a conditional union), so
+    * the gate hashes every move AND every accept decision. */
+  def louvainMlFrom(edges: DataFrame, labelsIn: DataFrame,
+                    rounds2: Int = 4): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.where(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .repartition(col("u")).localCheckpoint()
+    val deg = und.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val wTot = und.count() // Σ deg = 2m — invariant under coarsening
+    val labels = labelsIn
+      .select(col("paper_id").as("id"), col("community").as("label"))
+      .localCheckpoint()
+    // coarsen: weighted cross-community edges (direction-doubled, like
+    // und) + weighted supernode degrees. Both frames are detached with
+    // their own checkpoint + re-alias (the DetectAmbiguousSelfJoin
+    // discipline — randomWalks, PLANS.md r13).
+    val lu = labels.select(col("id").as("uid"), col("label").as("cu"))
+    val lv = labels.select(col("id").as("vid"), col("label").as("cv"))
+    val cw = und
+      .join(lu.hint("shuffle_hash"), und("u") === col("uid"))
+      .join(lv.hint("shuffle_hash"), und("v") === col("vid"))
+      .where(col("cu") =!= col("cv"))
+      .groupBy(col("cu").as("u"), col("cv").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .repartition(col("u")).localCheckpoint()
+    val degW = labels.join(deg, Seq("id"))
+      .groupBy(col("label").as("id")).agg(sum(col("deg")).as("deg"))
+      .localCheckpoint()
+    graft.Blocks.release(und)
+    graft.Blocks.release(deg)
+    val offset = lit(new java.math.BigDecimal("1000000000000000000000000"))
+      .cast("decimal(38,0)")
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    // partition score S(L) = W·(internal cross-edge weight) − Σ_c tot_c²
+    // — the Q·W² numerator minus its labeling-invariant self-loop term.
+    // Two supergraph-bounded scalar aggregates; exact BigInt on the
+    // driver (the fixpoint-probe class).
+    def scoreOf(l: DataFrame): BigInt = {
+      val la = l.select(col("id").as("iu"), col("label").as("lcu"))
+      val lb = l.select(col("id").as("iv"), col("label").as("lcv"))
+      val internal = cw
+        .join(la.hint("shuffle_hash"), cw("u") === col("iu"))
+        .join(lb.hint("shuffle_hash"), cw("v") === col("iv"))
+        .where(col("lcu") === col("lcv"))
+        .agg(coalesce(sum(col("w")), lit(0L)))
+        .collect()(0).getLong(0)
+      val totSq = l.join(degW, Seq("id"))
+        .groupBy(col("label")).agg(sum(col("deg")).as("tot"))
+        .agg(sum(dec38(col("tot")) * dec38(col("tot"))))
+        .collect()(0).getDecimal(0)
+      BigInt(wTot) * BigInt(internal) - BigInt(totSq.toBigInteger)
+    }
+    var l2 = degW.select(col("id"), col("id").as("label")).localCheckpoint()
+    var curScore = scoreOf(l2)
+    var lastCut = l2
+    var stalled = false
+    for (_ <- 1 to rounds2 if !stalled) {
+      val sigma = l2.join(degW, Seq("id"))
+        .groupBy(col("label").as("c")).agg(sum(col("deg")).as("tot"))
+      val cand = cw.join(l2.hint("shuffle_hash"), cw("u") === l2("id"))
+        .select(cw("v").as("id"), col("label").as("c"), col("w").as("k"))
+        .unionByName(l2.select(col("id"), col("label").as("c"),
+          lit(0L).as("k")))
+        .repartition(col("id"))
+        .groupBy(col("id"), col("c")).agg(sum(col("k")).as("k"))
+      val scored = cand
+        .join(l2.select(col("id"), col("label").as("own")), Seq("id"))
+        // LABEL DESCENT: a supernode may only move to a SMALLER label
+        // (own always stays a candidate). Synchronous sweeps swap
+        // symmetric pairs (A→B while B→A — the partition doesn't change
+        // and the accept rule rejects forever); descent makes exactly
+        // one side of any would-be swap eligible, so pairs MERGE. The
+        // distributed-Louvain standard (e.g. Sotera's Spark impl uses
+        // the same class of deterministic tie-break); both engines
+        // compare the same VARCHAR order.
+        .where(col("c") <= col("own"))
+        .join(degW, Seq("id"))
+        .join(sigma, Seq("c"))
+        .withColumn("totx", col("tot") -
+          when(col("c") === col("own"), col("deg")).otherwise(lit(0L)))
+        .withColumn("score",
+          dec38(lit(wTot)) * dec38(col("k")) - dec38(col("deg")) * dec38(col("totx")))
+        .withColumn("key",
+          concat(lpad((offset - col("score")).cast("string"), 25, "0"), col("c")))
+      val next = scored.groupBy(col("id")).agg(min(col("key")).as("key"))
+        .select(col("id"), expr("substring(key, 26)").as("label"))
+      val cut = next.localCheckpoint()
+      val candScore = scoreOf(cut)
+      if (candScore > curScore) {
+        graft.Blocks.release(lastCut)
+        lastCut = cut
+        l2 = cut
+        curScore = candScore
+      } else {
+        // deterministic sweep: the same candidate would be recomputed
+        // and rejected by every remaining round — stop (the twin's
+        // remaining unrolled rounds are no-ops by the same rule)
+        graft.Blocks.release(cut)
+        stalled = true
+      }
+    }
+    val out = labels
+      .join(l2.select(col("id").as("l1"), col("label").as("community")),
+        labels("label") === col("l1"))
+      .select(labels("id").as("paper_id"), col("community"))
+      .localCheckpoint()
+    graft.Blocks.release(cw)
+    graft.Blocks.release(degW)
+    graft.Blocks.release(l2)
+    graft.Blocks.release(labels)
+    out
+  }
+
+  /** Standalone multi-level run (fixture/spec path — the query map goes
+    * through [[louvainLabelsCached]] so level 1 is paid once per suite). */
+  def louvainMl(edges: DataFrame, rounds: Int = 4, rounds2: Int = 4): DataFrame = {
+    val l1 = louvain(edges, rounds)
+    louvainMlFrom(edges, l1, rounds2)
+  }
+
+  /** DuckDB twin of [[louvainMl]]: the level-1 CTE body verbatim, then
+    * the coarsened weighted sweep unrolled with the identical HUGEINT
+    * score algebra and 25-wide min-key. */
+  def louvainMlSql(rounds: Int = 4, rounds2: Int = 4): String = {
+    val off = "CAST('1000000000000000000000000' AS HUGEINT)"
+    // S(lab) = W·internal − Σ tot² as a 1-row scalar CTE (the accept rule)
+    def scoreCte(name: String, lab: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT (SELECT wt FROM w) *
+         |         COALESCE((SELECT sum(cw.wt) FROM cw
+         |                   JOIN $lab a ON a.id = cw.u
+         |                   JOIN $lab b ON b.id = cw.v
+         |                              AND b.label = a.label),
+         |                  CAST(0 AS HUGEINT))
+         |       - (SELECT sum(t.tot * t.tot) FROM (
+         |            SELECT CAST(sum(d.deg) AS HUGEINT) AS tot
+         |            FROM $lab l JOIN degw d ON d.id = l.id
+         |            GROUP BY l.label) t) AS s)""".stripMargin
+    val steps = (1 to rounds2).map { i =>
+      s"""gsig$i AS MATERIALIZED (
+         |  SELECT l.label AS c, sum(d.deg) AS tot
+         |  FROM g${i - 1} l JOIN degw d ON d.id = l.id GROUP BY 1),
+         |gcand$i AS MATERIALIZED (
+         |  SELECT id, c, sum(k) AS k FROM (
+         |    SELECT cw.v AS id, q.label AS c, cw.wt AS k
+         |    FROM cw JOIN g${i - 1} q ON q.id = cw.u
+         |    UNION ALL
+         |    SELECT id, label AS c, CAST(0 AS HUGEINT) AS k FROM g${i - 1})
+         |  GROUP BY 1, 2),
+         |gm$i AS MATERIALIZED (
+         |  SELECT x.id, min(concat(lpad(CAST($off -
+         |      (w.wt * x.k - d.deg *
+         |       (s.tot - CASE WHEN x.c = p.label
+         |                     THEN d.deg ELSE CAST(0 AS HUGEINT) END))
+         |    AS VARCHAR), 25, '0'), x.c)) AS key
+         |  FROM gcand$i x
+         |  CROSS JOIN w
+         |  JOIN g${i - 1} p ON p.id = x.id
+         |  JOIN degw d ON d.id = x.id
+         |  JOIN gsig$i s ON s.c = x.c
+         |  WHERE x.c <= p.label
+         |  GROUP BY 1),
+         |h$i AS MATERIALIZED (
+         |  SELECT m.id, substr(m.key, 26) AS label FROM gm$i m),
+         |${scoreCte(s"snew$i", s"h$i")},
+         |${scoreCte(s"sold$i", s"g${i - 1}")},
+         |g$i AS MATERIALIZED (
+         |  SELECT h.id, h.label FROM h$i h
+         |  WHERE (SELECT s FROM snew$i) > (SELECT s FROM sold$i)
+         |  UNION ALL
+         |  SELECT p.id, p.label FROM g${i - 1} p
+         |  WHERE NOT ((SELECT s FROM snew$i) > (SELECT s FROM sold$i)))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${louvainCtes(rounds)},
+       |cw AS MATERIALIZED (
+       |  SELECT a.label AS u, b.label AS v, CAST(count(*) AS HUGEINT) AS wt
+       |  FROM und JOIN l$rounds a ON a.id = und.u
+       |           JOIN l$rounds b ON b.id = und.v
+       |  WHERE a.label <> b.label
+       |  GROUP BY 1, 2),
+       |degw AS MATERIALIZED (
+       |  SELECT l.label AS id, CAST(sum(d.deg) AS HUGEINT) AS deg
+       |  FROM l$rounds l JOIN deg d ON d.id = l.id GROUP BY 1),
+       |g0 AS MATERIALIZED (SELECT id, id AS label FROM degw),
+       |$steps
+       |SELECT l.id AS paper_id, g.label AS community
+       |FROM l$rounds l JOIN g$rounds2 g ON g.id = l.label
+       |ORDER BY paper_id""".stripMargin
   }
 
   /** Per-community rollup of the [[louvain]] partition — the frame a

@@ -665,16 +665,25 @@ object Dedup {
     * DuckDB twin computes the same cross pairs EXACTLY from the shingle
     * sets. The index write lands in the JVM temp dir keyed by dataset —
     * each invocation is the full ingest cycle (index build + probe). */
-  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+  /** Default on-disk slot for a session's fingerprint index (r14 verdict
+    * directive #7 made this a SEAM: both incremental operators take an
+    * injectable `indexPath`, so a Verify/test run can point the write at
+    * its own hermetic tmpdir, or a long-lived session can pin one index
+    * and reuse it across probes). The default is per-DATASET (repeated
+    * invocations in one session reuse the overwrite slot) AND
+    * per-PROCESS (two JVMs running against the same dataset — bench + a
+    * dev-loop verify — never race one writer's overwrite against the
+    * other's probe). */
+  private def defaultIndexPath(prefix: String, d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+
+  def dedupIncremental(s: SparkSession, d: String,
+                       indexPath: Option[String] = None): DataFrame = {
     val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
     val isCorpus = substring(md5(col("doc_id").cast("string")), 1, 1) < "e"
-    // path is per-DATASET (so repeated invocations in one session reuse
-    // the overwrite slot) AND per-PROCESS (so two JVMs running against
-    // the same dataset — bench + a dev-loop verify — never race one
-    // writer's overwrite against the other's probe)
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_fp_index_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    val path = indexPath.getOrElse(defaultIndexPath("graft_fp_index_", d))
     graft.sources.FingerprintIndex.writeIndex(docs.where(isCorpus), path)
     graft.sources.FingerprintIndex.dedupAgainstIndex(s, docs.where(!isCorpus), path)
   }
@@ -686,12 +695,11 @@ object Dedup {
     * corpus/batch split as [[dedupIncremental]]; the df cap computes
     * over corpus ∪ batch, so the emitted cross pairs equal the one-batch
     * operator's exactly (DedupSpec). */
-  def containmentIncremental(s: SparkSession, d: String): DataFrame = {
+  def containmentIncremental(s: SparkSession, d: String,
+                             indexPath: Option[String] = None): DataFrame = {
     val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
     val isCorpus = substring(md5(col("doc_id").cast("string")), 1, 1) < "e"
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_fp_index_cont_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    val path = indexPath.getOrElse(defaultIndexPath("graft_fp_index_cont_", d))
     graft.sources.FingerprintIndex.writeIndex(docs.where(isCorpus), path)
     graft.sources.FingerprintIndex.containmentAgainstIndex(
       s, docs.where(!isCorpus), path)
@@ -753,8 +761,10 @@ object Dedup {
     "dedup_spans" -> (dedupSpans _),
     "contamination_check" -> (contaminationCheck _),
     "contamination_bloom" -> (contaminationBloom _),
-    "dedup_incremental" -> (dedupIncremental _),
-    "containment_incremental" -> (containmentIncremental _)
+    "dedup_incremental" -> ((s: SparkSession, d: String) =>
+      dedupIncremental(s, d)),
+    "containment_incremental" -> ((s: SparkSession, d: String) =>
+      containmentIncremental(s, d))
   )
 
   /** Cluster-labeling twin (reused by [[dedupCanonicalSql]], which wraps

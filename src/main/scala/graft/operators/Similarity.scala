@@ -218,8 +218,9 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
 
-  private[graft] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
-    val rows = centroidCache.computeIfAbsent(d, _ => {
+  private[graft] def trainedCentroidRows(
+      s: SparkSession, d: String): Seq[(Long, Seq[Float])] =
+    centroidCache.computeIfAbsent(d, _ => {
       val e = emb(s, d)
       // one corpus count per dataset (amortized with the training pass)
       // sizes C — see numCentroids for the √n rationale
@@ -229,6 +230,9 @@ object Similarity {
       graft.Blocks.release(trained) // model now lives in this cache
       collected
     })
+
+  private[graft] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val rows = trainedCentroidRows(s, d)
     val sp = s
     import sp.implicits._
     rows.toDF("cid", "ce")
@@ -257,6 +261,74 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** DuckDB cosine over two list columns — the sequential-fold
+    * `list_reduce`/`list_transform` formulation that is bit-identical to
+    * the fused kernel ([[annTopkSql]]'s established form; see
+    * [[graft.functions.CosineSimilarity]]'s numeric contract). Elements
+    * widen FLOAT→DOUBLE exactly as the kernel's `getFloat(i).toDouble`. */
+  private def duckCos(a: String, b: String): String =
+    s"""round(
+       |      list_reduce(list_transform(range(1, len($b) + 1),
+       |                  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(range(1, len($a) + 1),
+       |                  i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform(range(1, len($b) + 1),
+       |                  i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))),
+       |      6)""".stripMargin
+
+  /** DuckDB twin of [[annIvf]], GENERATED against the dataset's trained
+    * coarse quantizer — the [[embeddingPcaProjectSql]] dynamic-twin
+    * precedent applied to the ANN family (r13/r14 verdict directive).
+    * The cached centroids fold in as FLOAT[] VALUES literals
+    * (`Float.toString` is shortest-round-trip, so parse→cast lands the
+    * identical bits) and DuckDB replays the full IVF DECISION chain:
+    * nearest-centroid corpus assignment (argmin on the 6-dp cosine grid,
+    * cid tie-break — `assignClusters`' struct-min ordering), the probe's
+    * nprobe-cluster fan-out (window rank ≤ nprobe), the candidate-pair
+    * union with self-exclusion, and the exact rerank on true cosines.
+    * What the gate then hashes is every assignment and ranking decision
+    * the index made, not a recall floor. */
+  def annIvfSql(s: SparkSession, d: String): String = {
+    val values = trainedCentroidRows(s, d).sortBy(_._1).map { case (cid, ce) =>
+      s"($cid, ${ce.map(_.toString).mkString("[", ", ", "]")}::FLOAT[])"
+    }.mkString(",\n    ")
+    s"""WITH centroids(cid, ce) AS (VALUES
+       |    $values),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |escored AS (
+       |  SELECT vec_id, embedding, cid,
+       |    ${duckCos("ce", "embedding")} AS ccos
+       |  FROM e CROSS JOIN centroids),
+       |corpus AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY ccos DESC, cid) AS rn
+       |    FROM escored) WHERE rn = 1),
+       |pclusters AS (
+       |  SELECT vec_id AS probe_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY ccos DESC, cid) AS rn
+       |    FROM escored WHERE vec_id < $NumProbes) WHERE rn <= $NumProbeClusters),
+       |pv AS (SELECT vec_id AS probe_id, embedding AS pe FROM e
+       |       WHERE vec_id < $NumProbes),
+       |cands AS (
+       |  SELECT DISTINCT p.probe_id, c.vec_id
+       |  FROM pclusters p JOIN corpus c USING (cid)
+       |  WHERE c.vec_id <> p.probe_id),
+       |scored AS (
+       |  SELECT probe_id, c.vec_id,
+       |    ${duckCos("pe", "embedding")} AS cos
+       |  FROM cands c JOIN pv USING (probe_id) JOIN e ON e.vec_id = c.vec_id)
+       |SELECT probe_id, rank, vec_id, cos FROM (
+       |  SELECT probe_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
   }
 
   // 12 bands x 4 bits: for a neighbor at cos 0.5 (θ = 60°, per-bit
@@ -345,6 +417,59 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** DuckDB twin of [[annLsh]] — fully static in principle (the SRP
+    * hyperplanes are a pure splitmix64 function of (plane, dim), no data
+    * access) but dataset-dependent in practice because the plane count is
+    * dim-sized, so it ships through the dynamic-twin channel alongside
+    * [[annIvfSql]]. The 48 plane arrays fold in as FLOAT[] literals and
+    * DuckDB replays every DECISION: the 48 sign bits, the 12 band keys,
+    * the band-bucket candidate join with self-exclusion, and the exact
+    * rerank.
+    *
+    * Sign-bit equivalence: Spark tests `cosine_sim(v, plane) >= 0`; the
+    * twin tests `dot(v, plane) >= 0`. Norms are strictly positive for any
+    * nonzero operand, so the signs agree wherever cos is finite; for a
+    * zero vector Spark's cos is NaN (NaN >= 0 is TRUE in Spark's
+    * NaN-largest ordering) and the twin's dot is 0 (0 >= 0 TRUE) — the
+    * bit agrees there too, so the mapping is total, not just
+    * almost-everywhere. */
+  def annLshSql(s: SparkSession, d: String): String = {
+    val dim = emb(s, d).select(size(col("embedding"))).first().getInt(0)
+    val sigTerms = srpPlanes(dim).zipWithIndex.map { case (p, h) =>
+      val plane = p.map(_.toString).mkString("([", ", ", "]::FLOAT[])")
+      s"""(CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1),
+         |       i -> embedding[i]::DOUBLE * $plane[i]::DOUBLE),
+         |       (x, y) -> x + y) >= 0 THEN ${1L << h} ELSE 0 END)""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |sigged AS (
+       |  SELECT vec_id, embedding,
+       |    ($sigTerms)::BIGINT AS sig
+       |  FROM e),
+       |banded AS (
+       |  SELECT vec_id, t.band,
+       |         (sig >> (t.band * $LshBitsPerBand)) & ${(1 << LshBitsPerBand) - 1} AS key
+       |  FROM sigged CROSS JOIN range(0, $LshBands) t(band)),
+       |pb AS (SELECT vec_id AS probe_id, band, key FROM banded
+       |       WHERE vec_id < $NumProbes),
+       |cands AS (
+       |  SELECT DISTINCT p.probe_id, b.vec_id
+       |  FROM pb p JOIN banded b USING (band, key)
+       |  WHERE b.vec_id <> p.probe_id),
+       |pv AS (SELECT vec_id AS probe_id, embedding AS pe FROM e
+       |       WHERE vec_id < $NumProbes),
+       |scored AS (
+       |  SELECT probe_id, c.vec_id,
+       |    ${duckCos("pe", "embedding")} AS cos
+       |  FROM cands c JOIN pv USING (probe_id) JOIN e ON e.vec_id = c.vec_id)
+       |SELECT probe_id, rank, vec_id, cos FROM (
+       |  SELECT probe_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
   }
 
   // ---------- product quantization (PQ) ----------------------------------
@@ -926,7 +1051,9 @@ object Similarity {
     * twins that must consume a fitted model's literals. */
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
     "embedding_pca_project" -> embeddingPcaProjectSql(s, d),
-    "embedding_whiten" -> embeddingWhitenSql(s, d)
+    "embedding_whiten" -> embeddingWhitenSql(s, d),
+    "ann_ivf" -> annIvfSql(s, d),
+    "ann_lsh" -> annLshSql(s, d)
   )
 
   // ---- clustering & outlier analytics -----------------------------------

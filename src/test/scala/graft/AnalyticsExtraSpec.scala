@@ -954,6 +954,61 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("citation_louvain_ml: coarsened re-sweep refines the partition; modularity never drops") {
+    // exact modularity numerator on the direction-doubled frame:
+    // Q·W² = Σ_c (2·W·in_c − tot_c²) — all-integer, no float compare
+    def qw2(und: Seq[(String, String)], lab: Map[String, String]): BigInt = {
+      val deg = und.groupBy(_._1).view.mapValues(v => BigInt(v.size)).toMap
+      val w = BigInt(und.size)
+      val in2 = und.count(p => lab(p._1) == lab(p._2)) // both directions
+      val byC = lab.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => deg(x._1)).sum).toMap
+      val inByC = und.filter(p => lab(p._1) == lab(p._2))
+        .groupBy(p => lab(p._1)).view.mapValues(v => BigInt(v.size)).toMap
+      require(inByC.values.sum == BigInt(in2))
+      lab.values.toSet.toSeq.map { c: String =>
+        w * inByC.getOrElse(c, BigInt(0)) - byC(c) * byC(c)
+      }.foldLeft(BigInt(0))(_ + _) // 2·W·in_c, in_c = rows/2 ⇒ W·rows_c
+    }
+    def undOf(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.as[(String, String)].collect().filter(p => p._1 != p._2)
+        .flatMap(p => Seq((p._1, p._2), (p._2, p._1))).distinct.toSeq
+
+    // fixture: a 24-cycle. Node-granular one-level moves fragment it
+    // into small arcs; the coarsened sweep merges whole arcs — the
+    // level where the classic algorithm earns its modularity.
+    val cyc = (0 until 24).map(i => (i.toString, ((i + 1) % 24).toString))
+      .toDF("src", "dst")
+    val und = undOf(cyc)
+    val l1 = Citations.louvain(cyc).as[(String, String)].collect().toMap
+    val ml = Citations.louvainMl(cyc).as[(String, String)].collect().toMap
+    assert(ml.keySet === l1.keySet)
+    // the ml partition COARSENS level 1: each l1 community lands whole
+    // inside one ml community (composition is well-defined)
+    l1.toSeq.groupBy(_._2).foreach { case (c1, members) =>
+      val targets = members.map(m => ml(m._1)).toSet
+      assert(targets.size === 1, s"l1 community $c1 split across $targets")
+    }
+    assert(qw2(und, ml) >= qw2(und, l1),
+      s"coarsened sweep lost modularity: ${qw2(und, ml)} < ${qw2(und, l1)}")
+    assert(ml.values.toSet.size < l1.values.toSet.size,
+      "cycle fixture: level 2 must actually merge fragments")
+
+    // real corpus: same composition + no-loss invariants
+    val edges = Citations.edges(spark, sf)
+    val undE = undOf(edges)
+    val l1E = Citations.louvainLabelsCached(spark, sf)
+      .as[(String, String)].collect().toMap
+    val mlE = Citations.louvainMlFrom(edges,
+      Citations.louvainLabelsCached(spark, sf))
+      .as[(String, String)].collect().toMap
+    l1E.toSeq.groupBy(_._2).foreach { case (c1, members) =>
+      assert(members.map(m => mlE(m._1)).toSet.size === 1)
+    }
+    assert(qw2(undE, mlE) >= qw2(undE, l1E),
+      "sf0.001: multi-level modularity below one-level")
+  }
+
   test("citation_random_walks: LCG stepping recompute matches every path; sinks truncate") {
     val edges = Citations.edges(spark, sf)
     val got = Citations.randomWalks(edges).as[(String, Int, Int, String)]

@@ -332,6 +332,15 @@ class DedupSpec extends AnyFunSuite {
     // both directions really occur (near-dup pairs straddling the split
     // emit a row each way; pure subset pairs emit only one)
     assert(inc.exists(r => inc.exists(x => x._1 == r._2 && x._2 == r._1)))
+    // the index-path SEAM (r14 directive #7): an injected hermetic path
+    // is where the index actually lands, and the probe result is
+    // identical — Verify runs and long-lived sessions can own the slot
+    val seam = java.nio.file.Files
+      .createTempDirectory("graft_seam_test").toString + "/idx"
+    val viaSeam = Dedup.containmentIncremental(spark, sf, Some(seam))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaSeam === inc)
+    assert(new java.io.File(seam).exists, "index must land at the injected path")
   }
 
   test("doc_containment blocking is exhaustive-recall on the corpus (df cap drops nothing)") {

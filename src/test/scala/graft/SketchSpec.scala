@@ -199,7 +199,7 @@ class SketchSpec extends AnyFunSuite {
 
   test("citation_neighborhood_fn: swept N(h) within HLL error of the exact pair closure, h <= 3") {
     val got = Citations.neighborhoodFunction(Citations.edges(spark, sf), maxHops = 3)
-      .as[(Int, Long, Double, Int)].collect().sortBy(_._1)
+      .as[(Int, Long, Double, Int, Boolean)].collect().sortBy(_._1)
     assert(got.map(_._1).toSeq === (0 to 3))
     // exact N(h) = |{(u,v): dist(u->v) <= h}| (self-pairs included) by
     // brute-force in-neighbor closure on the collected sf0.001 edges
@@ -216,7 +216,7 @@ class SketchSpec extends AnyFunSuite {
     }
     // (ball_h(v) = ball_{h-1}(v) ∪ ⋃_{u∈in(v)} ball_{h-1}(u) — the
     // HyperBall recurrence — so after h rounds it IS dist(u→v) ≤ h)
-    got.foreach { case (h, est, _, _) =>
+    got.foreach { case (h, est, _, _, _) =>
       val ex = exact.find(_._1 == h).get._2
       assert(math.abs(est - ex).toDouble / ex <= 0.05,
         s"h=$h: estimate $est vs exact $ex drifted > 5%")
@@ -229,6 +229,37 @@ class SketchSpec extends AnyFunSuite {
     assert(got.forall(_._4 == effD))
     val firstHit = got.find(_._3 >= 0.9).map(_._1).getOrElse(3)
     assert(effD === firstHit, s"eff_diameter $effD vs first-0.9 hop $firstHit")
+    // the horizon flag is exactly "the deepest hop still added mass"
+    val grewAtLast = got(3)._2 != got(2)._2
+    assert(got.forall(_._5 == grewAtLast),
+      s"horizon_reached must equal last-hop growth ($grewAtLast)")
+  }
+
+  test("citation_neighborhood_fn: 90% point beyond the sweep raises horizon_reached (r13 directive #5)") {
+    import spark.implicits._
+    // 12-node directed path 1→2→…→12: N(0)=12, N(1)=23, N(2)=33 — still
+    // growing at every swept hop, and the TRUE 90% point (N(∞)=78, 90% =
+    // 70.2 ⇒ h=9) lies far beyond maxHops=2. The old code normalized frac
+    // to the deepest swept ball, so the last row read 1.0 ≥ 0.9 and
+    // eff_diameter silently clamped to maxHops with no signal.
+    val path = (1 to 11).map(i => (i.toString, (i + 1).toString))
+      .toDF("src", "dst")
+    val swept = Citations.neighborhoodFunction(path, maxHops = 2)
+      .as[(Int, Long, Double, Int, Boolean)].collect().sortBy(_._1)
+    assert(swept.map(_._1).toSeq === (0 to 2))
+    // tiny sets: HLL at lgK=12 is exact here
+    assert(swept.map(_._2).toSeq === Seq(12L, 23L, 33L))
+    assert(swept.forall(_._5), "truncated sweep must flag horizon_reached")
+    assert(swept.forall(_._4 == 2), "eff_diameter clamps at maxHops (flagged)")
+    // converged twin: the same path swept PAST its diameter (the last
+    // hop must add nothing, so maxHops = 12 > diameter 11) reports a
+    // trustworthy eff_diameter with the flag DOWN.
+    // N(h) = 12 + h(h+1)/2 + (11-h)h for h ≤ 11: N(7)=68 < 70.2 ≤ N(8)=72
+    val full = Citations.neighborhoodFunction(path, maxHops = 12)
+      .as[(Int, Long, Double, Int, Boolean)].collect().sortBy(_._1)
+    assert(!full.exists(_._5), "converged sweep must not flag horizon")
+    assert(full.last._2 === 78L)
+    assert(full.head._4 === 8, "true 90% point of the 12-path is h=8")
   }
 
 }
