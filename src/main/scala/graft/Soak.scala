@@ -955,6 +955,18 @@ object Soak {
       f"${dc10._1} pairs == 10 × ${dcB._1}, ppm mass ×10 exactly " +
         f"(${tDc}%.1f s)")
 
+    // df-cap observability (r14 advice): the twin mirrors the cap, so
+    // recall loss from df > 64 shingles is invisible to the oracle BY
+    // CONSTRUCTION — this soak probe is where it becomes visible. At
+    // 50k docs every shingle must still sit under the cap (the blocking
+    // is provably lossless here); the measured max df is the committed
+    // headroom number.
+    val (nSh, nOver, maxDf) = Dedup.containmentDfStats(
+      graft.Tables.load(spark, out, "documents"))
+    check("containment_df_cap_50k", nOver == 0L,
+      s"$nSh distinct shingles, 0 over the df=64 cap (max df $maxDf — " +
+        "cap drops nothing at 10x; nonzero here = measurable recall loss)")
+
     // embedding_triplet_mine at 20k vectors (noisy copies — not exact
     // scaling): every stride anchor mines a full triplet, margins live
     // on [-2, 2], and the pass stays one broadcast scan

@@ -344,6 +344,26 @@ object Dedup {
           .as("containment_ppm"))
   }
 
+  /** Observability probe for the df cap (r14 advice): the blocking above
+    * drops a TRUE pair only if every shared shingle has df > dfCap, and
+    * because the twin mirrors the cap the oracle cannot see such a loss
+    * by construction — this probe can. One aggregate over the same
+    * hashed shingle frame: (n_shingles, n_over_cap, max_df). A soak/ops
+    * dashboard watches n_over_cap; while it is 0 the cap is provably
+    * lossless on that corpus (measured: max df 7 at sf0.01, 25 at
+    * sf0.1, 25 at the 10× soak — all far under 64). */
+  private[graft] def containmentDfStats(docsDf: DataFrame,
+                                        dfCap: Int = 64): (Long, Long, Long) = {
+    val dfs = wordShingleRowsFrom(docsDf, 3)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val r = dfs.agg(count(lit(1)),
+      sum(when(col("df") > dfCap, 1L).otherwise(0L)),
+      max(col("df"))).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** DuckDB twin of [[docContainment]] — the same df-capped inverted
     * index blocking (NOT all-pairs: parity by construction, and the
     * sf0.1 gate stays linear-ish instead of joining the quadratic dedup

@@ -1613,6 +1613,19 @@ object EventAnalytics {
         lit("1970-01-01").cast("date")).as("x"), col("event_type"))
       .agg(count(lit(1)).as("y"))
       .localCheckpoint()
+    // DECIMAL(38,0) BUDGET GUARD (r14 advice): determinants grow ~span⁴·n
+    // and Spark's non-ANSI decimal semantics NULL on overflow — past the
+    // documented ~30k-day span the query would emit NULL anchors
+    // silently. Fail loudly instead (one scalar probe on the pinned
+    // frame; the convergence-or-throw discipline).
+    val spanRow = daily.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()(0)
+    if (!spanRow.isNullAt(0)) {
+      val span = spanRow.getInt(1).toLong - spanRow.getInt(0).toLong
+      require(span <= 30000L,
+        s"events_ridge: day span $span exceeds the 30k-day DECIMAL(38,0) " +
+          "determinant budget — rescale t or raise the decimal width")
+    }
     val anchor = daily.agg(min(col("x")).as("x0"))
     val f = daily.crossJoin(broadcast(anchor))
       .select(col("event_type"),

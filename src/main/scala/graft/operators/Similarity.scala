@@ -1106,9 +1106,27 @@ object Similarity {
     * for oracle parity BY CONSTRUCTION: the fit's means live on the
     * round-6 grid ([[trainCentroids]] float discipline), so a recomputed
     * fit is bit-identical to a cached one — unlike [[pcaCache]], which
-    * exists for bit-consistency, this cache exists purely for cost. */
+    * exists for bit-consistency, this cache exists purely for cost.
+    *
+    * IMMUTABLE-DATASET ASSUMPTION (r14 advice): every model cache in
+    * this file (this one, [[pcaCache]], [[centroidCache]]) is keyed by
+    * dataset PATH and never invalidated — the contract is that a path's
+    * contents do not change within one JVM session (true for the
+    * driver's read-only testdata and for production's immutable
+    * partitioned snapshots). A session that rewrites data in place must
+    * call [[clearModelCaches]] or the consumers serve stale models. */
   private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Float]]]()
+
+  /** Explicit invalidation hook for long-lived sessions / tests that
+    * rewrite a dataset path in place (see the immutable-dataset note on
+    * [[kmeansCache]]). */
+  def clearModelCaches(): Unit = {
+    kmeansCache.clear()
+    pcaCache.clear()
+    centroidCache.clear()
+    codebookCache.clear()
+  }
 
   private[graft] def kmeansFitCached(s: SparkSession, d: String,
                                      k: Int = KmK, iters: Int = KmIters): Array[Array[Float]] =

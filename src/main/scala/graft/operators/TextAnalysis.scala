@@ -476,6 +476,7 @@ object TextAnalysis {
        |  SELECT w, count(*) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) BETWEEN 1 AND 32
+       |    AND w NOT LIKE '%{%' AND w NOT LIKE '%}%' AND w NOT LIKE '%''%'
        |  GROUP BY 1),
        |v0 AS MATERIALIZED (
        |  SELECT w, array_to_string(
@@ -490,9 +491,17 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
-  private def bpeWords(s: SparkSession, d: String): DataFrame =
+  /** Trainer word table. Words carrying the `{sym}` representation's
+    * delimiter/quote characters are DROPPED HERE (r14 advice): the
+    * trainers' argmax require() only ever saw the winning pair, so a
+    * '{'/'}'/quote ANYWHERE in the vocabulary silently corrupted the
+    * symbol encoding on both engines (parity held, model wrong). The
+    * twin's wf CTE applies the identical predicate. */
+  private[graft] def bpeWords(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")).between(1, 32))
+      .where(!col("w").contains("{") && !col("w").contains("}") &&
+        !col("w").contains("'"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
   def bpeMerges(s: SparkSession, d: String): DataFrame =
@@ -530,6 +539,12 @@ object TextAnalysis {
     docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")).between(1, 32))
+      // same delimiter exclusion as the trainer's vocabulary (bpeWords):
+      // a '{'/'}'/quote word has no well-formed {sym} representation, so
+      // it is excluded from token accounting on BOTH engines (the twin's
+      // join against v10 drops it naturally)
+      .where(!col("w").contains("{") && !col("w").contains("}") &&
+        !col("w").contains("'"))
       .withColumn("rep", expr(bpeRepExpr(merges)))
       .select(col("doc_id"),
         (length(col("rep")) - length(expr("replace(rep, '{', '')"))).as("t"))
@@ -598,6 +613,7 @@ object TextAnalysis {
        |  SELECT w, count(*) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) BETWEEN 1 AND 32
+       |    AND w NOT LIKE '%{%' AND w NOT LIKE '%}%' AND w NOT LIKE '%''%'
        |  GROUP BY 1),
        |v0 AS MATERIALIZED (
        |  SELECT w, array_to_string(

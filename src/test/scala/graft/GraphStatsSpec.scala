@@ -339,6 +339,17 @@ class GraphStatsSpec extends AnyFunSuite {
       (3, "aa", "ab", 2L)))
   }
 
+  test("bpe trainer vocabulary drops delimiter-carrying words (r14 advice)") {
+    // a '{'/'}'/quote anywhere in the vocabulary used to corrupt the
+    // {sym} representation silently (the require() only saw the winning
+    // pair); the word table now excludes such words up front
+    val got = TextAnalysis.bpeWords(spark, sf)
+    assert(got.where("w LIKE '%{%' OR w LIKE '%}%' OR w LIKE \"%'%\"")
+      .count() === 0L)
+    // and the trainer really trains on the remainder (not vacuous)
+    assert(got.count() > 0L)
+  }
+
   test("bpe_merges: equals a reference Sennrich implementation on sf0.001") {
     import org.apache.spark.sql.functions.{explode, split, length}
     val got = TextAnalysis.bpeMerges(spark, sf)
