@@ -95,6 +95,10 @@ object SparkEntry {
     // stepping — the graph → token-sequence bridge
     "citation_random_walks" -> ((s, d) =>
       Citations.randomWalks(Citations.edges(s, d))),
+    // second-order p/q-biased walk corpus (node2vec) — exact-integer
+    // bias weights, every hop decision deterministic and oracled
+    "citation_node2vec" -> ((s, d) =>
+      Citations.node2vecWalks(Citations.edges(s, d))),
     // the oracle is the FULL recompute: the gate proves the IVM identity
     "citation_counts_ivm" -> ((s, d) =>
       Citations.countsIvm(Citations.edges(s, d))),
@@ -181,6 +185,7 @@ object SparkEntry {
     "citation_louvain_stats" -> Citations.louvainStatsSql(),
     "citation_louvain_ml" -> Citations.louvainMlSql(),
     "citation_random_walks" -> Citations.randomWalksSql(),
+    "citation_node2vec" -> Citations.node2vecWalksSql(),
     "citation_counts_ivm" -> Citations.countsIvmSql,
     "citation_bfs_paths" -> Citations.bfsPathsSql(),
     "citation_betweenness" -> Citations.betweennessSql(),
@@ -282,6 +287,7 @@ object SparkEntry {
     "citation_louvain_stats" -> Seq(col("community")),
     "citation_louvain_ml" -> Seq(col("paper_id")),
     "citation_random_walks" -> Seq(col("paper_id"), col("walk_id")),
+    "citation_node2vec" -> Seq(col("paper_id"), col("walk_id")),
     "citation_counts_ivm" -> Seq(col("paper_id")),
     "citation_bfs_paths" -> Seq(col("paper_id")),
     "citation_betweenness" -> Seq(col("paper_id")),

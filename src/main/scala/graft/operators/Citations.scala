@@ -2907,6 +2907,171 @@ object Citations {
        |GROUP BY 1, 2 ORDER BY paper_id, walk_id""".stripMargin
   }
 
+  /** `citation_node2vec` (oracled): SECOND-ORDER biased walks — the
+    * node2vec sampler (Grover & Leskovec 2016) beside [[randomWalks]]'s
+    * first-order DeepWalk corpus. Standing at `cur` having arrived from
+    * `prev`, each out-neighbor x is weighted by the search bias
+    * α(prev, x): 1/p for the return step (x = prev), 1 when x is also an
+    * out-neighbor of prev (BFS-ish), 1/q otherwise (DFS-ish). p = 2,
+    * q = 1/2 here, scaled by 2pq into the EXACT-INTEGER weights
+    * {return 1, triangle 2, outward 4} — the repo's no-float fixpoint
+    * discipline applied to a sampler. Step 1 has no prev and is the
+    * uniform [[randomWalks]] rule.
+    *
+    * Deterministic choice under weights: candidates sort by dst, the
+    * walker draws r = mix(wid, t, cur) mod Σw (the [[randomWalks]] LCG
+    * mix), and the unique candidate whose cumulative-weight interval
+    * [cum − w, cum) contains r is taken. Both engines compute the same
+    * integer cumsums over the same ordering, so every hop DECISION
+    * hash-oracles — the twin unrolls the hops with identical window
+    * arithmetic.
+    *
+    * Scale shape per step: one shuffle_hash join of the walker frontier
+    * against the pinned neighbor table (the [[randomWalks]] exchange),
+    * one composite-key probe against the detached adjacency frame for
+    * the triangle test (equi-join, never a cartesian), and a per-walker
+    * window whose partition is that walker's candidate list (≤ outdeg —
+    * walkers spread uniformly, so no window skew). No alias tables, no
+    * per-edge-pair precompute: the O(Σ_{(u,v)} deg(u)·deg(v)) transition
+    * matrix production node2vec implementations struggle to materialize
+    * is never built — the bias resolves per step from the adjacency
+    * probe. Sinks truncate walks exactly as [[randomWalks]]. */
+  def node2vecWalks(edges: DataFrame, walks: Int = 2, steps: Int = 4): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst")).distinct()
+    val nb = e.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    // detached re-aliased cut for the triangle probe (the randomWalks
+    // degs discipline — no shared exprIds with nb)
+    val adj = nb.select(col("src").as("asrc"), col("dst").as("adst"))
+      .localCheckpoint()
+    val degs = nb.groupBy(col("src").as("dsrc"))
+      .agg(count(lit(1)).as("ddeg")).localCheckpoint()
+    val ranked = nb.select(col("src"), col("dst"),
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
+          .cast("long").as("rank"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // step 1: uniform (no prev) — the randomWalks rule
+    var state = nodes.select(col("id").as("start"),
+        explode(expr(s"sequence(0, ${walks - 1})")).as("wid"))
+      .withColumn("cur", col("start"))
+      .localCheckpoint()
+    val visited = scala.collection.mutable.ArrayBuffer(
+      state.select(col("start"), col("wid"), lit(0).as("step"),
+        col("cur").as("node")))
+    val cuts = scala.collection.mutable.ArrayBuffer(state)
+    val want1 = (pmod(col("wid").cast("long") * lit(1000003L) + lit(7919L)
+      + col("cur").cast("long") * lit(31L), col("ddeg")) + 1L).as("want")
+    val s1 = state.join(degs, state("cur") === degs("dsrc"))
+      .select(col("start"), col("wid"), col("cur"), want1)
+    state = s1.join(ranked.hint("shuffle_hash"),
+        s1("cur") === ranked("src") && s1("want") === ranked("rank"))
+      .select(col("start"), col("wid"), s1("cur").as("prev"),
+        ranked("dst").as("cur"))
+      .localCheckpoint()
+    cuts += state
+    visited += state.select(col("start"), col("wid"), lit(1).as("step"),
+      col("cur").as("node"))
+    for (t <- 2 to steps) {
+      val cands = state.join(nb.hint("shuffle_hash"), state("cur") === nb("src"))
+        .select(col("start"), col("wid"), col("prev"), col("cur"),
+          nb("dst").as("nxt"))
+        .join(adj, col("prev") === col("asrc") && col("nxt") === col("adst"),
+          "left_outer")
+        .select(col("start"), col("wid"), col("prev"), col("cur"), col("nxt"),
+          when(col("nxt") === col("prev"), lit(1L))
+            .when(col("adst").isNotNull, lit(2L))
+            .otherwise(lit(4L)).as("wt"))
+      val wWalk = Window.partitionBy(col("start"), col("wid"))
+      val cum = cands
+        .withColumn("cum", sum(col("wt")).over(wWalk.orderBy(col("nxt"))))
+        .withColumn("tot", sum(col("wt")).over(wWalk))
+        .withColumn("r", pmod(col("wid").cast("long") * lit(1000003L)
+          + lit(t.toLong * 7919L) + col("cur").cast("long") * lit(31L),
+          col("tot")))
+      state = cum
+        .where(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+        .select(col("start"), col("wid"), col("cur").as("prev"),
+          col("nxt").as("cur"))
+        .localCheckpoint()
+      cuts += state
+      visited += state.select(col("start"), col("wid"), lit(t).as("step"),
+        col("cur").as("node"))
+    }
+    val out = visited.reduce(_ unionByName _)
+      .groupBy(col("start"), col("wid"))
+      .agg(max(col("step")).as("n_steps"),
+        array_join(expr("transform(sort_array(collect_list(struct(step, node)))," +
+          " x -> x.node)"), "->").as("path"))
+      .select(col("start").as("paper_id"), col("wid").as("walk_id"),
+        col("n_steps"), col("path"))
+      .localCheckpoint()
+    cuts.foreach(graft.Blocks.release)
+    Seq(nb, adj, degs, ranked).foreach(graft.Blocks.release)
+    out
+  }
+
+  /** DuckDB twin of [[node2vecWalks]] — unrolled hops, identical integer
+    * bias weights, cumsum windows and LCG draw. */
+  def node2vecWalksSql(walks: Int = 2, steps: Int = 4): String = {
+    val hops = (2 to steps).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT s.start, s.wid, s.prev, s.cur, nb.dst AS nxt,
+         |         CASE WHEN nb.dst = s.prev THEN 1
+         |              WHEN a.asrc IS NOT NULL THEN 2
+         |              ELSE 4 END AS wt
+         |  FROM s${t - 1} s JOIN nb ON nb.src = s.cur
+         |  LEFT JOIN adj a ON a.asrc = s.prev AND a.adst = nb.dst),
+         |w$t AS MATERIALIZED (
+         |  SELECT start, wid, prev, cur, nxt, wt,
+         |         sum(wt) OVER (PARTITION BY start, wid ORDER BY nxt) AS cum,
+         |         sum(wt) OVER (PARTITION BY start, wid) AS tot
+         |  FROM c$t),
+         |s$t AS MATERIALIZED (
+         |  SELECT start, wid, cur AS prev, nxt AS cur FROM w$t
+         |  WHERE ((wid * 1000003 + $t * 7919 + CAST(cur AS BIGINT) * 31)
+         |         % tot + tot) % tot
+         |        BETWEEN cum - wt AND cum - 1),
+         |v$t AS (SELECT start, wid, $t AS step, cur AS node FROM s$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map(t => s"SELECT * FROM v$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS src,
+       |         CAST(l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |  WHERE CAST(l_orderkey AS VARCHAR) <> CAST(l_partkey AS VARCHAR)),
+       |nb AS MATERIALIZED (SELECT src, dst FROM e),
+       |adj AS MATERIALIZED (SELECT src AS asrc, dst AS adst FROM e),
+       |ranked AS MATERIALIZED (
+       |  SELECT src, dst,
+       |         row_number() OVER (PARTITION BY src ORDER BY dst) AS rank,
+       |         count(*) OVER (PARTITION BY src) AS outdeg
+       |  FROM e),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |s0 AS MATERIALIZED (
+       |  SELECT id AS start, w.wid, id AS cur
+       |  FROM nodes CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${walks - 1})) AS wid) w),
+       |v0 AS (SELECT start, wid, 0 AS step, cur AS node FROM s0),
+       |s1 AS MATERIALIZED (
+       |  SELECT p.start, p.wid, p.cur AS prev, r.dst AS cur
+       |  FROM s0 p JOIN ranked r ON r.src = p.cur
+       |   AND r.rank = ((p.wid * 1000003 + 7919
+       |                  + CAST(p.cur AS BIGINT) * 31) % r.outdeg
+       |                 + r.outdeg) % r.outdeg + 1),
+       |v1 AS (SELECT start, wid, 1 AS step, cur AS node FROM s1),
+       |$hops
+       |SELECT start AS paper_id, CAST(wid AS INT) AS walk_id,
+       |       CAST(max(step) AS INT) AS n_steps,
+       |       string_agg(node, '->' ORDER BY step) AS path
+       |FROM ($unions)
+       |GROUP BY 1, 2 ORDER BY paper_id, walk_id""".stripMargin
+  }
+
   /** DuckDB twin of [[louvainStats]]. */
   def louvainStatsSql(rounds: Int = 4): String =
     s"""${louvainCtes(rounds)},

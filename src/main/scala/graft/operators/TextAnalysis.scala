@@ -1354,6 +1354,140 @@ object TextAnalysis {
 
   def langId(s: SparkSession, d: String): DataFrame = langIdFrom(docs(s, d))
 
+  /** `lang_id_fasttext` (oracled): a SUPERVISED bag-of-features linear
+    * classifier in the fastText mold (Joulin et al. 2016) beside the
+    * marker-word [[langId]] heuristic — features are word unigrams PLUS
+    * the char 3-grams of each boundary-marked word (`<w>`, fastText's
+    * subword signature), and the linear model is fit in closed form as
+    * multinomial Naive Bayes on the corpus's own labels (the NB-SVM
+    * baseline family): per class, logP(f|c) = ln((cnt+1)/(tot_c+V))
+    * Laplace-smoothed, prior ln(n_c/N), prediction the argmax of
+    * prior + Σ_f k_f·logP(f|c). NB IS a linear classifier over these
+    * counts, so this is the exactly-computable stand-in for the
+    * SGD-trained softmax (no float training loop to replicate).
+    *
+    * Float discipline ([[qualityBigramLogprob]]'s): each ln of an
+    * exact-integer ratio rounds to 9 dp into DECIMAL(18,9); per-doc
+    * accumulation is k(DECIMAL 18,0)·logp summed EXACTLY, so scores
+    * have zero summation-order exposure and the argmax tie-break
+    * (score DESC, lang ASC) is deterministic on both engines.
+    *
+    * Scale shape: ONE corpus scan explodes (doc, feature, k); the model
+    * (class × feature counts) re-aggregates from those rows; scoring
+    * fans each doc-feature row out by the |langs|-row broadcast class
+    * table and left-probes the model hash-partitioned on (lang, f) —
+    * unseen (lang, f) pairs score at the smoothed floor via coalesce,
+    * never materializing the dense |V|×|langs| matrix. Nothing
+    * corpus-sized crosses a single partition; the argmax is the
+    * min-struct map-side-combinable aggregate. */
+  def langIdFasttext(s: SparkSession, d: String): DataFrame =
+    langIdFasttextFrom(docs(s, d))
+
+  /** Core over any (doc_id, lang, text) frame — the [[langIdFrom]]
+    * seam, so the spec can feed a hand-checkable fixture. */
+  def langIdFasttextFrom(input: DataFrame): DataFrame = {
+    val docsIn = input.localCheckpoint() // one cut: 3 readers below
+    val base = docsIn
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), w -> length(w) >= 1)").as("ws"))
+    val dfk = base
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """flatten(transform(ws, x -> concat(
+          |  array(concat('W:', x)),
+          |  transform(sequence(1, length(x)),
+          |            i -> concat('C:', substring(concat('<', x, '>'), i, 3))))))"""
+          .stripMargin)).as("f"))
+      .groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // one corpus scan feeds trainer + scorer
+    val clf = dfk.groupBy(col("lang").as("clang"), col("f"))
+      .agg(sum(col("k")).as("c"))
+    val nd = docsIn.groupBy(col("lang").as("clang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val ndAll = docsIn.agg(count(lit(1)).as("n_all"))
+    val vocab = clf.agg(count_distinct(col("f")).as("vsz"))
+    val classes = clf.groupBy(col("clang")).agg(sum(col("c")).as("tot"))
+      .join(nd, Seq("clang"))
+      .crossJoin(ndAll)
+      .select(col("clang"), col("tot"),
+        round(log(col("n_docs").cast("double") / col("n_all").cast("double")), 9)
+          .cast("decimal(18,9)").as("prior"))
+    val terms = dfk
+      .crossJoin(broadcast(classes))
+      .join(clf, Seq("clang", "f"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"), col("clang"), col("prior"),
+        (col("k").cast("decimal(18,0)") *
+          round(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double")
+            / (col("tot") + col("vsz")).cast("double")), 9)
+            .cast("decimal(18,9)")).as("term"))
+    val scores = terms
+      .groupBy(col("doc_id"), col("lang"), col("clang"))
+      // sum is DECIMAL(38,9); adding the (18,9) prior would need p39 and
+      // Spark's precision-loss rule silently drops to scale 8 (a 1e-9
+      // drift vs the twin, measured at sf0.01). The value is ≤10⁶, so
+      // bounding the sum to (30,9) keeps the add exact at scale 9.
+      .agg((first(col("prior"))
+        + sum(col("term")).cast("decimal(30,9)")).as("score"))
+    scores
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("clang").as("cl"))).as("m"))
+      // round the EXACT decimal, then cast: rounding after the double
+      // cast diverges on half-way scores (a 9-dp decimal ending in 500
+      // at the 6-dp boundary — measured at sf0.01 doc 201)
+      .select(col("doc_id"), col("m.cl").as("pred_lang"),
+        round(-col("m.ns"), 6).cast("double").as("score"),
+        (col("m.cl") === col("lang")).as("is_match"))
+  }
+
+  val langIdFasttextSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split(text, ' '), w -> len(w) >= 1) AS ws
+      |  FROM documents),
+      |dfk AS (
+      |  SELECT doc_id, lang, f, count(*) AS k FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(flatten(list_transform(ws, x -> list_concat(
+      |        ['W:' || x],
+      |        list_transform(range(1, len(x) + 1),
+      |                       i -> 'C:' || ('<' || x || '>')[i:i+2]))))) AS f
+      |    FROM base)
+      |  GROUP BY 1, 2, 3),
+      |clf AS (SELECT lang AS clang, f, CAST(sum(k) AS BIGINT) AS c
+      |        FROM dfk GROUP BY 1, 2),
+      |nd AS (SELECT lang AS clang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |ndall AS (SELECT count(*) AS n_all FROM documents),
+      |vocab AS (SELECT count(DISTINCT f) AS vsz FROM clf),
+      |classes AS (
+      |  SELECT clang, tot,
+      |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE)), 9)
+      |         AS DECIMAL(18,9)) AS prior
+      |  FROM (SELECT clang, CAST(sum(c) AS BIGINT) AS tot FROM clf GROUP BY 1)
+      |  JOIN nd USING (clang), ndall),
+      |terms AS (
+      |  SELECT doc_id, lang, cl.clang, cl.prior,
+      |    CAST(k AS DECIMAL(18,0)) *
+      |    CAST(round(ln(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+      |                  / CAST(cl.tot + v.vsz AS DOUBLE)), 9)
+      |         AS DECIMAL(18,9)) AS term
+      |  FROM dfk
+      |  CROSS JOIN classes cl
+      |  LEFT JOIN clf m ON m.clang = cl.clang AND m.f = dfk.f
+      |  CROSS JOIN vocab v),
+      |scores AS (
+      |  SELECT doc_id, lang, clang,
+      |         any_value(prior) + CAST(sum(term) AS DECIMAL(30,9)) AS score
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT doc_id, clang AS pred_lang,
+      |       CAST(round(score, 6) AS DOUBLE) AS score,
+      |       (clang = lang) AS is_match
+      |FROM (SELECT doc_id, lang, clang, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |                                ORDER BY score DESC, clang) AS rn
+      |      FROM scores)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Lang-id confusion matrix — the EVAL query a pipeline runs after any
     * classifier stage: one row per (label, prediction) cell. Same
     * prediction subtree as [[langId]] (per-row projection), then one
@@ -2666,6 +2800,7 @@ object TextAnalysis {
     "quality_repetition" -> (qualityRepetition _),
     "pii_redact" -> (piiRedact _),
     "lang_id" -> (langId _),
+    "lang_id_fasttext" -> (langIdFasttext _),
     "lang_id_eval" -> (langIdEval _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_winnowing" -> (docWinnowing _),
@@ -2709,6 +2844,7 @@ object TextAnalysis {
     "quality_repetition" -> qualityRepetitionSql,
     "pii_redact" -> piiRedactSql,
     "lang_id" -> langIdSql,
+    "lang_id_fasttext" -> langIdFasttextSql,
     "lang_id_eval" -> langIdEvalSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_winnowing" -> docWinnowingSql,
@@ -2747,6 +2883,7 @@ object TextAnalysis {
     "quality_repetition" -> Seq(col("doc_id")),
     "pii_redact" -> Seq(col("doc_id")),
     "lang_id" -> Seq(col("doc_id")),
+    "lang_id_fasttext" -> Seq(col("doc_id")),
     "lang_id_eval" -> Seq(col("lang"), col("pred_lang")),
     "doc_fingerprint" -> Seq(col("doc_id")),
     "doc_winnowing" -> Seq(col("doc_id"), col("pos")),

@@ -1039,6 +1039,56 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 == 4), "no walk reached full length")
   }
 
+  test("citation_node2vec: second-order bias recompute matches every path; bias is not a no-op") {
+    val edges = Citations.edges(spark, sf)
+    val got = Citations.node2vecWalks(edges).as[(String, Int, Int, String)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val e = edges.as[(String, String)].collect()
+      .filter(p => p._1 != p._2).distinct
+    val nbs = e.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.toVector).toMap
+    val adjSet = e.toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val exp = (for { n <- nodes; w <- 0 until 2 } yield {
+      var prev = n
+      var cur = n
+      val path = scala.collection.mutable.ArrayBuffer(n)
+      var alive = nbs.contains(cur)
+      if (alive) { // step 1: uniform, the randomWalks rule
+        val ns = nbs(cur)
+        val m = ns.length.toLong
+        val idx = ((w * 1000003L + 7919L + cur.toLong * 31L) % m + m) % m
+        prev = cur; cur = ns(idx.toInt); path += cur
+      }
+      var t = 2
+      while (t <= 4 && alive) nbs.get(cur) match {
+        case Some(ns) =>
+          // α(prev, x) scaled to integers: return 1, triangle 2, out 4
+          val ws = ns.map(x =>
+            if (x == prev) 1L else if (adjSet((prev, x))) 2L else 4L)
+          val tot = ws.sum
+          val r = ((w * 1000003L + t * 7919L + cur.toLong * 31L) % tot
+            + tot) % tot
+          var acc = 0L
+          var pick = -1
+          for (i <- ns.indices if pick < 0) {
+            acc += ws(i); if (r < acc) pick = i
+          }
+          prev = cur; cur = ns(pick); path += cur; t += 1
+        case None => alive = false
+      }
+      (n, w) -> ((path.length - 1, path.mkString("->")))
+    }).toMap
+    assert(got.size === exp.size)
+    assert(got === exp)
+    assert(got.values.exists(_._1 == 4), "no walk reached full length")
+    // the p/q bias must genuinely diverge from the first-order corpus
+    val rw = Citations.randomWalks(edges).as[(String, Int, Int, String)]
+      .collect().map(r => (r._1, r._2) -> r._4).toMap
+    assert(exp.exists { case (k, (_, p)) => rw(k) != p },
+      "node2vec bias is a no-op on the fixture corpus")
+  }
+
   test("citation_lpa: plurality fixture with tie-break; deterministic across repartition") {
     // star around hub H: leaves adopt H's plurality-of-one label... round 1:
     // every leaf's only neighbor is H (label H), H sees 4 leaf labels all

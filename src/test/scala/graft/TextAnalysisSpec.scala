@@ -311,6 +311,81 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) === (("zh", true)))
   }
 
+  test("lang_id_fasttext: exact NB recompute matches; supervised model beats the prior baseline") {
+    val got = TextAnalysis.langIdFasttext(spark, sf)
+      .as[(Long, String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val corpus = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    // identical feature extraction: word unigram + boundary-marked char
+    // trigrams (multiset)
+    def feats(t: String): Seq[String] = t.split(" ", -1).filter(_.nonEmpty)
+      .toSeq.flatMap { w =>
+        val m = "<" + w + ">"
+        ("W:" + w) +: (1 to w.length).map(i => "C:" + m.substring(i - 1, i + 2))
+      }
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    def r9(x: Double): JBD =
+      new JBD(x).setScale(9, RoundingMode.HALF_UP)
+    val byDoc = corpus.map(c => (c._1, c._2, feats(c._3)))
+    val clf = byDoc.flatMap(c => c._3.map(f => (c._2, f)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = clf.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val vsz = clf.keySet.map(_._2).size.toLong
+    val langs = corpus.map(_._2).distinct.sorted
+    val nByLang = corpus.groupBy(_._2).view.mapValues(_.length).toMap
+    val prior = langs.map(l =>
+      l -> r9(math.log(nByLang(l).toDouble / corpus.length))).toMap
+    val exp = byDoc.map { case (id, lang, fs) =>
+      val kf = fs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val scored = langs.map { l =>
+        val s = kf.foldLeft(prior(l)) { case (acc, (f, k)) =>
+          val c = clf.getOrElse((l, f), 0L)
+          val lp = r9(math.log((c + 1).toDouble / (tot(l) + vsz).toDouble))
+          acc.add(lp.multiply(new JBD(k)))
+        }
+        (l, s)
+      }
+      val (pl, ps) = scored.minBy { case (l, s) => (s.negate, l) }(
+        Ordering.Tuple2(Ordering.by((b: JBD) => BigDecimal(b)), Ordering.String))
+      id -> ((pl,
+        ps.setScale(6, RoundingMode.HALF_UP).doubleValue(),
+        pl == lang))
+    }.toMap
+    assert(got.size === exp.size)
+    assert(got === exp)
+    // (no corpus accuracy assertion: the synthetic corpus draws the SAME
+    // vocabulary for every lang — the label is independent of the text
+    // by construction, so resubstitution accuracy is chance for any
+    // classifier; separability is asserted on the fixture below)
+  }
+
+  test("lang_id_fasttext: separable fixture classifies perfectly, subwords carry OOV-ish words") {
+    val fixtures = Seq(
+      (1L, "en", "the cat sat on the mat and the dog barked"),
+      (2L, "en", "a cat and a dog sat by the window"),
+      (3L, "de", "der hund und die katze sitzen in dem haus"),
+      (4L, "de", "die katze sieht den hund in der nacht"),
+      (5L, "es", "el perro y el gato estan en la casa"),
+      (6L, "es", "la casa del gato es grande y bonita")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.langIdFasttextFrom(fixtures)
+      .as[(Long, String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got.size === 6)
+    assert(got.values.forall(_._2), s"fixture not perfectly classified: $got")
+    // subword evidence: a doc of morphological variants never seen as
+    // whole words (katzen/hunden share trigrams with katze/hund) still
+    // lands on de — the fastText subword rationale
+    val oov = Seq((7L, "de", "katzen hunden hauses"))
+      .toDF("doc_id", "lang", "text")
+    val withOov = TextAnalysis.langIdFasttextFrom(fixtures.unionByName(oov))
+      .as[(Long, String, Double, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(withOov(7L) === "de", s"subword evidence failed: ${withOov(7L)}")
+  }
+
   test("lang_id is total and deterministic on the corpus") {
     val a = TextAnalysis.langId(spark, sf).collect()
     val b = TextAnalysis.langId(spark, sf).collect()
