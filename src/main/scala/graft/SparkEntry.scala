@@ -257,7 +257,11 @@ object SparkEntry {
     Map("embedding_pca_project" -> (() => Similarity.dynamicOracles(s, d)),
       "embedding_whiten" -> (() => Similarity.dynamicOracles(s, d)),
       "ann_ivf" -> (() => Similarity.dynamicOracles(s, d)),
-      "ann_lsh" -> (() => Similarity.dynamicOracles(s, d)))
+      "ann_lsh" -> (() => Similarity.dynamicOracles(s, d)),
+      "ann_pq" -> (() => Similarity.dynamicOracles(s, d)),
+      "ann_ivf_pq" -> (() => Similarity.dynamicOracles(s, d)),
+      "corpus_bitext_mine_ann" -> (() => Similarity.dynamicOracles(s, d)),
+      "dedup_embedding" -> (() => Similarity.dynamicOracles(s, d)))
       .flatMap { case (k, thunk) =>
         try thunk().get(k).map(k -> _)
         catch {

@@ -545,14 +545,18 @@ object Similarity {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Float])]]()
 
-  private def trainedCodebooks(s: SparkSession, d: String): DataFrame = {
-    val rows = codebookCache.computeIfAbsent(d, _ => {
+  private[graft] def trainedCodebookRows(
+      s: SparkSession, d: String): Seq[(Int, Int, Seq[Float])] =
+    codebookCache.computeIfAbsent(d, _ => {
       val trained = trainCodebooks(emb(s, d))
       val collected = trained.collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2))).toSeq
       graft.Blocks.release(trained) // model now lives in this cache
       collected
     })
+
+  private def trainedCodebooks(s: SparkSession, d: String): DataFrame = {
+    val rows = trainedCodebookRows(s, d)
     val sp = s
     import sp.implicits._
     rows.toDF("m", "code", "ce")
@@ -589,12 +593,25 @@ object Similarity {
     * policy cannot drift between the two. Sum-aggregates with map-side
     * combine; the per-probe top-N plans as WindowGroupLimit. */
   private def adcShortlist(scored: DataFrame, probes: DataFrame): DataFrame = {
+    // the M partial dots fold in SUBSPACE ORDER (collect → sort by m →
+    // sequential fold), not via sum(): a float sum's order is partition-
+    // dependent, so near-tied candidates at the shortlist boundary could
+    // rank differently run-to-run and engine-to-engine — the ordered
+    // fold makes the ADC score a pure function of the model and the
+    // codes, which is what lets the DuckDB twin replay the SHORTLIST
+    // decision exactly (r15: ann_pq/ann_ivf_pq graduated from rows-only
+    // to hash-oracled on this). The aggregation buffer grows from 2
+    // doubles to M=8 structs — still O(M), map-side combinable.
     val adc = scored
       .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .agg(array_sort(collect_list(
+        struct(col("m"), col("pdot"), col("cn2")))).as("parts"))
       .join(broadcast(probeNorms(probes)), Seq("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        (col("adot") / (col("pn") * sqrt(col("an2")))).as("adc"))
+        (expr("aggregate(parts, CAST(0 AS DOUBLE), (acc, p) -> acc + p.pdot)")
+          / (col("pn") *
+            sqrt(expr("aggregate(parts, CAST(0 AS DOUBLE), (acc, p) -> acc + p.cn2)"))))
+          .as("adc"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     adc.withColumn("arank", row_number().over(wAdc))
@@ -648,6 +665,139 @@ object Similarity {
       .where(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
+
+  /** DuckDB l2_sq twin — the sequential (x−y)² fold matching
+    * [[graft.functions.L2SqDistance]]'s numeric contract. */
+  private def duckL2(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($b) + 1),
+       |      i -> ($a[i]::DOUBLE - $b[i]::DOUBLE)
+       |         * ($a[i]::DOUBLE - $b[i]::DOUBLE)), (x, y) -> x + y)"""
+      .stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($b) + 1),
+       |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"""
+      .stripMargin
+
+  /** Shared DuckDB twin body for [[annPq]] / [[annIvfPq]] (r14 verdict
+    * directive: the [[annIvfSql]] dynamic-twin pattern extended to the
+    * PQ family). The trained codebooks fold in as FLOAT[] VALUES
+    * literals and DuckDB replays every DECISION: per-subspace corpus
+    * encoding (argmin L2 on the kernel-identical fold, code tie-break),
+    * the probe ADC tables, the m-ORDERED partial-dot fold (see
+    * [[adcShortlist]] — this ordering is what makes the ADC score a
+    * pure function, replayable at all), the top-[[PqRerank]] shortlist
+    * cut, and the exact cosine rerank. `ivf = true` additionally folds
+    * the coarse-quantizer centroids in and prunes candidates to the
+    * probe's nprobe clusters first (the IVFADC composition). */
+  private def pqTwinSql(s: SparkSession, d: String, ivf: Boolean): String = {
+    val bookValues = trainedCodebookRows(s, d)
+      .sortBy(r => (r._1, r._2)).map { case (m, code, ce) =>
+        s"($m, $code, ${ce.map(_.toString).mkString("[", ", ", "]")}::FLOAT[])"
+      }.mkString(",\n    ")
+    val candsCte =
+      if (!ivf) "" // whole-corpus ADC: scored joins codes × adct directly
+      else {
+        val centroidValues = trainedCentroidRows(s, d).sortBy(_._1)
+          .map { case (cid, ce) =>
+            s"($cid, ${ce.map(_.toString).mkString("[", ", ", "]")}::FLOAT[])"
+          }.mkString(",\n    ")
+        s"""centroids(cid, cce) AS (VALUES
+           |    $centroidValues),
+           |escored AS (
+           |  SELECT vec_id, cid,
+           |    ${duckCos("cce", "embedding")} AS ccos
+           |  FROM e CROSS JOIN centroids),
+           |corpus AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY ccos DESC, cid) AS rn
+           |    FROM escored) WHERE rn = 1),
+           |pclusters AS (
+           |  SELECT vec_id AS probe_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY ccos DESC, cid) AS rn
+           |    FROM escored WHERE vec_id < $NumProbes)
+           |  WHERE rn <= $NumProbeClusters),
+           |cands AS (
+           |  SELECT DISTINCT p.probe_id, c.vec_id
+           |  FROM pclusters p JOIN corpus c USING (cid)
+           |  WHERE c.vec_id <> p.probe_id)"""
+          .stripMargin
+      }
+    val scoredCte =
+      if (!ivf)
+        """scored AS (
+          |  SELECT a.probe_id, c.vec_id, a.m, a.pdot, a.cn2
+          |  FROM codes c JOIN adct a USING (m, code)
+          |  WHERE c.vec_id <> a.probe_id)""".stripMargin
+      else
+        """scored AS (
+          |  SELECT k.probe_id, k.vec_id, a.m, a.pdot, a.cn2
+          |  FROM cands k
+          |  JOIN codes c USING (vec_id)
+          |  JOIN adct a ON a.probe_id = k.probe_id
+          |            AND a.m = c.m AND a.code = c.code)""".stripMargin
+    s"""WITH books(m, code, ce) AS (VALUES
+       |    $bookValues),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |${if (ivf) candsCte + "," else ""}
+       |subs AS (
+       |  SELECT vec_id, t.m,
+       |         embedding[t.m * $PqSub + 1 : t.m * $PqSub + $PqSub] AS sub
+       |  FROM e CROSS JOIN range(0, $PqM) t(m)),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, b.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${duckL2("s.sub", "b.ce")} ASC, b.code ASC) AS rn
+       |    FROM subs s JOIN books b ON b.m = s.m) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM e
+       |           WHERE vec_id < $NumProbes),
+       |psubs AS (
+       |  SELECT probe_id, t.m,
+       |         pe[t.m * $PqSub + 1 : t.m * $PqSub + $PqSub] AS sub
+       |  FROM probes CROSS JOIN range(0, $PqM) t(m)),
+       |adct AS (
+       |  SELECT probe_id, p.m, b.code,
+       |         ${duckDot("p.sub", "b.ce")} AS pdot,
+       |         ${duckDot("b.ce", "b.ce")} AS cn2
+       |  FROM psubs p JOIN books b ON b.m = p.m),
+       |pn AS (SELECT probe_id, sqrt(${duckDot("pe", "pe")}) AS pn FROM probes),
+       |$scoredCte,
+       |adc AS (
+       |  SELECT s.probe_id, s.vec_id,
+       |    list_reduce(list_transform(parts, x -> x.pdot), (a, b) -> a + b)
+       |      / (pn.pn * sqrt(list_reduce(list_transform(parts, x -> x.cn2),
+       |                                  (a, b) -> a + b))) AS adc
+       |  FROM (SELECT probe_id, vec_id,
+       |          list_sort(list(struct_pack(m := m, pdot := pdot,
+       |                                     cn2 := cn2))) AS parts
+       |        FROM scored GROUP BY 1, 2) s
+       |  JOIN pn USING (probe_id)),
+       |shortlist AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY adc DESC, vec_id) AS arank
+       |    FROM adc) WHERE arank <= $PqRerank),
+       |rer AS (
+       |  SELECT sl.probe_id, sl.vec_id,
+       |    ${duckCos("p.pe", "e.embedding")} AS cos
+       |  FROM shortlist sl JOIN e ON e.vec_id = sl.vec_id
+       |  JOIN probes p USING (probe_id))
+       |SELECT probe_id, rank, vec_id, cos FROM (
+       |  SELECT probe_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM rer)
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  }
+
+  def annPqSql(s: SparkSession, d: String): String = pqTwinSql(s, d, ivf = false)
+  def annIvfPqSql(s: SparkSession, d: String): String = pqTwinSql(s, d, ivf = true)
 
   /** IVF-PQ — the composed billion-scale index layout (Jégou et al.'s
     * IVFADC): the coarse quantizer prunes the candidate set to the
@@ -703,6 +853,39 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"), expr(cosFused("ea", "eb")).as("cos"))
       .where(col("cos") >= 0.45)
+  }
+
+  /** DuckDB twin of [[dedupEmbedding]] (dynamic — centroid literals):
+    * the top-2 cell assignment, cell-sharing pair block (distinct —
+    * pairs can share both cells), exact cosine, 0.45 gate. With this the
+    * emitted PAIR SET hash-oracles; recall vs all-pairs stays the
+    * SimilaritySpec measurement (the twin mirrors the blocking by
+    * design, like the docContainment cap). */
+  def dedupEmbeddingSql(s: SparkSession, d: String): String = {
+    val centroidValues = trainedCentroidRows(s, d).sortBy(_._1)
+      .map { case (cid, ce) =>
+        s"($cid, ${ce.map(_.toString).mkString("[", ", ", "]")}::FLOAT[])"
+      }.mkString(",\n    ")
+    s"""WITH centroids(cid, cce) AS (VALUES
+       |    $centroidValues),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |escored AS (
+       |  SELECT vec_id, cid, ${duckCos("cce", "embedding")} AS ccos
+       |  FROM e CROSS JOIN centroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY ccos DESC, cid) AS rn FROM escored)
+       |  WHERE rn <= 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM assigned a JOIN assigned b USING (cid)
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT vec_a, vec_b, ${duckCos("ea.embedding", "eb.embedding")} AS cos
+       |  FROM pairs JOIN e ea ON ea.vec_id = pairs.vec_a
+       |             JOIN e eb ON eb.vec_id = pairs.vec_b)
+       |WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
   }
 
   // ---- distributed PCA (one-pass Gramian + bounded driver eigensolve) ----
@@ -1053,7 +1236,11 @@ object Similarity {
     "embedding_pca_project" -> embeddingPcaProjectSql(s, d),
     "embedding_whiten" -> embeddingWhitenSql(s, d),
     "ann_ivf" -> annIvfSql(s, d),
-    "ann_lsh" -> annLshSql(s, d)
+    "ann_lsh" -> annLshSql(s, d),
+    "ann_pq" -> annPqSql(s, d),
+    "ann_ivf_pq" -> annIvfPqSql(s, d),
+    "corpus_bitext_mine_ann" -> bitextMineAnnSql(s, d),
+    "dedup_embedding" -> dedupEmbeddingSql(s, d)
   )
 
   // ---- clustering & outlier analytics -----------------------------------
@@ -1890,16 +2077,11 @@ object Similarity {
     bitextMargin(scored)
   }
 
-  val bitextMineSql: String = {
-    val cosSql =
-      """round(
-        |      list_reduce(list_transform(range(1, len(xe) + 1),
-        |                  i -> xe[i]::DOUBLE * ye[i]::DOUBLE), (x, y) -> x + y)
-        |      / (sqrt(list_reduce(list_transform(range(1, len(xe) + 1),
-        |                  i -> xe[i]::DOUBLE * xe[i]::DOUBLE), (x, y) -> x + y))
-        |       * sqrt(list_reduce(list_transform(range(1, len(ye) + 1),
-        |                  i -> ye[i]::DOUBLE * ye[i]::DOUBLE), (x, y) -> x + y))),
-        |      6)""".stripMargin
+  /** Shared twin body for [[bitextMine]] / [[bitextMineAnn]]: the
+    * candidate CTE chain (must end with `sc0(src_id, src_lang, tgt_id,
+    * cos)`) differs — exhaustive cross vs IVF-cell-blocked — the margin
+    * machinery is verbatim-shared so it cannot drift. */
+  private def bitextTwinSql(candidateCtes: String): String = {
     s"""WITH base AS (
        |  SELECT d.doc_id, d.lang, e.embedding
        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
@@ -1907,10 +2089,7 @@ object Similarity {
        |       FROM base WHERE lang <> '$BitextPivotLang'),
        |ys AS (SELECT doc_id AS tgt_id, embedding AS ye
        |       FROM base WHERE lang = '$BitextPivotLang'),
-       |sc0 AS (
-       |  SELECT src_id, src_lang, tgt_id,
-       |    $cosSql AS cos
-       |  FROM xs, ys),
+       |$candidateCtes,
        |scored AS MATERIALIZED (
        |  SELECT *, CAST(round(cos * 1000000) AS BIGINT) AS ci FROM sc0),
        |f AS MATERIALIZED (
@@ -1939,6 +2118,60 @@ object Similarity {
        |                 ORDER BY margin DESC, tgt_id ASC) AS rk FROM cand)
        |WHERE rk = 1
        |ORDER BY src_id""".stripMargin
+  }
+
+  val bitextMineSql: String = {
+    val cosSql =
+      """round(
+        |      list_reduce(list_transform(range(1, len(xe) + 1),
+        |                  i -> xe[i]::DOUBLE * ye[i]::DOUBLE), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(range(1, len(xe) + 1),
+        |                  i -> xe[i]::DOUBLE * xe[i]::DOUBLE), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(range(1, len(ye) + 1),
+        |                  i -> ye[i]::DOUBLE * ye[i]::DOUBLE), (x, y) -> x + y))),
+        |      6)""".stripMargin
+    bitextTwinSql(
+      s"""sc0 AS (
+         |  SELECT src_id, src_lang, tgt_id,
+         |    $cosSql AS cos
+         |  FROM xs, ys)""".stripMargin)
+  }
+
+  /** DuckDB twin of [[bitextMineAnn]] (dynamic — the trained coarse
+    * quantizer folds in as literals): x docs fan out to their nprobe
+    * cells, y docs sit in their single nearest cell, candidates share a
+    * cell (each pair matches at most once since the y side is take=1),
+    * then the exact margin machinery runs verbatim on the blocked set. */
+  def bitextMineAnnSql(s: SparkSession, d: String): String = {
+    val centroidValues = trainedCentroidRows(s, d).sortBy(_._1)
+      .map { case (cid, ce) =>
+        s"($cid, ${ce.map(_.toString).mkString("[", ", ", "]")}::FLOAT[])"
+      }.mkString(",\n    ")
+    bitextTwinSql(
+      s"""centroids(cid, cce) AS (VALUES
+         |    $centroidValues),
+         |yscored AS (
+         |  SELECT tgt_id, cid, ${duckCos("cce", "ye")} AS ccos
+         |  FROM ys CROSS JOIN centroids),
+         |ycells AS (
+         |  SELECT tgt_id, cid FROM (
+         |    SELECT tgt_id, cid, row_number() OVER (PARTITION BY tgt_id
+         |             ORDER BY ccos DESC, cid) AS rn FROM yscored)
+         |  WHERE rn = 1),
+         |xscored AS (
+         |  SELECT src_id, cid, ${duckCos("cce", "xe")} AS ccos
+         |  FROM xs CROSS JOIN centroids),
+         |xcells AS (
+         |  SELECT src_id, cid FROM (
+         |    SELECT src_id, cid, row_number() OVER (PARTITION BY src_id
+         |             ORDER BY ccos DESC, cid) AS rn FROM xscored)
+         |  WHERE rn <= $NumProbeClusters),
+         |sc0 AS (
+         |  SELECT x.src_id, xs.src_lang, y.tgt_id,
+         |    ${duckCos("xs.xe", "ys.ye")} AS cos
+         |  FROM xcells x JOIN ycells y USING (cid)
+         |  JOIN xs ON xs.src_id = x.src_id
+         |  JOIN ys ON ys.tgt_id = y.tgt_id)""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
