@@ -119,6 +119,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // basket_rules: the same 1-row basket-count fold (support floor +
     // lift's N numerator) — the basket_lift shape
     "basket_rules",
+    // lang_id_fasttext: two 1-row model-stat aggregates in the scoring
+    // plan — the corpus doc total and the distinct-feature vocabulary
+    // size V (count_distinct's partial state is the distinct feature
+    // set, partial-aggregated per partition before the funnel; V itself
+    // is one number folded back as a broadcast) — the q6 scalar shape
+    "lang_id_fasttext",
     // citation_motifs: the 1-row open-wedge totals aggregate (6 BIGINT
     // class sums — the per-node tallies collapse to ONE row by schema)
     // plus the 13-row class catalog — both bounded by construction
@@ -226,6 +232,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast against one fused-cosine corpus scan (the
     // embedding_knn_classify shape, extrema instead of top-k)
     "embedding_triplet_mine",
+    // lang_id_fasttext: two 1-row scalar folds onto the doc-feature
+    // frame — the |langs|-row class table (model-sized by schema) and
+    // the 1-row vocabulary size V (the quality_unigram_logprob shape)
+    "lang_id_fasttext",
     // citation_rich_club: the threshold θ-joins run histogram ×
     // histogram (≤|distinct degrees| rows each side — the degree_dist
     // bound); the corpus collapsed before any of this
