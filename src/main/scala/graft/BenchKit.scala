@@ -48,7 +48,7 @@ private[graft] object BenchKit {
   def session(periodicGC: String = "60s"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -63,7 +63,17 @@ private[graft] object BenchKit {
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "5000")
       .config("spark.ui.retainedDeadExecutors", "10")
-      .getOrCreate()
+    // Dev A/B hook (unset in the driver, so shipped bench conditions are
+    // untouched): SPARK_GRAFT_CONF="k=v;k=v" overlays session confs for
+    // focused experiments (e.g. AQE on/off probes) without forking a
+    // second harness that could desynchronize from bench conditions.
+    val withOverlay = sys.env.get("SPARK_GRAFT_CONF").iterator
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    val spark = withOverlay.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Blocks.quietReleaseWarnings() // harness JVM: deliberate releases only
     spark

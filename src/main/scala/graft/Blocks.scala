@@ -43,6 +43,34 @@ private[graft] object Blocks {
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
 
+  /** Eager `localCheckpoint()` that actually KEEPS the frame's hash
+    * partitioning visible to downstream plans.
+    *
+    * Under AQE (the session default), the executed plan a checkpoint
+    * captures is an `AdaptiveSparkPlanExec`, and `LogicalRDD.fromDataset`
+    * reads its `outputPartitioning` as `UnknownPartitioning` — so every
+    * `repartition(k, key).localCheckpoint()` "pinned partitioning" frame
+    * in the iterative family silently lost its partitioning and every
+    * per-round join/aggregate re-exchanged it from scratch (measured at
+    * sf0.1: sccPivot re-shuffled the full 21 MB tagged edge frame TWICE
+    * per round; a post-checkpoint `groupBy(key)` planned 1 exchange
+    * instead of 0). Disabling AQE for just the checkpoint's own
+    * materialization restores the documented behavior — the cut plan is
+    * a deterministic exchange+narrow chain with nothing adaptive left to
+    * decide, so AQE has no value to add THERE, while the per-round
+    * consumers (which keep running under AQE) can now reuse the
+    * partitioning instead of re-exchanging. Scale-independent: this is
+    * a plan-correctness fix (results are bit-identical either way), and
+    * at 100 TB the avoided per-round exchange is the edge frame itself. */
+  def pinnedCut(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key)
+    conf.set(key, "false")
+    try df.localCheckpoint()
+    finally conf.set(key, prev)
+  }
+
   /** Unpersist the checkpointed RDD backing `df`, if `df` is the direct
     * result of a `localCheckpoint()`/`checkpoint()` call (its analyzed
     * plan is the `LogicalRDD` the checkpoint wrapped). No-op otherwise —

@@ -187,7 +187,7 @@ object Citations {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .pinnedCut
     val (deg, tri) = orientedTriangles(u)
     (u, deg, tri)
   }
@@ -268,7 +268,7 @@ object Citations {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .pinnedCut
     var lastCut = e
     var prevEdges = e.count()
     var converged = false
@@ -336,7 +336,7 @@ object Citations {
   private def hyperBallLoop(edges: DataFrame, hops: Int, lgK: Int)
       (perHop: (Int, DataFrame) => Unit): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).pinnedCut
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
     var balls = nodes.groupBy(col("id"))
@@ -573,7 +573,7 @@ object Citations {
         round(lit(1.0) / col("deg").cast("double"), 9)
           .cast("decimal(18,9)").as("term"))
     preCutProbe(fRaw)
-    val f = fRaw.localCheckpoint()
+    val f = fRaw.pinnedCut
     val a = f.select(col("src"), col("dst").as("paper_a"), col("term"))
     val b = f.select(col("src"), col("dst").as("paper_b"))
     val linked = edges.where(col("src") =!= col("dst"))
@@ -692,7 +692,7 @@ object Citations {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") <= maxOutDegree), Seq("src"))
       .select(col("src"), col("dst"))
-      .localCheckpoint()
+      .pinnedCut
     val nb = f.groupBy(col("dst")).agg(count(lit(1)).as("d"))
     val a = f.select(col("src"), col("dst").as("paper_a"))
     val b = f.select(col("src"), col("dst").as("paper_b"))
@@ -849,7 +849,7 @@ object Citations {
     // plan is cut, never the arithmetic) — probe-verified, and the hash
     // oracle pins it. The final round always cuts, keeping the returned
     // plan bounded.
-    val e = edges.repartition(col("src")).localCheckpoint()
+    val e = edges.repartition(col("src")).pinnedCut
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val n = nodes.count().toDouble
@@ -858,9 +858,9 @@ object Citations {
     // edge join + one aggregate, and the dangling mass is a scan of the
     // checkpointed frame (no join)
     val nodesWithDeg = nodes.join(outDeg, Seq("id"), "left_outer")
-      .localCheckpoint()
+      .pinnedCut
     var ranks = nodesWithDeg.select(col("id"), col("deg"),
-      lit(1.0 / n).as("rank")).localCheckpoint()
+      lit(1.0 / n).as("rank")).pinnedCut
     // the previous cut's blocks are dead the moment the next cut has
     // materialized — release them then, so the loop's block-manager
     // footprint is O(one rank frame), not O(iterations / cadence)
@@ -920,7 +920,7 @@ object Citations {
                            iterations: Int = 6, damping: Double = 0.85,
                            checkpointEvery: Int = 3,
                            roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
-    val e = edges.repartition(col("src")).localCheckpoint()
+    val e = edges.repartition(col("src")).pinnedCut
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val seeds = counts(e)
@@ -1086,7 +1086,7 @@ object Citations {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    var e = und.localCheckpoint()
+    var e = und.pinnedCut
     var lastCut = e
     var prevEdges = e.count()
     var converged = false
@@ -1199,10 +1199,10 @@ object Citations {
   def hits(edges: DataFrame, iterations: Int = 6,
            roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
-    val eSrc = edges.repartition(col("src")).localCheckpoint()
-    val eDst = eSrc.repartition(col("dst")).localCheckpoint()
+    val eSrc = edges.repartition(col("src")).pinnedCut
+    val eDst = eSrc.repartition(col("dst")).pinnedCut
     val nodes = eSrc.select(col("src").as("id"))
-      .union(eSrc.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(eSrc.select(col("dst").as("id"))).distinct().pinnedCut
     // round 0: hub = 1.0 on every node (dense by definition)
     var hub = nodes.select(col("id"), lit(1.0).as("hub"))
     var auth: DataFrame = null
@@ -1329,10 +1329,10 @@ object Citations {
       .select(col("src").as("u"), col("dst").as("v"))
       .union(edges.where(col("src") =!= col("dst"))
         .select(col("dst").as("u"), col("src").as("v")))
-      .repartition(col("u")).localCheckpoint()
+      .repartition(col("u")).pinnedCut
     // und is partitioned on u, so the node-id distinct needs no exchange
     var labels = und.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+      .select(col("id"), col("id").as("label")).pinnedCut
     var converged = false
     var i = 0
     // release() is deliberately a no-op on DERIVED frames, so track the
@@ -1457,7 +1457,7 @@ object Citations {
           concat(lit("B:"), col("src")).as("t")))
       .repartition(parts, col("k"))
       .dropDuplicates("k", "t")
-      .localCheckpoint()
+      .pinnedCut
     // pivot from the F-slice: t = "F:" ∥ dst, so groupBy(t) is the
     // in-degree count and the constant prefix preserves the id tie-order
     val pivot = e2.where(col("k").startsWith("F:"))
@@ -1588,7 +1588,7 @@ object Citations {
     // at sf0.1
     val parts = math.max(edges.rdd.getNumPartitions, 8)
     val e0 = edges.where(col("src") =!= col("dst")).distinct()
-      .repartition(parts, col("src")).localCheckpoint()
+      .repartition(parts, col("src")).pinnedCut
     val nodes = e0.select(col("src").as("id"))
       .unionByName(e0.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
@@ -1853,10 +1853,10 @@ object Citations {
       .where(col("src_scc") =!= col("dst_scc"))
       .select(col("src_scc"), col("dst_scc")).distinct()
       .repartition(parts, col("src_scc"))
-      .localCheckpoint()
+      .pinnedCut
     // one row per SCC; scc_size rides along from sccAll's labeling
     val sccs = labels.select(col("scc_id"), col("scc_size")).distinct()
-      .localCheckpoint()
+      .pinnedCut
     if (releaseLabels) graft.Blocks.release(labels)
     var levels = sccs.select(col("scc_id"), lit(0L).as("level")).localCheckpoint()
     var prevSum = 0L
@@ -1959,9 +1959,9 @@ object Citations {
       .union(edges.where(col("src") =!= col("dst"))
         .select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .repartition(col("u")).localCheckpoint()
+      .repartition(col("u")).pinnedCut
     var labels = und.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+      .select(col("id"), col("id").as("label")).pinnedCut
     var lastCut = labels
     for (i <- 1 to rounds) {
       // ONE exchange feeds both aggregates: repartition on the message key
@@ -2064,8 +2064,8 @@ object Citations {
       .union(edges.where(col("src") =!= col("dst"))
         .select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-    var e = und.repartition(col("u")).localCheckpoint()
-    var alive = e.select(col("u").as("id")).distinct().localCheckpoint()
+    var e = und.repartition(col("u")).pinnedCut
+    var alive = e.select(col("u").as("id")).distinct().pinnedCut
     // the LCG priority hashes THROUGH a BIGINT cast; a non-numeric id
     // would cast to NULL and null-poison its key, silently starving the
     // node of wins — fail loudly instead (the count scans blocks the
@@ -2384,14 +2384,14 @@ object Citations {
       .union(edges.where(col("src") =!= col("dst"))
         .select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .repartition(col("u")).localCheckpoint()
+      .repartition(col("u")).pinnedCut
     val deg = und.groupBy(col("u").as("id"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).pinnedCut
     val wTot = und.count() // = Σdeg = 2m, exact
     val offset = lit(new java.math.BigDecimal("1000000000000000000000000"))
       .cast("decimal(38,0)") // 10^24 > any |score| this side of yottascale
     val dec38 = (c: Column) => c.cast("decimal(38,0)")
-    var labels = deg.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = deg.select(col("id"), col("id").as("label")).pinnedCut
     var lastCut = labels
     for (i <- 1 to rounds) {
       val sigma = labels.join(deg, Seq("id"))
@@ -2456,7 +2456,7 @@ object Citations {
       .union(edges.where(col("src") =!= col("dst"))
         .select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .repartition(col("u")).localCheckpoint()
+      .repartition(col("u")).pinnedCut
     val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     val labels = labelsIn
       .select(col("paper_id").as("id"), col("community").as("label"))
@@ -2523,9 +2523,9 @@ object Citations {
       .union(edges.where(col("src") =!= col("dst"))
         .select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .repartition(col("u")).localCheckpoint()
+      .repartition(col("u")).pinnedCut
     val deg = und.groupBy(col("u").as("id"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).pinnedCut
     val wTot = und.count() // Σ deg = 2m — invariant under coarsening
     val labels = labelsIn
       .select(col("paper_id").as("id"), col("community").as("label"))
@@ -2542,10 +2542,10 @@ object Citations {
       .where(col("cu") =!= col("cv"))
       .groupBy(col("cu").as("u"), col("cv").as("v"))
       .agg(count(lit(1)).as("w"))
-      .repartition(col("u")).localCheckpoint()
+      .repartition(col("u")).pinnedCut
     val degW = labels.join(deg, Seq("id"))
       .groupBy(col("label").as("id")).agg(sum(col("deg")).as("deg"))
-      .localCheckpoint()
+      .pinnedCut
     graft.Blocks.release(und)
     graft.Blocks.release(deg)
     val offset = lit(new java.math.BigDecimal("1000000000000000000000000"))
@@ -2570,7 +2570,7 @@ object Citations {
         .collect()(0).getDecimal(0)
       BigInt(wTot) * BigInt(internal) - BigInt(totSq.toBigInteger)
     }
-    var l2 = degW.select(col("id"), col("id").as("label")).localCheckpoint()
+    var l2 = degW.select(col("id"), col("id").as("label")).pinnedCut
     var curScore = scoreOf(l2)
     var lastCut = l2
     var stalled = false
@@ -2824,7 +2824,7 @@ object Citations {
         row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
           .cast("long").as("rank"),
         count(lit(1)).over(Window.partitionBy(col("src"))).as("outdeg"))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).pinnedCut
     // detached cut: degs shares no lineage (or exprIds) with nb, so the
     // per-step double-reference (degs for the rank pick, nb for the hop)
     // never trips the self-join ambiguity check
@@ -2939,17 +2939,17 @@ object Citations {
   def node2vecWalks(edges: DataFrame, walks: Int = 2, steps: Int = 4): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
     val nb = e.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).pinnedCut
     // detached re-aliased cut for the triangle probe (the randomWalks
     // degs discipline — no shared exprIds with nb)
     val adj = nb.select(col("src").as("asrc"), col("dst").as("adst"))
-      .localCheckpoint()
+      .pinnedCut
     val degs = nb.groupBy(col("src").as("dsrc"))
-      .agg(count(lit(1)).as("ddeg")).localCheckpoint()
+      .agg(count(lit(1)).as("ddeg")).pinnedCut
     val ranked = nb.select(col("src"), col("dst"),
         row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
           .cast("long").as("rank"))
-      .localCheckpoint()
+      .pinnedCut
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     // step 1: uniform (no prev) — the randomWalks rule
@@ -3136,7 +3136,7 @@ object Citations {
   def bfsPaths(edges: DataFrame, hops: Int = 4,
                roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).pinnedCut
     val out = bfsPathsFrom(e, hops, roundProbe)
     graft.Blocks.release(e)
     out
@@ -3193,7 +3193,7 @@ object Citations {
     * hash verifies every δ exactly. */
   def betweenness(edges: DataFrame, hops: Int = 4): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).pinnedCut
     val fwd = bfsPathsFrom(e, hops).localCheckpoint()
     var delta = fwd.where(col("dist") === hops)
       .select(col("paper_id").as("id"), lit(0.0).as("delta"))
@@ -3310,7 +3310,7 @@ object Citations {
   def closeness(edges: DataFrame, hops: Int = 4, nSeeds: Int = 8,
                 roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val e = edges.where(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).pinnedCut
     val seeds = counts(e)
       .orderBy(col("citations").desc, col("paper_id").asc).limit(nSeeds)
       .select(col("paper_id").as("seed"))
@@ -3547,7 +3547,7 @@ object Citations {
   private def motifCensusFromStates(states: DataFrame): DataFrame = {
     // pinned: read by the node tallies, the triangle machinery, and the
     // three per-triangle state joins
-    val p = states.localCheckpoint()
+    val p = states.pinnedCut
 
     // per-node (m, o, i) dyad tallies → combinatorial centered-wedge
     // totals per open class, collapsed to ONE row
