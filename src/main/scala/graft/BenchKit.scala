@@ -71,6 +71,9 @@ private[graft] object BenchKit {
       .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
       .foldLeft(builder) { (b, kv) =>
         val Array(k, v) = kv.split("=", 2)
+        // every applied overlay is printed so a bench log is
+        // self-auditing about its session conditions (ADVICE r15)
+        println(s"[benchkit] SPARK_GRAFT_CONF overlay: $k=$v")
         b.config(k, v)
       }
     val spark = withOverlay.getOrCreate()

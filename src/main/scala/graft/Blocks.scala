@@ -44,7 +44,8 @@ private[graft] object Blocks {
     catch { case _: Throwable => () }
 
   /** Eager `localCheckpoint()` that actually KEEPS the frame's hash
-    * partitioning visible to downstream plans.
+    * partitioning visible to downstream plans, at a SIZE-AWARE partition
+    * count.
     *
     * Under AQE (the session default), the executed plan a checkpoint
     * captures is an `AdaptiveSparkPlanExec`, and `LogicalRDD.fromDataset`
@@ -56,19 +57,107 @@ private[graft] object Blocks {
     * per round; a post-checkpoint `groupBy(key)` planned 1 exchange
     * instead of 0). Disabling AQE for just the checkpoint's own
     * materialization restores the documented behavior — the cut plan is
-    * a deterministic exchange+narrow chain with nothing adaptive left to
-    * decide, so AQE has no value to add THERE, while the per-round
-    * consumers (which keep running under AQE) can now reuse the
-    * partitioning instead of re-exchanging. Scale-independent: this is
-    * a plan-correctness fix (results are bit-identical either way), and
-    * at 100 TB the avoided per-round exchange is the edge frame itself. */
+    * a deterministic exchange+narrow chain, while the per-round consumers
+    * (which keep running under AQE) reuse the partitioning instead of
+    * re-exchanging.
+    *
+    * The r15 lesson (driver verdict): AQE-off alone pins
+    * `spark.sql.shuffle.partitions` (= cpus in the bench session)
+    * partitions regardless of data size, and every downstream round
+    * inherits that width — at sf0.1 that flowed 32 near-empty partitions
+    * through every round of every iterative operator (citation family
+    * geomean 0.67 vs r14, and 8 cores BEAT 32). AQE's partition
+    * coalescing was the size-awareness; removing it must not remove the
+    * sizing. So the cut now derives an explicit, data-proportional
+    * partition count from its inputs' REAL sizes ([[cutPartitions]]:
+    * file bytes for scan leaves, block-manager bytes for already-pinned
+    * upstream cuts) and materializes under that `shuffle.partitions` —
+    * the floor (default 4) at sf0.1, thousands at 100 TB. The
+    * exchange-reuse benefit survives; the fixed-overhead explosion does
+    * not.
+    *
+    * Results are bit-identical either way (the oracle pins this); only
+    * plan shape and partition counts change.
+    *
+    * Thread-safety: the conf flip is synchronized on the session (two
+    * interleaved cuts on one session could race set/restore); concurrent
+    * queries planned in the window would still observe AQE off — the
+    * harness mains are single-threaded, which this primitive assumes. */
   def pinnedCut(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.adaptive.enabled"
-    val prev = conf.get(key)
-    conf.set(key, "false")
-    try df.localCheckpoint()
-    finally conf.set(key, prev)
+    val spark = df.sparkSession
+    // escape hatch (dev A/B probe + production fallback): pin=false
+    // makes the cut a plain AQE-governed localCheckpoint (the r14 shape)
+    if (!spark.conf.getOption("spark.graft.cut.pin").forall(_.toBoolean))
+      return df.localCheckpoint()
+    val n = cutPartitions(df)
+    spark.synchronized {
+      val conf = spark.conf
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevAqe = conf.get(aqeKey)
+      val prevSp = conf.get(spKey)
+      conf.set(aqeKey, "false")
+      conf.set(spKey, n.toString)
+      try df.localCheckpoint()
+      finally { conf.set(aqeKey, prevAqe); conf.set(spKey, prevSp) }
+    }
+  }
+
+  /** Data-proportional partition count for [[pinnedCut]]: the summed
+    * REAL byte size of the frame's leaf inputs over the target partition
+    * size (`spark.graft.cut.partitionBytes`, default 64 MB), clamped to
+    * [1, 262144]. Leaf sizes come from facts, not optimizer guesses:
+    * file-relation leaves report their actual file bytes; checkpointed
+    * leaves (`LogicalRDD`) report their persisted block bytes from the
+    * block manager (in-memory deserialized rows, so a conservative
+    * over-estimate vs compressed parquet); in-memory literal leaves are
+    * exact. Leaves whose size is unknowable (released blocks, foreign
+    * leaf nodes, estimates poisoned by `defaultSizeInBytes`) contribute
+    * nothing; if NO leaf is sizeable the cut falls back to the session's
+    * `shuffle.partitions` (the pre-sizing behavior) rather than guessing
+    * small — under-partitioning a 100 TB frame is the one failure mode
+    * this must never have. The sum over-counts frames that are a small
+    * slice of their inputs (a BFS frontier still counts the full edge
+    * leaf), which costs some task-count slack at scale but is safe in
+    * both directions. */
+  private[graft] def cutPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val spark = df.sparkSession
+    val conf = spark.conf
+    val target = math.max(1L,
+      conf.getOption("spark.graft.cut.partitionBytes")
+        .map(_.toLong).getOrElse(64L * 1024 * 1024))
+    // defaultSizeInBytes is the stats value of "no idea" (Long.MaxValue
+    // unless the user lowered it) — treat anything that large as unknown.
+    // Byte confs stringify with a unit suffix ("...b"); parse the digits.
+    val unknown = BigInt(conf
+      .getOption("spark.sql.defaultSizeInBytes")
+      .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+      .getOrElse(Long.MaxValue))
+    lazy val storage = spark.sparkContext.getRDDStorageInfo
+    val sizes = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case r: LogicalRDD =>
+        storage.find(_.id == r.rdd.id)
+          .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
+          .getOrElse(BigInt(0))
+      case l: LogicalRelation =>
+        BigInt(l.relation.sizeInBytes)
+      case leaf =>
+        val s = leaf.stats.sizeInBytes
+        if (s >= unknown) BigInt(0) else s
+    }
+    val bytes = sizes.sum
+    // the floor is > 1 by default: a 1-partition pinned frame satisfies
+    // EVERY required distribution, so downstream per-round aggregates
+    // lose their Exchange nodes — and with them the ReusedExchange reuse
+    // points that deduplicate shared subtrees (measured at sf0.1:
+    // citation_scc shuffle-read bytes 227 MB → 562 MB at floor 1, the
+    // h1 subtree recomputed per reference)
+    val floor = conf.getOption("spark.graft.cut.minPartitions")
+      .map(_.toInt).getOrElse(4).max(1)
+    if (bytes <= 0) conf.get("spark.sql.shuffle.partitions").toInt
+    else ((bytes + target - 1) / target)
+      .min(BigInt(262144)).max(BigInt(floor)).toInt
   }
 
   /** Unpersist the checkpointed RDD backing `df`, if `df` is the direct

@@ -31,6 +31,18 @@ object CostProbe {
         sRecs += m.shuffleWriteMetrics.recordsWritten
       }
     })
+    // the listener bus is async; poll counters until stable for a grace
+    // period instead of one fixed sleep — a fixed sleep can attribute
+    // query N's straggler stage events to query N+1 (ADVICE r15)
+    def settle(): Unit = {
+      var last = (jobs, stages, taskMs, sBytes, sRecs)
+      var stableMs = 0
+      while (stableMs < 400) {
+        Thread.sleep(100)
+        val now = (jobs, stages, taskMs, sBytes, sRecs)
+        if (now == last) stableMs += 100 else { stableMs = 0; last = now }
+      }
+    }
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     // one untimed global warm-up so codegen/parquet-footer costs don't
@@ -38,13 +50,13 @@ object CostProbe {
     try BenchKit.checksum(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
     Blocks.sweepAll(spark)
+    settle()
     names.foreach { n =>
       jobs = 0; stages = 0; taskMs = 0; sBytes = 0; sRecs = 0
       val t0 = System.nanoTime()
       try {
         BenchKit.checksum(SparkEntry.queries(n)(spark, sfDir))
-        // listener events drain asynchronously; give the bus a beat
-        Thread.sleep(300)
+        settle()
         println(f"[cost] $n%-34s wall=${(System.nanoTime() - t0) / 1e9}%7.2fs " +
           f"jobs=$jobs%4d stages=$stages%4d taskS=${taskMs / 1000.0}%8.1f " +
           f"shufMB=${sBytes / 1e6}%9.2f shufRows=$sRecs%10d")

@@ -5,7 +5,7 @@ object PartProbe {
   def main(args: Array[String]): Unit = {
     val spark = BenchKit.session()
     Blocks.quietReleaseWarnings()
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def check(tag: String, mk: => org.apache.spark.sql.DataFrame): Unit = {
       val e = mk
       e.queryExecution.analyzed match {

@@ -38,6 +38,34 @@ object Citations {
     * no-op call per round. */
   val noProbe: (Int, DataFrame, () => Long) => Unit = (_, _, _) => ()
 
+  /** Size-conditional probe side for a per-round join against a PINNED
+    * frame (guide §3.1: broadcast the side that fits, deliberately).
+    *
+    * The iterative loops probe their pinned edge frame with a node-scale
+    * frame each round. A `shuffle_hash` hint is right at corpus scale
+    * (the node frame is far over the broadcast cap, and hash-building
+    * node-scale beats re-sorting edge-scale), but at small scale it
+    * forces a co-partition shuffle of the probe side into the pinned
+    * frame's (few) partitions — while the pinned side, needing no
+    * exchange, leaves AQE no shuffle stage from which to do its usual
+    * runtime small-side broadcast conversion. Measured at sf0.1:
+    * citation_pagerank 9.16 s (pinned + shuffle_hash) vs 5.92 s (AQE
+    * broadcast shape). So make the choice explicitly and
+    * deterministically from a row count the operator already paid for:
+    * broadcast when `rows × bytesPerRow` is provably under the session
+    * broadcast threshold, shuffle-hash otherwise. Results are identical
+    * either way (same join rows; aggregate order is already
+    * plan-dependent and both engines round to the published grid). */
+  private def probeSide(df: DataFrame, rows: Long,
+                        bytesPerRow: Long = 64L): DataFrame = {
+    val threshold = df.sparkSession.conf
+      .getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+      .getOrElse(10L * 1024 * 1024)
+    if (threshold > 0 && rows * bytesPerRow < threshold) broadcast(df)
+    else df.hint("shuffle_hash")
+  }
+
   /** Edge projection of the driver testdata: "order cites part" — one edge
     * per lineitem. Ids cast to string to preserve the reference's
     * lexicographic key semantics (SURVEY.md §2.3.3). */
@@ -849,7 +877,17 @@ object Citations {
     // plan is cut, never the arithmetic) — probe-verified, and the hash
     // oracle pins it. The final round always cuts, keeping the returned
     // plan bounded.
-    val e = edges.repartition(col("src")).pinnedCut
+    // plain (AQE-governed) cuts, NOT pinnedCut: pageRank's per-round
+    // stages do real compute (the contribs join + aggregate over the
+    // full edge frame), and AQE's per-stage widths (wide maps, coalesced
+    // reads) beat any single pinned width at the measured scale — r16
+    // A/B at sf0.1: pinned floor-4 9.92 s / floor-8 9.73 / r15's 32-wide
+    // 17.16 vs 5.92 s for this shape (the pin also adds ~5 AQE query
+    // stages per round: 129 vs 76 stages per execution, PrProbe). The
+    // at-scale trade is the per-round edge re-exchange this re-admits —
+    // but that exchange is AQE-sized and the measured ground truth says
+    // the pin costs ~70% wall here; see OPTIMIZATION_r16.md.
+    val e = edges.repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val n = nodes.count().toDouble
@@ -858,9 +896,9 @@ object Citations {
     // edge join + one aggregate, and the dangling mass is a scan of the
     // checkpointed frame (no join)
     val nodesWithDeg = nodes.join(outDeg, Seq("id"), "left_outer")
-      .pinnedCut
+      .localCheckpoint()
     var ranks = nodesWithDeg.select(col("id"), col("deg"),
-      lit(1.0 / n).as("rank")).pinnedCut
+      lit(1.0 / n).as("rank")).localCheckpoint()
     // the previous cut's blocks are dead the moment the next cut has
     // materialized — release them then, so the loop's block-manager
     // footprint is O(one rank frame), not O(iterations / cadence)
@@ -871,13 +909,14 @@ object Citations {
       // folding it into the round's plan keeps each round a single job
       val dangling = broadcast(ranks.where(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
-      // shuffle_hash on the rank side: hash-building the node-scale rank
-      // frame beats re-sorting the edge-scale side every round (SMJ would
-      // sort the full edge list per iteration; the hash build is O(nodes))
+      // rank side: broadcast when provably tiny, shuffle_hash otherwise
+      // (probeSide — hash-building the node-scale rank frame beats
+      // re-sorting the edge-scale side every round; SMJ would sort the
+      // full edge list per iteration, the hash build is O(nodes))
       val contribs = e
-        .join(ranks.where(col("deg").isNotNull)
-          .select(col("id"), (col("rank") / col("deg")).as("share"))
-          .hint("shuffle_hash"),
+        .join(probeSide(ranks.where(col("deg").isNotNull)
+          .select(col("id"), (col("rank") / col("deg")).as("share")),
+          rows = n.toLong),
           e("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inbox"))
       val next = nodesWithDeg
@@ -920,7 +959,9 @@ object Citations {
                            iterations: Int = 6, damping: Double = 0.85,
                            checkpointEvery: Int = 3,
                            roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
-    val e = edges.repartition(col("src")).pinnedCut
+    // plain AQE cut, not pinnedCut — the pageRank rationale above
+    // (measured at sf0.1: pinned 6.85-7.72 s vs 5.05 s for this shape)
+    val e = edges.repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val seeds = counts(e)
@@ -933,6 +974,7 @@ object Citations {
       .join(broadcast(seeds), Seq("id"), "left_outer")
       .select(col("id"), col("deg"), coalesce(col("s"), lit(0.0)).as("s"))
       .localCheckpoint()
+    val n = base.count() // node count: probeSide sizing (persisted scan)
     var ranks = base.select(col("id"), col("deg"), col("s"),
       col("s").as("rank")).localCheckpoint()
     var lastCut = ranks
@@ -940,9 +982,9 @@ object Citations {
       val dangling = broadcast(ranks.where(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
       val contribs = e
-        .join(ranks.where(col("deg").isNotNull)
-          .select(col("id"), (col("rank") / col("deg")).as("share"))
-          .hint("shuffle_hash"),
+        .join(probeSide(ranks.where(col("deg").isNotNull)
+          .select(col("id"), (col("rank") / col("deg")).as("share")),
+          rows = n),
           e("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inbox"))
       val next = base
@@ -1439,13 +1481,12 @@ object Citations {
   def sccPivot(edges: DataFrame, rounds: Int = 16,
                roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
     val raw = edges.where(col("src") =!= col("dst"))
-    // traversal parallelism rides the INPUT's scan splits (the scale
-    // carrier: thousands at 100 TB), floored for local fan-out — NOT the
-    // session shuffle default: every per-round stage inherits this
-    // width via the pinned e2 side, and at sf0.1 the fixed per-task
-    // overhead of 32-way micro-tasks billed 3+ s/run over 8-way
-    // (measured 14.5 → 11.3 s median, identical results)
-    val parts = math.max(raw.rdd.getNumPartitions, 8)
+    // traversal parallelism: every per-round stage inherits the pinned
+    // e2 side's width, so the cut's size-aware partition count (bytes /
+    // target, NOT the session shuffle default — Blocks.cutPartitions) is
+    // the scale carrier: ~1 at sf0.1 where per-task overhead dominates
+    // (32-way micro-tasks billed 3+ s/run over 8-way in r14 probes),
+    // thousands at 100 TB
     // F rows walk src→dst, B rows walk dst→src; one pinned partitioning
     // on the tagged probe key serves both directions every round, and
     // the (k, t) dedup runs inside that same exchange
@@ -1455,7 +1496,7 @@ object Citations {
       .unionByName(raw
         .select(concat(lit("B:"), col("dst")).as("k"),
           concat(lit("B:"), col("src")).as("t")))
-      .repartition(parts, col("k"))
+      .repartition(col("k"))
       .dropDuplicates("k", "t")
       .pinnedCut
     // pivot from the F-slice: t = "F:" ∥ dst, so groupBy(t) is the
@@ -1583,12 +1624,11 @@ object Citations {
     * closure runs on the small cyclic core. */
   def sccAll(edges: DataFrame, trimRounds: Int = 10, pivotRounds: Int = 2,
              roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe): DataFrame = {
-    // same width rule as sccPivot: ride the input's scan splits, not the
-    // session shuffle default — per-trim-round stages are overhead-bound
-    // at sf0.1
-    val parts = math.max(edges.rdd.getNumPartitions, 8)
+    // same width rule as sccPivot: the cut sizes its own partition count
+    // from real input bytes (Blocks.cutPartitions) — per-trim-round
+    // stages are overhead-bound at sf0.1, edge-proportional at 100 TB
     val e0 = edges.where(col("src") =!= col("dst")).distinct()
-      .repartition(parts, col("src")).pinnedCut
+      .repartition(col("src")).pinnedCut
     val nodes = e0.select(col("src").as("id"))
       .unionByName(e0.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
@@ -1843,8 +1883,8 @@ object Citations {
                     roundProbe: (Int, DataFrame, () => Long) => Unit = noProbe,
                     releaseLabels: Boolean = false): DataFrame = {
     // same width rule as sccPivot: condensation frames are ≤ node-sized,
-    // so per-round stages are overhead-bound — ride the input's splits
-    val parts = math.max(edges.rdd.getNumPartitions, 8)
+    // so per-round stages are overhead-bound — the cut sizes its width
+    // from real input bytes (Blocks.cutPartitions)
     val ce = edges.where(col("src") =!= col("dst")).distinct()
       .join(labels.select(col("paper_id").as("src"), col("scc_id").as("src_scc")),
         Seq("src"))
@@ -1852,7 +1892,7 @@ object Citations {
         Seq("dst"))
       .where(col("src_scc") =!= col("dst_scc"))
       .select(col("src_scc"), col("dst_scc")).distinct()
-      .repartition(parts, col("src_scc"))
+      .repartition(col("src_scc"))
       .pinnedCut
     // one row per SCC; scc_size rides along from sccAll's labeling
     val sccs = labels.select(col("scc_id"), col("scc_size")).distinct()

@@ -924,11 +924,16 @@ object TextAnalysis {
     val pairs = adj.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
-    val ed = pairs.select(col("lang"), col("w1").as("src"),
+    // NOT pinned: a sized pinnedCut on (lang, src) was tried in r16 and
+    // measured SLOWER (4.54 s vs 3.28 s at sf0.1) — this loop is in the
+    // pageRank regime (node-scale probe side + real per-round compute),
+    // where AQE's per-stage widths beat a static pinned width; see
+    // OPTIMIZATION_r16.md "per-operator pin decision".
+    val edCut = pairs.select(col("lang"), col("w1").as("src"),
         col("w2").as("dst"), col("w"))
       .unionAll(pairs.select(col("lang"), col("w2").as("src"),
         col("w1").as("dst"), col("w")))
-    val wdeg = ed.groupBy(col("lang"), col("src").as("tok"))
+    val wdeg = edCut.groupBy(col("lang"), col("src").as("tok"))
       .agg(sum(col("w")).as("wdeg"))
     val nn = wdeg.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     // the node frame CARRIES wdeg and the per-lang teleport term, so each
@@ -945,7 +950,7 @@ object TextAnalysis {
       .localCheckpoint()
     var lastCut = ranks
     for (i <- 1 to iterations) {
-      val inbox = ed
+      val inbox = edCut
         .join(ranks.select(col("lang"), col("tok").as("src"),
             col("wdeg").as("src_wdeg"), col("pr")).hint("shuffle_hash"),
           Seq("lang", "src"))
@@ -1387,16 +1392,27 @@ object TextAnalysis {
     * seam, so the spec can feed a hand-checkable fixture. */
   def langIdFasttextFrom(input: DataFrame): DataFrame = {
     val docsIn = input.localCheckpoint() // one cut: 3 readers below
-    val base = docsIn
+    // feature rows via plain generators, NOT higher-order functions:
+    // the original flatten(transform(.., transform(sequence(..)))) is
+    // CodegenFallback — every row pays interpreted lambda evaluation
+    // inside the hottest stage (r16 census: the dfk cut dominates the
+    // query's executor time). explode(split(..)), explode(sequence(..))
+    // and substring are all whole-stage-codegen; the unionAll's second
+    // pass over `words` re-runs only a narrow projection of the
+    // checkpointed docs frame. Row multiset of (doc_id, lang, f) is
+    // identical (order never mattered — the next step is a groupBy).
+    val words = docsIn
       .select(col("doc_id"), col("lang"),
-        expr("filter(split(text, ' '), w -> length(w) >= 1)").as("ws"))
-    val dfk = base
-      .select(col("doc_id"), col("lang"), explode(expr(
-        """flatten(transform(ws, x -> concat(
-          |  array(concat('W:', x)),
-          |  transform(sequence(1, length(x)),
-          |            i -> concat('C:', substring(concat('<', x, '>'), i, 3))))))"""
-          .stripMargin)).as("f"))
+        explode(split(col("text"), " ")).as("x"))
+      .where(length(col("x")) >= 1)
+    val dfk = words
+      .select(col("doc_id"), col("lang"),
+        concat(lit("W:"), col("x")).as("f"))
+      .unionAll(words
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(1, length(x))")).as("i"), col("x"))
+        .select(col("doc_id"), col("lang"),
+          expr("concat('C:', substring(concat('<', x, '>'), i, 3))").as("f")))
       .groupBy(col("doc_id"), col("lang"), col("f"))
       .agg(count(lit(1)).as("k"))
       .localCheckpoint() // one corpus scan feeds trainer + scorer
